@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query result parquet under <verifyOutDir>/<name>/, runs the
+matching oracle SQL from oracle_sql.json in DuckDB (tables = parquet files
+in <sfDir>), sorts columns by name and rows by all columns, and compares
+cell values. Prints PASS/FAIL per query.
+"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+def canon(rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(repr(round(v, 9)))
+            else:
+                vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING {name}")
+            n_fail += 1
+            continue
+        got_tbl = pq.read_table(files[0])
+        got_cols = sorted(got_tbl.column_names)
+        got = canon(zip(*[got_tbl.column(c).to_pylist() for c in got_cols]))
+        try:
+            res = con.execute(oracle[name])
+            exp_cols_raw = [d[0] for d in res.description]
+            exp_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        order = sorted(range(len(exp_cols_raw)), key=lambda i: exp_cols_raw[i])
+        exp_cols = [exp_cols_raw[i] for i in order]
+        exp = canon([tuple(r[i] for i in order) for r in exp_rows])
+        if exp_cols != got_cols:
+            print(f"FAIL  {name}: columns {got_cols} vs oracle {exp_cols}")
+            n_fail += 1
+        elif exp != got:
+            diff = next((i for i,(a,b) in enumerate(zip(exp,got)) if a!=b),
+                        min(len(exp), len(got)))
+            print(f"FAIL  {name}: rows {len(got)} vs {len(exp)}; first diff @")
+            print(f"      got: {got[diff] if diff < len(got) else '<none>'}")
+            print(f"      exp: {exp[diff] if diff < len(exp) else '<none>'}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central catalog for the driver-provided synthetic tables (TESTDATA.md).
+  *
+  * Every query receives an `sfDir` (e.g. /root/testdata/sf0.01) and loads
+  * parquet from it. Loading goes through here so that scale-oriented reader
+  * options (pruning, pushdown) are applied uniformly. At cluster scale these
+  * would be external catalog tables; the API surface is the same.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
+      // rejects natively. Read nanos as long, truncate to micros — the same
+      // precision DuckDB lands on (its TIMESTAMP is µs), so oracles agree.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Registers all tables as temp views so `spark.sql` text matches the
+    * DuckDB oracle SQL 1:1 where we express queries in SQL. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

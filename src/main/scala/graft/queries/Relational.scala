@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Relational operator coverage (SURVEY.md §2.1–§2.3, §2.7, §2.8) expressed
+  * over the driver's synthetic tables.
+  *
+  * Scale notes (100 TB design point):
+  *  - fact tables (`lineitem`, `orders`, `events`) are only ever scanned with
+  *    projections/filters that push down to parquet;
+  *  - dimension joins (`customer`/`nation`/`region`) use explicit
+  *    `broadcast()` hints — at 1000 executors a shuffle join on a dim table
+  *    would be pure overhead;
+  *  - aggregations are plain `groupBy.agg` → Spark does partial (map-side)
+  *    aggregation automatically, so the shuffle carries one row per
+  *    (partition × group), not per input row;
+  *  - money sums run over DECIMAL(18,2) so results are exact and
+  *    reproducible under any partitioning / AQE re-plan (double summation
+  *    order would otherwise leak into the hash compare).
+  */
+object Relational extends graft.QueryModule {
+
+  /** Exact money sum: cast to decimal (exact, order-independent), sum, cast
+    * back to double for a stable cross-engine representation. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  // ---------------------------------------------------------------- queries
+
+  /** S1/P1: scan + projection + derived column; column-pruned parquet scan. */
+  def scanProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        length($"text").as("text_len"))
+  }
+
+  /** P3/O3: deterministic sample limit (order + limit; a bare limit is
+    * nondeterministic under parallel scan, so the engine always orders). */
+  def orderedLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast(DecimalType(18, 2)).cast("double").as("o_totalprice"))
+      .orderBy($"o_orderkey")
+      .limit(100)
+  }
+
+  /** P4/P5: predicate filter (relevance-score-gate analog); both predicates
+    * push down to the parquet scan. */
+  def scoreFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .filter($"value" > 50 && $"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value")
+  }
+
+  /** A1-family: the classic wide aggregation (TPC-H Q1 shape) — map-side
+    * partial agg, 6 aggregates in one pass. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        moneySum($"l_quantity").as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_base_price"),
+        r4(avg($"l_quantity")).as("avg_qty"),
+        r4(avg($"l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** A2/A3: accuracy-by-category analog — conditional counts + rate. */
+  def accuracyByType(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "error", 1).otherwise(0)).as("n_error"),
+        r4(avg(when($"event_type" === "purchase", 1.0).otherwise(0.0)))
+          .as("purchase_rate"))
+  }
+
+  /** A4: distribution + share-of-total via a window over the aggregate —
+    * one shuffle for the groupBy, the window total is a single-row exchange. */
+  def judgmentDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct",
+        r4($"n" * lit(1.0) / sum($"n").over(Window.partitionBy())))
+  }
+
+  /** A6: timing stats analog — avg + median excluding non-positive values. */
+  def timingStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .filter($"value" > 0)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(avg($"value")).as("avg_value"),
+        r4(median($"value")).as("median_value"),
+        r4(min($"value")).as("min_value"),
+        r4(max($"value")).as("max_value"))
+  }
+
+  /** A12: histogram by width-bucket (corpus token-count histogram analog). */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy(floor($"n_chars" / 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
+  /** J1: fact ⋈ broadcast dims (QA ⋈ document-cache analog). The three
+    * dimension tables broadcast; only `orders` moves for the final groupBy. */
+  def broadcastJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    val dims = customer
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"r_name")
+    orders.join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("revenue"))
+  }
+
+  /** J1 cache-miss detection: left-anti join (reference's `not in cache`).
+    * The probe-side filter is applied before the join (Catalyst pushes it),
+    * so the anti-join build side stays small. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val fOrders = Tables.load(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+    customer.join(fOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** Semi join: customers having at least one order (EXISTS). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    customer.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_nationkey")
+  }
+
+  /** O4: arg-max per group via row_number window (fuzzy-join top-1 analog). */
+  def windowTop1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.load(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"c_nationkey", $"c_custkey", $"c_name",
+        $"c_acctbal".cast(DecimalType(18, 2)).cast("double").as("c_acctbal"))
+  }
+
+  /** O5: positional judge batching — row_number over a stable key, batches
+    * of 5, then per-batch aggregation (batch boundaries are data, not luck). */
+  def judgeBatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", floor(($"rn" - 1) / 5).cast("long"))
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("batch_size"),
+        min($"event_id").as("first_event"),
+        max($"event_id").as("last_event"))
+  }
+
+  /** A10: confusion-matrix shape — counts over a label pair. */
+  def confusionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Event-time bucketing (streaming windowed-agg semantics, batch form):
+    * tumbling 1-hour windows keyed by event_type. */
+  def timeWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_scan_project" -> scanProject,
+    "rel_ordered_limit" -> orderedLimit,
+    "rel_score_filter" -> scoreFilter,
+    "rel_q1_agg" -> q1Agg,
+    "rel_accuracy_by_type" -> accuracyByType,
+    "rel_judgment_distribution" -> judgmentDistribution,
+    "rel_timing_stats" -> timingStats,
+    "rel_histogram" -> histogram,
+    "rel_broadcast_join_agg" -> broadcastJoinAgg,
+    "rel_anti_join" -> antiJoin,
+    "rel_semi_join" -> semiJoin,
+    "rel_window_top1" -> windowTop1,
+    "rel_judge_batches" -> judgeBatches,
+    "rel_confusion_matrix" -> confusionMatrix,
+    "rel_time_window_agg" -> timeWindowAgg,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_scan_project" ->
+      """SELECT doc_id, lang, source, n_chars, length(text) AS text_len
+        |FROM documents""".stripMargin,
+    "rel_ordered_limit" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "rel_score_filter" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value > 50 AND event_type = 'purchase'""".stripMargin,
+    "rel_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_accuracy_by_type" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 4) AS purchase_rate
+        |FROM events GROUP BY user_id""".stripMargin,
+    "rel_judgment_distribution" ->
+      """SELECT event_type, n, round(n * 1.0 / sum(n) OVER (), 4) AS pct
+        |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)""".stripMargin,
+    "rel_timing_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(median(value), 4) AS median_value,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value
+        |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
+    "rel_histogram" ->
+      """SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "rel_broadcast_join_agg" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "rel_semi_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "rel_window_top1" ->
+      """SELECT c_nationkey, c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |      FROM customer) WHERE rn = 1""".stripMargin,
+    "rel_judge_batches" ->
+      """SELECT batch_id, count(*) AS batch_size,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM (SELECT event_id,
+        |        CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 5) AS BIGINT) AS batch_id
+        |      FROM events) GROUP BY batch_id""".stripMargin,
+    "rel_confusion_matrix" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_time_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("every relational query returns rows at sf0.001") {
+    Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query with an oracle has matching entry") {
+    Relational.oracleSql.keys.foreach { k =>
+      assert(Relational.queries.contains(k), s"oracle $k has no query")
+    }
+  }
+
+  test("q1_agg aggregates are exact and grouped correctly") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus in synthetic data
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    import org.apache.spark.sql.functions._
+    val expected = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("window top1 has one row per nation") {
+    val rows = Relational.windowTop1(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("c_nationkey")).distinct.length == rows.length)
+    assert(rows.length == 25)
+  }
+
+  test("judge batches are size 5 except possibly the last") {
+    val rows = Relational.judgeBatches(spark, sf).collect()
+      .sortBy(_.getAs[Long]("batch_id"))
+    val sizes = rows.map(_.getAs[Long]("batch_size"))
+    assert(sizes.init.forall(_ == 5))
+    assert(sizes.last <= 5 && sizes.last >= 1)
+  }
+
+  test("semi + anti partition the customer table") {
+    import org.apache.spark.sql.functions._
+    val cust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+    val semi = spark.read.parquet(s"$sf/customer.parquet")
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Relational.antiJoin(spark, sf).count()
+    assert(semi + anti == cust)
+  }
+}
