@@ -12,6 +12,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     q.Relational,
+    q.TextOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text kernel (SURVEY.md §2.4, §2.6,
+  * §2.11). All are codegen-participating: `CountTokens` emits a direct
+  * static call inside whole-stage codegen; the generator and struct
+  * expressions use eval (they produce rows/structs, outside hot arithmetic).
+  */
+
+/** `count_tokens(text)` — token count under the engine tokenizer.
+  * Reference behavior: len(tiktoken.encode(s)),
+  * src/utils/document_processing.py:19-23. */
+case class CountTokens(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    Tokenizer.countTokens(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Tokenizer.countTokens($c.toString())")
+  override protected def withNewChildInternal(c: Expression): CountTokens = copy(c)
+  override def prettyName: String = "count_tokens"
+}
+
+/** `estimate_tokens(text)` — the reference's 1.15x safety-buffer estimate
+  * (src/llm/async_llm_client.py:98-123): ceil(count * 1.15). */
+case class EstimateTokens(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val n = Tokenizer.countTokens(v.asInstanceOf[UTF8String].toString)
+    math.ceil(n * 1.15).toInt
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(int) java.lang.Math.ceil(graft.functions.Tokenizer.countTokens($c.toString()) * 1.15)")
+  override protected def withNewChildInternal(c: Expression): EstimateTokens = copy(c)
+  override def prettyName: String = "estimate_tokens"
+}
+
+object TruncateTokens {
+  val schema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("original_tokens", IntegerType, nullable = false),
+    StructField("truncated_tokens", IntegerType, nullable = false),
+    StructField("retention_rate", DoubleType, nullable = false),
+    StructField("truncation_applied", BooleanType, nullable = false),
+    StructField("strategy", StringType, nullable = false)))
+}
+
+/** `truncate_tokens(text, maxTokens, mode)` — token-budget truncation with
+  * the reference's stats struct (src/utils/truncation_utils.py:35-156).
+  * mode in {start, end, smart}; smart delegates to start (the reference's
+  * placeholder does the same, relabeling the strategy). */
+case class TruncateTokens(text: Expression, maxTokens: Expression, mode: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = text
+  override def second: Expression = maxTokens
+  override def third: Expression = mode
+  override def dataType: DataType = TruncateTokens.schema
+  override def nullSafeEval(t: Any, m: Any, md: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString
+    val max = m.asInstanceOf[Int]
+    val strategy = md.asInstanceOf[UTF8String].toString
+    val (out, orig, kept) = Tokenizer.truncate(s, max, strategy)
+    val rate = if (orig > 0) kept.toDouble / orig else 1.0
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(out), orig, kept, rate,
+      java.lang.Boolean.valueOf(kept < orig), UTF8String.fromString(strategy)))
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): TruncateTokens = copy(f, s, t)
+  override def prettyName: String = "truncate_tokens"
+}
+
+object SplitChunks {
+  val elementSchema: StructType = StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false),
+    StructField("token_count", IntegerType, nullable = false)))
+}
+
+/** `split_chunks(text, size, overlap)` — the reference's core
+  * table-generating function (token-window split with overlap;
+  * src/utils/document_processing.py:246-267). A Catalyst `Generator`,
+  * i.e. the UDTF-equivalent used under `explode`-style generation:
+  * `df.select($"doc_id", split_chunks($"text", 512, 64))` yields one row
+  * per chunk with (chunk_idx, chunk_text, token_count).
+  *
+  * chunk_text is the original substring spanning the chunk's tokens, so
+  * intra-chunk whitespace is preserved and concatenating de-overlapped
+  * chunks reconstructs the tokenized source (property-tested). */
+case class SplitChunks(text: Expression, size: Expression, overlap: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(text, size, overlap)
+  override def elementSchema: StructType = SplitChunks.elementSchema
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    if (t == null) return Nil
+    val s = t.asInstanceOf[UTF8String].toString
+    val sz = size.eval(input).asInstanceOf[Int]
+    val ov = overlap.eval(input).asInstanceOf[Int]
+    val offs = Tokenizer.tokenize(s)
+    val n = offs.length / 2
+    Tokenizer.chunkSpans(n, sz, ov).iterator.zipWithIndex.map {
+      case ((a, b), idx) =>
+        val chunk = s.substring(offs(2 * a), offs(2 * (b - 1) + 1))
+        new GenericInternalRow(Array[Any](
+          idx, UTF8String.fromString(chunk), b - a)): InternalRow
+    }.toSeq
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): SplitChunks = copy(cs(0), cs(1), cs(2))
+  override def prettyName: String = "split_chunks"
+}
+
+/** Column-level API for the text kernel. */
+object TextFunctions {
+  private def col(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def ex(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  def count_tokens(c: Column): Column = col(CountTokens(ex(c)))
+  def estimate_tokens(c: Column): Column = col(EstimateTokens(ex(c)))
+  def truncate_tokens(c: Column, maxTokens: Column, mode: Column): Column =
+    col(TruncateTokens(ex(c), ex(maxTokens), ex(mode)))
+  def split_chunks(c: Column, size: Column, overlap: Column): Column =
+    col(SplitChunks(ex(c), ex(size), ex(overlap)))
+
+  /** Register all text-kernel functions for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("count_tokens",
+      es => CountTokens(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("estimate_tokens",
+      es => EstimateTokens(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("truncate_tokens",
+      es => TruncateTokens(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("split_chunks",
+      es => SplitChunks(es(0), es(1), es(2)), "scala_udf")
+  }
+}

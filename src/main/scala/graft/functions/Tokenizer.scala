@@ -1,0 +1,159 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic, self-contained "BPE-ish" tokenizer.
+  *
+  * The reference counts tokens with tiktoken `cl100k_base` everywhere
+  * (reference: src/utils/document_processing.py:19-23,
+  * src/utils/truncation_utils.py:41, src/loaders/webapp_loader.py:163).
+  * Offline we need a vocabulary-free stand-in whose counts are *internally
+  * consistent* (the same tokenizer drives chunk boundaries, truncation
+  * budgets and token stats — matching the reference's single-encoding
+  * discipline). Counts differ from tiktoken's; semantics don't.
+  *
+  * Token rule (chosen so a DuckDB RE2 regex reproduces it exactly, which
+  * keeps token-level queries oracle-checkable):
+  *   - a run of letters, split every 8 chars   -> `\p{L}{1,8}`
+  *   - a run of digits, split every 3 chars    -> `\p{N}{1,3}`
+  *   - any other non-whitespace char, alone    -> `[^\p{L}\p{N}\s]`
+  *   - whitespace separates tokens and is never a token.
+  *
+  * Implemented as a manual scanner (no regex) for speed: one pass, no
+  * allocation beyond the offsets buffer. ~100 MB/s/core, linear.
+  */
+object Tokenizer {
+
+  val DuckDbTokenRegex = "\\p{L}{1,8}|\\p{N}{1,3}|[^\\p{L}\\p{N}\\s]"
+
+  private final val MaxLetterRun = 8
+  private final val MaxDigitRun = 3
+
+  @inline private def isLetter(c: Char): Boolean = Character.isLetter(c)
+  @inline private def isDigit(c: Char): Boolean = Character.isDigit(c)
+  @inline private def isSpace(c: Char): Boolean = Character.isWhitespace(c)
+
+  /** Token [start, end) char offsets into `s`. */
+  def tokenize(s: String): Array[Int] = {
+    val out = new ArrayBuffer[Int](math.max(16, s.length / 4))
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isSpace(c)) {
+        i += 1
+      } else if (isLetter(c)) {
+        var j = i
+        while (j < n && isLetter(s.charAt(j))) j += 1
+        var k = i
+        while (k < j) {
+          val e = math.min(k + MaxLetterRun, j)
+          out += k; out += e
+          k = e
+        }
+        i = j
+      } else if (isDigit(c)) {
+        var j = i
+        while (j < n && isDigit(s.charAt(j))) j += 1
+        var k = i
+        while (k < j) {
+          val e = math.min(k + MaxDigitRun, j)
+          out += k; out += e
+          k = e
+        }
+        i = j
+      } else {
+        out += i; out += (i + 1)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Number of tokens in `s` — same single pass, no offsets buffer. */
+  def countTokens(s: String): Int = {
+    if (s == null) return 0
+    var count = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isSpace(c)) {
+        i += 1
+      } else if (isLetter(c)) {
+        var j = i
+        while (j < n && isLetter(s.charAt(j))) j += 1
+        count += ((j - i) + MaxLetterRun - 1) / MaxLetterRun
+        i = j
+      } else if (isDigit(c)) {
+        var j = i
+        while (j < n && isDigit(s.charAt(j))) j += 1
+        count += ((j - i) + MaxDigitRun - 1) / MaxDigitRun
+        i = j
+      } else {
+        count += 1
+        i += 1
+      }
+    }
+    count
+  }
+
+  /** Token strings (materialized) — used by token-space operators. */
+  def tokens(s: String): Array[String] = {
+    val offs = tokenize(s)
+    val out = new Array[String](offs.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = s.substring(offs(2 * i), offs(2 * i + 1))
+      i += 1
+    }
+    out
+  }
+
+  /** Chunk [firstToken, lastTokenExclusive) spans for a token-window split:
+    * windows of `size` tokens advancing by `size - overlap`. Mirrors the
+    * reference's splitter contract (chunk<=size, consecutive chunks share
+    * `overlap` tokens; reference: src/utils/document_processing.py:246-267,
+    * src/loaders/webapp_loader.py:147-211 exact-token mode). */
+  def chunkSpans(nTokens: Int, size: Int, overlap: Int): Array[(Int, Int)] = {
+    require(size > 0, "chunk size must be > 0")
+    require(overlap >= 0 && overlap < size, "0 <= overlap < size required")
+    if (nTokens == 0) return Array.empty
+    val stride = size - overlap
+    val out = new ArrayBuffer[(Int, Int)]
+    var start = 0
+    var done = false
+    while (!done) {
+      val end = math.min(start + size, nTokens)
+      out += ((start, end))
+      if (end >= nTokens) done = true else start += stride
+    }
+    out.toArray
+  }
+
+  /** Number of chunks the span rule produces — closed form, used by the
+    * DuckDB oracle: 1 if n<=size else 1+ceil((n-size)/(size-overlap)). */
+  def numChunks(nTokens: Int, size: Int, overlap: Int): Int =
+    if (nTokens == 0) 0
+    else if (nTokens <= size) 1
+    else 1 + ((nTokens - size) + (size - overlap) - 1) / (size - overlap)
+
+  /** Truncate `s` to at most `maxTokens` tokens. mode: start|end|smart
+    * (smart delegates to start, as in the reference placeholder —
+    * src/utils/truncation_utils.py:123-156). Returns (text, originalTokens,
+    * keptTokens). */
+  def truncate(s: String, maxTokens: Int, mode: String): (String, Int, Int) = {
+    val offs = tokenize(s)
+    val n = offs.length / 2
+    if (n <= maxTokens) return (s, n, n)
+    val kept = math.max(0, maxTokens)
+    if (kept == 0) return ("", n, 0)
+    mode match {
+      case "end" =>
+        val first = n - kept
+        (s.substring(offs(2 * first), offs(2 * (n - 1) + 1)), n, kept)
+      case _ => // "start" | "smart"
+        (s.substring(offs(0), offs(2 * (kept - 1) + 1)), n, kept)
+    }
+  }
+}

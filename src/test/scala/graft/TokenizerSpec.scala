@@ -1,0 +1,123 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Tokenizer
+
+class TokenizerSpec extends SparkSpec {
+
+  /** Deterministic stand-in for ScalaCheckPropertyChecks (scalatestplus is
+    * not in the offline cache): sample `gen` `n` times from a fixed seed. */
+  private def forAll[A](gen: Gen[A], n: Int = 200)(body: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(body)
+      seed = seed.next
+      i += 1
+    }
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => body(t._1, t._2))
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(
+      body: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => body(t._1, t._2, t._3))
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    (8, Gen.alphaStr.map(_.take(20))),
+    (2, Gen.numStr.map(_.take(8))),
+    (2, Gen.oneOf(".", ",", "$", "%", "(", ")", "-", "—", "ü", "北")),
+    (4, Gen.oneOf(" ", "  ", "\n", "\t")),
+  )).map(_.mkString)
+
+  test("countTokens agrees with tokenize offsets") {
+    forAll(textGen) { (s: String) =>
+      assert(Tokenizer.countTokens(s) == Tokenizer.tokenize(s).length / 2)
+    }
+  }
+
+  test("letter runs split every 8, digit runs every 3") {
+    assert(Tokenizer.countTokens("abcdefgh") == 1)
+    assert(Tokenizer.countTokens("abcdefghi") == 2)
+    assert(Tokenizer.countTokens("a" * 17) == 3)
+    assert(Tokenizer.countTokens("123") == 1)
+    assert(Tokenizer.countTokens("1234") == 2)
+    assert(Tokenizer.countTokens("12.5%") == 4) // "12",".","5","%"
+    assert(Tokenizer.countTokens("  \n\t ") == 0)
+    assert(Tokenizer.countTokens("") == 0)
+  }
+
+  test("chunk spans: size/overlap invariants") {
+    forAll(Gen.chooseNum(0, 5000), Gen.chooseNum(1, 200), Gen.chooseNum(0, 199)) {
+      (n, size, ov0) =>
+        val ov = math.min(ov0, size - 1)
+        val spans = Tokenizer.chunkSpans(n, size, ov)
+        assert(spans.length == Tokenizer.numChunks(n, size, ov))
+        if (n > 0) {
+          assert(spans.head._1 == 0)
+          assert(spans.last._2 == n)
+          spans.foreach { case (a, b) => assert(b - a <= size && b > a) }
+          spans.sliding(2).foreach {
+            case Array((_, e1), (s2, _)) => assert(e1 - s2 == ov || e1 == n)
+            case _ =>
+          }
+        }
+    }
+  }
+
+  test("chunk texts reconstruct the tokenized source") {
+    forAll(textGen, Gen.chooseNum(2, 64)) { (s, size) =>
+      val ov = size / 4
+      val offs = Tokenizer.tokenize(s)
+      val n = offs.length / 2
+      val spans = Tokenizer.chunkSpans(n, size, ov)
+      // de-overlapped concatenation covers every token exactly once
+      val covered = spans.zipWithIndex.flatMap { case ((a, b), i) =>
+        (if (i == 0) a else a + ov) until b
+      }
+      assert(covered.toSeq == (0 until n))
+    }
+  }
+
+  test("truncate keeps exactly min(n, max) tokens, start and end modes") {
+    forAll(textGen, Gen.chooseNum(0, 50)) { (s, max) =>
+      for (mode <- Seq("start", "end", "smart")) {
+        val (out, orig, kept) = Tokenizer.truncate(s, max, mode)
+        assert(orig == Tokenizer.countTokens(s))
+        assert(kept == math.min(orig, max))
+        assert(Tokenizer.countTokens(out) == kept)
+        if (orig <= max) assert(out == s)
+      }
+    }
+  }
+
+  test("truncate start is a prefix relation, end a suffix relation") {
+    val s = "alpha beta gamma delta epsilon zeta eta theta"
+    val (st, _, _) = Tokenizer.truncate(s, 3, "start")
+    val (en, _, _) = Tokenizer.truncate(s, 3, "end")
+    assert(s.startsWith(st))
+    assert(s.endsWith(en))
+    assert(st == "alpha beta gamma")
+    assert(en == "zeta eta theta")
+  }
+
+  test("split_chunks expression over Spark matches local tokenizer") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val df = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 10),
+      (2L, "short"))).toDF("id", "text")
+    val chunks = df.select(col("id"),
+      split_chunks(col("text"), lit(10), lit(2))).collect()
+    val byId = chunks.groupBy(_.getLong(0))
+    assert(byId(2L).length == 1)
+    val expected1 = Tokenizer.numChunks(
+      Tokenizer.countTokens("the quick brown fox jumps over the lazy dog " * 10), 10, 2)
+    assert(byId(1L).length == expected1)
+    // chunk text retokenizes to token_count
+    chunks.foreach { r =>
+      assert(Tokenizer.countTokens(r.getString(2)) == r.getInt(3))
+    }
+  }
+}
