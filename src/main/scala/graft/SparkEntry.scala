@@ -13,11 +13,13 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     q.Relational,
     q.TextOps,
+    q.QaPipeline,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full MapReduce QA dataflow (chunk -> map -> filter -> reduce). */
   def entry(spark: SparkSession): DataFrame =
-    q.Relational.broadcastJoinAgg(spark, "/root/testdata/sf0.001")
+    q.QaPipeline.mapreduceAnswers(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.functions.Tokenizer
+import graft.pipeline.{MapReduceConfig, MapReducePipeline}
+
+/** The reference's end-to-end QA dataflow as driver-checkable queries
+  * (SURVEY.md §2.5 map/reduce, §2.6 truncation, §2.7 stats, §2.8 batching).
+  *
+  * `documents` plays the corpus; the question is a fixed scalar. The
+  * deterministic ExtractiveModel makes every stage — chunk explode, map
+  * scoring, filter, ordered reduce, judge, stats — reproducible in DuckDB
+  * SQL (token space), so the whole pipeline is hash-verified, not just
+  * rows-counted.
+  */
+object QaPipeline extends graft.QueryModule {
+
+  private val cfg = MapReduceConfig(
+    chunkSize = 64, overlap = 16, threshold = 1,
+    question = "spark query join data")
+  private def pipe = new MapReducePipeline(cfg)
+
+  private val TruncMax = 100
+
+  /** M1–M7/P4/P9/A7/O1 in one result: per-doc reduced answers. */
+  def mapreduceAnswers(spark: SparkSession, dir: String): DataFrame =
+    pipe.answers(Tables.load(spark, dir, "documents"))
+
+  /** + judge & positional batching (O5, P7 5-way judgment). */
+  def judged(spark: SparkSession, dir: String): DataFrame =
+    pipe.judged(Tables.load(spark, dir, "documents"))
+
+  /** A4: judgment distribution with share-of-total. */
+  def judgmentDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    judged(spark, dir)
+      .groupBy(col("judgment"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct",
+        round(col("n") * lit(1.0) / sum(col("n")).over(Window.partitionBy()), 4))
+  }
+
+  /** A2/J2: accuracy by document language — answers re-joined to the
+    * (broadcast) documents dimension, grouped by lang. */
+  def accuracyByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    judged(spark, dir)
+      .join(broadcast(docs), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("judgment") === "Correct", 1).otherwise(0)).as("n_correct"),
+        round(avg(when(col("judgment") === "Correct", 1.0).otherwise(0.0)), 4)
+          .as("accuracy"))
+  }
+
+  /** A1/A5/A7: global token-usage summary — one row, whole-corpus. */
+  def tokenSummary(spark: SparkSession, dir: String): DataFrame = {
+    val m = pipe.mapped(Tables.load(spark, dir, "documents"))
+    m.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("total_chunks"),
+      sum(col("token_count")).cast("long").as("map_input_tokens"),
+      sum(when(col("score") > cfg.threshold, col("token_count")).otherwise(0))
+        .cast("long").as("surviving_tokens"),
+      round(count(lit(1)) * lit(1.0) / countDistinct(col("doc_id")), 4)
+        .as("avg_chunks_per_doc"))
+      .withColumn("token_retention",
+        round(col("surviving_tokens") * lit(1.0) / col("map_input_tokens"), 4))
+  }
+
+  /** M9/T1/T4: truncation pipeline — single-call path, per doc. */
+  def truncation(spark: SparkSession, dir: String): DataFrame = {
+    val qtoks = array(Tokenizer.tokens(cfg.question).distinct.map(lit).toIndexedSeq: _*)
+    Tables.load(spark, dir, "documents")
+      .withColumn("t", truncate_tokens(col("text"), lit(TruncMax), lit("start")))
+      .withColumn("ttoks",
+        regexp_extract_all(col("t.text"), lit(Tokenizer.DuckDbTokenRegex), lit(0)))
+      .select(col("doc_id"),
+        col("t.original_tokens").as("original_tokens"),
+        col("t.truncated_tokens").as("truncated_tokens"),
+        col("t.truncation_applied").as("truncation_applied"),
+        least(lit(10), size(array_intersect(array_distinct(col("ttoks")), qtoks)))
+          .as("score"))
+  }
+
+  /** A8: corpus-level truncation summary — one row. */
+  def truncationSummary(spark: SparkSession, dir: String): DataFrame = {
+    truncation(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("truncation_applied"), 1).otherwise(0)).as("n_truncated"),
+      round(avg(when(col("truncation_applied"), 1.0).otherwise(0.0)), 4)
+        .as("truncation_rate"),
+      round(avg(col("original_tokens")), 4).as("avg_original_tokens"),
+      round(median(col("original_tokens")), 4).as("median_original_tokens"),
+      max(col("original_tokens")).as("max_original_tokens"),
+      round(avg(col("truncated_tokens") * lit(1.0) / col("original_tokens")), 4)
+        .as("avg_retention"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qa_mapreduce_answers" -> mapreduceAnswers,
+    "qa_judged" -> judged,
+    "qa_judgment_distribution" -> judgmentDistribution,
+    "qa_accuracy_by_lang" -> accuracyByLang,
+    "qa_token_summary" -> tokenSummary,
+    "qa_truncation" -> truncation,
+    "qa_truncation_summary" -> truncationSummary,
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private val re = Tokenizer.DuckDbTokenRegex
+  private val qlist = "['spark','query','join','data']"
+  private val stride = cfg.chunkSize - cfg.overlap
+
+  /** Shared CTE prefix: tokenize -> chunk -> score, in token space. */
+  private val scoredCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts FROM documents
+       |), base AS (
+       |  SELECT doc_id, ts, len(ts) AS n,
+       |    CASE WHEN len(ts) <= ${cfg.chunkSize} THEN 1
+       |         ELSE 1 + CAST(ceil((len(ts) - ${cfg.chunkSize}) / $stride.0) AS INT)
+       |    END AS k
+       |  FROM toks WHERE len(ts) > 0
+       |), idx AS (
+       |  SELECT doc_id, ts, n,
+       |    CAST(unnest(generate_series(0, k - 1)) AS INT) AS chunk_idx
+       |  FROM base
+       |), chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    list_slice(ts, chunk_idx * $stride + 1,
+       |               least(chunk_idx * $stride + ${cfg.chunkSize}, n)) AS ctoks
+       |  FROM idx
+       |), scored AS (
+       |  SELECT doc_id, chunk_idx, len(ctoks) AS token_count,
+       |    least(10, len(list_intersect(list_distinct(ctoks), $qlist))) AS score,
+       |    array_to_string(ctoks, ' ') AS content
+       |  FROM chunks
+       |)""".stripMargin
+
+  private val answersSelect =
+    s"""SELECT doc_id,
+       |  count(*) AS chunks_before,
+       |  CAST(sum(CASE WHEN score > ${cfg.threshold} THEN 1 ELSE 0 END) AS BIGINT) AS chunks_after,
+       |  max(score) AS best_score,
+       |  coalesce(string_agg(content, chr(10) ORDER BY chunk_idx)
+       |             FILTER (WHERE score > ${cfg.threshold}), '') AS reduce_input,
+       |  round(sum(CASE WHEN score > ${cfg.threshold} THEN 1 ELSE 0 END) * 1.0
+       |        / count(*), 4) AS retention_rate,
+       |  coalesce(arg_max(content, score * 1000000 - chunk_idx)
+       |             FILTER (WHERE score > ${cfg.threshold}),
+       |           'No answer found in document') AS llm_answer
+       |FROM scored GROUP BY doc_id""".stripMargin
+
+  private val judgedSql =
+    s"""$scoredCte, answers AS ($answersSelect)
+       |SELECT *,
+       |  CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 5) AS BIGINT) AS batch_id,
+       |  CAST((row_number() OVER (ORDER BY doc_id) - 1) % 5 + 1 AS INT) AS item_number
+       |FROM (SELECT *,
+       |        CASE WHEN chunks_after = 0 THEN 'No answer'
+       |             WHEN best_score >= 4 THEN 'Correct'
+       |             WHEN best_score = 3 THEN 'Coherent'
+       |             WHEN best_score = 2 THEN 'Deviated'
+       |             ELSE 'Incorrect' END AS judgment
+       |      FROM answers)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "qa_mapreduce_answers" -> s"$scoredCte\n$answersSelect",
+    "qa_judged" -> judgedSql,
+    "qa_judgment_distribution" ->
+      s"""$scoredCte, answers AS ($answersSelect)
+         |SELECT judgment, n, round(n * 1.0 / sum(n) OVER (), 4) AS pct FROM (
+         |  SELECT CASE WHEN chunks_after = 0 THEN 'No answer'
+         |              WHEN best_score >= 4 THEN 'Correct'
+         |              WHEN best_score = 3 THEN 'Coherent'
+         |              WHEN best_score = 2 THEN 'Deviated'
+         |              ELSE 'Incorrect' END AS judgment, count(*) AS n
+         |  FROM answers GROUP BY 1)""".stripMargin,
+    "qa_accuracy_by_lang" ->
+      s"""$scoredCte, answers AS ($answersSelect)
+         |SELECT d.lang, count(*) AS n,
+         |  CAST(sum(CASE WHEN a.chunks_after > 0 AND a.best_score >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(avg(CASE WHEN a.chunks_after > 0 AND a.best_score >= 4 THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+         |FROM answers a JOIN documents d USING (doc_id)
+         |GROUP BY d.lang""".stripMargin,
+    "qa_token_summary" ->
+      s"""$scoredCte
+         |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS total_chunks,
+         |  CAST(sum(token_count) AS BIGINT) AS map_input_tokens,
+         |  CAST(sum(CASE WHEN score > ${cfg.threshold} THEN token_count ELSE 0 END) AS BIGINT)
+         |    AS surviving_tokens,
+         |  round(count(*) * 1.0 / count(DISTINCT doc_id), 4) AS avg_chunks_per_doc,
+         |  round(sum(CASE WHEN score > ${cfg.threshold} THEN token_count ELSE 0 END) * 1.0
+         |        / sum(token_count), 4) AS token_retention
+         |FROM scored""".stripMargin,
+    "qa_truncation" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts FROM documents
+         |)
+         |SELECT doc_id, len(ts) AS original_tokens,
+         |  least(len(ts), $TruncMax) AS truncated_tokens,
+         |  len(ts) > $TruncMax AS truncation_applied,
+         |  least(10, len(list_intersect(
+         |    list_distinct(list_slice(ts, 1, least(len(ts), $TruncMax))), $qlist))) AS score
+         |FROM toks""".stripMargin,
+    "qa_truncation_summary" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len(regexp_extract_all(text, '$re')) AS n FROM documents
+         |)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n > $TruncMax THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         |  round(avg(CASE WHEN n > $TruncMax THEN 1.0 ELSE 0.0 END), 4) AS truncation_rate,
+         |  round(avg(n), 4) AS avg_original_tokens,
+         |  round(CAST(median(n) AS DOUBLE), 4) AS median_original_tokens,
+         |  max(n) AS max_original_tokens,
+         |  round(avg(least(n, $TruncMax) * 1.0 / n), 4) AS avg_retention
+         |FROM toks""".stripMargin,
+  )
+}

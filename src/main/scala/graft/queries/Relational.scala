@@ -248,7 +248,7 @@ object Relational extends graft.QueryModule {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "rel_accuracy_by_type" ->
       """SELECT user_id, count(*) AS n_events,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         |  round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 4) AS purchase_rate
         |FROM events GROUP BY user_id""".stripMargin,
     "rel_judgment_distribution" ->
