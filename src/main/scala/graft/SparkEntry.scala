@@ -14,6 +14,9 @@ object SparkEntry {
     q.Relational,
     q.TextOps,
     q.QaPipeline,
+    q.DedupQueries,
+    q.SimilarityQueries,
+    q.AnalysisQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Tokenizer
+
+/** Deduplication operators for training-data pipelines (north-star scope:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard). All are built from
+  * shuffle-conscious primitives:
+  *
+  *  - exact dedup = hash-groupBy on a content digest (one shuffle on the
+  *    digest, never on the text);
+  *  - MinHash+LSH = shingle -> signature (partition-local projections) ->
+  *    band explode (xB rows of (band, hash, id) — tiny) -> bucket groupBy
+  *    -> candidate pairs -> exact-Jaccard verify on the candidates only.
+  *    At 100 TB the only shuffle carries (band_idx, band_hash, doc_id);
+  *    the quadratic verify runs on the candidate set, which LSH keeps
+  *    near-linear;
+  *  - SimHash = one custom expression per doc + 16-bit band self-join;
+  *  - n-gram Jaccard = blocked pairwise (for bounded blocks / oracles —
+  *    the quadratic fallback LSH replaces at scale).
+  */
+object Dedup {
+
+  /** k-gram token shingles (space-joined), distinct; empty for docs with
+    * fewer than k tokens (matches the oracle's range semantics). */
+  def shingles(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(tokens) - k),
+        i => array_join(slice(tokens, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  def tokensOf(text: Column): Column =
+    regexp_extract_all(text, lit(Tokenizer.DuckDbTokenRegex), lit(0))
+
+  /** Exact Jaccard over two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** MinHash signature: for seed j, min over shingles of xxhash64(s, j).
+    * numHashes seeded hashes of the same shingle array — partition-local. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles, s => xxhash64(s, lit(j))))
+    }: _*)
+
+  /** LSH candidate pairs: split the signature into `bands` bands, hash each
+    * band, self-match docs sharing any (band, hash) bucket. Returns
+    * (doc_a, doc_b) with doc_a < doc_b, distinct. */
+  def lshCandidates(docsWithSig: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = docsWithSig.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(array_join(
+          transform(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), ","), b)))
+        .as(Seq("band_idx", "band_hash")))
+    val buckets = banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      // runaway buckets (degenerate hash collisions) are capped: a bucket
+      // of m docs yields m(m-1)/2 pairs — bound m to keep the explode sane
+      .filter(size(col("ids")) <= 1000)
+    buckets.select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+  }
+
+  /** All ordered pairs (a<b) from a sorted id array, as array<struct>. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(x.as("_1"), y.as("_2")))))
+
+  /** Full MinHash-LSH near-dup pipeline: candidates + exact-Jaccard verify.
+    * Output: doc_a, doc_b, jaccard (>= threshold only). */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withShingles = docs.select(col(idCol),
+      shingles(tokensOf(col(textCol)), shingleK).as("sh"))
+    val withSig = withShingles.withColumn("sig",
+      minhashSignature(col("sh"), numHashes))
+    val cands = lshCandidates(withSig, idCol, "sig", bands, rowsPerBand)
+    val left = withShingles.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val right = withShingles.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    cands.join(left, "doc_a").join(right, "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over a token array: per-bit weighted vote of 64-bit
+    * token hashes. Custom expression — the 64-counter loop has no efficient
+    * composition from built-ins (SURVEY.md §2.11 preference order (b)). */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i).toString
+        // deterministic 64-bit hash from two independent 32-bit mixes
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+    override def prettyName: String = "simhash64"
+  }
+
+  def simhash64(tokens: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      SimHash64(org.apache.spark.sql.graftbridge.Bridge.expression(tokens)))
+
+  /** SimHash near-dup pairs: 4x16-bit band blocking + hamming verify. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol), simhash64(tokensOf(col(textCol))).as("sig"))
+    val banded = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), 16 * i).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col(idCol).as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col(idCol).as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+}

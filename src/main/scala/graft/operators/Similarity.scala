@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast nested-loop join
+  * (queries are the small side; candidates stream). Correct pattern at any
+  * scale when |queries| is small: the big side is never shuffled, each
+  * partition scores its vectors against the broadcast queries and emits
+  * only (query, candidate, sim) rows; the final top-k is a window over
+  * |queries| x |candidates-surviving| rows.
+  *
+  * Scale path: IVF — partition vectors by nearest centroid (one pass,
+  * broadcast centroids), then search only the query's `nprobe` closest
+  * centroid buckets. Cuts scored candidates by ~|centroids|/nprobe.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double arrays (deterministic left-to-right
+    * folds — matches DuckDB's list_cosine_similarity evaluation order). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * candidates (excluding itself). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDoubleArray(col("embedding")).as("qv"))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      toDoubleArray(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF index: assign every vector to its nearest centroid (broadcast
+    * centroid list), bucketing the corpus. `centroids` must be small. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("vec_id").as("centroid_id"),
+      toDoubleArray(col("embedding")).as("centv"))
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      toDoubleArray(col("embedding")).as("dv"))
+    val scored = v.join(broadcast(cents), lit(true))
+      .withColumn("csim", cosine(col("dv"), col("centv")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** IVF search: score only candidates in the query's `nprobe` closest
+    * centroid buckets. Returns same shape as bruteForceTopK (approximate). */
+  def ivfTopK(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids.select(col("vec_id").as("centroid_id"),
+      toDoubleArray(col("embedding")).as("centv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDoubleArray(col("embedding")).as("qv"))
+    // per query: its nprobe nearest centroids
+    val qc = q.join(broadcast(cents), lit(true))
+      .withColumn("csim", cosine(col("qv"), col("centv")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id").asc)
+    val probes = qc.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    // candidates restricted to probed buckets (equi-join on centroid_id)
+    val cand = assigned.select(col("vec_id").as("cand_id"),
+      toDoubleArray(col("embedding")).as("cv"), col("centroid_id"))
+    val scored = cand.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * blocked by label (stand-in for an LSH/IVF blocking key at scale). */
+  def cosineNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("label"), col("vec_id").as("vec_a"),
+      toDoubleArray(col("embedding")).as("va"))
+    val b = vectors.select(col("label"), col("vec_id").as("vec_b"),
+      toDoubleArray(col("embedding")).as("vb"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Tokenizer
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Text-analysis + multimodal-plumbing query coverage (north-star ops:
+  * quality scoring, language-ID, fingerprinting [in DedupQueries],
+  * binary-column decode pipeline). */
+object AnalysisQueries extends graft.QueryModule {
+
+  /** Per-doc quality features + composite score. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Marker-word language ID vs the labeled lang column, per doc. */
+  def langid(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.predictedLang(col("text")).as("predicted"))
+      .withColumn("match", col("lang") === col("predicted"))
+
+  /** Language-ID confusion counts (A10-shaped over the heuristic). */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame =
+    langid(spark, dir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Multimodal decode pipeline: text-as-blob -> mapPartitions stub decode
+    * -> per-type stats. The oracle re-derives the deterministic fake
+    * metadata arithmetically — proving the partition-local decode path
+    * produced exactly the declared schema/values. */
+  def mmDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.asBlobs(Tables.load(spark, dir, "documents"))
+    val meta = Multimodal.decodeMeta(spark, blobs)
+    meta.toDF().groupBy(col("media_type")).agg(
+      count(lit(1)).as("n_blobs"),
+      sum(col("byte_len")).cast("long").as("total_bytes"),
+      round(avg(col("width")), 4).as("avg_width"),
+      round(avg(col("height")), 4).as("avg_height"),
+      sum(col("n_frames")).cast("long").as("total_frames"))
+  }
+
+  /** Frame sampling over video blobs (explode path), aggregated. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.asBlobs(Tables.load(spark, dir, "documents"))
+    val meta = Multimodal.decodeMeta(spark, blobs)
+    Multimodal.sampleFrames(spark, meta, stride = 4)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_quality" -> quality,
+    "ta_langid" -> langid,
+    "ta_langid_confusion" -> langidConfusion,
+    "mm_decode_stats" -> mmDecodeStats,
+    "mm_frame_sample" -> mmFrameSample,
+  )
+
+  private val re = Tokenizer.DuckDbTokenRegex
+  private val stopList = TextAnalysis.Stopwords.mkString("['", "','", "']")
+
+  private val langCases = {
+    // lexicographic lang order gives the tie-break: first max wins
+    val langs = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+    val hitExprs = langs.map { case (lang, markers) =>
+      lang -> s"len(list_filter(ts, t -> list_contains(${markers.mkString("['", "','", "']")}, t)))"
+    }
+    val mx = hitExprs.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = hitExprs.map { case (lang, e) => s"WHEN $e = mx THEN '$lang'" }
+      .mkString(" ")
+    (hitExprs, mx, cases)
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "ta_quality" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+         |           FROM documents),
+         |f AS (SELECT doc_id,
+         |  len(ts) AS n_tokens,
+         |  CASE WHEN len(ts) > 0 THEN len(list_filter(ts,
+         |    t -> list_contains($stopList, t))) * 1.0 / len(ts) ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN len(ts) > 0 THEN len(list_filter(ts,
+         |    t -> regexp_matches(t, '^[^\\p{L}\\p{N}]$$'))) * 1.0 / len(ts) ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(ts) > 0 THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(ts, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) * 1.0 / len(ts)
+         |  ELSE 0.0 END AS mean_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  round(stop_ratio, 4) AS stopword_ratio,
+         |  round(punct_ratio, 4) AS punct_ratio,
+         |  round(mean_len, 4) AS mean_token_len,
+         |  least(round(
+         |    least(n_tokens / 500.0, 1.0) * 0.3
+         |    + stop_ratio * 10.0 * 0.3
+         |    + (1.0 - punct_ratio) * 0.2
+         |    + (CASE WHEN mean_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+         |    4), 1.0) AS quality
+         |FROM f""".stripMargin,
+    "ta_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '$re') AS ts
+         |           FROM documents),
+         |h AS (SELECT doc_id, lang, ts, ${langCases._2} AS mx FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN mx = 0 THEN 'und' ${langCases._3} END AS predicted,
+         |  lang = (CASE WHEN mx = 0 THEN 'und' ${langCases._3} END) AS match
+         |FROM h""".stripMargin,
+    "ta_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '$re') AS ts
+         |           FROM documents),
+         |h AS (SELECT doc_id, lang, ts, ${langCases._2} AS mx FROM t)
+         |SELECT lang,
+         |  CASE WHEN mx = 0 THEN 'und' ${langCases._3} END AS predicted,
+         |  count(*) AS n
+         |FROM h GROUP BY 1, 2""".stripMargin,
+    "mm_decode_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents)
+        |SELECT media_type, count(*) AS n_blobs,
+        |  CAST(sum(len) AS BIGINT) AS total_bytes,
+        |  round(avg(len % 640 + 1), 4) AS avg_width,
+        |  round(avg(len % 480 + 1), 4) AS avg_height,
+        |  CAST(sum(CASE WHEN media_type = 'video' THEN len % 24 + 1 ELSE 1 END) AS BIGINT)
+        |    AS total_frames
+        |FROM b GROUP BY media_type""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) % 24 + 1 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id,
+        |  CAST(ceil(n_frames / 4.0) AS BIGINT) AS n_sampled,
+        |  CAST((CAST(ceil(n_frames / 4.0) AS BIGINT) - 1) * 4 AS INT) AS last_frame
+        |FROM b""".stripMargin,
+  )
+}

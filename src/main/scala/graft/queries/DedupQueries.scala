@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Tokenizer
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Deduplication query coverage (north-star training-data ops): exact,
+  * fingerprint, blocked n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Exact / fingerprint / pairwise-Jaccard have full DuckDB oracles. The
+  * LSH families are *approximate by construction* (recall depends on the
+  * hash family), so their oracle is omitted — their correctness evidence
+  * is the DedupSpec recall tests against the exact pairs.
+  */
+object DedupQueries extends graft.QueryModule {
+
+  private val JaccardThreshold = 0.3
+
+  /** Exact dedup: hash-groupBy on content digest; one group per distinct
+    * text, keeper = min doc_id (reference dedup J1 build side,
+    * base_pipeline.py:169-174, generalized to content identity). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Fingerprint dedup: rolling polynomial hash of the first 32 tokens as
+    * a cheap near-identity key (prefix-stable edits collide). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(TextAnalysis.fingerprint(col("text"), 32).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Blocked pairwise 3-gram Jaccard (exact near-dup ground truth): block
+    * on lang to bound the quadratic comparison; at scale LSH replaces it. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs.select(col("lang"), col("doc_id"),
+      Dedup.shingles(Dedup.tokensOf(col("text")), 3).as("sh"))
+    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dups: 32 hashes, 16 bands x 2 — candidates from band
+    * buckets, verified by exact Jaccard >= 0.3. Approximate (no oracle). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 16,
+      threshold = JaccardThreshold)
+
+  /** SimHash signatures per document (deterministic; pair query below). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Dedup.simhash64(Dedup.tokensOf(col("text"))).as("simhash"))
+
+  /** SimHash near-dup pairs via 16-bit band blocking. maxHamming=8 was
+    * calibrated against the planted near-dups: true pairs (3-gram jaccard
+    * >= 0.9) land at hamming 0-8 across SFs, the same-vocabulary background starts
+    * at ~9 (p1). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", maxHamming = 8)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_fingerprint" -> fingerprint,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhash,
+    "dedup_simhash_pairs" -> simhashPairs,
+  )
+
+  private val re = Tokenizer.DuckDbTokenRegex
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_fingerprint" ->
+      s"""WITH nums AS (
+         |  SELECT doc_id, list_transform(
+         |    list_slice(regexp_extract_all(text, '$re'), 1, 32),
+         |    t -> CAST(ascii(t) + length(t) * 7 AS BIGINT)) AS xs
+         |  FROM documents
+         |)
+         |SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
+         |  min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM nums GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(ts) >= 3 THEN list_distinct(
+         |      [array_to_string(list_slice(ts, i, i + 2), ' ')
+         |       for i in range(1, len(ts) - 2 + 1)])
+         |    ELSE [] END AS sh
+         |  FROM (SELECT doc_id, lang, regexp_extract_all(text, '$re') AS ts
+         |        FROM documents)
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+         |        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+         |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold""".stripMargin,
+  )
+}

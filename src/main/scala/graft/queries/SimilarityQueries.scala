@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity-search query coverage over the `embeddings` table
+  * (`embedding array<float>`, 64-dim, 10 labeled clusters).
+  *
+  * Brute-force top-k and threshold near-dups have exact DuckDB oracles
+  * (cosine written as the same left-to-right fold in both engines). The
+  * IVF variant is approximate — its evidence is the SimilaritySpec recall
+  * test against brute force.
+  */
+object SimilarityQueries extends graft.QueryModule {
+
+  private val K = 5
+  private val NQueries = 10
+  private val NearDupThreshold = 0.35
+
+  /** Brute-force cosine top-k: first NQueries vectors as queries. */
+  def topkBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < NQueries), emb, K)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, label-blocked. */
+  def cosineNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDups(
+      Tables.load(spark, dir, "embeddings"), NearDupThreshold)
+
+  /** IVF approximate top-k: centroids = every 50th vector, nprobe=3. */
+  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries),
+      assigned, centroids, K, nprobe = 3)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> topkBrute,
+    "sim_cosine_neardups" -> cosineNearDups,
+    "sim_topk_ivf" -> topkIvf,
+  )
+
+  /** DuckDB cosine with the exact same operation order as
+    * [[Similarity.cosine]]: elementwise products folded left-to-right,
+    * then dot / (sqrt(na) * sqrt(nb)). */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)
+       | / (sqrt(list_reduce(list_prepend(0.0, list_transform($a,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))
+       |    * sqrt(list_reduce(list_prepend(0.0, list_transform($b,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))))"""
+      .stripMargin.replaceAll("\n", " ")
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    ${duckCosine("qv", "cv")} AS sim
+         |  FROM q JOIN c ON query_id <> cand_id
+         |)
+         |SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+    "sim_cosine_neardups" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${duckCosine("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} > $NearDupThreshold"""
+        .stripMargin,
+  )
+}

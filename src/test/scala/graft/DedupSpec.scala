@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.queries.{DedupQueries, SimilarityQueries}
+
+class DedupSpec extends SparkSpec {
+
+  /** Exact (unblocked) near-dup ground truth at sf0.001: all pairs with
+    * 3-gram jaccard >= 0.3 across the full corpus, with their jaccard. */
+  lazy val exactPairsJ: Map[(Long, Long), Double] = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(Dedup.tokensOf(col("text")), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.3)
+      .collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("j"))).toMap
+  }
+  lazy val exactPairs: Set[(Long, Long)] = exactPairsJ.keySet
+
+  test("exact dedup groups cover every document") {
+    val total = DedupQueries.exact(spark, sf)
+      .agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("minhash LSH achieves full recall on planted near-dups") {
+    val found = DedupQueries.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "expected planted near-dups in testdata")
+    val recall = (exactPairs & found).size.toDouble / exactPairs.size
+    assert(recall >= 0.95, s"LSH recall $recall, missed ${exactPairs -- found}")
+    // precision is 1.0 by construction (candidates are exact-verified)
+    assert(found.subsetOf(exactPairs))
+  }
+
+  test("simhash pairs find planted near-dups with bounded false positives") {
+    val found = DedupQueries.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash's design regime is high-similarity duplication: full recall
+    // expected at j >= 0.9, best-effort below
+    val high = exactPairsJ.filter(_._2 >= 0.9).keySet
+    assert(high.nonEmpty)
+    val highRecall = (high & found).size.toDouble / high.size
+    assert(highRecall >= 0.95, s"simhash recall@j>=0.9 $highRecall")
+    val recall = (exactPairs & found).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"simhash overall recall $recall")
+    // simhash is a candidate generator: the pair set must stay linear-ish
+    // in corpus size, not quadratic (500 docs -> 124,750 possible pairs)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(found.size <= nDocs * 3, s"candidate set not sub-quadratic: ${found.size}")
+  }
+
+  test("fingerprint dedup groups prefix-identical docs together") {
+    val fp = DedupQueries.fingerprint(spark, sf)
+    // groups partition the corpus
+    val total = fp.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val brute = SimilarityQueries.topkBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.topkIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // approximate: nprobe=3 of ~10 buckets at sf0.001
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    assert(ivf.size == brute.size) // same k returned per query
+  }
+
+  test("cosine is 1.0 on identical vectors, symmetric bounds") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine(
+      Similarity.toDoubleArray(col("a")),
+      Similarity.toDoubleArray(col("b"))).as("s")).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+  }
+}
