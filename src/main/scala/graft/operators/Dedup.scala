@@ -30,13 +30,10 @@ import graft.functions.Tokenizer
 object Dedup {
 
   /** k-gram token shingles (space-joined), distinct; empty for docs with
-    * fewer than k tokens (matches the oracle's range semantics). */
-  def shingles(tokens: Column, k: Int): Column =
-    when(size(tokens) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(tokens) - k),
-        i => array_join(slice(tokens, i + 1, lit(k)), " "))))
-      .otherwise(array().cast("array<string>"))
+    * fewer than k tokens (matches the oracle's range semantics). Single
+    * scanner pass via the [[graft.functions.Shingles]] expression. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.TextFunctions.shingles(text, lit(k))
 
   def tokensOf(text: Column): Column =
     regexp_extract_all(text, lit(Tokenizer.DuckDbTokenRegex), lit(0))
@@ -90,7 +87,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withShingles = docs.select(col(idCol),
-      shingles(tokensOf(col(textCol)), shingleK).as("sh"))
+      shingles(col(textCol), shingleK).as("sh"))
     val withSig = withShingles.withColumn("sig",
       minhashSignature(col("sh"), numHashes))
     val cands = lshCandidates(withSig, idCol, "sig", bands, rowsPerBand)

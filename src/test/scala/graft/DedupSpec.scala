@@ -12,7 +12,7 @@ class DedupSpec extends SparkSpec {
   lazy val exactPairsJ: Map[(Long, Long), Double] = {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sh = docs.select(col("doc_id"),
-      Dedup.shingles(Dedup.tokensOf(col("text")), 3).as("sh"))
+      Dedup.shingles(col("text"), 3).as("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
