@@ -17,6 +17,7 @@ object SparkEntry {
     q.DedupQueries,
     q.SimilarityQueries,
     q.AnalysisQueries,
+    q.Advanced,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Fuzzy similarity join (reference J3: FinQA entries matched to EDGAR docs
+  * by weighted text similarity + number-overlap, scripts/augment_finqa.py:
+  * 63-111 score, :114+ best-match-per-entry).
+  *
+  * Two similarity kernels:
+  *  - [[ratio]]: a difflib.SequenceMatcher.ratio-compatible measure
+  *    (2*M / (|a|+|b|), M = total length of matching blocks found by
+  *    recursive longest-common-substring), as a Scala UDF — used where
+  *    reference fidelity matters (J3 semantics);
+  *  - token-set Jaccard (`Dedup.jaccard` shape) — used for the
+  *    oracle-checkable engine query (DuckDB can reproduce it exactly).
+  *
+  * Join shape at scale: *blocking key first* (equi-join prunes the cross
+  * product — the reference blocks on shared year), then scalar similarity
+  * on the blocked pairs, then arg-max per left row via window top-1 (O4).
+  */
+object FuzzyJoin {
+
+  /** Total matching length of SequenceMatcher-style matching blocks
+    * (recursive longest common substring; no autojunk). */
+  private def matchLen(a: String, b: String): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    // longest common substring via DP over the shorter string
+    var bestLen = 0
+    var bestA = 0
+    var bestB = 0
+    val m = b.length
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < m) {
+        if (a.charAt(i) == b.charAt(j)) {
+          cur(j + 1) = prev(j) + 1
+          if (cur(j + 1) > bestLen) {
+            bestLen = cur(j + 1); bestA = i - bestLen + 1; bestB = j - bestLen + 1
+          }
+        } else cur(j + 1) = 0
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    if (bestLen == 0) 0
+    else matchLen(a.substring(0, bestA), b.substring(0, bestB)) + bestLen +
+      matchLen(a.substring(bestA + bestLen), b.substring(bestB + bestLen))
+  }
+
+  /** difflib.SequenceMatcher.ratio semantics: 2*M/(|a|+|b|). */
+  def ratioFn(a: String, b: String): Double = {
+    if (a == null || b == null) return 0.0
+    val total = a.length + b.length
+    if (total == 0) return 1.0
+    2.0 * matchLen(a, b) / total
+  }
+
+  val ratio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(ratioFn _)
+
+  /** P11: extract number families from text (years, decimal amounts) —
+    * regexp_extract_all, as in augment_finqa.py:34-60. */
+  def extractYears(text: Column): Column =
+    array_distinct(regexp_extract_all(text, lit("\\b(?:19|20)\\d{2}\\b"), lit(0)))
+
+  def extractNumbers(text: Column): Column =
+    array_distinct(regexp_extract_all(text, lit("\\d+(?:\\.\\d+)?"), lit(0)))
+
+  /** Arg-max fuzzy join: for every left row, the best-scoring right row
+    * within the blocking key (ties -> smallest right id). */
+  def bestMatch(left: DataFrame, right: DataFrame, blockKey: String,
+      leftId: String, rightId: String, sim: Column): DataFrame = {
+    val joined = left.join(right, blockKey)
+      .withColumn("sim", sim)
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(col("sim").desc, col(rightId).asc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+}

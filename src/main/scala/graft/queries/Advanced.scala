@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.operators.FuzzyJoin
+import graft.streaming.StreamingOps
+
+/** Advanced coverage: multi-level aggregation (grouping sets / rollup —
+  * the one-pass collapse of the reference's A2+A3+A4 family, SURVEY.md
+  * §2.7 note), judge meta-evaluation P/R/F1 (A10), the fuzzy similarity
+  * join (J3/P10/P11/O4), and Structured Streaming (§2.10) run as a real
+  * streaming query with a batch oracle.
+  */
+object Advanced extends graft.QueryModule {
+
+  /** A2+A3+A4 one-pass: rollup over (returnflag, linestatus) — per-pair,
+    * per-flag, and grand-total rows in one aggregation pass. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+
+  /** A10: per-class precision/recall/F1 of the lang-ID heuristic against
+    * the labeled lang column — TP/FP/FN from one confusion pass. */
+  def langidPrf(spark: SparkSession, dir: String): DataFrame = {
+    val pred = AnalysisQueries.langid(spark, dir)
+      .select(col("lang"), col("predicted"))
+    val perTrue = pred.groupBy(col("lang"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("predicted") === col("lang"), 1).otherwise(0)).as("tp"))
+    val perPred = pred.groupBy(col("predicted").as("lang"))
+      .agg(count(lit(1)).as("predicted_n"))
+    perTrue.join(perPred, Seq("lang"), "left_outer")
+      .withColumn("predicted_n", coalesce(col("predicted_n"), lit(0L)))
+      .withColumn("precision",
+        round(when(col("predicted_n") > 0,
+          col("tp") / col("predicted_n")).otherwise(lit(0.0)), 4))
+      .withColumn("recall", round(col("tp") / col("support"), 4))
+      .withColumn("f1", round(
+        when(col("tp") > 0,
+          lit(2.0) * (col("tp") / col("predicted_n")) * (col("tp") / col("support"))
+            / (col("tp") / col("predicted_n") + col("tp") / col("support")))
+          .otherwise(lit(0.0)), 4))
+      .select(col("lang"), col("support"), col("tp"), col("predicted_n"),
+        col("precision"), col("recall"), col("f1"))
+  }
+
+  /** J3/O4: fuzzy best-match self-join on part names — token-set Jaccard
+    * within a p_type block, arg-max per part (ties -> lowest key). */
+  def fuzzyBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+    val a = parts.select(col("p_type"), col("p_partkey").as("part_a"),
+      split(col("p_name"), " ").as("toks_a"))
+    val b = parts.select(col("p_type"), col("p_partkey").as("part_b"),
+      split(col("p_name"), " ").as("toks_b"))
+    val sim = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+      size(array_union(col("toks_a"), col("toks_b"))).cast("double")
+    FuzzyJoin.bestMatch(a, b, "p_type", "part_a", "part_b",
+      when(col("part_a") === col("part_b"), lit(-1.0)).otherwise(sim))
+      .select(col("part_a"), col("part_b").as("best_match"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** P11: number-family extraction from text columns. */
+  def numberExtraction(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+        size(split(col("p_name"), " ")).as("n_name_tokens"))
+
+  /** §2.10: REAL Structured Streaming windowed aggregation (file source,
+    * watermark, tumbling window, memory sink), drained synchronously. */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.windowedEventAgg(spark, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adv_rollup" -> rollupAgg,
+    "adv_langid_prf" -> langidPrf,
+    "adv_fuzzy_best_match" -> fuzzyBestMatch,
+    "adv_number_extraction" -> numberExtraction,
+    "stream_window_agg" -> streamWindowAgg,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "adv_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "adv_langid_prf" -> {
+      val inner = AnalysisQueries.oracleSql("ta_langid")
+      s"""WITH pred AS ($inner),
+         |per_true AS (
+         |  SELECT lang, count(*) AS support,
+         |    CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM pred GROUP BY lang),
+         |per_pred AS (
+         |  SELECT predicted AS lang, count(*) AS predicted_n FROM pred GROUP BY 1)
+         |SELECT t.lang, t.support, t.tp,
+         |  coalesce(p.predicted_n, 0) AS predicted_n,
+         |  round(CASE WHEN coalesce(p.predicted_n, 0) > 0
+         |        THEN t.tp * 1.0 / p.predicted_n ELSE 0.0 END, 4) AS precision,
+         |  round(t.tp * 1.0 / t.support, 4) AS recall,
+         |  round(CASE WHEN t.tp > 0
+         |        THEN 2.0 * (t.tp * 1.0 / p.predicted_n) * (t.tp * 1.0 / t.support)
+         |             / (t.tp * 1.0 / p.predicted_n + t.tp * 1.0 / t.support)
+         |        ELSE 0.0 END, 4) AS f1
+         |FROM per_true t LEFT JOIN per_pred p USING (lang)""".stripMargin
+    },
+    "adv_fuzzy_best_match" ->
+      """WITH t AS (SELECT p_type, p_partkey, string_split(p_name, ' ') AS toks
+        |           FROM part),
+        |scored AS (
+        |  SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+        |    CASE WHEN a.p_partkey = b.p_partkey THEN -1.0
+        |         ELSE len(list_intersect(a.toks, b.toks)) * 1.0
+        |              / len(list_distinct(a.toks || b.toks)) END AS sim
+        |  FROM t a JOIN t b ON a.p_type = b.p_type)
+        |SELECT part_a, part_b AS best_match, round(sim, 6) AS sim FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY part_a ORDER BY sim DESC, part_b ASC) AS rn
+        |  FROM scored) WHERE rn = 1""".stripMargin,
+    "adv_number_extraction" ->
+      """SELECT p_partkey,
+        |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_name_tokens
+        |FROM part""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '45 minutes', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
+}

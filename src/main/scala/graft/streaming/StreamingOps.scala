@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{MapReduceConfig, MapReducePipeline}
+
+/** Structured Streaming mode (SURVEY.md §2.10): the reference's asyncio
+  * fan-out becomes a file-source micro-batch stream through the same
+  * dataflow graph.
+  *
+  *  - `maxFilesPerTrigger` is the rate-limit analog (token-bucket ->
+  *    source throttle);
+  *  - the reduce stage groups by keys that never recur across batches
+  *    (doc_id), so `foreachBatch` + per-batch grouping reproduces batch
+  *    semantics without a watermark (reference has no late data);
+  *  - event-time windowed aggregation over `events` demonstrates the
+  *    watermark + window path.
+  */
+object StreamingOps {
+
+  /** Raw parquet schema of events (ts kept as nanos long — the reader
+    * converts, same as Tables.load). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Event-time tumbling-window aggregation, run as a REAL streaming query
+    * (file source -> watermark -> window agg -> memory sink), drained
+    * synchronously. Returns the final result table. */
+  def windowedEventAgg(spark: SparkSession, dir: String,
+      windowLen: String = "45 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1) // source throttle (rate-limit analog)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+    val name = "graft_stream_window"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name).select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** The QA MapReduce dataflow in streaming form: documents arrive as a
+    * stream; every micro-batch runs the identical answers() graph via
+    * foreachBatch, appending to an in-memory sink. Returns the union of
+    * all batch outputs (== batch answers on the same corpus). */
+  def streamingQaAnswers(spark: SparkSession, docsDir: String,
+      cfg: MapReduceConfig): DataFrame = {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val pipe = new MapReducePipeline(cfg)
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    val src = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(docsDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        acc.add(pipe.answers(batch).localCheckpoint(true))
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val dfs = acc.toArray(Array.empty[DataFrame])
+    if (dfs.isEmpty) spark.emptyDataFrame
+    else dfs.reduce(_.unionAll(_))
+  }
+}

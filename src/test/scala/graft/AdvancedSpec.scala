@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+import graft.pipeline.MapReduceConfig
+import graft.queries.{Advanced, QaPipeline}
+import graft.streaming.StreamingOps
+
+class AdvancedSpec extends SparkSpec {
+
+  test("ratio matches difflib.SequenceMatcher.ratio golden values") {
+    // golden values computed with Python difflib (autojunk=False)
+    val golden = Seq(
+      ("cold widget", "small widget", 0.6956521739130435),
+      ("Supplier#000000001", "Customer#000000001", 0.7222222222222222),
+      ("abcdef", "", 0.0),
+      ("same", "same", 1.0),
+      ("kitten", "sitting", 0.6153846153846154))
+    golden.foreach { case (a, b, expected) =>
+      val got = FuzzyJoin.ratioFn(a, b)
+      assert(math.abs(got - expected) < 1e-12, s"ratio($a,$b)=$got != $expected")
+    }
+  }
+
+  test("number extraction regexes") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq("revenue grew from 1999 to 2024 by 42.5 percent (1.2x)").toDF("t")
+    val row = df.select(
+      FuzzyJoin.extractYears(col("t")).as("y"),
+      FuzzyJoin.extractNumbers(col("t")).as("n")).collect()(0)
+    assert(row.getSeq[String](0) == Seq("1999", "2024"))
+    assert(row.getSeq[String](1) == Seq("1999", "2024", "42.5", "1.2"))
+  }
+
+  test("rollup has pair, subtotal, and grand-total levels") {
+    val rows = Advanced.rollupAgg(spark, sf).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid(0L).length == 6)  // 3 flags x 2 statuses
+    assert(byGid(1L).length == 3)  // per-flag subtotals
+    assert(byGid(3L).length == 1)  // grand total
+    val total = byGid(3L)(0).getAs[Long]("n")
+    assert(total == byGid(0L).map(_.getAs[Long]("n")).sum)
+  }
+
+  test("streaming QA answers equal batch answers") {
+    val cfg = MapReduceConfig()
+    val streamed = StreamingOps.streamingQaAnswers(spark, sf, cfg)
+      .orderBy("doc_id").collect()
+    val batch = QaPipeline.mapreduceAnswers(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("fuzzy best match returns one row per part") {
+    val rows = Advanced.fuzzyBestMatch(spark, sf).collect()
+    val parts = spark.read.parquet(s"$sf/part.parquet").count()
+    assert(rows.length == parts)
+    assert(rows.map(_.getAs[Long]("part_a")).distinct.length == rows.length)
+  }
+}
