@@ -44,18 +44,36 @@ object ExtractiveModel extends TextModel {
   def content(chunkTokens: Column): Column = concat_ws(" ", chunkTokens)
 }
 
+/** Formatter semantics (reference factory.py:56-87 format dispatch):
+  * score scale + filter threshold + reduce-input shape per format.
+  *  - json:   0-10 scale, threshold 5, XML-wrapped reduce input
+  *            (json_formatter.py:17-34, 36-98)
+  *  - plain:  0-100 scale, threshold 50, newline concat
+  *            (plain_text_formatter.py:18-56)
+  *  - hybrid: 0-10 scale, threshold 5, newline concat
+  *            (hybrid_formatter.py:17-60) */
+sealed abstract class QaFormat(
+    val scoreScale: Int, val defaultThreshold: Int, val xmlReduce: Boolean)
+object QaFormat {
+  case object Json extends QaFormat(10, 5, true)
+  case object Plain extends QaFormat(100, 50, false)
+  case object Hybrid extends QaFormat(10, 5, false)
+}
+
 /** @param chunkSize   tokens per chunk (reference default 32768; small here
   *                    so the synthetic docs actually produce fan-out)
   * @param overlap     overlapping tokens between consecutive chunks
   * @param threshold   keep map results with score > threshold (strict >,
   *                    matching json_formatter.py:32)
   * @param question    the (constant) question text driving relevance
+  * @param format      formatter semantics (score scale / reduce shape)
   */
 case class MapReduceConfig(
     chunkSize: Int = 64,
     overlap: Int = 16,
     threshold: Int = 1,
-    question: String = "spark query join data")
+    question: String = "spark query join data",
+    format: QaFormat = QaFormat.Hybrid)
 
 class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel) {
 
@@ -70,15 +88,26 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
   private val chunkTokens: Column =
     regexp_extract_all(col("chunk_text"), lit(Tokenizer.DuckDbTokenRegex), lit(0))
 
-  /** Stage 1-2: explode documents into scored chunks (M1 + map). */
+  /** Stage 1-2: explode documents into scored chunks (M1 + map). Scores
+    * are scaled to the format's range (0-10 json/hybrid, 0-100 plain). */
   def mapped(documents: DataFrame): DataFrame = {
     val d = documents
     d.select(col("doc_id"),
         split_chunks(col("text"), lit(cfg.chunkSize), lit(cfg.overlap)))
       .withColumn("ctoks", chunkTokens)
-      .withColumn("score", model.score(col("ctoks"), questionTokens))
+      .withColumn("score",
+        model.score(col("ctoks"), questionTokens) * lit(cfg.format.scoreScale / 10))
       .withColumn("content", model.content(col("ctoks")))
       .drop("ctoks", "chunk_text")
+  }
+
+  /** M4: XML-wrapped reduce-input item `<chunk_i>escaped</chunk_i>` with
+    * the 5-entity escape (json_formatter.py:36-98). */
+  private def xmlItem(idx: Column, content: Column): Column = {
+    val escaped = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+      "\"" -> "&quot;", "'" -> "&apos;")
+      .foldLeft(content) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    concat(lit("<chunk_"), idx, lit(">"), escaped, lit("</chunk_"), idx, lit(">"))
   }
 
   /** Stage 3-5: filter (P4), gather per doc (M3), ordered reduce input
@@ -94,12 +123,14 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
       count(lit(1)).as("chunks_before"),
       sum(when(surviving, 1).otherwise(0)).as("chunks_after"),
       max(col("score")).as("best_score"),
-      // M4/M5: reduce input = surviving contents in chunk order
+      // M4/M5: reduce input = surviving contents in chunk order —
+      // XML-wrapped items (json format) or bare concat (plain/hybrid)
       array_join(
         transform(
           array_sort(collect_list(when(surviving,
             struct(col("chunk_idx"), col("content"))))),
-          x => x("content")),
+          x => if (cfg.format.xmlReduce) xmlItem(x("chunk_idx"), x("content"))
+               else x("content")),
         "\n").as("reduce_input"),
       max_by(when(surviving, col("content")), when(surviving, ord))
         .as("top_content"))

@@ -102,8 +102,30 @@ object QaPipeline extends graft.QueryModule {
         .as("avg_retention"))
   }
 
+  /** Formatter variants (factory.py format dispatch): same graph, format
+    * semantics swapped. Longer question so format thresholds (5 on 0-10,
+    * 50 on 0-100) are reachable. */
+  private val fmtQuestion =
+    "spark query join data filter group sort merge window stream batch hash"
+
+  /** JSON format: 0-10 scale, threshold 5, XML-wrapped reduce input. */
+  def mapreduceJson(spark: SparkSession, dir: String): DataFrame =
+    new MapReducePipeline(MapReduceConfig(
+      chunkSize = cfg.chunkSize, overlap = cfg.overlap, threshold = 5,
+      question = fmtQuestion, format = graft.pipeline.QaFormat.Json))
+      .answers(Tables.load(spark, dir, "documents"))
+
+  /** Plain format: 0-100 scale, threshold 50, newline concat. */
+  def mapreducePlain(spark: SparkSession, dir: String): DataFrame =
+    new MapReducePipeline(MapReduceConfig(
+      chunkSize = cfg.chunkSize, overlap = cfg.overlap, threshold = 50,
+      question = fmtQuestion, format = graft.pipeline.QaFormat.Plain))
+      .answers(Tables.load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_mapreduce_answers" -> mapreduceAnswers,
+    "qa_mapreduce_json" -> mapreduceJson,
+    "qa_mapreduce_plain" -> mapreducePlain,
     "qa_judged" -> judged,
     "qa_judgment_distribution" -> judgmentDistribution,
     "qa_accuracy_by_lang" -> accuracyByLang,
@@ -171,8 +193,58 @@ object QaPipeline extends graft.QueryModule {
        |             ELSE 'Incorrect' END AS judgment
        |      FROM answers)""".stripMargin
 
+  /** Parameterized oracle for the format variants. */
+  private def fmtOracle(scale: Int, threshold: Int, xml: Boolean): String = {
+    val qlist2 = fmtQuestion.split(" ").mkString("['", "','", "']")
+    val contentExpr =
+      if (xml)
+        """'<chunk_' || chunk_idx || '>' ||
+          |replace(replace(replace(replace(replace(content,
+          |  '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+          |  '"', '&quot;'), '''', '&apos;') || '</chunk_' || chunk_idx || '>'"""
+          .stripMargin.replaceAll("\n", " ")
+      else "content"
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts FROM documents
+       |), base AS (
+       |  SELECT doc_id, ts, len(ts) AS n,
+       |    CASE WHEN len(ts) <= ${cfg.chunkSize} THEN 1
+       |         ELSE 1 + CAST(ceil((len(ts) - ${cfg.chunkSize}) / $stride.0) AS INT)
+       |    END AS k
+       |  FROM toks WHERE len(ts) > 0
+       |), idx AS (
+       |  SELECT doc_id, ts, n,
+       |    CAST(unnest(generate_series(0, k - 1)) AS INT) AS chunk_idx
+       |  FROM base
+       |), chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    list_slice(ts, chunk_idx * $stride + 1,
+       |               least(chunk_idx * $stride + ${cfg.chunkSize}, n)) AS ctoks
+       |  FROM idx
+       |), scored AS (
+       |  SELECT doc_id, chunk_idx,
+       |    least(10, len(list_intersect(list_distinct(ctoks), $qlist2))) * ${scale / 10} AS score,
+       |    array_to_string(ctoks, ' ') AS content
+       |  FROM chunks
+       |)
+       |SELECT doc_id,
+       |  count(*) AS chunks_before,
+       |  CAST(sum(CASE WHEN score > $threshold THEN 1 ELSE 0 END) AS BIGINT) AS chunks_after,
+       |  max(score) AS best_score,
+       |  coalesce(string_agg($contentExpr, chr(10) ORDER BY chunk_idx)
+       |             FILTER (WHERE score > $threshold), '') AS reduce_input,
+       |  round(sum(CASE WHEN score > $threshold THEN 1 ELSE 0 END) * 1.0
+       |        / count(*), 4) AS retention_rate,
+       |  coalesce(arg_max(content, score * 1000000 - chunk_idx)
+       |             FILTER (WHERE score > $threshold),
+       |           'No answer found in document') AS llm_answer
+       |FROM scored GROUP BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "qa_mapreduce_answers" -> s"$scoredCte\n$answersSelect",
+    "qa_mapreduce_json" -> fmtOracle(10, 5, xml = true),
+    "qa_mapreduce_plain" -> fmtOracle(100, 50, xml = false),
     "qa_judged" -> judgedSql,
     "qa_judgment_distribution" ->
       s"""$scoredCte, answers AS ($answersSelect)
