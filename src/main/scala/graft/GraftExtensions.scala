@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions for any session configured with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * so `SELECT count_tokens(text), split_chunks(text, 512, 64) ...` works
+  * from plain SQL (including thrift/connect clients) without touching the
+  * Column API. Complements `TextFunctions.register(spark)` for
+  * already-built sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("count_tokens"), info("count_tokens"),
+      (es: Seq[Expression]) => functions.CountTokens(es.head)))
+    e.injectFunction((FunctionIdentifier("estimate_tokens"), info("estimate_tokens"),
+      (es: Seq[Expression]) => functions.EstimateTokens(es.head)))
+    e.injectFunction((FunctionIdentifier("truncate_tokens"), info("truncate_tokens"),
+      (es: Seq[Expression]) => functions.TruncateTokens(es(0), es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("split_chunks"), info("split_chunks"),
+      (es: Seq[Expression]) => functions.SplitChunks(es(0), es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("shingles"), info("shingles"),
+      (es: Seq[Expression]) => functions.Shingles(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("lenient_json"), info("lenient_json"),
+      (es: Seq[Expression]) => functions.LenientJsonExtract(es.head)))
+    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (es: Seq[Expression]) => operators.Dedup.SimHash64(es.head)))
+  }
+}

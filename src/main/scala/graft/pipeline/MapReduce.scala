@@ -75,6 +75,14 @@ case class MapReduceConfig(
     question: String = "spark query join data",
     format: QaFormat = QaFormat.Hybrid)
 
+object MapReducePipeline {
+  /** Default M8 rewriter: collapse whitespace, ensure trailing '?'. */
+  val defaultImprover: Column => Column = q => {
+    val t = trim(regexp_replace(q, "\\s+", " "))
+    when(t.endsWith("?"), t).otherwise(concat(t, lit("?")))
+  }
+}
+
 class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel) {
 
   /** Tokens of the question, as a literal array column (driver-side
@@ -140,6 +148,35 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
       .withColumn("llm_answer",
         coalesce(col("top_content"), lit("No answer found in document")))
       .drop("top_content")
+  }
+
+  /** M8: optional question-improvement pre-map stage (reference:
+    * base_pipeline.py:521-630) — rewrites `question`, keeps
+    * `original_question`, falls back to the original when the rewriter
+    * yields null (the reference's parse-failure fallback). The default
+    * rewriter normalizes whitespace and guarantees a trailing '?'. */
+  def improveQuestions(qa: DataFrame,
+      improve: Column => Column = MapReducePipeline.defaultImprover): DataFrame =
+    qa.withColumn("original_question", col("question"))
+      .withColumn("question", coalesce(improve(col("question")), col("question")))
+
+  /** Judge input blocks (FIXTURES.md §6 shape; async_evaluation.py:60-83):
+    * batches of 5 docs -> one XML block per batch, items ordered by
+    * position, 5-entity-escaped answers. */
+  def judgeBlocks(documents: DataFrame): DataFrame = {
+    val j = judged(documents)
+    val item = concat(lit("<qa_pair id=\""), col("item_number"), lit("\"><answer>"),
+      Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+        "\"" -> "&quot;", "'" -> "&apos;")
+        .foldLeft(col("llm_answer")) { case (c, (f, t)) => replace(c, lit(f), lit(t)) },
+      lit("</answer></qa_pair>"))
+    j.withColumn("item", item)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_items"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("item_number"), col("item")))),
+            x => x("item")),
+          "\n").as("judge_block"))
   }
 
   /** Judge stage (O5 positional batching + deterministic judgment + P7

@@ -34,6 +34,10 @@ object QaPipeline extends graft.QueryModule {
   def judged(spark: SparkSession, dir: String): DataFrame =
     pipe.judged(Tables.load(spark, dir, "documents"))
 
+  /** Judge input blocks: 5 items per batch, XML shape (FIXTURES.md §6). */
+  def judgeBlocks(spark: SparkSession, dir: String): DataFrame =
+    pipe.judgeBlocks(Tables.load(spark, dir, "documents"))
+
   /** A4: judgment distribution with share-of-total. */
   def judgmentDistribution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -127,6 +131,7 @@ object QaPipeline extends graft.QueryModule {
     "qa_mapreduce_json" -> mapreduceJson,
     "qa_mapreduce_plain" -> mapreducePlain,
     "qa_judged" -> judged,
+    "qa_judge_blocks" -> judgeBlocks,
     "qa_judgment_distribution" -> judgmentDistribution,
     "qa_accuracy_by_lang" -> accuracyByLang,
     "qa_token_summary" -> tokenSummary,
@@ -180,18 +185,19 @@ object QaPipeline extends graft.QueryModule {
        |           'No answer found in document') AS llm_answer
        |FROM scored GROUP BY doc_id""".stripMargin
 
-  private val judgedSql =
-    s"""$scoredCte, answers AS ($answersSelect)
-       |SELECT *,
-       |  CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 5) AS BIGINT) AS batch_id,
-       |  CAST((row_number() OVER (ORDER BY doc_id) - 1) % 5 + 1 AS INT) AS item_number
-       |FROM (SELECT *,
-       |        CASE WHEN chunks_after = 0 THEN 'No answer'
-       |             WHEN best_score >= 4 THEN 'Correct'
-       |             WHEN best_score = 3 THEN 'Coherent'
-       |             WHEN best_score = 2 THEN 'Deviated'
-       |             ELSE 'Incorrect' END AS judgment
-       |      FROM answers)""".stripMargin
+  private val judgedBody =
+    """SELECT *,
+      |  CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 5) AS BIGINT) AS batch_id,
+      |  CAST((row_number() OVER (ORDER BY doc_id) - 1) % 5 + 1 AS INT) AS item_number
+      |FROM (SELECT *,
+      |        CASE WHEN chunks_after = 0 THEN 'No answer'
+      |             WHEN best_score >= 4 THEN 'Correct'
+      |             WHEN best_score = 3 THEN 'Coherent'
+      |             WHEN best_score = 2 THEN 'Deviated'
+      |             ELSE 'Incorrect' END AS judgment
+      |      FROM answers)""".stripMargin
+
+  private val judgedSql = s"$scoredCte, answers AS ($answersSelect)\n$judgedBody"
 
   /** Parameterized oracle for the format variants. */
   private def fmtOracle(scale: Int, threshold: Int, xml: Boolean): String = {
@@ -246,6 +252,15 @@ object QaPipeline extends graft.QueryModule {
     "qa_mapreduce_json" -> fmtOracle(10, 5, xml = true),
     "qa_mapreduce_plain" -> fmtOracle(100, 50, xml = false),
     "qa_judged" -> judgedSql,
+    "qa_judge_blocks" ->
+      s"""$scoredCte, answers AS ($answersSelect), judged AS ($judgedBody)
+         |SELECT batch_id, count(*) AS n_items,
+         |  string_agg('<qa_pair id="' || item_number || '"><answer>' ||
+         |    replace(replace(replace(replace(replace(llm_answer,
+         |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+         |      '"', '&quot;'), '''', '&apos;') || '</answer></qa_pair>',
+         |    chr(10) ORDER BY item_number) AS judge_block
+         |FROM judged GROUP BY batch_id""".stripMargin,
     "qa_judgment_distribution" ->
       s"""$scoredCte, answers AS ($answersSelect)
          |SELECT judgment, n, round(n * 1.0 / sum(n) OVER (), 4) AS pct FROM (
