@@ -56,26 +56,48 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "est", "les"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  def predictedLang(text: Column): Column = {
-    val toks = tokensOf(text)
-    val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      val m = array(markers.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(m, t))).as("hits"),
-        lit(lang).as("lang"))
+  /** Single-pass argmax over marker hits (one token scan per doc, a small
+    * hash lookup per token — replaces 5 interpreted lambda filters over
+    * the token array; semantics identical to the DuckDB oracle's
+    * greatest+CASE formulation: max hits, tie -> lexicographically first
+    * lang, 'und' when no marker hits). */
+  case class PredictLang(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types.{DataType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val hits = new Array[Int](PredictLang.langs.length)
+      Tokenizer.tokens(s).foreach { t =>
+        PredictLang.markerToLangs.get(t).foreach(_.foreach(hits(_) += 1))
+      }
+      var best = 0
+      var i = 1
+      while (i < hits.length) { if (hits(i) > hits(best)) best = i; i += 1 }
+      UTF8String.fromString(
+        if (hits(best) == 0) "und" else PredictLang.langs(best))
     }
-    // argmax by hits, tie -> smallest lang string: sort desc by (hits, -lang)
-    // array_sort ascending on struct; take last for max hits; for equal hits
-    // we want the lexicographically FIRST lang, so invert: sort by (hits asc,
-    // lang desc) then take last => (max hits, min lang).
-    val best = element_at(array_sort(array(scores.map(s =>
-      struct(s("hits").as("hits"), s("lang").as("lang"))): _*),
-      (l, r) => when(l("hits") < r("hits"), -1)
-        .when(l("hits") > r("hits"), 1)
-        .when(l("lang") > r("lang"), -1)
-        .when(l("lang") < r("lang"), 1)
-        .otherwise(0)), -1)
-    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): PredictLang = copy(c)
+    override def prettyName: String = "predict_lang"
   }
+  object PredictLang {
+    // lexicographic order => argmax scan naturally breaks ties toward the
+    // lexicographically first language
+    val langs: Array[String] = LangMarkers.keys.toArray.sorted
+    // a marker word may belong to several languages ('la' is es AND fr):
+    // every owning language gets the hit, as in the per-lang filters
+    val markerToLangs: Map[String, Seq[Int]] =
+      langs.zipWithIndex.flatMap { case (l, i) =>
+        LangMarkers(l).map(m => m -> i)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+  }
+
+  def predictedLang(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PredictLang(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
   /** Rolling polynomial fingerprint over the first `take` tokens:
     * tokens -> numeric contributions (codepoint of first char + 7*length),

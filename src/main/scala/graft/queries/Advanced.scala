@@ -83,7 +83,39 @@ object Advanced extends graft.QueryModule {
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
     StreamingOps.windowedEventAgg(spark, dir)
 
+  /** Session windows (gap 30 min) over events per user — Spark's
+    * `session_window` (the streaming-native session operator, here in
+    * batch form; identical semantics under a watermark in streaming).
+    * Oracle: classic gaps-and-islands (lag + cumulative sum). */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** JSON scalar extraction from the props column (§2.9 surface:
+    * get_json_object / from_json family). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** Text scrubbing (training-data hygiene): redact digit runs, count
+    * redactions — regexp_replace/regexp_count composition. */
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        regexp_replace(col("props"), "\\d+", "<NUM>").as("scrubbed"),
+        size(split(col("props"), "\\d+")).minus(1).as("n_redactions"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adv_session_window" -> sessionWindow,
+    "adv_json_extract" -> jsonExtract,
+    "adv_scrub" -> scrub,
     "adv_rollup" -> rollupAgg,
     "adv_langid_prf" -> langidPrf,
     "adv_fuzzy_best_match" -> fuzzyBestMatch,
@@ -92,6 +124,32 @@ object Advanced extends graft.QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "adv_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL '30 minutes' OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM islands GROUP BY user_id, session_id""".stripMargin,
+    "adv_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+    "adv_scrub" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '\d+', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(string_split_regex(props, '\d+')) - 1 AS INT) AS n_redactions
+        |FROM events""".stripMargin,
     "adv_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
