@@ -19,14 +19,55 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two double arrays (deterministic left-to-right
-    * folds — matches DuckDB's list_cosine_similarity evaluation order). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+  /** Fused cosine expression: one pass over both arrays. The arithmetic
+    * ORDER is bit-identical to the composed-builtin form
+    * `fold(zip_with(a,b,*)) / (sqrt(fold(a^2)) * sqrt(fold(b^2)))` —
+    * left-to-right adds, then dot/(na*nb) — which is also what the DuckDB
+    * oracle spells out, so results hash-match while skipping three
+    * interpreted lambda folds per pair. */
+  case class CosineSim(left: org.apache.spark.sql.catalyst.expressions.Expression,
+      right: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{DataType, DoubleType}
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getDouble(i)
+        val y = b.getDouble(i)
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      // tail of the longer array still contributes to its own norm,
+      // matching transform(a, x*x) over the full array
+      var j = n
+      while (j < a.numElements()) { val x = a.getDouble(j); na += x * x; j += 1 }
+      j = n
+      while (j < b.numElements()) { val y = b.getDouble(j); nb += y * y; j += 1 }
+      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    override protected def withNewChildrenInternal(
+        l: org.apache.spark.sql.catalyst.expressions.Expression,
+        r: org.apache.spark.sql.catalyst.expressions.Expression): CosineSim = copy(l, r)
+    override def prettyName: String = "cosine_sim"
   }
+
+  /** Cosine similarity of two double arrays (deterministic — see
+    * [[CosineSim]] for the arithmetic-order contract with the oracle). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(CosineSim(
+      org.apache.spark.sql.graftbridge.Bridge.expression(a),
+      org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
   def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
 
