@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenizer
+
+/** Answer-quality text metrics (SURVEY.md §5): the reference scores
+  * generated answers with BERTScore P/R/F1, a simplified BARTScore, and
+  * FinBERT cosine similarity (scores/text_evaluation_metrics.py:20-283).
+  *
+  * Model-based scorers need transformer weights that are NOT available in
+  * this offline environment — [[EmbeddingScorer]] is the documented
+  * interface stub for them. The engine ships [[TokenOverlapScorer]], a
+  * deterministic lexical stand-in with the same output contract
+  * (precision/recall/F1 per candidate-reference pair), so the metrics
+  * *dataflow* (pairing, scoring, aggregation) is fully exercised.
+  */
+object TextMetrics {
+
+  /** Contract of a model-based scorer (BERTScore/FinBERT shape). An
+    * implementation would embed both texts and compute token-alignment
+    * similarities; it plugs into [[scoreAnswers]] unchanged. */
+  trait EmbeddingScorer extends Serializable {
+    /** (precision, recall, f1) for candidate vs reference. */
+    def score(candidate: String, reference: String): (Double, Double, Double)
+  }
+
+  /** Deterministic lexical scorer: token-set precision/recall/F1 —
+    * the degenerate (identity-embedding) case of BERTScore. */
+  object TokenOverlapScorer extends EmbeddingScorer {
+    def score(candidate: String, reference: String): (Double, Double, Double) = {
+      val c = Tokenizer.tokens(candidate).toSet
+      val r = Tokenizer.tokens(reference).toSet
+      if (c.isEmpty || r.isEmpty) return (0.0, 0.0, 0.0)
+      val overlap = (c & r).size.toDouble
+      val p = overlap / c.size
+      val rec = overlap / r.size
+      val f1 = if (p + rec > 0) 2 * p * rec / (p + rec) else 0.0
+      (p, rec, f1)
+    }
+  }
+
+  /** Column form of the lexical scorer (codegen-free but set-based —
+    * fine off the hot path; model scorers would use mapPartitions). */
+  def lexicalPRF(candidate: Column, reference: Column): Column = {
+    def toks(c: Column) =
+      array_distinct(regexp_extract_all(c, lit(Tokenizer.DuckDbTokenRegex), lit(0)))
+    val c = toks(candidate)
+    val r = toks(reference)
+    val overlap = size(array_intersect(c, r)).cast("double")
+    val p = when(size(c) > 0, overlap / size(c)).otherwise(0.0)
+    val rec = when(size(r) > 0, overlap / size(r)).otherwise(0.0)
+    val f1 = when(p + rec > 0, lit(2.0) * p * rec / (p + rec)).otherwise(0.0)
+    struct(round(p, 6).as("precision"), round(rec, 6).as("recall"),
+      round(f1, 6).as("f1"))
+  }
+
+  /** Score answers against references and aggregate (the reference's
+    * metric-summary shape: mean P/R/F1 over the dataset). */
+  def scoreAnswers(answers: DataFrame, candidateCol: String,
+      referenceCol: String): DataFrame =
+    answers
+      .withColumn("m", lexicalPRF(col(candidateCol), col(referenceCol)))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("m.precision")), 6).as("mean_precision"),
+        round(avg(col("m.recall")), 6).as("mean_recall"),
+        round(avg(col("m.f1")), 6).as("mean_f1"))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextMetrics
+
+/** Scale-mechanics checks: plans, bucketing, metrics dataflow. */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val sess = spark
+    val prev = sess.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sess.sql("DROP TABLE IF EXISTS li_bucketed")
+      sess.sql("DROP TABLE IF EXISTS ord_bucketed")
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+      spark.read.parquet(s"$sf/orders.parquet")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_bucketed")
+      val j = sess.table("li_bucketed")
+        .join(sess.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      // the join itself reads co-located buckets: no Exchange below the
+      // SortMergeJoin (the groupBy above it may still exchange)
+      val joinPart = plan.split("SortMergeJoin").last
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // and results are correct
+      val expect = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(spark.read.parquet(s"$sf/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(j.agg(sum("n")).collect()(0).getLong(0) == expect)
+    } finally {
+      sess.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      sess.sql("DROP TABLE IF EXISTS li_bucketed")
+      sess.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("flagship pipeline plan: pruned scan, single exchange") {
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan not pruned to doc_id,text")
+  }
+
+  test("text metrics: lexical PRF contract + aggregation") {
+    val (p, r, f1) = TextMetrics.TokenOverlapScorer.score(
+      "total revenue was high", "revenue was low")
+    assert(math.abs(p - 0.5) < 1e-9)       // 2 of 4 candidate tokens
+    assert(math.abs(r - 2.0 / 3) < 1e-9)   // 2 of 3 reference tokens
+    assert(f1 > 0.57 && f1 < 0.58)
+    assert(TextMetrics.TokenOverlapScorer.score("", "x") == ((0.0, 0.0, 0.0)))
+
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(("a b c", "a b c"), ("a b", "c d")).toDF("cand", "ref")
+    val agg = TextMetrics.scoreAnswers(df, "cand", "ref").collect()(0)
+    assert(agg.getAs[Long]("n") == 2)
+    assert(math.abs(agg.getAs[Double]("mean_f1") - 0.5) < 1e-9) // (1.0 + 0.0)/2
+  }
+}
