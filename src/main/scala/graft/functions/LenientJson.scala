@@ -57,7 +57,9 @@ object LenientJsonExtract {
 
   private val fence = "(?s)```(?:json)?\\s*(.*?)```".r
 
-  /** All balanced top-level {...} spans, longest first (string-aware). */
+  /** All balanced top-level {...} spans, longest first. String-aware for
+    * BOTH quote styles — the lenient parser accepts single-quoted (json5)
+    * strings, so a '}' inside '...' must not close a brace either. */
   private def braceCandidates(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -65,17 +67,17 @@ object LenientJsonExtract {
       if (s.charAt(i) == '{') {
         var depth = 0
         var j = i
-        var inStr = false
+        var quote: Char = 0 // 0 = not in string; otherwise the open quote
         var esc = false
         var end = -1
         while (j < s.length && end < 0) {
           val c = s.charAt(j)
-          if (inStr) {
+          if (quote != 0) {
             if (esc) esc = false
             else if (c == '\\') esc = true
-            else if (c == '"') inStr = false
+            else if (c == quote) quote = 0
           } else c match {
-            case '"' => inStr = true
+            case '"' | '\'' => quote = c
             case '{' => depth += 1
             case '}' => depth -= 1; if (depth == 0) end = j
             case _ =>

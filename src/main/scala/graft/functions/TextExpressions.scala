@@ -179,6 +179,14 @@ object TextFunctions {
     col(SplitChunks(ex(c), ex(size), ex(overlap)))
   def shingles(c: Column, k: Column): Column = col(Shingles(ex(c), ex(k)))
 
+  /** The engine's token rule as a (codegen'd) regexp extraction — THE one
+    * place the regex-token form lives; semantically equal to the scanner
+    * (property-tested). Use this, not ad-hoc regexp_extract_all calls. */
+  def regex_tokens(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_extract_all(
+      c, org.apache.spark.sql.functions.lit(Tokenizer.DuckDbTokenRegex),
+      org.apache.spark.sql.functions.lit(0))
+
   /** Register all text-kernel functions for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

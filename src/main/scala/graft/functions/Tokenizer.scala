@@ -24,14 +24,26 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Tokenizer {
 
-  val DuckDbTokenRegex = "\\p{L}{1,8}|\\p{N}{1,3}|[^\\p{L}\\p{N}\\s]"
+  // Whitespace is the EXPLICIT ASCII class [\t\n\x0B\f\r ] rather than
+  // \s: Java \s is ASCII-only but includes \x0B while RE2's does not —
+  // spelling it out makes scanner, Spark (Java regex) and DuckDB (RE2)
+  // agree on every input, ASCII or not. Non-ASCII whitespace (U+3000 etc.)
+  // is deliberately a punctuation token in all three.
+  val DuckDbTokenRegex =
+    "\\p{L}{1,8}|\\p{N}{1,3}|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]"
 
   private final val MaxLetterRun = 8
   private final val MaxDigitRun = 3
 
+  // classes mirror the regex exactly: \p{L}, \p{N} (Nd+Nl+No), ASCII ws
   @inline private def isLetter(c: Char): Boolean = Character.isLetter(c)
-  @inline private def isDigit(c: Char): Boolean = Character.isDigit(c)
-  @inline private def isSpace(c: Char): Boolean = Character.isWhitespace(c)
+  @inline private def isDigit(c: Char): Boolean = {
+    val t = Character.getType(c)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+  @inline private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r' 
 
   /** Token [start, end) char offsets into `s`. */
   def tokenize(s: String): Array[Int] = {

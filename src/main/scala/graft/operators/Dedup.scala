@@ -36,7 +36,7 @@ object Dedup {
     graft.functions.TextFunctions.shingles(text, lit(k))
 
   def tokensOf(text: Column): Column =
-    regexp_extract_all(text, lit(Tokenizer.DuckDbTokenRegex), lit(0))
+    graft.functions.TextFunctions.regex_tokens(text)
 
   /** Exact Jaccard over two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -86,8 +86,12 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // the shingle table feeds the signature path AND both verify-join
+    // sides; Catalyst doesn't CSE across self-joins, so persist it (first
+    // action materializes once instead of re-shingling the corpus 3x)
     val withShingles = docs.select(col(idCol),
       shingles(col(textCol), shingleK).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = withShingles.withColumn("sig",
       minhashSignature(col("sh"), numHashes))
     val cands = lshCandidates(withSig, idCol, "sig", bands, rowsPerBand)

@@ -11,7 +11,7 @@ import graft.functions.Tokenizer
 object TextAnalysis {
 
   def tokensOf(text: Column): Column =
-    regexp_extract_all(text, lit(Tokenizer.DuckDbTokenRegex), lit(0))
+    graft.functions.TextFunctions.regex_tokens(text)
 
   /** English stopword sample used by the quality score / lang-ID. */
   val Stopwords: Seq[String] =

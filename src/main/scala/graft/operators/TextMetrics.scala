@@ -45,7 +45,7 @@ object TextMetrics {
     * fine off the hot path; model scorers would use mapPartitions). */
   def lexicalPRF(candidate: Column, reference: Column): Column = {
     def toks(c: Column) =
-      array_distinct(regexp_extract_all(c, lit(Tokenizer.DuckDbTokenRegex), lit(0)))
+      array_distinct(graft.functions.TextFunctions.regex_tokens(c))
     val c = toks(candidate)
     val r = toks(reference)
     val overlap = size(array_intersect(c, r)).cast("double")

@@ -100,16 +100,31 @@ object ExternalModel {
     prompts.mapPartitions { it =>
       val client = mkClient() // per-partition connection reuse
       val limiter = new RateLimiter(ratePerSec, burst)
-      it.grouped(parallelism * 4).flatMap { group =>
+      // a DEDICATED fixed pool of exactly `parallelism` threads bounds
+      // in-flight calls per partition (the global EC would let a group of
+      // futures exceed the bound and let blocked limiter sleeps starve
+      // every other partition's calls in the JVM)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val out = it.grouped(parallelism).flatMap { group =>
         val tasks = group.map { case (id, prompt) =>
           scala.concurrent.Future {
             limiter.acquire()
             val res = callWithRetry(client, prompt, policy, _ => true, stats)
             (id, res.getOrElse("Error: external call failed"), res.isEmpty)
-          }(scala.concurrent.ExecutionContext.global)
+          }(ec)
         }
         tasks.map(f => scala.concurrent.Await.result(f,
           scala.concurrent.duration.Duration.Inf))
+      }
+      // wrap so the pool is shut down when the partition iterator drains
+      new Iterator[(Long, String, Boolean)] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) pool.shutdown()
+          h
+        }
+        def next(): (Long, String, Boolean) = out.next()
       }
     }.toDF("id", "response", "is_error")
   }

@@ -94,7 +94,7 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
     * Spark's codegen'd regexp_extract_all — identical semantics to the
     * scanner (property-tested). */
   private val chunkTokens: Column =
-    regexp_extract_all(col("chunk_text"), lit(Tokenizer.DuckDbTokenRegex), lit(0))
+    graft.functions.TextFunctions.regex_tokens(col("chunk_text"))
 
   /** Stage 1-2: explode documents into scored chunks (M1 + map). Scores
     * are scaled to the format's range (0-10 json/hybrid, 0-100 plain). */

@@ -74,10 +74,12 @@ object DedupQueries extends graft.QueryModule {
       .select(col("doc_id"),
         Dedup.simhash64(Dedup.tokensOf(col("text"))).as("simhash"))
 
-  /** SimHash near-dup pairs via 16-bit band blocking. maxHamming=8 was
-    * calibrated against the planted near-dups: true pairs (3-gram jaccard
-    * >= 0.9) land at hamming 0-8 across SFs, the same-vocabulary background starts
-    * at ~9 (p1). */
+  /** SimHash near-dup pairs via 16-bit band blocking. The band scheme
+    * GUARANTEES candidates only up to hamming 3 (4 bands, pigeonhole);
+    * pairs at hamming 4-8 are found when at least one band happens to be
+    * clean — best-effort, which empirically covers the planted near-dups
+    * (true pairs at hamming 0-8, same-vocab background starts ~9). The
+    * recall contract is the DedupSpec bound, not completeness. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.load(spark, dir, "documents"),
       "doc_id", "text", maxHamming = 8)
@@ -123,7 +125,8 @@ object DedupQueries extends graft.QueryModule {
          |  round(len(list_intersect(a.sh, b.sh)) * 1.0
          |        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
          |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+         |WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
          |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold""".stripMargin,
   )
 }

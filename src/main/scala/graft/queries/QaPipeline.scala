@@ -83,7 +83,7 @@ object QaPipeline extends graft.QueryModule {
     Tables.load(spark, dir, "documents")
       .withColumn("t", truncate_tokens(col("text"), lit(TruncMax), lit("start")))
       .withColumn("ttoks",
-        regexp_extract_all(col("t.text"), lit(Tokenizer.DuckDbTokenRegex), lit(0)))
+        graft.functions.TextFunctions.regex_tokens(col("t.text")))
       .select(col("doc_id"),
         col("t.original_tokens").as("original_tokens"),
         col("t.truncated_tokens").as("truncated_tokens"),

@@ -81,7 +81,8 @@ object TextOps extends graft.QueryModule {
          |  CAST(ceil($tokExpr * 1.15) AS INT) AS est_tokens
          |FROM documents""".stripMargin,
     "text_chunk_stats" ->
-      s"""WITH t AS (SELECT doc_id, $tokExpr AS n FROM documents),
+      s"""WITH t AS (SELECT doc_id, $tokExpr AS n FROM documents
+         |           WHERE $tokExpr > 0),
          |c AS (SELECT doc_id, n,
          |  CASE WHEN n <= $ChunkSize THEN 1
          |       ELSE 1 + CAST(ceil((n - $ChunkSize) / ${ChunkSize - ChunkOverlap}.0) AS INT)
@@ -98,7 +99,8 @@ object TextOps extends graft.QueryModule {
     "text_truncate_stats" ->
       s"""SELECT doc_id, n AS original_tokens,
          |  least(n, $TruncateMax) AS truncated_tokens,
-         |  round(least(n, $TruncateMax) * 1.0 / n, 4) AS retention_rate,
+         |  CASE WHEN n = 0 THEN 1.0
+         |       ELSE round(least(n, $TruncateMax) * 1.0 / n, 4) END AS retention_rate,
          |  n > $TruncateMax AS truncation_applied,
          |  least(n, $TruncateMax) AS retokenized
          |FROM (SELECT doc_id, $tokExpr AS n FROM documents)""".stripMargin,

@@ -77,7 +77,12 @@ object StreamingOps {
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
     val dfs = acc.toArray(Array.empty[DataFrame])
-    if (dfs.isEmpty) spark.emptyDataFrame
-    else dfs.reduce(_.unionAll(_))
+    if (dfs.isEmpty) {
+      // zero micro-batches: still return the ANSWERS schema (a schemaless
+      // emptyDataFrame would break any downstream column reference)
+      val emptyDocs = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docsSchema)
+      pipe.answers(emptyDocs)
+    } else dfs.reduce(_.unionAll(_))
   }
 }
