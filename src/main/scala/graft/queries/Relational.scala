@@ -205,6 +205,56 @@ object Relational extends graft.QueryModule {
       .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
   }
 
+  /** TPC-H Q3 shape: selective filters on both join sides, 3-way join,
+    * revenue agg, top-10 — filters push below the joins, orders/customer
+    * prune before shuffling. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val cust = Tables.load(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .select($"l_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"), $"revenue")
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  /** Above-average filter: rows beating their group's mean — the window
+    * formulation of a correlated scalar subquery. */
+  def aboveGroupAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+    Tables.load(spark, dir, "customer")
+      .withColumn("nation_avg", avg($"c_acctbal").over(w))
+      .filter($"c_acctbal" > $"nation_avg")
+      .select($"c_custkey", $"c_nationkey",
+        round($"c_acctbal", 2).as("c_acctbal"),
+        round($"nation_avg", 4).as("nation_avg"))
+  }
+
+  /** Distinct counting per group (exact; the HLL variant is approximate
+    * and engine-specific, so only the exact form is oracled). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -223,6 +273,9 @@ object Relational extends graft.QueryModule {
     "rel_judge_batches" -> judgeBatches,
     "rel_confusion_matrix" -> confusionMatrix,
     "rel_time_window_agg" -> timeWindowAgg,
+    "rel_shipping_priority" -> shippingPriority,
+    "rel_above_group_avg" -> aboveGroupAvg,
+    "rel_distinct_counts" -> distinctCounts,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -300,5 +353,30 @@ object Relational extends graft.QueryModule {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "rel_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "rel_above_group_avg" ->
+      """SELECT c_custkey, c_nationkey,
+        |  round(c_acctbal, 2) AS c_acctbal,
+        |  round(nation_avg, 4) AS nation_avg
+        |FROM (SELECT *, avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+        |      FROM customer)
+        |WHERE c_acctbal > nation_avg""".stripMargin,
+    "rel_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   )
 }
