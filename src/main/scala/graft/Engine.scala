@@ -54,6 +54,37 @@ case class Engine(
   def answers(documents: DataFrame): DataFrame = pipeline.answers(documents)
   /** + judge & positional batching (O5/P7). */
   def judged(documents: DataFrame): DataFrame = pipeline.judged(documents)
+
+  /** Truncation pipeline (M9/T1-T5 — the factory's
+    * create_truncation_pipeline plan shape): no chunk explode, one
+    * extractive call over the token-budgeted document, same answer/stats
+    * contract. Budget = contextWindow - question tokens - buffer, floored
+    * at 1000 (reference: truncation_formatter.py:45-73,
+    * truncation_utils.py:247-266). */
+  def truncationAnswers(documents: DataFrame,
+      contextWindow: Int = 128000, buffer: Int = 2000,
+      strategy: String = "start"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val budget = math.max(1000,
+      contextWindow - graft.functions.Tokenizer.countTokens(question) - buffer)
+    val qtoks = array(
+      graft.functions.Tokenizer.tokens(question).distinct.toIndexedSeq.map(lit): _*)
+    documents
+      .withColumn("t", truncate_tokens(col("text"), lit(budget), lit(strategy)))
+      .withColumn("ttoks", regex_tokens(col("t.text")))
+      .withColumn("score",
+        least(lit(10), size(array_intersect(array_distinct(col("ttoks")), qtoks)))
+          * lit(qaFormat.scoreScale / 10))
+      .select(col("doc_id"),
+        col("t.original_tokens").as("original_tokens"),
+        col("t.truncated_tokens").as("truncated_tokens"),
+        col("t.retention_rate").as("retention_rate"),
+        col("t.truncation_applied").as("truncation_applied"),
+        col("score"),
+        when(col("score") > config.threshold, concat_ws(" ", col("ttoks")))
+          .otherwise(lit("No answer found in document")).as("llm_answer"))
+  }
 }
 
 object Engine {
