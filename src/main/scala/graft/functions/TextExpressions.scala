@@ -164,6 +164,66 @@ case class Shingles(text: Expression, k: Expression)
   override def prettyName: String = "shingles"
 }
 
+/** `minhash_bands(shingles, numHashes, bands)` — banded MinHash signature
+  * in ONE pass over the shingle array. Each shingle is hashed once (XXH64
+  * over its bytes); the `numHashes` hash family is derived from that one
+  * base value by avalanche mixing (standard one-permutation-style
+  * derivation), instead of re-hashing the string per seed — ~numHashes x
+  * less string hashing than `transform(sh, s -> xxhash64(s, j))` per j.
+  * Output: array<long> of `bands` band hashes (consecutive
+  * numHashes/bands minima combined), ready for posexplode -> bucket join.
+  * Empty shingle array -> empty output (no bands, no candidates). */
+case class MinHashBands(shingles: Expression, numHashes: Expression, bands: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = shingles
+  override def second: Expression = numHashes
+  override def third: Expression = bands
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  override def nullSafeEval(shv: Any, nhv: Any, bv: Any): Any = {
+    val arr = shv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nh = nhv.asInstanceOf[Int]
+    val nb = bv.asInstanceOf[Int]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(nh)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+      var j = 0
+      while (j < nh) {
+        val h = fmix64(base ^ (j * 0x9E3779B97F4A7C15L))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val r = nh / nb
+    val out = new Array[Any](nb)
+    var b = 0
+    while (b < nb) {
+      var acc = fmix64(b + 0x165667B19E3779F9L)
+      var k = 0
+      while (k < r) { acc = fmix64(acc ^ mins(b * r + k)); k += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MinHashBands = copy(f, s, t)
+  override def prettyName: String = "minhash_bands"
+}
+
 /** Column-level API for the text kernel. */
 object TextFunctions {
   private def col(e: Expression): Column =
@@ -178,6 +238,8 @@ object TextFunctions {
   def split_chunks(c: Column, size: Column, overlap: Column): Column =
     col(SplitChunks(ex(c), ex(size), ex(overlap)))
   def shingles(c: Column, k: Column): Column = col(Shingles(ex(c), ex(k)))
+  def minhash_bands(c: Column, numHashes: Column, bands: Column): Column =
+    col(MinHashBands(ex(c), ex(numHashes), ex(bands)))
 
   /** The engine's token rule as a (codegen'd) regexp extraction — THE one
     * place the regex-token form lives; semantically equal to the scanner
@@ -200,5 +262,7 @@ object TextFunctions {
       es => SplitChunks(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("shingles",
       es => Shingles(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      es => MinHashBands(es(0), es(1), es(2)), "scala_udf")
   }
 }

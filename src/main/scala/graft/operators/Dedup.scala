@@ -44,25 +44,21 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** MinHash signature: for seed j, min over shingles of xxhash64(s, j).
-    * numHashes seeded hashes of the same shingle array — partition-local. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(shingles, s => xxhash64(s, lit(j))))
-    }: _*)
+  /** Banded MinHash signature: `bands` band hashes computed in ONE pass
+    * over the shingle array (each shingle string hashed once, the hash
+    * family derived by mixing — see [[graft.functions.MinHashBands]]). */
+  def minhashBands(shingles: Column, numHashes: Int, bands: Int): Column =
+    graft.functions.TextFunctions.minhash_bands(
+      shingles, lit(numHashes), lit(bands))
 
-  /** LSH candidate pairs: split the signature into `bands` bands, hash each
-    * band, self-match docs sharing any (band, hash) bucket. Returns
-    * (doc_a, doc_b) with doc_a < doc_b, distinct. */
-  def lshCandidates(docsWithSig: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = docsWithSig.select(
+  /** LSH candidate pairs from banded signatures: self-match docs sharing
+    * any (band_idx, band_hash) bucket. Returns (doc_a, doc_b) with
+    * doc_a < doc_b, distinct. */
+  def lshCandidates(docsWithBands: DataFrame, idCol: String,
+      bandsCol: String): DataFrame = {
+    val banded = docsWithBands.select(
       col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(array_join(
-          transform(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")), ","), b)))
-        .as(Seq("band_idx", "band_hash")))
+      posexplode(col(bandsCol)).as(Seq("band_idx", "band_hash")))
     val buckets = banded.groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -85,16 +81,15 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // the shingle table feeds the signature path AND both verify-join
     // sides; Catalyst doesn't CSE across self-joins, so persist it (first
     // action materializes once instead of re-shingling the corpus 3x)
     val withShingles = docs.select(col(idCol),
       shingles(col(textCol), shingleK).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = withShingles.withColumn("sig",
-      minhashSignature(col("sh"), numHashes))
-    val cands = lshCandidates(withSig, idCol, "sig", bands, rowsPerBand)
+    val withSig = withShingles.withColumn("bands",
+      minhashBands(col("sh"), numHashes, bands))
+    val cands = lshCandidates(withSig, idCol, "bands")
     val left = withShingles.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
     val right = withShingles.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
     cands.join(left, "doc_a").join(right, "doc_b")

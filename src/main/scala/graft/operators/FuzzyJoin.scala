@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Fuzzy similarity join (reference J3: FinQA entries matched to EDGAR docs
   * by weighted text similarity + number-overlap, scripts/augment_finqa.py:
@@ -74,15 +73,21 @@ object FuzzyJoin {
     array_distinct(regexp_extract_all(text, lit("\\d+(?:\\.\\d+)?"), lit(0)))
 
   /** Arg-max fuzzy join: for every left row, the best-scoring right row
-    * within the blocking key (ties -> smallest right id). */
+    * within the blocking key (ties -> smallest right id).
+    *
+    * Implemented as a `max_by` hash aggregation rather than a
+    * row_number window: the aggregate gets MAP-SIDE partial combine, so
+    * the shuffle carries one candidate per (leftId, partition) instead of
+    * every blocked pair — at scale the pair table is the big intermediate
+    * and never needs to be sorted or shuffled in full. */
   def bestMatch(left: DataFrame, right: DataFrame, blockKey: String,
       leftId: String, rightId: String, sim: Column): DataFrame = {
     val joined = left.join(right, blockKey)
       .withColumn("sim", sim)
-    val w = Window.partitionBy(col(leftId))
-      .orderBy(col("sim").desc, col(rightId).asc)
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    // lexicographic struct max == (highest sim, then smallest right id)
+    val key = struct(col("sim"), (-col(rightId)).as("neg_id"))
+    joined.groupBy(col(leftId))
+      .agg(max_by(col(rightId), key).as(rightId),
+        max(key).getField("sim").as("sim"))
   }
 }

@@ -106,6 +106,11 @@ object ExternalModel {
       // every other partition's calls in the JVM)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      // tie pool lifetime to the TASK, not to iterator exhaustion: a
+      // downstream limit/take can abandon the iterator mid-stream, which
+      // would leak the pool for the life of the executor
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       val out = it.grouped(parallelism).flatMap { group =>
         val tasks = group.map { case (id, prompt) =>
           scala.concurrent.Future {
@@ -117,7 +122,8 @@ object ExternalModel {
         tasks.map(f => scala.concurrent.Await.result(f,
           scala.concurrent.duration.Duration.Inf))
       }
-      // wrap so the pool is shut down when the partition iterator drains
+      // belt-and-braces: also shut down on clean drain (local/driver-side
+      // use without a TaskContext)
       new Iterator[(Long, String, Boolean)] {
         def hasNext: Boolean = {
           val h = out.hasNext

@@ -89,6 +89,7 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
     * tokenization — the question is a scalar, not data). */
   private val questionTokens: Column =
     array(Tokenizer.tokens(cfg.question).distinct.map(lit).toIndexedSeq: _*)
+      .cast("array<string>") // empty question => array<null> otherwise
 
   /** Token regex shared with the DuckDB oracle. Applied to chunk_text with
     * Spark's codegen'd regexp_extract_all — identical semantics to the

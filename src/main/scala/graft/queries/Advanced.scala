@@ -59,8 +59,13 @@ object Advanced extends graft.QueryModule {
   def fuzzyBestMatch(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.load(spark, dir, "part")
       .withColumn("blk", concat_ws("|", col("p_type"), col("p_size")))
-    val a = parts.select(col("blk"), col("p_partkey").as("part_a"),
-      split(col("p_name"), " ").as("toks_a"))
+    // probe side spread across cores: the blocked pair expansion (~70x
+    // fan-out) happens on the probe side of the broadcast join, and the
+    // single-row-group scan would otherwise pin it to one task
+    val a = Tables.loadSpread(spark, dir, "part")
+      .withColumn("blk", concat_ws("|", col("p_type"), col("p_size")))
+      .select(col("blk"), col("p_partkey").as("part_a"),
+        split(col("p_name"), " ").as("toks_a"))
     val b = parts.select(col("blk"), col("p_partkey").as("part_b"),
       split(col("p_name"), " ").as("toks_b"))
     val sim = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /

@@ -15,13 +15,13 @@ object AnalysisQueries extends graft.QueryModule {
   /** Per-doc quality features + composite score. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val feats = TextAnalysis.qualityFeatures(col("text"))
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
   }
 
   /** Marker-word language ID vs the labeled lang column, per doc. */
   def langid(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         TextAnalysis.predictedLang(col("text")).as("predicted"))
       .withColumn("match", col("lang") === col("predicted"))
@@ -37,7 +37,7 @@ object AnalysisQueries extends graft.QueryModule {
     * metadata arithmetically — proving the partition-local decode path
     * produced exactly the declared schema/values. */
   def mmDecodeStats(spark: SparkSession, dir: String): DataFrame = {
-    val blobs = Multimodal.asBlobs(Tables.load(spark, dir, "documents"))
+    val blobs = Multimodal.asBlobs(Tables.loadSpread(spark, dir, "documents"))
     val meta = Multimodal.decodeMeta(spark, blobs)
     meta.toDF().groupBy(col("media_type")).agg(
       count(lit(1)).as("n_blobs"),
@@ -49,7 +49,7 @@ object AnalysisQueries extends graft.QueryModule {
 
   /** Frame sampling over video blobs (explode path), aggregated. */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
-    val blobs = Multimodal.asBlobs(Tables.load(spark, dir, "documents"))
+    val blobs = Multimodal.asBlobs(Tables.loadSpread(spark, dir, "documents"))
     val meta = Multimodal.decodeMeta(spark, blobs)
     Multimodal.sampleFrames(spark, meta, stride = 4)
       .groupBy(col("doc_id"))

@@ -23,14 +23,14 @@ object DedupQueries extends graft.QueryModule {
     * text, keeper = min doc_id (reference dedup J1 build side,
     * base_pipeline.py:169-174, generalized to content identity). */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .groupBy(md5(encode(col("text"), "UTF-8")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Fingerprint dedup: rolling polynomial hash of the first 32 tokens as
     * a cheap near-identity key (prefix-stable edits collide). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .groupBy(TextAnalysis.fingerprint(col("text"), 32).as("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
@@ -42,7 +42,7 @@ object DedupQueries extends graft.QueryModule {
     * shingles instead of |block|^2 array intersections — 136 s -> ~2 s at
     * sf0.1, and the shuffle key is the shingle (saltable if skewed). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val sh = docs.select(col("lang"), col("doc_id"),
       Dedup.shingles(col("text"), 3).as("sh"))
     val ex = sh.select(col("lang"), col("doc_id"), size(col("sh")).as("n"),
@@ -64,13 +64,13 @@ object DedupQueries extends graft.QueryModule {
   /** MinHash+LSH near-dups: 32 hashes, 16 bands x 2 — candidates from band
     * buckets, verified by exact Jaccard >= 0.3. Approximate (no oracle). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(Tables.load(spark, dir, "documents"),
+    Dedup.minhashNearDups(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", shingleK = 3, numHashes = 32, bands = 16,
       threshold = JaccardThreshold)
 
   /** SimHash signatures per document (deterministic; pair query below). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"),
         Dedup.simhash64(Dedup.tokensOf(col("text"))).as("simhash"))
 
@@ -81,7 +81,7 @@ object DedupQueries extends graft.QueryModule {
     * (true pairs at hamming 0-8, same-vocab background starts ~9). The
     * recall contract is the DedupSpec bound, not completeness. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(Tables.load(spark, dir, "documents"),
+    Dedup.simhashNearDups(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", maxHamming = 8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -28,15 +28,15 @@ object QaPipeline extends graft.QueryModule {
 
   /** M1–M7/P4/P9/A7/O1 in one result: per-doc reduced answers. */
   def mapreduceAnswers(spark: SparkSession, dir: String): DataFrame =
-    pipe.answers(Tables.load(spark, dir, "documents"))
+    pipe.answers(Tables.loadSpread(spark, dir, "documents"))
 
   /** + judge & positional batching (O5, P7 5-way judgment). */
   def judged(spark: SparkSession, dir: String): DataFrame =
-    pipe.judged(Tables.load(spark, dir, "documents"))
+    pipe.judged(Tables.loadSpread(spark, dir, "documents"))
 
   /** Judge input blocks: 5 items per batch, XML shape (FIXTURES.md §6). */
   def judgeBlocks(spark: SparkSession, dir: String): DataFrame =
-    pipe.judgeBlocks(Tables.load(spark, dir, "documents"))
+    pipe.judgeBlocks(Tables.loadSpread(spark, dir, "documents"))
 
   /** A4: judgment distribution with share-of-total. */
   def judgmentDistribution(spark: SparkSession, dir: String): DataFrame = {
@@ -51,7 +51,7 @@ object QaPipeline extends graft.QueryModule {
   /** A2/J2: accuracy by document language — answers re-joined to the
     * (broadcast) documents dimension, grouped by lang. */
   def accuracyByLang(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val docs = Tables.loadSpread(spark, dir, "documents").select(col("doc_id"), col("lang"))
     judged(spark, dir)
       .join(broadcast(docs), Seq("doc_id"))
       .groupBy(col("lang"))
@@ -64,7 +64,7 @@ object QaPipeline extends graft.QueryModule {
 
   /** A1/A5/A7: global token-usage summary — one row, whole-corpus. */
   def tokenSummary(spark: SparkSession, dir: String): DataFrame = {
-    val m = pipe.mapped(Tables.load(spark, dir, "documents"))
+    val m = pipe.mapped(Tables.loadSpread(spark, dir, "documents"))
     m.agg(
       countDistinct(col("doc_id")).as("n_docs"),
       count(lit(1)).as("total_chunks"),
@@ -80,7 +80,7 @@ object QaPipeline extends graft.QueryModule {
   /** M9/T1/T4: truncation pipeline — single-call path, per doc. */
   def truncation(spark: SparkSession, dir: String): DataFrame = {
     val qtoks = array(Tokenizer.tokens(cfg.question).distinct.map(lit).toIndexedSeq: _*)
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .withColumn("t", truncate_tokens(col("text"), lit(TruncMax), lit("start")))
       .withColumn("ttoks",
         graft.functions.TextFunctions.regex_tokens(col("t.text")))
@@ -117,14 +117,14 @@ object QaPipeline extends graft.QueryModule {
     new MapReducePipeline(MapReduceConfig(
       chunkSize = cfg.chunkSize, overlap = cfg.overlap, threshold = 5,
       question = fmtQuestion, format = graft.pipeline.QaFormat.Json))
-      .answers(Tables.load(spark, dir, "documents"))
+      .answers(Tables.loadSpread(spark, dir, "documents"))
 
   /** Plain format: 0-100 scale, threshold 50, newline concat. */
   def mapreducePlain(spark: SparkSession, dir: String): DataFrame =
     new MapReducePipeline(MapReduceConfig(
       chunkSize = cfg.chunkSize, overlap = cfg.overlap, threshold = 50,
       question = fmtQuestion, format = graft.pipeline.QaFormat.Plain))
-      .answers(Tables.load(spark, dir, "documents"))
+      .answers(Tables.loadSpread(spark, dir, "documents"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_mapreduce_answers" -> mapreduceAnswers,

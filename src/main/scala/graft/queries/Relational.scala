@@ -316,7 +316,7 @@ object Relational extends graft.QueryModule {
         |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
     "rel_histogram" ->
       """SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
-        |  count(*) AS n_docs, sum(n_chars) AS total_chars
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
     "rel_broadcast_join_agg" ->
       """SELECT r_name, count(*) AS n_orders,

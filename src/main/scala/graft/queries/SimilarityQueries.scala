@@ -22,7 +22,7 @@ object SimilarityQueries extends graft.QueryModule {
 
   /** Brute-force cosine top-k: first NQueries vectors as queries. */
   def topkBrute(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
     Similarity.bruteForceTopK(
       emb.filter(col("vec_id") < NQueries), emb, K)
   }
@@ -30,11 +30,11 @@ object SimilarityQueries extends graft.QueryModule {
   /** Embedding-cosine near-duplicate pairs, label-blocked. */
   def cosineNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(
-      Tables.load(spark, dir, "embeddings"), NearDupThreshold)
+      Tables.loadSpread(spark, dir, "embeddings"), NearDupThreshold)
 
   /** IVF approximate top-k: centroids = every 50th vector, nprobe=3. */
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
     val centroids = emb.filter(col("vec_id") % 50 === 0)
     val assigned = Similarity.ivfAssign(emb, centroids)
     Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries),

@@ -30,7 +30,7 @@ object TextOps extends graft.QueryModule {
   /** C4: token counting + the 1.15x estimate, per document. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .select($"doc_id",
         count_tokens($"text").as("n_tokens"),
         estimate_tokens($"text").as("est_tokens"))
@@ -40,7 +40,7 @@ object TextOps extends graft.QueryModule {
     * the closed-form chunk-count formula. */
   def chunkStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .select($"doc_id",
         split_chunks($"text", lit(ChunkSize), lit(ChunkOverlap)))
       .groupBy($"doc_id")
@@ -56,7 +56,7 @@ object TextOps extends graft.QueryModule {
     * boundary (retokenized == least(n, max)). */
   def truncateStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .withColumn("t", truncate_tokens($"text", lit(TruncateMax), lit("start")))
       .select($"doc_id",
         $"t.original_tokens".as("original_tokens"),

@@ -45,8 +45,16 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
     val name = "graft_stream_window"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
+    // State-store count == shuffle partitions at stream start, fixed for
+    // the query's lifetime. The window x event_type key space is small
+    // (~thousands), so 32 stores are pure per-batch overhead (open/commit/
+    // fsync per store per batch) — size to the state, not the core count.
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(name).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),

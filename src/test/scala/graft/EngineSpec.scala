@@ -46,6 +46,50 @@ class EngineSpec extends SparkSpec {
     assert(r.getAs[Int]("c") == 2)
   }
 
+  test("truncationAnswers: budget floor, strategies, threshold gating") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = "spark query join data filter group sort merge window stream batch hash"
+    val eng = Engine(question = q)
+    // tiny contextWindow => budget floored at 1000 tokens
+    val floored = eng.truncationAnswers(docs, contextWindow = 10, buffer = 2000)
+    assert(floored.agg(max(col("truncated_tokens"))).first().getInt(0) <= 1000)
+    // end strategy keeps a suffix: same stats contract, applied rows exist
+    // (synthetic long doc — the sf corpus sits under the 1000-token floor)
+    val sess = spark
+    import sess.implicits._
+    val longDoc = Seq((1L, (1 to 2500).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ends = eng.truncationAnswers(longDoc, contextWindow = 1100, buffer = 0,
+      strategy = "end")
+    val ap = ends.filter(col("truncation_applied")).first()
+    assert(ap.getAs[Int]("truncated_tokens") <= 1100 &&
+      ap.getAs[Double]("retention_rate") < 1.0)
+    // threshold gating: rows at score <= threshold get the canned answer
+    val out = eng.truncationAnswers(docs)
+    assert(out.filter(col("score") <= eng.config.threshold &&
+      col("llm_answer") =!= "No answer found in document").count() == 0)
+  }
+
+  test("truncationAnswers routes through the pluggable model") {
+    import org.apache.spark.sql.Column
+    object ConstModel extends graft.pipeline.TextModel {
+      def score(chunkTokens: Column, questionTokens: Column): Column = lit(9)
+      def content(chunkTokens: Column): Column = lit("CUSTOM")
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Engine(model = ConstModel).truncationAnswers(docs)
+    // a custom model must drive BOTH the score and the answer content on
+    // the truncation path (not silently fall back to extractive semantics)
+    assert(out.select("score").distinct().collect().map(_.getInt(0)).toSet == Set(9))
+    assert(out.select("llm_answer").distinct().first().getString(0) == "CUSTOM")
+  }
+
+  test("empty question tokenizes to a typed empty array (no analysis error)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(5)
+    val out = Engine(question = " ").answers(docs)
+    assert(out.count() == 5) // would throw at analysis time on array<null>
+  }
+
   test("judge blocks contain exactly the batch's escaped items") {
     val blocks = graft.queries.QaPipeline.judgeBlocks(spark, sf)
       .orderBy("batch_id").collect()
