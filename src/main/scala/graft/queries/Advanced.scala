@@ -102,6 +102,47 @@ object Advanced extends graft.QueryModule {
           .as("session_start"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Backward as-of join (purchase -> latest prior view per user): the
+    * attribution-join shape, via [[graft.operators.AsOfJoin]]'s
+    * union + single-window merge formulation (no pair explosion; one
+    * shuffle per side). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+    graft.operators.AsOfJoin.backward(
+        purchases, views, key = "user_id", ts = "ts",
+        tiebreak = "view_event_id", rightPrefix = "v_")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("v_view_event_id").as("view_event_id"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("v_ts"))).as("gap_sec"))
+  }
+
+  /** Two-phase salted aggregation — the skew-mitigation pattern for heavy
+    * group keys (events has only 5 event_type values; at 100 TB a direct
+    * groupBy would hash all rows of one type to one reducer). Phase 1
+    * aggregates (key, salt) with 16-way fan-out, phase 2 combines the
+    * 16 partials per key. Result is identical to the direct groupBy (the
+    * oracle), and both phases keep exact DECIMAL sums. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 2))).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("total_value"))
+
+  /** Streaming stateful dedup -> aggregation (dropDuplicates state + agg
+    * state chained in one streaming query); oracle = batch
+    * count(DISTINCT user_id) per type. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.dedupCounts(spark, dir)
+
   /** JSON scalar extraction from the props column (§2.9 surface:
     * get_json_object / from_json family). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -125,7 +166,10 @@ object Advanced extends graft.QueryModule {
     "adv_langid_prf" -> langidPrf,
     "adv_fuzzy_best_match" -> fuzzyBestMatch,
     "adv_number_extraction" -> numberExtraction,
+    "adv_asof_join" -> asofJoin,
+    "adv_salted_agg" -> saltedAgg,
     "stream_window_agg" -> streamWindowAgg,
+    "stream_dedup_count" -> streamDedup,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -198,6 +242,25 @@ object Advanced extends graft.QueryModule {
         |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
         |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_name_tokens
         |FROM part""".stripMargin,
+    "adv_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, ts, event_id AS view_event_id FROM events
+        |           WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  v.view_event_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  date_diff('second', v.ts, p.ts) AS gap_sec
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+    "adv_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "stream_dedup_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "stream_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '45 minutes', ts), '%Y-%m-%d %H:%M:%S')
         |    AS window_start,

@@ -56,10 +56,47 @@ object AnalysisQueries extends graft.QueryModule {
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
   }
 
+  /** Corpus term frequency, top-50 (ties broken lexicographically): the
+    * explode shuffles (term, partial-count) thanks to map-side combine —
+    * never raw token rows. */
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.regex_tokens(col("text")))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(50)
+
+  /** Per-document top TF-IDF term: tf from the token explode, df over the
+    * (doc, term) pairs, idf = ln(N/df). Ranking uses the ROUNDED score
+    * (cross-engine ulp differences in ln can't flip the order) with a
+    * lexicographic tie-break. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.regex_tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tfidf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_quality" -> quality,
     "ta_langid" -> langid,
     "ta_langid_confusion" -> langidConfusion,
+    "ta_top_terms" -> topTerms,
+    "ta_tfidf_top" -> tfidfTop,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample,
   )
@@ -120,6 +157,24 @@ object AnalysisQueries extends graft.QueryModule {
          |  CASE WHEN mx = 0 THEN 'und' ${langCases._3} END AS predicted,
          |  count(*) AS n
          |FROM h GROUP BY 1, 2""".stripMargin,
+    "ta_top_terms" ->
+      s"""SELECT term, count(*) AS n
+         |FROM (SELECT unnest(regexp_extract_all(text, '$re')) AS term
+         |      FROM documents)
+         |GROUP BY term ORDER BY n DESC, term ASC LIMIT 50""".stripMargin,
+    "ta_tfidf_top" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re')) AS term
+         |              FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, t.term, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+         |  FROM tf t JOIN dft USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tfidf FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+         |  FROM scored) WHERE rn = 1""".stripMargin,
     "mm_decode_stats" ->
       """WITH b AS (
         |  SELECT doc_id,

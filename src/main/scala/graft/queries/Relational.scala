@@ -255,9 +255,52 @@ object Relational extends graft.QueryModule {
         count(lit(1)).as("n_rows"))
   }
 
+  /** CUBE over two dims — all four grouping combinations in one pass
+    * (the full A2+A3+A4 collapse; rollup covers the hierarchy case). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        moneySum($"l_quantity").as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+  }
+
+  /** Exact percentiles per group (A6 extended past the median): one pass,
+    * three exact quantiles. Exact `percentile` needs the full value list
+    * per group; at 100 TB cardinalities use `percentile_approx`
+    * (t-digest) — kept exact here because the oracle must hash-match. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .filter($"value" > 0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        r4(percentile($"value", lit(0.5))).as("p50"),
+        r4(percentile($"value", lit(0.9))).as("p90"),
+        r4(percentile($"value", lit(0.99))).as("p99"))
+  }
+
+  /** Running total per customer (cumulative window — ROWS frame over a
+    * deterministic order; shuffles once on the partition key). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_spend"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_cube_agg" -> cubeAgg,
+    "rel_percentiles" -> percentiles,
+    "rel_running_total" -> runningTotal,
     "rel_scan_project" -> scanProject,
     "rel_ordered_limit" -> orderedLimit,
     "rel_score_filter" -> scoreFilter,
@@ -314,6 +357,24 @@ object Relational extends graft.QueryModule {
         |  round(min(value), 4) AS min_value,
         |  round(max(value), 4) AS max_value
         |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
+    "rel_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "rel_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
+    "rel_running_total" ->
+      """SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
     "rel_histogram" ->
       """SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -41,10 +41,38 @@ object SimilarityQueries extends graft.QueryModule {
       assigned, centroids, K, nprobe = 3)
   }
 
+  /** Per-label centroid + each member's L2 distance to its own centroid
+    * (cluster-quality / outlier scoring for embedding columns). Both the
+    * centroid component sums and the distance fold run left-to-right in a
+    * FIXED order (vec_id resp. dimension), so every float op is
+    * reproducible across engines and partitionings — the same discipline
+    * as [[Similarity.cosine]]. Centroids are tiny (labels x dim) and
+    * broadcast to the members. */
+  def centroidDist(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val pos = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    val cent0 = pos.groupBy(col("label"), col("pos"))
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+          s => s.getField("x").cast("double")),
+        lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("c"))
+    val cent = cent0.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    emb.join(broadcast(cent), "label")
+      .withColumn("dist", sqrt(aggregate(
+        zip_with(col("embedding"), col("cv"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, v) => acc + v)))
+      .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> topkBrute,
     "sim_cosine_neardups" -> cosineNearDups,
     "sim_topk_ivf" -> topkIvf,
+    "sim_centroid_dist" -> centroidDist,
   )
 
   /** DuckDB cosine with the exact same operation order as
@@ -81,5 +109,22 @@ object SimilarityQueries extends graft.QueryModule {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCosine("a.embedding", "b.embedding")} > $NearDupThreshold"""
         .stripMargin,
+    "sim_centroid_dist" ->
+      """WITH p AS (SELECT vec_id, label,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent0 AS (SELECT label, pos,
+        |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+        |      (acc, v) -> acc + v) / count(*) AS c
+        |  FROM p GROUP BY label, pos),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS cv
+        |         FROM cent0 GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |  round(sqrt(list_reduce(list_prepend(0.0,
+        |    list_transform(list_zip(e.embedding, c.cv),
+        |      q -> (CAST(q[1] AS DOUBLE) - q[2]) * (CAST(q[1] AS DOUBLE) - q[2]))),
+        |    (acc, v) -> acc + v)), 6) AS dist
+        |FROM embeddings e JOIN cent c USING (label)""".stripMargin,
   )
 }

@@ -61,6 +61,33 @@ object StreamingOps {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming stateful dedup chained into a streaming aggregation:
+    * dropDuplicates keeps first-seen (user_id, event_type) in state, the
+    * downstream count aggregates the deduped stream — two stateful
+    * operators in one continuous query. Deterministic regardless of
+    * arrival order (which row of a dup pair survives doesn't change the
+    * per-type distinct-user count). */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"))
+    val agg = src.dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val name = "graft_stream_dedup"
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+  }
+
   /** The QA MapReduce dataflow in streaming form: documents arrive as a
     * stream; every micro-batch runs the identical answers() graph via
     * foreachBatch, appending to an in-memory sink. Returns the union of
