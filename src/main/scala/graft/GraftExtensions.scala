@@ -36,5 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => operators.Dedup.SimHash64(es.head)))
     e.injectFunction((FunctionIdentifier("minhash_bands"), info("minhash_bands"),
       (es: Seq[Expression]) => functions.MinHashBands(es(0), es(1), es(2))))
+    e.injectOptimizerRule(_ => plans.TokenFilterStrengthen)
   }
 }

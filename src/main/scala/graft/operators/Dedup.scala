@@ -140,7 +140,10 @@ object Dedup {
   /** SimHash near-dup pairs: 4x16-bit band blocking + hamming verify. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // both self-join sides derive from sigs; persist the (id, sig) pairs —
+    // 16 bytes/doc — so the tokenize+simhash pass runs once, not twice
     val sigs = docs.select(col(idCol), simhash64(tokensOf(col(textCol))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), 16 * i).bitwiseAND(lit(0xffffL))): _*))

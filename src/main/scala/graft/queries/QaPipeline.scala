@@ -126,7 +126,15 @@ object QaPipeline extends graft.QueryModule {
       question = fmtQuestion, format = graft.pipeline.QaFormat.Plain))
       .answers(Tables.loadSpread(spark, dir, "documents"))
 
+  /** §2.10: the SAME answers graph fed by a file stream through
+    * foreachBatch — on a bounded source this must equal the batch result,
+    * and it shares the batch oracle, so the driver gate verifies the
+    * streaming execution path end-to-end. */
+  def streamingAnswers(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingQaAnswers(spark, dir, cfg)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_qa_answers" -> streamingAnswers,
     "qa_mapreduce_answers" -> mapreduceAnswers,
     "qa_mapreduce_json" -> mapreduceJson,
     "qa_mapreduce_plain" -> mapreducePlain,
@@ -248,6 +256,7 @@ object QaPipeline extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "stream_qa_answers" -> s"$scoredCte\n$answersSelect",
     "qa_mapreduce_answers" -> s"$scoredCte\n$answersSelect",
     "qa_mapreduce_json" -> fmtOracle(10, 5, xml = true),
     "qa_mapreduce_plain" -> fmtOracle(100, 50, xml = false),

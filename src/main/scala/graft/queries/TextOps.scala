@@ -66,10 +66,24 @@ object TextOps extends graft.QueryModule {
         count_tokens($"t.text").as("retokenized"))
   }
 
+  /** Token-count lower-bound filter — the [[graft.plans.TokenFilterStrengthen]]
+    * target shape: sessions with GraftExtensions get a derived
+    * `length(text) > n` conjunct evaluated BEFORE the tokenizer scan
+    * (plain load, not loadSpread, so the strengthened filter sits directly
+    * on the scan). Result is rule-independent (the rewrite is an
+    * equivalence); PlanSpec asserts the plan shape. */
+  def longDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter(count_tokens($"text") > 150)
+      .select($"doc_id", count_tokens($"text").as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> tokenCount,
     "text_chunk_stats" -> chunkStats,
     "text_truncate_stats" -> truncateStats,
+    "text_long_docs" -> longDocs,
   )
 
   private val tokExpr =
@@ -96,6 +110,9 @@ object TextOps extends graft.QueryModule {
          |       ELSE least($ChunkSize, n - (n_chunks - 1) * ${ChunkSize - ChunkOverlap})
          |  END AS min_chunk_tokens
          |FROM c""".stripMargin,
+    "text_long_docs" ->
+      s"""SELECT doc_id, $tokExpr AS n_tokens
+         |FROM documents WHERE $tokExpr > 150""".stripMargin,
     "text_truncate_stats" ->
       s"""SELECT doc_id, n AS original_tokens,
          |  least(n, $TruncateMax) AS truncated_tokens,
