@@ -295,9 +295,26 @@ object Relational extends graft.QueryModule {
           .cast("double").as("running_spend"))
   }
 
+  /** Sketch-based distinct counting — the 100 TB path for
+    * [[distinctCounts]]: HLL++ (approx_count_distinct) carries a ~KB
+    * sketch per group through the shuffle instead of the full key set a
+    * shuffle-distinct needs. Approximate by construction, so no DuckDB
+    * oracle (engines' sketches differ); RelationalSpec bounds the error
+    * against the exact counts. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_suppkey").as("approx_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_approx_distinct" -> approxDistinct,
     "rel_cube_agg" -> cubeAgg,
     "rel_percentiles" -> percentiles,
     "rel_running_total" -> runningTotal,

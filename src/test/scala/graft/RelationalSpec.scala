@@ -17,6 +17,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx distinct stays within HLL++ error of the exact counts") {
+    val approx = Relational.approxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Relational.distinctCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p, s)) =>
+      val (ap, as_) = approx(k)
+      assert(math.abs(ap - p) <= math.max(3, 0.1 * p), s"$k parts: $ap vs $p")
+      assert(math.abs(as_ - s) <= math.max(3, 0.1 * s), s"$k supps: $as_ vs $s")
+    }
+  }
+
   test("q1_agg aggregates are exact and grouped correctly") {
     val rows = Relational.q1Agg(spark, sf).collect()
     assert(rows.length == 6) // 3 returnflags x 2 linestatus in synthetic data
