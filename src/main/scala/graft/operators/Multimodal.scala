@@ -73,4 +73,46 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
   }
+
+  /** Aspect-preserving resize planning (column arithmetic over the decoded
+    * metadata — a real resize kernel would consume this plan inside the
+    * same partition-local pass as [[decodeMeta]]): fit (width, height)
+    * into (maxW, maxH), never upscale. */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    meta
+      .withColumn("scale", scale)
+      .withColumn("out_w", greatest(lit(1), floor(col("width") * col("scale")))
+        .cast("int"))
+      .withColumn("out_h", greatest(lit(1), floor(col("height") * col("scale")))
+        .cast("int"))
+      .withColumn("downscaled", col("scale") < 1.0)
+  }
+
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      features: Array[Double], // normalized 8-bucket byte histogram
+      entropy: Double)
+
+  /** STUB feature extraction — the shape of an embedding/fingerprint
+    * kernel over a binary column: one partition-local pass computing a
+    * normalized 8-bucket byte histogram + its entropy. A real extractor
+    * (CLIP embedding, mel spectrogram, ...) replaces the loop body; the
+    * iterator/schema/partitioning contract is identical. */
+  def extractFeatures(spark: SparkSession, blobs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("media_type"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mt, bytes) =>
+        val counts = new Array[Double](8)
+        var i = 0
+        while (i < bytes.length) { counts((bytes(i) & 0xff) >> 5) += 1; i += 1 }
+        val n = math.max(1, bytes.length).toDouble
+        val feats = counts.map(_ / n)
+        val entropy = -feats.filter(_ > 0).map(p => p * math.log(p)).sum
+        MediaFeatures(id, mt, feats, entropy)
+      })
+  }
 }

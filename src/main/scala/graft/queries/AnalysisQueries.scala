@@ -56,6 +56,32 @@ object AnalysisQueries extends graft.QueryModule {
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
   }
 
+  /** Aspect-fit resize plan over decoded image metadata, per-type stats.
+    * Oracle re-derives the stub dims + the fit arithmetic. */
+  def mmResizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.asBlobs(Tables.loadSpread(spark, dir, "documents"))
+    val meta = Multimodal.decodeMeta(spark, blobs).toDF()
+    Multimodal.resizePlan(meta, maxW = 320, maxH = 240)
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("downscaled"), 1).otherwise(0)).as("n_downscaled"),
+        round(avg(col("out_w")), 4).as("avg_out_w"),
+        round(avg(col("out_h")), 4).as("avg_out_h"))
+  }
+
+  /** Feature extraction over blobs (8-bucket byte histogram + entropy) —
+    * real mapPartitions kernel; per-doc projection of two components.
+    * Not SQL-expressible (per-byte loop) → rows-only driver check, with
+    * the contract (sum(features)==1, entropy bounds) spec-tested. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.asBlobs(Tables.loadSpread(spark, dir, "documents"))
+    Multimodal.extractFeatures(spark, blobs).toDF()
+      .select(col("doc_id"), col("media_type"),
+        round(col("features").getItem(1), 6).as("f1"),
+        round(col("features").getItem(3), 6).as("f3"),
+        round(col("entropy"), 6).as("entropy"))
+  }
+
   /** Corpus term frequency, top-50 (ties broken lexicographically): the
     * explode shuffles (term, partial-count) thanks to map-side combine —
     * never raw token rows. */
@@ -99,6 +125,8 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_tfidf_top" -> tfidfTop,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_resize_stats" -> mmResizeStats,
+    "mm_features" -> mmFeatures,
   )
 
   private val re = Tokenizer.DuckDbTokenRegex
@@ -189,6 +217,21 @@ object AnalysisQueries extends graft.QueryModule {
         |  CAST(sum(CASE WHEN media_type = 'video' THEN len % 24 + 1 ELSE 1 END) AS BIGINT)
         |    AS total_frames
         |FROM b GROUP BY media_type""".stripMargin,
+    "mm_resize_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents),
+        |m AS (SELECT media_type, len % 640 + 1 AS w, len % 480 + 1 AS h FROM b),
+        |r AS (SELECT media_type, w, h,
+        |        least(320.0 / w, 240.0 / h, 1.0) AS scale FROM m)
+        |SELECT media_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN scale < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_downscaled,
+        |  round(avg(greatest(1, CAST(floor(w * scale) AS INT))), 4) AS avg_out_w,
+        |  round(avg(greatest(1, CAST(floor(h * scale) AS INT))), 4) AS avg_out_h
+        |FROM r GROUP BY media_type""".stripMargin,
     "mm_frame_sample" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) % 24 + 1 AS n_frames

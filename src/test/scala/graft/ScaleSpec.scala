@@ -52,6 +52,46 @@ class ScaleSpec extends SparkSpec {
       "scan not pruned to doc_id,text")
   }
 
+  test("partitioned writes prune partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      spark.read.parquet(s"$sf/documents.parquet")
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+      val q = spark.read.parquet(dir).filter(col("lang") === "en")
+        .agg(count(lit(1)))
+      val scan = q.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") &&
+        scan.contains("isnotnull(lang"),
+        s"partition filter not applied:\n$scan")
+      // pruning is real: only the en partition contributes
+      val expect = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("lang") === "en").count()
+      assert(q.collect()(0).getLong(0) == expect)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("value filters push down to the parquet scan") {
+    val plan = queries.Relational.scoreFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(value,50.0)"),
+      s"filter not pushed to scan:\n$plan")
+  }
+
+  test("multimodal feature kernel: histogram contract") {
+    val blobs = operators.Multimodal.asBlobs(
+      spark.read.parquet(s"$sf/documents.parquet").limit(50))
+    val feats = operators.Multimodal.extractFeatures(spark, blobs).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      assert(f.features.length == 8)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9, f.doc_id)
+      assert(f.entropy >= 0.0 && f.entropy <= math.log(8) + 1e-9)
+    }
+  }
+
   test("text metrics: lexical PRF contract + aggregation") {
     val (p, r, f1) = TextMetrics.TokenOverlapScorer.score(
       "total revenue was high", "revenue was low")
