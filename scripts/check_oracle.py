@@ -44,6 +44,10 @@ def main(sf_dir, out_dir, only=()):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    unknown = [n for n in only if n not in oracle]
+    if unknown:
+        print(f"ERROR unknown query name(s): {', '.join(unknown)}")
+        return 2
     names = [n for n in sorted(oracle) if not only or n in only]
     for name in names:
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))

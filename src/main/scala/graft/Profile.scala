@@ -7,7 +7,12 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val reps = if (args.length > 1) args(1).toInt else 3
+    val reps = args.drop(1).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; valid names:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(1)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -191,6 +191,12 @@ case class MinHashBands(shingles: Expression, numHashes: Expression, bands: Expr
     val arr = shv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val nh = nhv.asInstanceOf[Int]
     val nb = bv.asInstanceOf[Int]
+    // bands > numHashes would make r = 0 and every band hash a constant —
+    // LSH degenerates to one all-docs bucket (quadratic pair explosion);
+    // a non-dividing bands count silently drops trailing hashes
+    if (nb < 1 || nb > nh || nh % nb != 0)
+      throw new IllegalArgumentException(
+        s"minhash_bands: bands ($nb) must divide numHashes ($nh) with 1 <= bands <= numHashes")
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val mins = Array.fill(nh)(Long.MaxValue)

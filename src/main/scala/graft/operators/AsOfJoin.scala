@@ -29,15 +29,22 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param left      probe side; every row appears exactly once in output
-    * @param right     build side, columns to attach
+    * @param right     build side, columns to attach; rows with a NULL ts
+    *                  never match (same as SQL `right.ts <= left.ts`)
     * @param key       equality key column (present in both)
     * @param ts        event-time column (present in both)
     * @param tiebreak  right column ordering simultaneous right rows
-    *                  (largest wins); must be non-null
+    *                  (largest wins); must be a non-null NUMERIC column —
+    *                  enforced, because a silent cast-to-null would turn
+    *                  the documented determinism into an arbitrary pick
     * @param rightPrefix prefix for attached right columns in the output
     */
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
       tiebreak: String, rightPrefix: String = "r_"): DataFrame = {
+    require(right.schema(tiebreak).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"as-of tiebreak column '$tiebreak' must be numeric, got " +
+        right.schema(tiebreak).dataType.simpleString)
     val rightCols = right.columns.filterNot(c => c == key).toSeq
     val payloadType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => right.schema(c)))
@@ -45,7 +52,9 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
       .withColumn("__tb", lit(Long.MinValue))
       .withColumn("__payload", lit(null).cast(payloadType))
-    val r = right.select(
+    // a NULL right ts would sort NULLS FIRST into every frame and be
+    // attached as a "match" — SQL comparison semantics say it never matches
+    val r = right.filter(col(ts).isNotNull).select(
       Seq(col(key), col(ts), lit(0).as("__side"),
         col(tiebreak).cast("long").as("__tb"),
         struct(rightCols.map(col): _*).as("__payload")): _*)

@@ -92,10 +92,16 @@ object Dedup {
     val cands = lshCandidates(withSig, idCol, "bands")
     val left = withShingles.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
     val right = withShingles.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
-    cands.join(left, "doc_a").join(right, "doc_b")
+    val out = cands.join(left, "doc_a").join(right, "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      // materialize the (small) verified-pair set, then drop the shingle
+      // cache — without this every invocation leaks a corpus-sized persist
+      // for the life of the session
+      .localCheckpoint(true)
+    withShingles.unpersist(blocking = false)
+    out
   }
 
   /** 64-bit SimHash over a token array: per-bit weighted vote of 64-bit
@@ -152,11 +158,14 @@ object Dedup {
       col(idCol).as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_key"),
       col(idCol).as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+    val out = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
+      .localCheckpoint(true) // materialize pairs, then free the sig cache
+    sigs.unpersist(blocking = false)
+    out
   }
 }

@@ -82,6 +82,10 @@ object FuzzyJoin {
     * and never needs to be sorted or shuffled in full. */
   def bestMatch(left: DataFrame, right: DataFrame, blockKey: String,
       leftId: String, rightId: String, sim: Column): DataFrame = {
+    require(right.schema(rightId).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"bestMatch right id '$rightId' must be numeric (its negation is the " +
+        s"tie-break), got " + right.schema(rightId).dataType.simpleString)
     val joined = left.join(right, blockKey)
       .withColumn("sim", sim)
     // lexicographic struct max == (highest sim, then smallest right id)

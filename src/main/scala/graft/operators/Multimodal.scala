@@ -100,7 +100,11 @@ object Multimodal {
     * kernel over a binary column: one partition-local pass computing a
     * normalized 8-bucket byte histogram + its entropy. A real extractor
     * (CLIP embedding, mel spectrogram, ...) replaces the loop body; the
-    * iterator/schema/partitioning contract is identical. */
+    * iterator/schema/partitioning contract is identical.
+    *
+    * Contract: features sum to 1 for non-empty blobs; an EMPTY blob yields
+    * the all-zero vector with entropy 0 (there is no distribution to
+    * normalize — fabricating a uniform one would be invented data). */
   def extractFeatures(spark: SparkSession, blobs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("media_type"), col("blob"))

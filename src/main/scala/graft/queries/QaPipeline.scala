@@ -51,7 +51,9 @@ object QaPipeline extends graft.QueryModule {
   /** A2/J2: accuracy by document language — answers re-joined to the
     * (broadcast) documents dimension, grouped by lang. */
   def accuracyByLang(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    // plain load: this side is broadcast (collected to the driver) — a
+    // spread shuffle before a broadcast would be pure overhead
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang"))
     judged(spark, dir)
       .join(broadcast(docs), Seq("doc_id"))
       .groupBy(col("lang"))

@@ -90,6 +90,13 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(f.features.sum - 1.0) < 1e-9, f.doc_id)
       assert(f.entropy >= 0.0 && f.entropy <= math.log(8) + 1e-9)
     }
+    // empty blob: all-zero vector, zero entropy (documented contract)
+    val sess = spark
+    import sess.implicits._
+    val empty = operators.Multimodal.extractFeatures(spark,
+      Seq((1L, "image", Array.empty[Byte])).toDF("doc_id", "media_type", "blob"))
+      .collect().head
+    assert(empty.features.forall(_ == 0.0) && empty.entropy == 0.0)
   }
 
   test("text metrics: lexical PRF contract + aggregation") {
