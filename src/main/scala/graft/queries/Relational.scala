@@ -311,9 +311,56 @@ object Relational extends graft.QueryModule {
         count(lit(1)).as("n_rows"))
   }
 
+  /** lag() window: inter-event gap per user, aggregated — the lead/lag
+    * surface (session analysis building block). */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.load(spark, dir, "events")
+      .withColumn("gap_sec",
+        unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)))
+      .filter($"gap_sec".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        r4(avg($"gap_sec")).as("avg_gap"),
+        r4(median($"gap_sec")).as("median_gap"),
+        max($"gap_sec").as("max_gap"))
+  }
+
+  /** Set operations: purchasers EXCEPT error-affected, INTERSECT of
+    * clickers and viewers — one summary row (EXCEPT/INTERSECT are
+    * hash-dedup shuffles on the key, same cost model as groupBy). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    def users(t: String) = ev.filter($"event_type" === t).select($"user_id")
+    val exceptN = users("purchase").except(users("error")).count()
+    val intersectN = users("click").intersect(users("view")).count()
+    val unionN = users("purchase").union(users("error")).distinct().count()
+    Seq((exceptN, intersectN, unionN))
+      .toDF("purchasers_no_errors", "click_and_view", "purchase_or_error")
+  }
+
+  /** Pivot: per-cohort event-type counts as columns (A2's
+    * accuracy-by-category, pivoted wide; explicit value list keeps the
+    * schema static — required for one-pass pivot at scale). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(($"user_id" % 10).as("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      // pivot leaves empty cells NULL; the relational form (FILTERed
+      // counts) yields 0 — normalize to the relational semantics
+      .na.fill(0L)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_event_gaps" -> eventGaps,
+    "rel_set_ops" -> setOps,
+    "rel_pivot" -> pivotCounts,
     "rel_approx_distinct" -> approxDistinct,
     "rel_cube_agg" -> cubeAgg,
     "rel_percentiles" -> percentiles,
@@ -374,6 +421,37 @@ object Relational extends graft.QueryModule {
         |  round(min(value), 4) AS min_value,
         |  round(max(value), 4) AS max_value
         |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
+    "rel_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    date_diff('second', lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), ts) AS gap_sec
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  round(avg(gap_sec), 4) AS avg_gap,
+        |  round(CAST(median(gap_sec) AS DOUBLE), 4) AS median_gap,
+        |  max(gap_sec) AS max_gap
+        |FROM g WHERE gap_sec IS NOT NULL GROUP BY user_id""".stripMargin,
+    "rel_set_ops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT user_id FROM events WHERE event_type = 'purchase'
+        |     EXCEPT SELECT user_id FROM events WHERE event_type = 'error'))
+        |    AS purchasers_no_errors,
+        |  (SELECT count(*) FROM (
+        |     SELECT user_id FROM events WHERE event_type = 'click'
+        |     INTERSECT SELECT user_id FROM events WHERE event_type = 'view'))
+        |    AS click_and_view,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type IN ('purchase', 'error')) AS purchase_or_error""".stripMargin,
+    "rel_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "rel_cube_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Watermark semantics (SURVEY.md §2.10): append-mode windowed aggregation
+  * over a MemoryStream — windows emit only once the watermark passes their
+  * end, and data later than the watermark is dropped. The driver-gate
+  * streaming queries run complete mode (bounded input); this spec covers
+  * the unbounded-input contract the engine claims.
+  */
+class WatermarkSpec extends SparkSpec {
+
+  test("append mode emits closed windows once; late rows are dropped") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sess.sqlContext
+
+    val in = MemoryStream[(Long, Double)]
+    val agg = in.toDF().toDF("sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "60 seconds"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("long").as("total"))
+    val name = "graft_watermark_spec"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: rows in window [0,60); max event time 50 -> watermark 40
+      in.addData((10L, 1.0), (20L, 2.0), (50L, 3.0))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0,
+        "window [0,60) emitted before the watermark passed its end")
+
+      // batch 2: event at 130 advances the watermark to 120 > 60, which
+      // closes window [0,60) -> it emits exactly once with its 3 rows
+      in.addData((130L, 9.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select(col("window.start").cast("long"), col("n"), col("total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((0L, 3L, 6L)),
+        s"expected closed [0,60) emitted once, got ${rows.toSeq}")
+
+      // batch 3: row at 15 is now LATE into the EVICTED window [0,60)
+      // (end 60 < watermark 120) -> dropped, no re-emission; the row at
+      // 300 closes [120,180)
+      in.addData((15L, 100.0), (300L, 1.0))
+      q.processAllAvailable()
+      val all = spark.table(name)
+        .select(col("window.start").cast("long"), col("n"), col("total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(all == Set((0L, 3L, 6L), (120L, 1L, 9L)),
+        s"late row must not resurrect the closed window: $all")
+    } finally q.stop()
+  }
+}
