@@ -176,8 +176,10 @@ object Advanced extends graft.QueryModule {
     "adv_session_window" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
+        |    -- STRICTLY greater: session_window merges adjacent windows,
+        |    -- i.e. an event exactly gap after the last still extends
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              >= INTERVAL '30 minutes' OR
+        |              > INTERVAL '30 minutes' OR
         |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events),
