@@ -106,7 +106,9 @@ object AnalysisQueries extends graft.QueryModule {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dft, "term")
+    // vocabulary << corpus: broadcasting df avoids re-shuffling the whole
+    // (doc, term) tf table on term
+    val scored = tf.join(broadcast(dft), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 6))
