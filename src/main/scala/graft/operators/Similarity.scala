@@ -130,6 +130,99 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Random-hyperplane LSH signatures (SimHash for vectors): for each of
+    * `tables` hash tables, a `bits`-bit signature where bit b =
+    * sign(dot(v, r_tb)) over a deterministic Rademacher (+-1) hyperplane
+    * r_tb. P(bit match) = 1 - angle/pi, so close vectors collide in some
+    * table with high probability. One pass: tables x bits x dim
+    * multiply-adds per vector, no shuffle. Input must be array<double>. */
+  case class RpLshSig(child: org.apache.spark.sql.catalyst.expressions.Expression,
+      tables: org.apache.spark.sql.catalyst.expressions.Expression,
+      bits: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+    override def first = child
+    override def second = tables
+    override def third = bits
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private def fmix64(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    override def nullSafeEval(v: Any, tv: Any, bv: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val nt = tv.asInstanceOf[Int]
+      val nb = bv.asInstanceOf[Int]
+      require(nb >= 1 && nb <= 63 && nt >= 1, s"rp_lsh: bad tables=$nt bits=$nb")
+      val dim = arr.numElements()
+      val out = new Array[Any](nt)
+      var t = 0
+      while (t < nt) {
+        var sig = 0L
+        var b = 0
+        while (b < nb) {
+          var dot = 0.0
+          var i = 0
+          while (i < dim) {
+            // Rademacher component from one integer mix — the "random"
+            // hyperplane, identical on every executor with no broadcast
+            val s = if ((fmix64(t * 1048573L + b * 8191L + i) & 1L) == 0L) 1.0 else -1.0
+            dot += arr.getDouble(i) * s
+            i += 1
+          }
+          if (dot >= 0) sig |= (1L << b)
+          b += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        f: org.apache.spark.sql.catalyst.expressions.Expression,
+        s: org.apache.spark.sql.catalyst.expressions.Expression,
+        t: org.apache.spark.sql.catalyst.expressions.Expression): RpLshSig = copy(f, s, t)
+    override def prettyName: String = "rp_lsh_sig"
+  }
+
+  def rpLshSig(v: Column, tables: Int, bits: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(RpLshSig(
+      org.apache.spark.sql.graftbridge.Bridge.expression(v),
+      org.apache.spark.sql.graftbridge.Bridge.expression(lit(tables)),
+      org.apache.spark.sql.graftbridge.Bridge.expression(lit(bits))))
+
+  /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
+    * (table, signature); only bucket-colliding pairs are scored. The
+    * corpus side shuffles (table, sig, id) rows — never O(n^2) pairs —
+    * and the scored candidate set shrinks by the signature selectivity
+    * (~2^-bits per table for unrelated vectors). Same output shape as
+    * [[bruteForceTopK]]; recall is the SimilaritySpec contract. */
+  def rpLshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      tables: Int = 32, bits: Int = 8): DataFrame = {
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      toDoubleArray(col("embedding")).as("cv"))
+      .select(col("cand_id"), col("cv"),
+        posexplode(rpLshSig(col("cv"), tables, bits)).as(Seq("tbl", "sig")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDoubleArray(col("embedding")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(rpLshSig(col("qv"), tables, bits)).as(Seq("tbl", "sig")))
+    val cand = c.join(broadcast(q), Seq("tbl", "sig"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * blocked by label (stand-in for an LSH/IVF blocking key at scale). */
   def cosineNearDups(vectors: DataFrame, threshold: Double): DataFrame = {

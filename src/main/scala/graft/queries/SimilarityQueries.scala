@@ -41,6 +41,12 @@ object SimilarityQueries extends graft.QueryModule {
       assigned, centroids, K, nprobe = 3)
   }
 
+  /** Random-hyperplane LSH approximate top-k (the bucketed scale path). */
+  def topkRpLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    Similarity.rpLshTopK(emb.filter(col("vec_id") < NQueries), emb, K)
+  }
+
   /** Per-label centroid + each member's L2 distance to its own centroid
     * (cluster-quality / outlier scoring for embedding columns). Both the
     * centroid component sums and the distance fold run left-to-right in a
@@ -72,6 +78,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_brute" -> topkBrute,
     "sim_cosine_neardups" -> cosineNearDups,
     "sim_topk_ivf" -> topkIvf,
+    "sim_topk_rplsh" -> topkRpLsh,
     "sim_centroid_dist" -> centroidDist,
   )
 
