@@ -87,6 +87,25 @@ case class Engine(
         when(col("score") > config.threshold, model.content(col("ttoks")))
           .otherwise(lit("No answer found in document")).as("llm_answer"))
   }
+
+  /** Truncation pipeline + judge stage — the reference evaluates BOTH
+    * plan shapes with the same judge (async_evaluation applies to any
+    * pipeline's answers); same 5-way judgment + positional batching
+    * contract as MapReducePipeline.judged. */
+  def truncationJudged(documents: DataFrame,
+      contextWindow: Int = 128000, buffer: Int = 2000,
+      strategy: String = "start"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = truncationAnswers(documents, contextWindow, buffer, strategy)
+    val scaled = col("score") / lit(qaFormat.scoreScale / 10) // back to 0-10
+    val judgment = when(col("score") <= config.threshold, "No answer")
+      .when(scaled >= 4, "Correct")
+      .when(scaled === 3, "Coherent")
+      .when(scaled === 2, "Deviated")
+      .otherwise("Incorrect")
+    MapReducePipeline.positionalBatches(
+      a.withColumn("judgment", judgment), col("doc_id"))
+  }
 }
 
 object Engine {

@@ -164,6 +164,18 @@ case class Shingles(text: Expression, k: Expression)
   override def prettyName: String = "shingles"
 }
 
+/** Shared integer mixing for the hash-derived operator family
+  * (MinHash band derivation, RP-LSH hyperplanes). */
+object Mix {
+  /** Murmur3 64-bit finalizer (full avalanche). */
+  def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+}
+
 /** `minhash_bands(shingles, numHashes, bands)` — banded MinHash signature
   * in ONE pass over the shingle array. Each shingle is hashed once (XXH64
   * over its bytes); the `numHashes` hash family is derived from that one
@@ -180,12 +192,7 @@ case class MinHashBands(shingles: Expression, numHashes: Expression, bands: Expr
   override def third: Expression = bands
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private def fmix64(x0: Long): Long = {
-    var x = x0
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33; x
-  }
+  import Mix.fmix64
 
   override def nullSafeEval(shv: Any, nhv: Any, bv: Any): Any = {
     val arr = shv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

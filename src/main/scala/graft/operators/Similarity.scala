@@ -147,12 +147,7 @@ object Similarity {
     override def second = tables
     override def third = bits
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    private def fmix64(x0: Long): Long = {
-      var x = x0
-      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-      x ^= x >>> 33; x
-    }
+    import graft.functions.Mix.fmix64
     override def nullSafeEval(v: Any, tv: Any, bv: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val nt = tv.asInstanceOf[Int]

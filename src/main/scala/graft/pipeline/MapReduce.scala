@@ -81,6 +81,17 @@ object MapReducePipeline {
     val t = trim(regexp_replace(q, "\\s+", " "))
     when(t.endsWith("?"), t).otherwise(concat(t, lit("?")))
   }
+
+  /** O5 positional judge batching (async_evaluation.py:260, :389-404):
+    * row_number over `order` -> batches of `size`, 1-based item numbers.
+    * Shared by the map-reduce and truncation judge paths. */
+  def positionalBatches(df: DataFrame, order: Column, size: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rn", row_number().over(Window.orderBy(order)))
+      .withColumn("batch_id", floor((col("rn") - 1) / size).cast("long"))
+      .withColumn("item_number", ((col("rn") - 1) % size + 1).cast("int"))
+      .drop("rn")
+  }
 }
 
 class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel) {
@@ -185,18 +196,13 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
     * best_score (stand-in for the LLM judge, 5-way as in
     * config/prompts/judge_prompt.yml). */
   def judged(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = answers(documents)
     val judgment = when(col("chunks_after") === 0, "No answer")
       .when(col("best_score") >= 4, "Correct")
       .when(col("best_score") === 3, "Coherent")
       .when(col("best_score") === 2, "Deviated")
       .otherwise("Incorrect")
-    val w = Window.orderBy(col("doc_id"))
-    a.withColumn("judgment", judgment)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("batch_id", floor((col("rn") - 1) / 5).cast("long"))
-      .withColumn("item_number", ((col("rn") - 1) % 5 + 1).cast("int"))
-      .drop("rn")
+    MapReducePipeline.positionalBatches(
+      a.withColumn("judgment", judgment), col("doc_id"))
   }
 }

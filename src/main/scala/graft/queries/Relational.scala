@@ -334,11 +334,13 @@ object Relational extends graft.QueryModule {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
     def users(t: String) = ev.filter($"event_type" === t).select($"user_id")
-    val exceptN = users("purchase").except(users("error")).count()
-    val intersectN = users("click").intersect(users("view")).count()
-    val unionN = users("purchase").union(users("error")).distinct().count()
-    Seq((exceptN, intersectN, unionN))
-      .toDF("purchasers_no_errors", "click_and_view", "purchase_or_error")
+    // one lazy plan (single action), not three eager driver-side counts
+    users("purchase").except(users("error"))
+      .agg(count(lit(1)).as("purchasers_no_errors"))
+      .crossJoin(users("click").intersect(users("view"))
+        .agg(count(lit(1)).as("click_and_view")))
+      .crossJoin(users("purchase").union(users("error")).distinct()
+        .agg(count(lit(1)).as("purchase_or_error")))
   }
 
   /** Pivot: per-cohort event-type counts as columns (A2's

@@ -27,6 +27,24 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Start `agg` as a complete-mode memory-sink stream with a scoped
+    * state-store count, drain it synchronously, and return the sink
+    * table. State-store count == shuffle partitions at stream start,
+    * fixed for the query's lifetime — sized to the stateful key space,
+    * not the core count (32 stores for a few thousand keys is pure
+    * per-batch open/commit/fsync overhead). */
+  private def drainToMemorySink(spark: SparkSession, agg: DataFrame,
+      name: String, statePartitions: Int = 8): DataFrame = {
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+  }
+
   /** Event-time tumbling-window aggregation, run as a REAL streaming query
     * (file source -> watermark -> window agg -> memory sink), drained
     * synchronously. Returns the final result table. */
@@ -44,19 +62,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
-    val name = "graft_stream_window"
-    // State-store count == shuffle partitions at stream start, fixed for
-    // the query's lifetime. The window x event_type key space is small
-    // (~thousands), so 32 stores are pure per-batch overhead (open/commit/
-    // fsync per store per batch) — size to the state, not the core count.
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-    try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name).select(
+    drainToMemorySink(spark, agg, "graft_stream_window").select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
       col("event_type"), col("n"), col("total_value"))
   }
@@ -77,15 +83,7 @@ object StreamingOps {
     val agg = src.dropDuplicates("user_id", "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
-    val name = "graft_stream_dedup"
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-    try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name)
+    drainToMemorySink(spark, agg, "graft_stream_dedup")
   }
 
   /** The QA MapReduce dataflow in streaming form: documents arrive as a

@@ -90,6 +90,24 @@ class EngineSpec extends SparkSpec {
     assert(out.count() == 5) // would throw at analysis time on array<null>
   }
 
+  test("truncationJudged: 5-way judgment + positional batching over truncation path") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = "spark query join data filter group sort merge window stream batch hash"
+    val j = Engine(question = q).truncationJudged(docs)
+    assert(j.count() == docs.count())
+    val valid = Set("Correct", "Coherent", "Deviated", "Incorrect", "No answer")
+    assert(j.select("judgment").distinct().collect()
+      .map(_.getString(0)).forall(valid))
+    // batches of 5 by doc_id order; item numbers 1-5 within batch
+    val rows = j.orderBy("doc_id").select("batch_id", "item_number").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i / 5 && r.getInt(1) == i % 5 + 1)
+    }
+    // the gate: judgment 'No answer' iff score below threshold
+    assert(j.filter(col("judgment") === "No answer" &&
+      col("llm_answer") =!= "No answer found in document").count() == 0)
+  }
+
   test("judge blocks contain exactly the batch's escaped items") {
     val blocks = graft.queries.QaPipeline.judgeBlocks(spark, sf)
       .orderBy("batch_id").collect()
