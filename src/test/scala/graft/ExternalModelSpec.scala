@@ -20,6 +20,31 @@ class ExternalModelSpec extends SparkSpec {
     assert(out.forall(!_.getAs[Boolean]("is_error")))
   }
 
+  test("early-terminated consumer does not leak the per-partition pool") {
+    val sess = spark
+    import sess.implicits._
+    def poolThreads(): Int = {
+      import scala.jdk.CollectionConverters._
+      Thread.getAllStackTraces.keySet.asScala
+        .count(t => t.getName.startsWith("pool-") && t.isAlive)
+    }
+    val before = poolThreads()
+    val prompts = (1L to 100L).map(i => (i, s"p$i")).toDS.repartition(2)
+    // limit(1) abandons the partition iterators mid-stream: the pools must
+    // be shut down by the task-completion listener, not iterator drain
+    val out = ExternalModel.mapWithClient(spark, prompts,
+      () => new Client { def call(p: String): String = p },
+      parallelism = 3).limit(1).collect()
+    assert(out.length == 1)
+    // completion listeners run at task end; give threads a moment to die
+    val deadline = System.nanoTime() + 5000000000L
+    var now = poolThreads()
+    while (now > before && System.nanoTime() < deadline) {
+      Thread.sleep(100); now = poolThreads()
+    }
+    assert(now <= before, s"leaked pool threads: $before -> $now")
+  }
+
   test("retry recovers transient failures; exhaustion yields error row") {
     object FlakyOnce extends Client {
       private val counts = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
