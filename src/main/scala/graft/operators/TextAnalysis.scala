@@ -99,6 +99,42 @@ object TextAnalysis {
     org.apache.spark.sql.graftbridge.Bridge.column(
       PredictLang(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
+  /** Character-trigram profiles per language, derived deterministically
+    * from the marker words (trigrams of the space-padded word, so word
+    * boundaries are part of the profile — ' th', 'the', 'he '). */
+  val LangTrigramProfiles: Map[String, Seq[String]] = LangMarkers.map {
+    case (l, ws) => l -> ws.flatMap { w =>
+      val p = s" $w "
+      (0 to p.length - 3).map(i => p.substring(i, i + 3))
+    }.distinct
+  }
+
+  /** All distinct character trigrams of `text` (empty below 3 chars —
+    * guarded because sequence(1, n) REVERSES when n < 1). */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      array_distinct(transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character-n-gram language ID: argmax profile-trigram overlap over
+    * the doc's trigram set ('und' when nothing matches, ties to the
+    * lexicographically first language). The classic n-gram-profile
+    * heuristic, composed entirely from built-ins (distinct + intersect),
+    * complementing the word-marker [[predictedLang]]. */
+  def predictedLangTrigram(text: Column): Column = {
+    val tg = charTrigrams(lower(text))
+    val langs = LangTrigramProfiles.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      l -> size(array_intersect(tg,
+        array(LangTrigramProfiles(l).map(lit): _*)))
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(mx === 0, "und")) { case (acc, (l, s)) =>
+      acc.when(s === mx, l)
+    }
+  }
+
   /** Rolling polynomial fingerprint over the first `take` tokens:
     * tokens -> numeric contributions (codepoint of first char + 7*length),
     * then h = fold (h*31 + x) mod 1e9+7. Two explicit steps (map, fold) so

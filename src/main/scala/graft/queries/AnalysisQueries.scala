@@ -26,6 +26,15 @@ object AnalysisQueries extends graft.QueryModule {
         TextAnalysis.predictedLang(col("text")).as("predicted"))
       .withColumn("match", col("lang") === col("predicted"))
 
+  /** Character-n-gram language ID (trigram-profile overlap argmax) —
+    * the n-gram variant of [[langid]], built purely from distinct +
+    * intersect built-ins. */
+  def langidNgram(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.predictedLangTrigram(col("text")).as("predicted"))
+      .withColumn("match", col("lang") === col("predicted"))
+
   /** Language-ID confusion counts (A10-shaped over the heuristic). */
   def langidConfusion(spark: SparkSession, dir: String): DataFrame =
     langid(spark, dir)
@@ -122,6 +131,7 @@ object AnalysisQueries extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_quality" -> quality,
     "ta_langid" -> langid,
+    "ta_langid_ngram" -> langidNgram,
     "ta_langid_confusion" -> langidConfusion,
     "ta_top_terms" -> topTerms,
     "ta_tfidf_top" -> tfidfTop,
@@ -179,6 +189,26 @@ object AnalysisQueries extends graft.QueryModule {
          |  CASE WHEN mx = 0 THEN 'und' ${langCases._3} END AS predicted,
          |  lang = (CASE WHEN mx = 0 THEN 'und' ${langCases._3} END) AS match
          |FROM h""".stripMargin,
+    "ta_langid_ngram" -> {
+      val langs = TextAnalysis.LangTrigramProfiles.keys.toSeq.sorted
+      def profile(l: String) =
+        TextAnalysis.LangTrigramProfiles(l).mkString("['", "','", "']")
+      val scoreExprs = langs.map(l =>
+        l -> s"len(list_intersect(tg, ${profile(l)}))")
+      val mx = scoreExprs.map(_._2).mkString("greatest(", ", ", ")")
+      val cases = scoreExprs.map { case (l, e) => s"WHEN $e = mx THEN '$l'" }
+        .mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |  CASE WHEN length(s) >= 3 THEN list_distinct(
+         |    [substring(s, i, 3) for i in range(1, length(s) - 2 + 1)])
+         |  ELSE [] END AS tg FROM t),
+         |h AS (SELECT doc_id, lang, tg, $mx AS mx FROM g)
+         |SELECT doc_id, lang,
+         |  CASE WHEN mx = 0 THEN 'und' $cases END AS predicted,
+         |  lang = (CASE WHEN mx = 0 THEN 'und' $cases END) AS match
+         |FROM h""".stripMargin
+    },
     "ta_langid_confusion" ->
       s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '$re') AS ts
          |           FROM documents),

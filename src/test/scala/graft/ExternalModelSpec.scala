@@ -42,7 +42,9 @@ class ExternalModelSpec extends SparkSpec {
     while (now > before && System.nanoTime() < deadline) {
       Thread.sleep(100); now = poolThreads()
     }
-    assert(now <= before, s"leaked pool threads: $before -> $now")
+    // slack 1 absorbs unrelated default-named executors spawning mid-test;
+    // a real leak adds `parallelism` (3) threads per partition
+    assert(now <= before + 1, s"leaked pool threads: $before -> $now")
   }
 
   test("retry recovers transient failures; exhaustion yields error row") {
