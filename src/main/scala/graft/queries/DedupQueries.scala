@@ -84,7 +84,16 @@ object DedupQueries extends graft.QueryModule {
     Dedup.simhashNearDups(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", maxHamming = 8)
 
+  /** Stream-static incremental near-dups: streaming docs probed against
+    * the static banded-MinHash corpus index; must equal the batch LSH
+    * pairs on a bounded stream (DedupSpec parity). Approximate family —
+    * rows-only driver check. */
+  def streamingNearDups(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingNearDups(spark, dir,
+      shingleK = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_neardup_join" -> streamingNearDups,
     "dedup_exact" -> exact,
     "dedup_fingerprint" -> fingerprint,
     "dedup_ngram_jaccard" -> ngramJaccard,

@@ -86,6 +86,65 @@ object StreamingOps {
     drainToMemorySink(spark, agg, "graft_stream_dedup")
   }
 
+  /** Incremental near-dup detection: documents arrive as a STREAM and are
+    * checked against a STATIC corpus index (stream-static join — the
+    * "dedupe incoming data against the existing corpus" pipeline shape).
+    *
+    * The static side is the banded-MinHash index (band_idx, band_hash,
+    * id, shingles), persisted so micro-batches probe it instead of
+    * rebuilding it. The stream side computes its own bands per batch;
+    * candidates = band-bucket collisions, verified by exact Jaccard.
+    * Emits (doc_a < doc_b, jaccard) pairs — at scale the index lives in
+    * parquet/bucketed storage and the same join is an equi-join on the
+    * band key, shuffling only (band, hash, id) rows.
+    */
+  def streamingNearDups(spark: SparkSession, dir: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.3): DataFrame = {
+    import graft.operators.Dedup
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // static index: shingles + banded signatures over the corpus
+    val corpus = graft.core.Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id").as("corpus_id"),
+        Dedup.shingles(col("text"), shingleK).as("corpus_sh"))
+      .withColumn("bands", Dedup.minhashBands(col("corpus_sh"), numHashes, bands))
+      .select(col("corpus_id"), col("corpus_sh"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id").as("stream_id"),
+        Dedup.shingles(col("text"), shingleK).as("stream_sh"))
+      .withColumn("bands", Dedup.minhashBands(col("stream_sh"), numHashes, bands))
+      .select(col("stream_id"), col("stream_sh"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val pairs = stream.join(corpus, Seq("band_idx", "band_hash")) // stream-static
+      .filter(col("stream_id") < col("corpus_id")) // one direction, no self
+      // verify BEFORE the stateful dedup: a pair colliding in k bands is
+      // verified k times (bounded by `bands`), but the dedup state then
+      // holds only (doc_a, doc_b, jaccard) — never the shingle arrays
+      .withColumn("jaccard", Dedup.jaccard(col("stream_sh"), col("corpus_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("stream_id").as("doc_a"), col("corpus_id").as("doc_b"),
+        col("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    val name = "graft_stream_neardups"
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try pairs.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    try { q.processAllAvailable() } finally { q.stop() }
+    corpus.unpersist(blocking = false)
+    spark.table(name).localCheckpoint(true)
+  }
+
   /** The QA MapReduce dataflow in streaming form: documents arrive as a
     * stream; every micro-batch runs the identical answers() graph via
     * foreachBatch, appending to an in-memory sink. Returns the union of

@@ -75,6 +75,16 @@ class DedupSpec extends SparkSpec {
     assert(ivf.size == brute.size) // same k returned per query
   }
 
+  test("stream-static near-dup join equals batch MinHash-LSH pairs") {
+    val batch = DedupQueries.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = DedupQueries.streamingNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"stream-static pairs diverge: ${streamed.diff(batch)} / ${batch.diff(streamed)}")
+    assert(streamed.nonEmpty) // planted near-dups must be found
+  }
+
   test("RP-LSH top-k recall vs brute force, and candidate pruning") {
     val brute = SimilarityQueries.topkBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
