@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => functions.LenientJsonExtract(es.head)))
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (es: Seq[Expression]) => operators.Dedup.SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("simhash_text"), info("simhash_text"),
+      (es: Seq[Expression]) => operators.Dedup.SimHashText(es.head)))
     e.injectFunction((FunctionIdentifier("minhash_bands"), info("minhash_bands"),
       (es: Seq[Expression]) => functions.MinHashBands(es(0), es(1), es(2))))
     e.injectOptimizerRule(_ => plans.TokenFilterStrengthen)

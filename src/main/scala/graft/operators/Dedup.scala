@@ -104,6 +104,29 @@ object Dedup {
     out
   }
 
+  /** Shared SimHash core: per-bit weighted vote of 64-bit token hashes.
+    * Token hash = two independent 32-bit murmur mixes (deterministic). */
+  private def simhashVote(tokens: Iterator[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { s =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash over a token array: per-bit weighted vote of 64-bit
     * token hashes. Custom expression — the 64-counter loop has no efficient
     * composition from built-ins (SURVEY.md §2.11 preference order (b)). */
@@ -112,43 +135,45 @@ object Dedup {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < arr.numElements()) {
-        val s = arr.getUTF8String(i).toString
-        // deterministic 64-bit hash from two independent 32-bit mixes
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (votes(b) > 0) out |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(out)
+      java.lang.Long.valueOf(simhashVote(
+        (0 until arr.numElements()).iterator.map(arr.getUTF8String(_).toString)))
     }
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
     override def prettyName: String = "simhash64"
+  }
+
+  /** Fused text->SimHash: the scanner tokenizer feeds the vote directly —
+    * same hash values as `simhash64(regex_tokens(text))` (identical token
+    * rule, property of the tokenizer) without the regex pass or the
+    * intermediate token array. */
+  case class SimHashText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val offs = Tokenizer.tokenize(s)
+      java.lang.Long.valueOf(simhashVote(
+        (0 until offs.length / 2).iterator.map(i =>
+          s.substring(offs(2 * i), offs(2 * i + 1)))))
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashText = copy(c)
+    override def prettyName: String = "simhash_text"
   }
 
   def simhash64(tokens: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       SimHash64(org.apache.spark.sql.graftbridge.Bridge.expression(tokens)))
 
+  def simhashText(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      SimHashText(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
   /** SimHash near-dup pairs: 4x16-bit band blocking + hamming verify. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     // both self-join sides derive from sigs; persist the (id, sig) pairs —
     // 16 bytes/doc — so the tokenize+simhash pass runs once, not twice
-    val sigs = docs.select(col(idCol), simhash64(tokensOf(col(textCol))).as("sig"))
+    val sigs = docs.select(col(idCol), simhashText(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(i =>

@@ -72,7 +72,7 @@ object DedupQueries extends graft.QueryModule {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"),
-        Dedup.simhash64(Dedup.tokensOf(col("text"))).as("simhash"))
+        Dedup.simhashText(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs via 16-bit band blocking. The band scheme
     * GUARANTEES candidates only up to hamming 3 (4 bands, pigeonhole);

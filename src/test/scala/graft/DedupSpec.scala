@@ -75,6 +75,16 @@ class DedupSpec extends SparkSpec {
     assert(ivf.size == brute.size) // same k returned per query
   }
 
+  test("fused simhash_text equals simhash64 over regex tokens") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = docs.select(
+      Dedup.simhashText(col("text")).as("fused"),
+      Dedup.simhash64(Dedup.tokensOf(col("text"))).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(diff == 0)
+  }
+
   test("stream-static near-dup join equals batch MinHash-LSH pairs") {
     val batch = DedupQueries.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
