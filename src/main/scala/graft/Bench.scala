@@ -40,7 +40,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of stdout and parses the last line as
+    // JSON. With 70+ queries the full per-query map (~4 KB) can start beyond
+    // the captured window, so: emit the long per-query line FIRST (and to a
+    // file, for humans), then a SHORT final line that always fits and parses.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

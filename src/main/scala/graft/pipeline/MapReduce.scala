@@ -83,15 +83,15 @@ object MapReducePipeline {
   }
 
   /** O5 positional judge batching (async_evaluation.py:260, :389-404):
-    * row_number over `order` -> batches of `size`, 1-based item numbers.
-    * Shared by the map-reduce and truncation judge paths. */
-  def positionalBatches(df: DataFrame, order: Column, size: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("rn", row_number().over(Window.orderBy(order)))
+    * global position over `order` -> batches of `size`, 1-based item
+    * numbers. Shared by the map-reduce and truncation judge paths. Uses
+    * [[graft.operators.GlobalOrder]] (range partition + local numbering),
+    * not a bare `Window.orderBy`, so no single task sees all rows. */
+  def positionalBatches(df: DataFrame, order: Column, size: Int = 5): DataFrame =
+    graft.operators.GlobalOrder.withRowNumber(df, order)
       .withColumn("batch_id", floor((col("rn") - 1) / size).cast("long"))
       .withColumn("item_number", ((col("rn") - 1) % size + 1).cast("int"))
       .drop("rn")
-  }
 }
 
 class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel) {

@@ -172,13 +172,16 @@ object Relational extends graft.QueryModule {
         $"c_acctbal".cast(DecimalType(18, 2)).cast("double").as("c_acctbal"))
   }
 
-  /** O5: positional judge batching — row_number over a stable key, batches
-    * of 5, then per-batch aggregation (batch boundaries are data, not luck). */
+  /** O5: positional judge batching — global position over a stable key,
+    * batches of 5, then per-batch aggregation (batch boundaries are data,
+    * not luck). Numbering via [[graft.operators.GlobalOrder]] (range
+    * partition + local offsets), not a single-partition window sort. */
   def judgeBatches(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"event_id")
-    Tables.load(spark, dir, "events")
-      .withColumn("rn", row_number().over(w))
+    // prune before numbering: the RDD boundary inside GlobalOrder blocks
+    // Catalyst column pruning, so only ship what the batching needs
+    graft.operators.GlobalOrder.withRowNumber(
+        Tables.load(spark, dir, "events").select($"event_id"), $"event_id")
       .withColumn("batch_id", floor(($"rn" - 1) / 5).cast("long"))
       .groupBy($"batch_id")
       .agg(count(lit(1)).as("batch_size"),

@@ -55,4 +55,25 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("length("), plan)
     }
   }
+
+  test("positionalBatches has no single-partition exchange and matches the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val batched = graft.pipeline.MapReducePipeline.positionalBatches(docs, col("doc_id"))
+    // contract: no task ever numbers the full dataset (reference needs a
+    // total order, not a single-task sort — async_evaluation.py:389-404)
+    val physical = batched.queryExecution.executedPlan.toString
+    assert(!physical.contains("SinglePartition"), physical)
+    // same output as the textbook (non-scalable) row_number window
+    val expected = docs
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .withColumn("batch_id", floor((col("rn") - 1) / 5).cast("long"))
+      .withColumn("item_number", ((col("rn") - 1) % 5 + 1).cast("int"))
+      .drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+    val got = batched.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected)
+  }
 }
