@@ -13,6 +13,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Metrics.register(spark)
     // Warm up JVM/codegen/parquet reader so the first measured query isn't
     // charged ~5s of one-time session cost.
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -63,11 +63,56 @@ object Dedup {
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
       // runaway buckets (degenerate hash collisions) are capped: a bucket
-      // of m docs yields m(m-1)/2 pairs — bound m to keep the explode sane
+      // of m docs yields m(m-1)/2 pairs — bound m to keep the explode
+      // sane. Never a silent drop: the observed metric below surfaces the
+      // count through graft.core.Metrics' listener.
+      .observe("lsh_candidates",
+        sum(when(size(col("ids")) > 1000, 1).otherwise(0))
+          .as("dropped_hot_buckets"))
       .filter(size(col("ids")) <= 1000)
     buckets.select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
+  }
+
+  /** Exact blocked n-gram-Jaccard pairs via a grouped inverted index:
+    * explode (block, shingle, doc), group once on (block, shingle) into
+    * postings lists, enumerate in-bucket pairs, count shared shingles per
+    * pair, then jaccard = c / (|A| + |B| - c). One wide shuffle (the
+    * postings groupBy) instead of the two-sided shingle self-join; cost is
+    * sum(df^2) over shingles, and `dfCap` bounds the one quadratic hot key
+    * a near-stopword shingle would create at 100 TB (a shingle shared by
+    * df documents yields df^2/2 pairs; df grows linearly with corpus
+    * size). Dropped hot shingles are surfaced via the observed metric
+    * `ngram_jaccard.dropped_hot_shingles` — never silent.
+    *
+    * Reference scope: P11/J3 set-similarity semantics (augment_finqa.py's
+    * Jaccard components) generalized to corpus self-join. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int = 3, threshold: Double = 0.3,
+      dfCap: Int = 1000): DataFrame = {
+    val sh = docs.select(col(blockCol), col(idCol),
+      shingles(col(textCol), k).as("sh"))
+    val ex = sh.select(col(blockCol),
+      struct(col(idCol).as("id"), size(col("sh")).as("n")).as("d"),
+      explode(col("sh")).as("shingle"))
+    // postings per (block, shingle), sorted by doc id so pair enumeration
+    // yields doc_a < doc_b directly
+    val buckets = ex.groupBy(col(blockCol), col("shingle"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .observe("ngram_jaccard",
+        sum(when(size(col("ds")) > dfCap, 1).otherwise(0))
+          .as("dropped_hot_shingles"))
+      .filter(size(col("ds")) <= dfCap)
+    buckets.select(explode(pairsOf(col("ds"))).as("p"))
+      .groupBy(col("p._1.id").as("doc_a"), col("p._2.id").as("doc_b"),
+        col("p._1.n").as("n_a"), col("p._2.n").as("n_b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** All ordered pairs (a<b) from a sorted id array, as array<struct>. */

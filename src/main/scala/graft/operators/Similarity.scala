@@ -89,16 +89,25 @@ object Similarity {
   }
 
   /** IVF index: assign every vector to its nearest centroid (broadcast
-    * centroid list), bucketing the corpus. `centroids` must be small. */
+    * centroid list), bucketing the corpus. `centroids` must be small.
+    *
+    * Argmax via `max_by` with map-side combine — the broadcast cross
+    * product collapses to ONE row per vector before the shuffle, instead
+    * of moving all n x |centroids| scored rows through a row_number
+    * window (same pattern as FuzzyJoin.bestMatch). Tiebreak
+    * (csim DESC, centroid_id ASC) encoded as max of
+    * (csim, -centroid_id). */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("vec_id").as("centroid_id"),
       toDoubleArray(col("embedding")).as("centv"))
     val v = vectors.select(col("vec_id"), col("embedding"),
       toDoubleArray(col("embedding")).as("dv"))
-    val scored = v.join(broadcast(cents), lit(true))
+    v.join(broadcast(cents), lit(true))
       .withColumn("csim", cosine(col("dv"), col("centv")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id")).agg(
+        first(col("embedding")).as("embedding"),
+        max_by(col("centroid_id"),
+          struct(col("csim"), (-col("centroid_id")).as("tb"))).as("centroid_id"))
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
   }
 
@@ -110,13 +119,20 @@ object Similarity {
       toDoubleArray(col("embedding")).as("centv"))
     val q = queries.select(col("vec_id").as("query_id"),
       toDoubleArray(col("embedding")).as("qv"))
-    // per query: its nprobe nearest centroids
-    val qc = q.join(broadcast(cents), lit(true))
+    // per query: its nprobe nearest centroids — sort/slice an aggregated
+    // list (one row per query crosses the shuffle) instead of a window
+    // over |queries| x |centroids| rows. array_sort on (-csim, id) is the
+    // window's (csim DESC, centroid_id ASC) tiebreak.
+    val probes = q.join(broadcast(cents), lit(true))
       .withColumn("csim", cosine(col("qv"), col("centv")))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id").asc)
-    val probes = qc.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+      .groupBy(col("query_id")).agg(
+        first(col("qv")).as("qv"),
+        slice(array_sort(collect_list(
+          struct((-col("csim")).as("neg_sim"), col("centroid_id")))),
+          1, nprobe).as("top"))
+      .select(col("query_id"), col("qv"),
+        explode(col("top")).as("p"))
+      .select(col("query_id"), col("qv"), col("p.centroid_id").as("centroid_id"))
     // candidates restricted to probed buckets (equi-join on centroid_id)
     val cand = assigned.select(col("vec_id").as("cand_id"),
       toDoubleArray(col("embedding")).as("cv"), col("centroid_id"))

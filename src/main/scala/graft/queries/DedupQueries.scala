@@ -34,32 +34,16 @@ object DedupQueries extends graft.QueryModule {
       .groupBy(TextAnalysis.fingerprint(col("text"), 32).as("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** Exact blocked 3-gram Jaccard via inverted-index join (the scalable
-    * exact set-similarity join): explode (doc, shingle), equi-join on
-    * (lang, shingle), count shared shingles per pair, then
-    * jaccard = c / (|A| + |B| - c). Identical output to the naive
-    * all-pairs + array_intersect formulation, but cost is sum(df^2) over
-    * shingles instead of |block|^2 array intersections — 136 s -> ~2 s at
-    * sf0.1, and the shuffle key is the shingle (saltable if skewed). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
-    val sh = docs.select(col("lang"), col("doc_id"),
-      Dedup.shingles(col("text"), 3).as("sh"))
-    val ex = sh.select(col("lang"), col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("shingle"))
-    val a = ex.select(col("lang"), col("shingle"),
-      col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val b = ex.select(col("lang"), col("shingle"),
-      col("doc_id").as("doc_b"), col("n").as("n_b"))
-    a.join(b, Seq("lang", "shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
+  /** Exact blocked 3-gram Jaccard via the grouped inverted index
+    * ([[Dedup.ngramJaccardPairs]]): one postings groupBy instead of a
+    * two-sided shingle self-join; identical output to the naive all-pairs
+    * + array_intersect formulation (136 s -> ~2 s at sf0.1). Hot shingles
+    * above the df cap are dropped WITH an observed-metric count (the cap
+    * never triggers at test scale — max df is 14 at sf0.1 — it exists for
+    * the 100 TB near-stopword case). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.loadSpread(spark, dir, "documents"),
+      "doc_id", "text", "lang", k = 3, threshold = JaccardThreshold)
 
   /** MinHash+LSH near-dups: 32 hashes, 16 bands x 2 — candidates from band
     * buckets, verified by exact Jaccard >= 0.3. Approximate (no oracle). */
@@ -68,9 +52,14 @@ object DedupQueries extends graft.QueryModule {
       "doc_id", "text", shingleK = 3, numHashes = 32, bands = 16,
       threshold = JaccardThreshold)
 
-  /** SimHash signatures per document (deterministic; pair query below). */
+  /** SimHash signatures per document (deterministic; pair query below).
+    * Plain load, not loadSpread: at real scale the scan parallelizes by
+    * file split, and here the forced round-robin would shuffle the full
+    * text for a projection cheap enough to not need it (consumers that
+    * prune the signature — e.g. a count — would pay the shuffle for
+    * nothing). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.loadSpread(spark, dir, "documents")
+    Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         Dedup.simhashText(col("text")).as("simhash"))
 

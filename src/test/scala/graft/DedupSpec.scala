@@ -108,6 +108,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.35, s"RP-LSH recall $recall too low")
   }
 
+  test("ngram jaccard inverted index equals all-pairs ground truth; df cap drops are observed") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // uncapped (cap never triggers at this sf): must equal the quadratic
+    // ground truth exactly — same pairs, same jaccard (block = whole corpus)
+    val got = Dedup.ngramJaccardPairs(docs.withColumn("blk", lit(1)),
+      "doc_id", "text", "blk", k = 3, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == exactPairs)
+    got.foreach { case (p, j) =>
+      assert(math.abs(j - exactPairsJ(p)) < 1e-6, s"pair $p jaccard $j") }
+    // a tiny df cap must (a) only remove pairs, (b) report its drops via
+    // the observed metric rather than silently
+    val capped = Dedup.ngramJaccardPairs(docs.withColumn("blk", lit(1)),
+      "doc_id", "text", "blk", k = 3, threshold = 0.3, dfCap = 2)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.subsetOf(exactPairs))
+    val dropped = capped.queryExecution.observedMetrics("ngram_jaccard")
+      .getAs[Long]("dropped_hot_shingles")
+    assert(dropped > 0, "expected the cap to trigger and be observed")
+  }
+
   test("cosine is 1.0 on identical vectors, symmetric bounds") {
     val sess = spark
     import sess.implicits._
