@@ -72,6 +72,60 @@ object FuzzyJoin {
   def extractNumbers(text: Column): Column =
     array_distinct(regexp_extract_all(text, lit("\\d+(?:\\.\\d+)?"), lit(0)))
 
+  /** P10 normalization for the composite score (augment_finqa.py:24-31):
+    * lowercase, formatting punctuation to spaces, whitespace collapsed.
+    * (The reference collapses, strips, then re-collapses; one remove +
+    * collapse produces the same string.) */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[,.()$%]", " "), "\\s+", " "))
+
+  /** Currency amounts + magnitude numbers, normalized like
+    * augment_finqa.py:47-52 ($ , whitespace stripped, lowercased). */
+  def extractAmounts(text: Column): Column =
+    array_distinct(transform(
+      regexp_extract_all(text,
+        lit("(?i)\\$\\s*\\d+(?:[,.]\\d+)*(?:\\s*(?:million|billion|thousand))?" +
+          "|\\b\\d+(?:[,.]\\d+)*\\s*(?:million|billion|thousand)\\b"), lit(0)),
+      x => regexp_replace(lower(x), "[$,\\s]", "")))
+
+  /** Other numbers (decimals, percents, scientific), years excluded
+    * (augment_finqa.py:43-59; the reference's year exclusion keys on the
+    * findall group artifact — here the full 4-digit years are excluded,
+    * the evident intent). */
+  def extractOthers(text: Column): Column =
+    array_except(
+      array_distinct(transform(
+        regexp_extract_all(text,
+          lit("\\b\\d+(?:[,.]\\d+)*(?:[eE][+-]?\\d+)?\\b|\\d+(?:\\.\\d+)?\\s*%"),
+          lit(0)),
+        x => regexp_replace(x, "[$%,\\s]", ""))),
+      extractYears(text))
+
+  /** Set similarity with the reference's both-sides-non-empty gate
+    * (augment_finqa.py:81-98: sim stays 0 unless both texts produced the
+    * number family). */
+  def numberJaccard(a: Column, b: Column): Column =
+    when(size(a) > 0 && size(b) > 0,
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+      .otherwise(lit(0.0))
+
+  /** J3's full weighted composite similarity (augment_finqa.py:100-111):
+    * year overlap dominates (0.6 weight + 0.3 bonus), then amounts, then
+    * other numbers, with the SequenceMatcher [[ratio]] of the normalized
+    * texts as the string term and each branch clamped to 1.0. Branch
+    * selection mirrors the reference's year > amount > other cascade. */
+  def compositeSimilarity(ta: Column, tb: Column): Column = {
+    val s = ratio(normalizeText(ta), normalizeText(tb))
+    val y = numberJaccard(extractYears(ta), extractYears(tb))
+    val am = numberJaccard(extractAmounts(ta), extractAmounts(tb))
+    val ot = numberJaccard(extractOthers(ta), extractOthers(tb))
+    when(y > 0,
+        least(lit(1.0), s * 0.1 + y * 0.6 + am * 0.2 + ot * 0.1 + lit(0.3)))
+      .when(am > 0, least(lit(1.0), s * 0.2 + am * 0.5 + ot * 0.3))
+      .when(ot > 0, least(lit(1.0), s * 0.4 + ot * 0.6))
+      .otherwise(s * 0.5)
+  }
+
   /** Arg-max fuzzy join: for every left row, the best-scoring right row
     * within the blocking key (ties -> smallest right id).
     *

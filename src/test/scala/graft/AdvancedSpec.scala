@@ -60,4 +60,43 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.length == parts)
     assert(rows.map(_.getAs[Long]("part_a")).distinct.length == rows.length)
   }
+
+  test("composite similarity matches independent golden values per branch") {
+    // goldens from a separate Python implementation (difflib ratio + set
+    // Jaccards + the augment_finqa.py:100-111 cascade), one per branch
+    val cases = Seq(
+      ("Revenue was $12,500 million in 2021 and grew 5%",
+        "In 2021 revenue reached $12,500 million, growth of 5%",
+        1.0),                      // year branch, clamped at 1.0
+      ("Costs of $300 thousand reported with margin 12",
+        "The costs were $300 thousand; margin stayed at 12",
+        0.924731182796),           // amount branch
+      ("Headcount grew to 4510 by quarter three",
+        "By quarter three headcount was 4510",
+        0.772972972973),           // other-number branch
+      ("alpha beta gamma delta", "alpha beta gamma epsilon",
+        0.413043478261),           // string-only branch (0.5 * ratio)
+      ("Order 7 total $144449 approx 144 thousand in 1997 priority 3-MEDIUM",
+        "Order 9 total $88094 approx 88 thousand in 1997 priority 4-NOT SPECIFIED",
+        0.975912408759))           // orderText shape used by the queries
+    val sess = spark
+    import sess.implicits._
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(graft.operators.FuzzyJoin.compositeSimilarity(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, _, want), have) =>
+      assert(math.abs(have - want) < 1e-9, s"composite('$a',...) = $have, want $want")
+    }
+  }
+
+  test("composite match keeps threshold and one best row per order") {
+    val rows = Advanced.compositeMatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("sim") >= 0.4))
+    val ids = rows.map(_.getAs[Long]("order_a"))
+    assert(ids.distinct.length == ids.length)
+    // same-year pairs exist in every customer block of 10 orders over a
+    // ~10-year span, and the year branch floors the score at 0.3 + 0.6*y
+    assert(rows.exists(_.getAs[Double]("sim") >= 0.9))
+  }
 }
