@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => functions.TruncateTokens(es(0), es(1), es(2))))
     e.injectFunction((FunctionIdentifier("split_chunks"), info("split_chunks"),
       (es: Seq[Expression]) => functions.SplitChunks(es(0), es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("split_chunks_chars"), info("split_chunks_chars"),
+      (es: Seq[Expression]) => functions.SplitChunksChars(es(0), es(1), es(2), es(3))))
     e.injectFunction((FunctionIdentifier("shingles"), info("shingles"),
       (es: Seq[Expression]) => functions.Shingles(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("lenient_json"), info("lenient_json"),

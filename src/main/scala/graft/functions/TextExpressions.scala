@@ -120,6 +120,61 @@ case class SplitChunks(text: Expression, size: Expression, overlap: Expression)
   override def prettyName: String = "split_chunks"
 }
 
+/** `split_chunks_chars(text, size, overlap, sep)` — C2, the reference's
+  * character-costed split mode (document_processing.py:260-263,
+  * CharacterTextSplitter): units are the text split on `sep`, chunks are
+  * greedy packs of consecutive units whose joined length (unit chars +
+  * one separator between units) stays within `size` characters — a
+  * single oversized unit is kept whole, as the reference splitter does.
+  * `overlap` re-includes the longest trailing run of the previous
+  * chunk's units whose joined length fits `overlap` chars. Output rows
+  * (chunk_idx, chunk_text, token_count) mirror [[SplitChunks]], with
+  * token_count = units in the chunk. */
+case class SplitChunksChars(text: Expression, size: Expression,
+    overlap: Expression, sep: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(text, size, overlap, sep)
+  override def elementSchema: StructType = SplitChunks.elementSchema
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    if (t == null) return Nil
+    val sz = size.eval(input).asInstanceOf[Int]
+    val ov = overlap.eval(input).asInstanceOf[Int]
+    val sp = sep.eval(input).asInstanceOf[UTF8String].toString
+    val units = t.asInstanceOf[UTF8String].toString
+      .split(java.util.regex.Pattern.quote(sp), -1).filter(_.nonEmpty)
+    val n = units.length
+    if (n == 0) return Nil
+    // prefix sums of (unit length + separator): joined length of units
+    // [a, b) = pre(b) - pre(a) - sepLen
+    val pre = new Array[Long](n + 1)
+    var i = 0
+    while (i < n) { pre(i + 1) = pre(i) + units(i).length + sp.length; i += 1 }
+    def cost(a: Int, b: Int): Long = pre(b) - pre(a) - sp.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var a = 0
+    var idx = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n && cost(a, b + 1) <= sz) b += 1
+      out += new GenericInternalRow(Array[Any](
+        idx, UTF8String.fromString(units.slice(a, b).mkString(sp)), b - a))
+      idx += 1
+      if (b >= n) a = n
+      else {
+        var c = b
+        while (c > a + 1 && cost(c - 1, b) <= ov) c -= 1
+        a = math.max(c, a + 1)
+      }
+    }
+    out
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): SplitChunksChars =
+    copy(cs(0), cs(1), cs(2), cs(3))
+  override def prettyName: String = "split_chunks_chars"
+}
+
 /** `shingles(text, k)` — distinct k-gram token shingles (space-joined),
   * built in one scanner pass. Semantically identical to
   * `array_distinct(transform(sequence(...), i -> array_join(slice(tokens,
@@ -250,6 +305,9 @@ object TextFunctions {
     col(TruncateTokens(ex(c), ex(maxTokens), ex(mode)))
   def split_chunks(c: Column, size: Column, overlap: Column): Column =
     col(SplitChunks(ex(c), ex(size), ex(overlap)))
+  def split_chunks_chars(c: Column, size: Column, overlap: Column,
+      sep: Column): Column =
+    col(SplitChunksChars(ex(c), ex(size), ex(overlap), ex(sep)))
   def shingles(c: Column, k: Column): Column = col(Shingles(ex(c), ex(k)))
   def minhash_bands(c: Column, numHashes: Column, bands: Column): Column =
     col(MinHashBands(ex(c), ex(numHashes), ex(bands)))
@@ -273,6 +331,8 @@ object TextFunctions {
       es => TruncateTokens(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("split_chunks",
       es => SplitChunks(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("split_chunks_chars",
+      es => SplitChunksChars(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("shingles",
       es => Shingles(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_bands",

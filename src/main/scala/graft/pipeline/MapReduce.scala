@@ -34,6 +34,16 @@ trait TextModel {
   def score(chunkTokens: Column, questionTokens: Column): Column
   /** Per-chunk extractive answer content, given the chunk's tokens. */
   def content(chunkTokens: Column): Column
+  /** M8 question improvement (base_pipeline.py:521-630: the LLM rewrites
+    * the question before the map stage). Default: whitespace-normalize
+    * and guarantee a trailing '?' — the extractive stand-in. A custom
+    * model overrides this to reach the question stage, same as it reaches
+    * map/reduce. Returning null signals parse failure; the pipeline falls
+    * back to the original question. */
+  def improve(question: Column): Column = {
+    val t = trim(regexp_replace(question, "\\s+", " "))
+    when(t.endsWith("?"), t).otherwise(concat(t, lit("?")))
+  }
 }
 
 /** Deterministic extractive scorer: score = |distinct chunk tokens ∩
@@ -76,11 +86,9 @@ case class MapReduceConfig(
     format: QaFormat = QaFormat.Hybrid)
 
 object MapReducePipeline {
-  /** Default M8 rewriter: collapse whitespace, ensure trailing '?'. */
-  val defaultImprover: Column => Column = q => {
-    val t = trim(regexp_replace(q, "\\s+", " "))
-    when(t.endsWith("?"), t).otherwise(concat(t, lit("?")))
-  }
+  /** Default M8 rewriter (the [[TextModel]] default `improve`), kept as a
+    * standalone function for callers outside a pipeline. */
+  val defaultImprover: Column => Column = ExtractiveModel.improve
 
   /** O5 positional judge batching (async_evaluation.py:260, :389-404):
     * global position over `order` -> batches of `size`, 1-based item
@@ -165,10 +173,14 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
   /** M8: optional question-improvement pre-map stage (reference:
     * base_pipeline.py:521-630) — rewrites `question`, keeps
     * `original_question`, falls back to the original when the rewriter
-    * yields null (the reference's parse-failure fallback). The default
-    * rewriter normalizes whitespace and guarantees a trailing '?'. */
-  def improveQuestions(qa: DataFrame,
-      improve: Column => Column = MapReducePipeline.defaultImprover): DataFrame =
+    * yields null (the reference's parse-failure fallback). Routes through
+    * THE PIPELINE'S MODEL by default, so a custom [[TextModel]] reaches
+    * this stage exactly like it reaches map/reduce; pass `improve` to
+    * override ad hoc. */
+  def improveQuestions(qa: DataFrame): DataFrame =
+    improveQuestions(qa, model.improve)
+
+  def improveQuestions(qa: DataFrame, improve: Column => Column): DataFrame =
     qa.withColumn("original_question", col("question"))
       .withColumn("question", coalesce(improve(col("question")), col("question")))
 

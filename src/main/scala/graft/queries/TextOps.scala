@@ -25,6 +25,7 @@ object TextOps extends graft.QueryModule {
 
   private val ChunkSize = 64
   private val ChunkOverlap = 16
+  private val CharChunkSize = 200
   private val TruncateMax = 100
 
   /** C4: token counting + the 1.15x estimate, per document. */
@@ -49,6 +50,26 @@ object TextOps extends graft.QueryModule {
         sum($"token_count").cast("long").as("total_chunk_tokens"),
         max($"token_count").as("max_chunk_tokens"),
         min($"token_count").as("min_chunk_tokens"))
+  }
+
+  /** C2: character-costed split mode, aggregated per doc. Separator ' '
+    * makes units words on this corpus; size includes the joiners, so a
+    * chunk is the longest unit run whose re-joined string fits
+    * `CharChunkSize` chars (one oversized unit stays whole, like
+    * CharacterTextSplitter). The oracle replays the same greedy pack as a
+    * recursive CTE over unit-length prefix sums — validated against an
+    * independent implementation. */
+  def chunkCharsStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.loadSpread(spark, dir, "documents")
+      .select($"doc_id",
+        split_chunks_chars($"text", lit(CharChunkSize), lit(0), lit(" ")))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum($"token_count").cast("long").as("total_units"),
+        max(length($"chunk_text")).cast("long").as("max_chunk_chars"),
+        sum(length($"chunk_text")).cast("long").as("total_chunk_chars"))
   }
 
   /** T1/T4/T5: truncation with stats struct; `retokenized` re-counts the
@@ -82,6 +103,7 @@ object TextOps extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> tokenCount,
     "text_chunk_stats" -> chunkStats,
+    "text_chunk_chars_stats" -> chunkCharsStats,
     "text_truncate_stats" -> truncateStats,
     "text_long_docs" -> longDocs,
   )
@@ -110,6 +132,49 @@ object TextOps extends graft.QueryModule {
          |       ELSE least($ChunkSize, n - (n_chunks - 1) * ${ChunkSize - ChunkOverlap})
          |  END AS min_chunk_tokens
          |FROM c""".stripMargin,
+    "text_chunk_chars_stats" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), u -> len(u) > 0) AS us
+         |  FROM documents),
+         |pre AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, len(us) + 1)) AS i,
+         |    unnest(list_transform(range(1, len(us) + 1),
+         |      j -> CAST(len(us[j]) + 1 AS BIGINT))) AS c1
+         |  FROM docs WHERE len(us) > 0),
+         |pre2 AS (
+         |  SELECT doc_id, i, sum(c1) OVER (PARTITION BY doc_id ORDER BY i) AS p
+         |  FROM pre),
+         |rec AS (
+         |  SELECT doc_id, 0 AS idx, 1 AS a FROM docs WHERE len(us) > 0
+         |  UNION ALL
+         |  SELECT r.doc_id, r.idx + 1,
+         |    coalesce((SELECT max(pr.i) FROM pre2 pr WHERE pr.doc_id = r.doc_id
+         |        AND pr.p - coalesce((SELECT p2.p FROM pre2 p2
+         |                             WHERE p2.doc_id = r.doc_id AND p2.i = r.a - 1), 0)
+         |            - 1 <= $CharChunkSize), r.a) + 1 AS a
+         |  FROM rec r
+         |  WHERE r.a <= (SELECT max(i) FROM pre2 pr WHERE pr.doc_id = r.doc_id)),
+         |chunks AS (
+         |  SELECT r.doc_id, r.idx, r.a,
+         |    greatest(r.a,
+         |      coalesce((SELECT max(pr.i) FROM pre2 pr WHERE pr.doc_id = r.doc_id
+         |        AND pr.p - coalesce((SELECT p2.p FROM pre2 p2
+         |                             WHERE p2.doc_id = r.doc_id AND p2.i = r.a - 1), 0)
+         |            - 1 <= $CharChunkSize), r.a)) AS b
+         |  FROM rec r
+         |  WHERE r.a <= (SELECT max(i) FROM pre2 pr WHERE pr.doc_id = r.doc_id))
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(c.b - c.a + 1) AS BIGINT) AS total_units,
+         |  CAST(max((SELECT p FROM pre2 x WHERE x.doc_id = c.doc_id AND x.i = c.b)
+         |      - coalesce((SELECT p FROM pre2 x
+         |                  WHERE x.doc_id = c.doc_id AND x.i = c.a - 1), 0) - 1)
+         |    AS BIGINT) AS max_chunk_chars,
+         |  CAST(sum((SELECT p FROM pre2 x WHERE x.doc_id = c.doc_id AND x.i = c.b)
+         |      - coalesce((SELECT p FROM pre2 x
+         |                  WHERE x.doc_id = c.doc_id AND x.i = c.a - 1), 0) - 1)
+         |    AS BIGINT) AS total_chunk_chars
+         |FROM chunks c GROUP BY c.doc_id""".stripMargin,
     "text_long_docs" ->
       s"""SELECT doc_id, $tokExpr AS n_tokens
          |FROM documents WHERE $tokExpr > 150""".stripMargin,

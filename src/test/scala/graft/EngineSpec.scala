@@ -21,6 +21,24 @@ class EngineSpec extends SparkSpec {
     assert(out2(0).getAs[String]("question") == "  what   is\nrevenue")
   }
 
+  test("improveQuestions routes through a custom TextModel (M8)") {
+    import org.apache.spark.sql.Column
+    val sess = spark
+    import sess.implicits._
+    object UpperModel extends graft.pipeline.TextModel {
+      def score(chunkTokens: Column, questionTokens: Column): Column = lit(1)
+      def content(chunkTokens: Column): Column = lit("x")
+      override def improve(question: Column): Column = upper(question)
+    }
+    val qa = Seq("what is revenue").toDF("question")
+    val out = new MapReducePipeline(MapReduceConfig(), UpperModel)
+      .improveQuestions(qa).collect()
+    // the custom model's rewriter reaches the question stage, not the
+    // extractive default
+    assert(out(0).getAs[String]("question") == "WHAT IS REVENUE")
+    assert(out(0).getAs[String]("original_question") == "what is revenue")
+  }
+
   test("Engine format selection changes thresholds and reduce shape") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = "spark query join data filter group sort merge window stream batch hash"

@@ -120,4 +120,57 @@ class TokenizerSpec extends SparkSpec {
       assert(Tokenizer.countTokens(r.getString(2)) == r.getInt(3))
     }
   }
+
+  /** Independent greedy reference for the char-costed splitter (C2):
+    * plain Scala, no shared code with the expression. */
+  private def charChunksRef(text: String, size: Int, ov: Int,
+      sep: String): Seq[String] = {
+    val units = text.split(java.util.regex.Pattern.quote(sep), -1)
+      .filter(_.nonEmpty).toIndexedSeq
+    def cost(a: Int, b: Int): Int =
+      units.slice(a, b).map(_.length).sum + sep.length * (b - a - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var a = 0
+    while (a < units.length) {
+      var b = a + 1
+      while (b < units.length && cost(a, b + 1) <= size) b += 1
+      out += units.slice(a, b).mkString(sep)
+      if (b >= units.length) a = units.length
+      else {
+        var c = b
+        while (c > a + 1 && cost(c - 1, b) <= ov) c -= 1
+        a = math.max(c, a + 1)
+      }
+    }
+    out.toSeq
+  }
+
+  test("split_chunks_chars: property parity with reference + invariants") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val rnd = new scala.util.Random(42)
+    val words = Seq("a", "bb", "ccc", "dddd", "longerunit", "x" * 25, "y" * 120)
+    val texts = (1 to 40).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(60)))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    } :+ (98L, "") :+ (99L, "single")
+    val df = spark.createDataFrame(texts).toDF("id", "text")
+    for ((size, ov) <- Seq((50, 0), (50, 10), (30, 29), (200, 40))) {
+      val got = df.select(col("id"),
+          split_chunks_chars(col("text"), lit(size), lit(ov), lit(" ")))
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(1)).map(r => (r.getString(2), r.getInt(3))))
+      texts.foreach { case (id, t) =>
+        val want = charChunksRef(t, size, ov, " ")
+        val have = got.getOrElse(id, Array.empty).toSeq
+        assert(have.map(_._1) == want, s"id=$id size=$size ov=$ov")
+        // token_count = units in the chunk; oversized chunks are single units
+        have.foreach { case (c, n) =>
+          assert(c.split(" ").count(_.nonEmpty) == n)
+          assert(c.length <= size || n == 1)
+        }
+      }
+    }
+  }
 }
