@@ -72,7 +72,10 @@ case class Engine(
       graft.functions.Tokenizer.tokens(question).distinct.toIndexedSeq.map(lit): _*)
       .cast("array<string>") // empty question => array<null> otherwise
     documents
-      .withColumn("t", truncate_tokens(col("text"), lit(budget), lit(strategy)))
+      // T5: resolved through the pluggable strategy registry, so custom
+      // registered strategies reach the Engine by name
+      .withColumn("t", graft.operators.TruncationStrategies.get(strategy)
+        .truncate(col("text"), lit(budget)))
       .withColumn("ttoks", regex_tokens(col("t.text")))
       // same pluggable-model routing as MapReducePipeline.mapped: a custom
       // TextModel changes the truncation path too, not just answers()

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{MapReduceConfig, QaFormat, TextModel, ExtractiveModel}
+import graft.sources.{BinaryDocs, DocumentParser, Prompts}
+
+/** §3.3: the single-request service facade (webapp/backend/api/
+  * endpoints.py:183-310): a long-lived session answers one uploaded
+  * document + question per call, with engines cached per configuration
+  * (the `_pipeline_cache` at endpoints.py:25-180) and the document fed
+  * through the parser slot like the upload path.
+  *
+  * N=1 latency posture: the plan is the same declarative pipeline as the
+  * batch path over a one-row local DataFrame — no shuffle partitions to
+  * spin up beyond the single aggregation, no scan. Engines (plan
+  * builders) are cached so repeated asks reuse analyzed fragments and
+  * the session's codegen cache; ServiceSpec asserts warm single-request
+  * latency.
+  */
+final case class QaAnswer(
+    answer: String, score: Double, judgment: String,
+    chunksBefore: Long, chunksAfter: Long, retentionRate: Double,
+    promptSet: String)
+
+class QaService(spark: SparkSession, model: TextModel = ExtractiveModel) {
+
+  /** Engine cache keyed by full config — bounded LRU, like the
+    * reference's keyed pipeline cache. */
+  private val maxEntries = 64
+  private val cache =
+    new java.util.LinkedHashMap[(String, Int, Int, Int, String), Engine](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, Int, Int, String), Engine]): Boolean =
+        size() > maxEntries
+    }
+
+  private[graft] def engineFor(question: String, format: String,
+      chunkSize: Int, overlap: Int, threshold: Int): Engine =
+    cache.synchronized {
+      val key = (format, chunkSize, overlap, threshold, question)
+      var e = cache.get(key)
+      if (e == null) {
+        e = Engine(question = question, format = format,
+          chunkSize = chunkSize, overlap = overlap,
+          threshold = Some(threshold), model = model)
+        cache.put(key, e)
+      }
+      e
+    }
+
+  private[graft] def cacheSize: Int = cache.synchronized(cache.size())
+
+  /** Answer one question about one raw document (the /answer endpoint
+    * semantics): bytes -> parser slot -> one-row DataFrame -> the
+    * map-reduce (or truncation) plan -> the reduced answer + judgment. */
+  def ask(fileName: String, content: Array[Byte], question: String,
+      format: String = "hybrid", chunkSize: Int = 64, overlap: Int = 16,
+      threshold: Int = 1, pipelineType: String = "mapreduce",
+      strategy: String = "start", contextWindow: Int = 128000,
+      buffer: Int = 2000, promptSet: String = "hybrid",
+      parsers: Map[String, DocumentParser] = BinaryDocs.defaultParsers): QaAnswer = {
+    require(fileName.nonEmpty, "no file provided")
+    val method = BinaryDocs.methodForPath(fileName)
+    val text = parsers.get(method).flatMap(_.parse(fileName, content))
+      .getOrElse(throw new IllegalArgumentException(
+        s"could not parse '$fileName' with method '$method'"))
+    Prompts.resolve(Some(promptSet)) // fail fast on unknown set, like the factory
+    val engine = engineFor(question, format, chunkSize, overlap, threshold)
+    val docs = spark.createDataFrame(Seq((0L, text))).toDF("doc_id", "text")
+    val row = (pipelineType match {
+      case "truncation" =>
+        engine.truncationJudged(docs, contextWindow, buffer, strategy)
+      case _ => engine.judged(docs)
+    }).collect().head
+    def optLong(name: String): Long =
+      if (row.schema.fieldNames.contains(name)) row.getAs[Long](name) else 1L
+    QaAnswer(
+      answer = row.getAs[String]("llm_answer"),
+      score = row.getAs[Any](
+        if (row.schema.fieldNames.contains("best_score")) "best_score" else "score")
+        match { case i: Int => i.toDouble; case l: Long => l.toDouble
+                case d: Double => d },
+      judgment = row.getAs[String]("judgment"),
+      chunksBefore = optLong("chunks_before"),
+      chunksAfter = optLong("chunks_after"),
+      retentionRate = row.getAs[Double]("retention_rate"),
+      promptSet = promptSet)
+  }
+}

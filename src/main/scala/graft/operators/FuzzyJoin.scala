@@ -22,35 +22,41 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** Total matching length of SequenceMatcher-style matching blocks
-    * (recursive longest common substring; no autojunk). */
-  private def matchLen(a: String, b: String): Int = {
-    if (a.isEmpty || b.isEmpty) return 0
-    // longest common substring via DP over the shorter string
+    * (recursive longest common substring; no autojunk). Operates on index
+    * ranges with two reused DP rows — no substring or per-recursion array
+    * allocation; this runs once per PAIR in the similarity joins, so
+    * constant factors matter. */
+  private def matchLen(a: String, aLo: Int, aHi: Int,
+      b: String, bLo: Int, bHi: Int,
+      row0: Array[Int], row1: Array[Int]): Int = {
+    if (aLo >= aHi || bLo >= bHi) return 0
+    val m = bHi - bLo
+    java.util.Arrays.fill(row0, 0, m + 1, 0)
+    java.util.Arrays.fill(row1, 0, m + 1, 0)
+    var prev = row0
+    var cur = row1
     var bestLen = 0
-    var bestA = 0
-    var bestB = 0
-    val m = b.length
-    var prev = new Array[Int](m + 1)
-    var cur = new Array[Int](m + 1)
-    var i = 0
-    while (i < a.length) {
+    var bestA = aLo
+    var bestB = bLo
+    var i = aLo
+    while (i < aHi) {
       var j = 0
       while (j < m) {
-        if (a.charAt(i) == b.charAt(j)) {
+        if (a.charAt(i) == b.charAt(bLo + j)) {
           cur(j + 1) = prev(j) + 1
           if (cur(j + 1) > bestLen) {
-            bestLen = cur(j + 1); bestA = i - bestLen + 1; bestB = j - bestLen + 1
+            bestLen = cur(j + 1); bestA = i - bestLen + 1; bestB = bLo + j - bestLen + 1
           }
         } else cur(j + 1) = 0
         j += 1
       }
       val t = prev; prev = cur; cur = t
-      java.util.Arrays.fill(cur, 0)
+      java.util.Arrays.fill(cur, 0, m + 1, 0)
       i += 1
     }
     if (bestLen == 0) 0
-    else matchLen(a.substring(0, bestA), b.substring(0, bestB)) + bestLen +
-      matchLen(a.substring(bestA + bestLen), b.substring(bestB + bestLen))
+    else matchLen(a, aLo, bestA, b, bLo, bestB, prev, cur) + bestLen +
+      matchLen(a, bestA + bestLen, aHi, b, bestB + bestLen, bHi, prev, cur)
   }
 
   /** difflib.SequenceMatcher.ratio semantics: 2*M/(|a|+|b|). */
@@ -58,7 +64,9 @@ object FuzzyJoin {
     if (a == null || b == null) return 0.0
     val total = a.length + b.length
     if (total == 0) return 1.0
-    2.0 * matchLen(a, b) / total
+    val row0 = new Array[Int](b.length + 1)
+    val row1 = new Array[Int](b.length + 1)
+    2.0 * matchLen(a, 0, a.length, b, 0, b.length, row0, row1) / total
   }
 
   val ratio: org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -109,22 +117,34 @@ object FuzzyJoin {
       size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
       .otherwise(lit(0.0))
 
-  /** J3's full weighted composite similarity (augment_finqa.py:100-111):
-    * year overlap dominates (0.6 weight + 0.3 bonus), then amounts, then
-    * other numbers, with the SequenceMatcher [[ratio]] of the normalized
-    * texts as the string term and each branch clamped to 1.0. Branch
-    * selection mirrors the reference's year > amount > other cascade. */
-  def compositeSimilarity(ta: Column, tb: Column): Column = {
-    val s = ratio(normalizeText(ta), normalizeText(tb))
-    val y = numberJaccard(extractYears(ta), extractYears(tb))
-    val am = numberJaccard(extractAmounts(ta), extractAmounts(tb))
-    val ot = numberJaccard(extractOthers(ta), extractOthers(tb))
+  /** The composite cascade over PRE-EXTRACTED parts: normalized strings +
+    * the three number-family arrays per side. Use this form on pair
+    * tables — extraction runs once per ROW of the base table, not once
+    * per pair (the pair fan-out multiplies every expression under it). */
+  def compositeFromParts(normA: Column, normB: Column,
+      yA: Column, yB: Column, amA: Column, amB: Column,
+      otA: Column, otB: Column): Column = {
+    val s = ratio(normA, normB)
+    val y = numberJaccard(yA, yB)
+    val am = numberJaccard(amA, amB)
+    val ot = numberJaccard(otA, otB)
     when(y > 0,
         least(lit(1.0), s * 0.1 + y * 0.6 + am * 0.2 + ot * 0.1 + lit(0.3)))
       .when(am > 0, least(lit(1.0), s * 0.2 + am * 0.5 + ot * 0.3))
       .when(ot > 0, least(lit(1.0), s * 0.4 + ot * 0.6))
       .otherwise(s * 0.5)
   }
+
+  /** J3's full weighted composite similarity (augment_finqa.py:100-111):
+    * year overlap dominates (0.6 weight + 0.3 bonus), then amounts, then
+    * other numbers, with the SequenceMatcher [[ratio]] of the normalized
+    * texts as the string term and each branch clamped to 1.0. Branch
+    * selection mirrors the reference's year > amount > other cascade. */
+  def compositeSimilarity(ta: Column, tb: Column): Column =
+    compositeFromParts(normalizeText(ta), normalizeText(tb),
+      extractYears(ta), extractYears(tb),
+      extractAmounts(ta), extractAmounts(tb),
+      extractOthers(ta), extractOthers(tb))
 
   /** Arg-max fuzzy join: for every left row, the best-scoring right row
     * within the blocking key (ties -> smallest right id).

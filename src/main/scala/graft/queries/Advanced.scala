@@ -158,17 +158,47 @@ object Advanced extends graft.QueryModule {
     * formula itself is golden-spec'd against an independent
     * implementation in AdvancedSpec. */
   def compositeMatch(spark: SparkSession, dir: String): DataFrame = {
+    // Spread by block key BEFORE extraction and join: the single-row-group
+    // scan is one partition, and a broadcast join inherits its streamed
+    // side's partitioning — without this the pair fan-out AND the
+    // SequenceMatcher scoring run in ONE task (measured: the whole query
+    // serializes at ~15us/pair on one core). After the exchange the
+    // extraction, join, pair explosion and scoring all run block-parallel,
+    // in one stage, with nothing but (custkey, orderkey, txt) shuffled.
     val o = orderTexts(spark, dir)
-    val a = o.select(col("o_custkey"), col("o_orderkey").as("order_a"),
-      col("txt").as("txt_a"))
-    val b = o.select(col("o_custkey"), col("o_orderkey").as("order_b"),
-      col("txt").as("txt_b"))
-    val sim = when(col("order_a") === col("order_b"), lit(-1.0))
-      .otherwise(FuzzyJoin.compositeSimilarity(col("txt_a"), col("txt_b")))
-    FuzzyJoin.bestMatch(a, b, "o_custkey", "order_a", "order_b", sim)
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("o_custkey"))
+      // extract ONCE per order (the pair fan-out would otherwise multiply
+      // every regex under it by the block size)
+      .select(col("o_custkey"), col("o_orderkey"),
+        FuzzyJoin.normalizeText(col("txt")).as("nrm"),
+        FuzzyJoin.extractYears(col("txt")).as("ys"),
+        FuzzyJoin.extractAmounts(col("txt")).as("ams"),
+        FuzzyJoin.extractOthers(col("txt")).as("ots"))
+    def side(s: String) = o.select(col("o_custkey"),
+      col("o_orderkey").as(s"order_$s"), col("nrm").as(s"nrm_$s"),
+      col("ys").as(s"ys_$s"), col("ams").as(s"ams_$s"), col("ots").as(s"ots_$s"))
+    // score each unordered pair once (the composite is symmetric); both
+    // sides are the SAME exchange output, so the shuffle-hash hint makes
+    // the join reuse it instead of broadcast-collecting an extracted copy
+    val scored = side("a").join(side("b").hint("shuffle_hash"), "o_custkey")
+      .filter(col("order_a") < col("order_b"))
+      .select(col("order_a"), col("order_b"),
+        FuzzyJoin.compositeFromParts(col("nrm_a"), col("nrm_b"),
+          col("ys_a"), col("ys_b"), col("ams_a"), col("ams_b"),
+          col("ots_a"), col("ots_b")).as("sim"))
+    // each scored pair feeds BOTH endpoints' argmax via a 2-way explode —
+    // a union of the scored plan would re-evaluate the UDF per branch
+    val both = scored.select(col("sim"), explode(array(
+        struct(col("order_a").as("owner"), col("order_b").as("cand")),
+        struct(col("order_b").as("owner"), col("order_a").as("cand")))).as("p"))
+      .select(col("p.owner").as("order_a"), col("p.cand").as("order_b"), col("sim"))
+    // map-side argmax (FuzzyJoin.bestMatch pattern), 0.4 threshold
+    val key = struct(col("sim"), (-col("order_b")).as("neg_id"))
+    both.groupBy(col("order_a"))
+      .agg(max_by(col("order_b"), key).as("best_match"),
+        max(key).getField("sim").as("sim"))
       .filter(col("sim") >= 0.4)
-      .select(col("order_a"), col("order_b").as("best_match"),
-        round(col("sim"), 6).as("sim"))
+      .select(col("order_a"), col("best_match"), round(col("sim"), 6).as("sim"))
   }
 
   /** P11: number-family extraction from text columns. */

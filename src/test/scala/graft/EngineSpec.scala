@@ -102,6 +102,36 @@ class EngineSpec extends SparkSpec {
     assert(out.select("llm_answer").distinct().first().getString(0) == "CUSTOM")
   }
 
+  test("truncation strategy registry: builtins, custom reach the Engine, bad ones rejected") {
+    import org.apache.spark.sql.Column
+    import graft.operators.{TruncationStrategies, TruncationStrategy}
+    assert(TruncationStrategies.available.toSet
+      .intersect(Set("start", "end", "smart")).size == 3)
+    intercept[IllegalArgumentException](TruncationStrategies.get("nope"))
+    // a custom strategy registered by name reaches Engine.truncationAnswers
+    object HalfBudget extends TruncationStrategy {
+      val name = "half"
+      def truncate(text: Column, maxTokens: Column): Column =
+        graft.functions.TextFunctions.truncate_tokens(
+          text, (maxTokens / 2).cast("int"), lit("start"))
+    }
+    TruncationStrategies.register(HalfBudget)
+    val sess = spark
+    import sess.implicits._
+    val longDoc = Seq((1L, (1 to 2500).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Engine(question = "w1 w2").truncationAnswers(
+      longDoc, contextWindow = 1100, buffer = 0, strategy = "half")
+    // the halved budget (not the full one) reached the expression
+    assert(out.first().getAs[Int]("truncated_tokens") <= 550)
+    // a strategy with the wrong output shape is rejected at registration
+    object Bad extends TruncationStrategy {
+      val name = "bad"
+      def truncate(text: Column, maxTokens: Column): Column = lit("oops")
+    }
+    intercept[IllegalArgumentException](TruncationStrategies.register(Bad))
+  }
+
   test("empty question tokenizes to a typed empty array (no analysis error)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(5)
     val out = Engine(question = " ").answers(docs)

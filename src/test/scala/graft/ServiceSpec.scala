@@ -1,0 +1,51 @@
+package graft
+
+/** §3.3: single-request service facade — upload-shaped input, pipeline
+  * cache behavior, and the N=1 latency posture. */
+class ServiceSpec extends SparkSpec {
+
+  private val doc =
+    ("spark query join data across tables with window functions " +
+      "and stream batch merge sort hash aggregation ") * 40
+
+  test("ask answers a parsed upload end to end (mapreduce and truncation)") {
+    val svc = new QaService(spark)
+    val q = "spark query join data"
+    val a = svc.ask("report.md", doc.getBytes("UTF-8"), q)
+    assert(a.answer.nonEmpty && a.answer != "No answer found in document")
+    assert(a.score > 0 && a.chunksAfter > 0)
+    assert(Set("Correct", "Coherent", "Deviated", "Incorrect", "No answer")(a.judgment))
+    val t = svc.ask("report.md", doc.getBytes("UTF-8"), q,
+      pipelineType = "truncation")
+    assert(t.answer.nonEmpty)
+    assert(t.retentionRate > 0)
+    // unparseable upload fails like the endpoint's 400 path
+    intercept[IllegalArgumentException](
+      svc.ask("bad.pdf", Array[Byte](1, 2, 3), q))
+    intercept[IllegalArgumentException](
+      svc.ask("report.md", doc.getBytes("UTF-8"), q, promptSet = "nope"))
+  }
+
+  test("engine cache: same config reuses the instance, distinct configs don't") {
+    val svc = new QaService(spark)
+    val e1 = svc.engineFor("q one", "hybrid", 64, 16, 1)
+    val e2 = svc.engineFor("q one", "hybrid", 64, 16, 1)
+    val e3 = svc.engineFor("q one", "json", 64, 16, 1)
+    assert(e1 eq e2)
+    assert(!(e1 eq e3))
+    assert(svc.cacheSize == 2)
+  }
+
+  test("warm single-request latency stays interactive") {
+    val svc = new QaService(spark)
+    val q = "spark query join data"
+    svc.ask("warm.md", doc.getBytes("UTF-8"), q) // codegen + cache warmup
+    val t0 = System.nanoTime()
+    val reps = 3
+    (1 to reps).foreach(_ => svc.ask("warm.md", doc.getBytes("UTF-8"), q))
+    val avgSec = (System.nanoTime() - t0) / 1e9 / reps
+    // N=1 on a warm session must be interactive (reference answers one
+    // upload per request); generous bound to stay CI-stable
+    assert(avgSec < 2.0, f"warm single-request latency $avgSec%.2f s")
+  }
+}
