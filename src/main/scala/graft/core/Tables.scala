@@ -45,4 +45,14 @@ object Tables {
     * DuckDB oracle SQL 1:1 where we express queries in SQL. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Materialize a table bucketed (+ sorted) by its join key. Both sides
+    * of a repeated equi-join written this way join with NO exchange and
+    * NO sort — the co-located join pattern that amortizes the one-time
+    * bucketing shuffle across every downstream join at 100 TB
+    * (PlanSpec proves the exchange-free plan). */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

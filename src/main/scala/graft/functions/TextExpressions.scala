@@ -309,6 +309,9 @@ object TextFunctions {
       sep: Column): Column =
     col(SplitChunksChars(ex(c), ex(size), ex(overlap), ex(sep)))
   def shingles(c: Column, k: Column): Column = col(Shingles(ex(c), ex(k)))
+  def top_k_structs(ordStruct: Column, k: Int): Column =
+    col(TopKStructs(ex(ordStruct),
+      ex(org.apache.spark.sql.functions.lit(k))).toAggregateExpression())
   def minhash_bands(c: Column, numHashes: Column, bands: Column): Column =
     col(MinHashBands(ex(c), ex(numHashes), ex(bands)))
 

@@ -71,6 +71,20 @@ object Similarity {
 
   def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Shared final stage: per-query bounded top-k via the
+    * [[graft.functions.TopKStructs]] partial-top-k aggregate. Only k rows
+    * per (query, input-partition) cross the shuffle — the window
+    * formulation would move and sort EVERY scored candidate. Ordering
+    * (sim DESC, cand_id ASC) encoded as descending (sim, -cand_id). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TextFunctions.top_k_structs(
+        struct(col("sim"), (-col("cand_id")).as("neg_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (-col("p.neg_id")).cast("long").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("p.sim"), 6).as("sim"))
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * candidates (excluding itself). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
@@ -80,58 +94,56 @@ object Similarity {
       toDoubleArray(col("embedding")).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"),
-        round(col("sim"), 6).as("sim"))
+    rankTopK(scored, k)
   }
 
-  /** IVF index: assign every vector to its nearest centroid (broadcast
-    * centroid list), bucketing the corpus. `centroids` must be small.
+  /** Centroid table collected to a single array literal — the dim-table
+    * broadcast pattern taken to its limit: |centroids| ~ sqrt(n) rows of
+    * a few hundred bytes, well inside driver/task budgets, and every
+    * executor evaluates against it with NO join or shuffle. */
+  private def centroidsLit(centroids: DataFrame): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    val rows = centroids
+      .select(col("vec_id").cast("long"), toDoubleArray(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    typedLit(rows)
+  }
+
+  /** IVF index: assign every vector to its nearest centroid, bucketing
+    * the corpus. `centroids` must be small (k-means-style sqrt(n)).
     *
-    * Argmax via `max_by` with map-side combine — the broadcast cross
-    * product collapses to ONE row per vector before the shuffle, instead
-    * of moving all n x |centroids| scored rows through a row_number
-    * window (same pattern as FuzzyJoin.bestMatch). Tiebreak
-    * (csim DESC, centroid_id ASC) encoded as max of
-    * (csim, -centroid_id). */
+    * Pure PROJECTION: the centroid list rides along as an array literal
+    * and the argmax is `array_max` over per-centroid (csim, -id) structs
+    * — the corpus is never shuffled, joined, or aggregated to get its
+    * bucket assignment. Tiebreak (csim DESC, centroid_id ASC) encoded in
+    * the struct order. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = centroids.select(col("vec_id").as("centroid_id"),
-      toDoubleArray(col("embedding")).as("centv"))
-    val v = vectors.select(col("vec_id"), col("embedding"),
-      toDoubleArray(col("embedding")).as("dv"))
-    v.join(broadcast(cents), lit(true))
-      .withColumn("csim", cosine(col("dv"), col("centv")))
-      .groupBy(col("vec_id")).agg(
-        first(col("embedding")).as("embedding"),
-        max_by(col("centroid_id"),
-          struct(col("csim"), (-col("centroid_id")).as("tb"))).as("centroid_id"))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val cents = centroidsLit(centroids)
+    vectors.select(col("vec_id"), col("embedding"),
+        toDoubleArray(col("embedding")).as("dv"))
+      .withColumn("best", array_max(transform(cents, c =>
+        struct(cosine(col("dv"), c("_2")).as("csim"), (-c("_1")).as("nid")))))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.nid")).cast("long").as("centroid_id"))
   }
 
   /** IVF search: score only candidates in the query's `nprobe` closest
     * centroid buckets. Returns same shape as bruteForceTopK (approximate). */
   def ivfTopK(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val cents = centroids.select(col("vec_id").as("centroid_id"),
-      toDoubleArray(col("embedding")).as("centv"))
+    val cents = centroidsLit(centroids)
     val q = queries.select(col("vec_id").as("query_id"),
       toDoubleArray(col("embedding")).as("qv"))
-    // per query: its nprobe nearest centroids — sort/slice an aggregated
-    // list (one row per query crosses the shuffle) instead of a window
-    // over |queries| x |centroids| rows. array_sort on (-csim, id) is the
-    // window's (csim DESC, centroid_id ASC) tiebreak.
-    val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("csim", cosine(col("qv"), col("centv")))
-      .groupBy(col("query_id")).agg(
-        first(col("qv")).as("qv"),
-        slice(array_sort(collect_list(
-          struct((-col("csim")).as("neg_sim"), col("centroid_id")))),
-          1, nprobe).as("top"))
-      .select(col("query_id"), col("qv"),
-        explode(col("top")).as("p"))
+    // per query: its nprobe nearest centroids — sort/slice/explode over
+    // the centroid literal, a pure projection (no join, no shuffle).
+    // array_sort on (-csim, id) is the (csim DESC, centroid_id ASC)
+    // tiebreak.
+    val probes = q
+      .withColumn("p", explode(slice(array_sort(transform(cents, c =>
+        struct((-cosine(col("qv"), c("_2"))).as("neg_sim"),
+          c("_1").as("centroid_id")))), 1, nprobe)))
       .select(col("query_id"), col("qv"), col("p.centroid_id").as("centroid_id"))
     // candidates restricted to probed buckets (equi-join on centroid_id)
     val cand = assigned.select(col("vec_id").as("cand_id"),
@@ -139,11 +151,7 @@ object Similarity {
     val scored = cand.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"),
-        round(col("sim"), 6).as("sim"))
+    rankTopK(scored, k)
   }
 
   /** Random-hyperplane LSH signatures (SimHash for vectors): for each of
@@ -226,12 +234,7 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .dropDuplicates("query_id", "cand_id")
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"),
-        round(col("sim"), 6).as("sim"))
+    rankTopK(cand, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

@@ -109,6 +109,22 @@ object Advanced extends graft.QueryModule {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** A10's seeded balanced evaluation sample (llm_judge_evaluation.py's
+    * per-label sampling): N rows per class, selection order derived from a
+    * content hash so it is deterministic, engine-independent, and
+    * shuffle-parallel (window partitioned by the class). The hash plays
+    * the reference's random seed — same "sample", every run, both
+    * engines. */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("rn").cast("int").as("rn"))
+  }
+
   /** Deterministic financial-report-ish text per order: carries a year, a
     * currency amount, a magnitude amount, and other digits, so every
     * branch of the composite score is exercised. Built identically in the
@@ -292,6 +308,7 @@ object Advanced extends graft.QueryModule {
     "adv_judge_prf_macro" -> judgePrfMacro,
     "adv_composite_components" -> compositeComponents,
     "adv_composite_match" -> compositeMatch,
+    "adv_balanced_sample" -> balancedSample,
     "adv_fuzzy_best_match" -> fuzzyBestMatch,
     "adv_number_extraction" -> numberExtraction,
     "adv_asof_join" -> asofJoin,
@@ -389,6 +406,13 @@ object Advanced extends graft.QueryModule {
          |            + CAST(sum(tp) AS DOUBLE) / sum(support))
          |    ELSE 0.0 END, 4) AS f1 FROM m2""".stripMargin
     },
+    "adv_balanced_sample" ->
+      """SELECT lang, doc_id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
     "adv_composite_components" ->
       """WITH t AS (
         |  SELECT o_custkey, o_orderkey,

@@ -129,6 +129,31 @@ class DedupSpec extends SparkSpec {
     assert(dropped > 0, "expected the cap to trigger and be observed")
   }
 
+  test("top_k_structs aggregate equals the row_number window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.top_k_structs
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextLong().abs % 1000, rnd.nextInt(50) / 10.0))
+    // duplicate sims across cands force the tiebreak path; one row per
+    // (query, cand) so both formulations see the same candidate set
+    val df = rows.toDF("query_id", "cand_id", "sim")
+      .dropDuplicates("query_id", "cand_id").repartition(7)
+    val viaAgg = df.groupBy($"query_id")
+      .agg(top_k_structs(struct($"sim", (-$"cand_id").as("neg_id")), 5).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "p")))
+      .select($"query_id", (-$"p.neg_id").as("cand_id"),
+        ($"pos" + 1).cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"cand_id".asc)
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("cosine is 1.0 on identical vectors, symmetric bounds") {
     val sess = spark
     import sess.implicits._

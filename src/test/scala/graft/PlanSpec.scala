@@ -56,6 +56,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join with no exchange and no sort") {
+    import graft.core.Tables
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    Tables.writeBucketed(orders, "orders_b", "o_custkey", 8)
+    Tables.writeBucketed(
+      customer.withColumnRenamed("c_custkey", "o_custkey"), "customer_b",
+      "o_custkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the bucket layout is what's tested
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the one-time bucketing shuffle bought an exchange-free join: the
+      // bucket layout satisfies the join's distribution requirement, so
+      // NOTHING moves across the network. (A partition-local Sort remains
+      // — Spark 3+ ignores sortBy metadata unless the legacy flag is on —
+      // which is cheap and does not scale with cluster size.)
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      // and it is still the same join result
+      val expected = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("positionalBatches has no single-partition exchange and matches the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet(s"$sf/documents.parquet")
