@@ -237,8 +237,33 @@ object Similarity {
     rankTopK(cand, k)
   }
 
+  /** RP-LSH-blocked near-duplicate pairs: candidates = vectors colliding
+    * in any (table, signature) bucket, verified by exact cosine >=
+    * threshold. The 100 TB path for [[cosineNearDups]]: the corpus
+    * shuffles as (tbl, sig, id, vec) rows and only bucket collisions are
+    * scored — never an all-pairs product. Recall follows the sign-LSH
+    * collision curve (high for true near-dups, best-effort at moderate
+    * thresholds — DedupSpec pins the bound on the planted data). */
+  def rpLshNearDups(vectors: DataFrame, threshold: Double,
+      tables: Int = 32, bits: Int = 8): DataFrame = {
+    val v = vectors.select(col("vec_id"), toDoubleArray(col("embedding")).as("dv"))
+      .select(col("vec_id"), col("dv"),
+        posexplode(rpLshSig(col("dv"), tables, bits)).as(Seq("tbl", "sig")))
+    val a = v.select(col("tbl"), col("sig"), col("vec_id").as("vec_a"),
+      col("dv").as("va"))
+    val b = v.select(col("tbl"), col("sig"), col("vec_id").as("vec_b"),
+      col("dv").as("vb"))
+    a.join(b, Seq("tbl", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * blocked by label (stand-in for an LSH/IVF blocking key at scale). */
+    * blocked by label (stand-in for an LSH/IVF blocking key at scale —
+    * [[rpLshNearDups]] is that path). */
   def cosineNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
     val a = vectors.select(col("label"), col("vec_id").as("vec_a"),
       toDoubleArray(col("embedding")).as("va"))

@@ -27,9 +27,18 @@ object SimilarityQueries extends graft.QueryModule {
       emb.filter(col("vec_id") < NQueries), emb, K)
   }
 
-  /** Embedding-cosine near-duplicate pairs, label-blocked. */
+  /** Embedding-cosine near-duplicate pairs, label-blocked (exact within
+    * blocks — the oracled ground truth for the LSH variant below). */
   def cosineNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(
+      Tables.loadSpread(spark, dir, "embeddings"), NearDupThreshold)
+
+  /** RP-LSH-blocked near-dups — the 100 TB path (no quadratic block,
+    * only bucket collisions scored). Approximate family: rows-only
+    * driver check + DedupSpec recall/precision contract vs the exact
+    * query. */
+  def rpLshNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.rpLshNearDups(
       Tables.loadSpread(spark, dir, "embeddings"), NearDupThreshold)
 
   /** IVF approximate top-k: centroids = every 50th vector, nprobe=3. */
@@ -77,6 +86,7 @@ object SimilarityQueries extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> topkBrute,
     "sim_cosine_neardups" -> cosineNearDups,
+    "sim_neardups_rplsh" -> rpLshNearDups,
     "sim_topk_ivf" -> topkIvf,
     "sim_topk_rplsh" -> topkRpLsh,
     "sim_centroid_dist" -> centroidDist,
