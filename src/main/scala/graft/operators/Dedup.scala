@@ -187,20 +187,27 @@ object Dedup {
     override def prettyName: String = "simhash64"
   }
 
+  /** Static kernel for [[SimHashText]] (callable from generated code). */
+  def simhashTextKernel(v: UTF8String): Long = {
+    val s = v.toString
+    val offs = Tokenizer.tokenize(s)
+    simhashVote((0 until offs.length / 2).iterator.map(i =>
+      s.substring(offs(2 * i), offs(2 * i + 1))))
+  }
+
   /** Fused text->SimHash: the scanner tokenizer feeds the vote directly —
     * same hash values as `simhash64(regex_tokens(text))` (identical token
     * rule, property of the tokenizer) without the regex pass or the
-    * intermediate token array. */
+    * intermediate token array. Codegen-participating (static kernel
+    * call). */
   case class SimHashText(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-      val offs = Tokenizer.tokenize(s)
-      java.lang.Long.valueOf(simhashVote(
-        (0 until offs.length / 2).iterator.map(i =>
-          s.substring(offs(2 * i), offs(2 * i + 1)))))
-    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(simhashTextKernel(v.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.operators.Dedup.simhashTextKernel($c)")
     override protected def withNewChildInternal(c: Expression): SimHashText = copy(c)
     override def prettyName: String = "simhash_text"
   }

@@ -24,38 +24,23 @@ object Similarity {
     * `fold(zip_with(a,b,*)) / (sqrt(fold(a^2)) * sqrt(fold(b^2)))` —
     * left-to-right adds, then dot/(na*nb) — which is also what the DuckDB
     * oracle spells out, so results hash-match while skipping three
-    * interpreted lambda folds per pair. */
+    * interpreted lambda folds per pair. Codegen-participating: emits a
+    * static [[CosineKernel]] call inside whole-stage codegen (this is the
+    * innermost expression of every ANN scoring loop — no fallback row
+    * materialization or boxing per pair). */
   case class CosineSim(left: org.apache.spark.sql.catalyst.expressions.Expression,
       right: org.apache.spark.sql.catalyst.expressions.Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types.{DataType, DoubleType}
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
-      var dot = 0.0
-      var na = 0.0
-      var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = a.getDouble(i)
-        val y = b.getDouble(i)
-        dot += x * y
-        na += x * x
-        nb += y * y
-        i += 1
-      }
-      // tail of the longer array still contributes to its own norm,
-      // matching transform(a, x*x) over the full array
-      var j = n
-      while (j < a.numElements()) { val x = a.getDouble(j); na += x * x; j += 1 }
-      j = n
-      while (j < b.numElements()) { val y = b.getDouble(j); nb += y * y; j += 1 }
-      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(CosineKernel.sim(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.operators.CosineKernel.sim($a, $b)")
     override protected def withNewChildrenInternal(
         l: org.apache.spark.sql.catalyst.expressions.Expression,
         r: org.apache.spark.sql.catalyst.expressions.Expression): CosineSim = copy(l, r)
