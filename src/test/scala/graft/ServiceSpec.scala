@@ -36,6 +36,34 @@ class ServiceSpec extends SparkSpec {
     assert(svc.cacheSize == 2)
   }
 
+  test("RunPipeline CLI entry: markdown corpus -> results envelope end to end") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_cli").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.md"),
+      "spark query join data across tables " * 30)
+    Files.writeString(java.nio.file.Paths.get(dir, "b.md"),
+      "unrelated prose about gardening and weather " * 30)
+    val out = Files.createTempDirectory("graft_cli_out").toString
+    val cfg = RunPipeline.parse(Array(
+      "--dataset", "markdown", "--path", dir, "--approach", "mapreduce",
+      "--format", "hybrid", "--prompt-set", "hybrid",
+      "--question", "spark query join data", "--out", out))
+    val runDir = RunPipeline.run(spark, cfg, "test_ts")
+    val qa = spark.read.json(s"$runDir/qa_data")
+    assert(qa.count() == 2)
+    assert(qa.columns.contains("judgment") && qa.columns.contains("llm_answer"))
+    val env = spark.read.json(s"$runDir/envelope")
+    assert(env.count() == 1)
+    // the serialized prompt set survives the envelope round-trip (S12)
+    val promptsJson = env.select("config_prompts_json").first().getString(0)
+    assert(graft.sources.Prompts.fromJson(promptsJson) ==
+      graft.sources.Prompts.resolve(Some("hybrid")))
+    // bad args fail fast
+    intercept[IllegalArgumentException](RunPipeline.parse(Array("--nope", "x")))
+    intercept[IllegalArgumentException](
+      RunPipeline.run(spark, cfg.copy(dataset = "nope"), "t"))
+  }
+
   test("warm single-request latency stays interactive") {
     val svc = new QaService(spark)
     val q = "spark query join data"
