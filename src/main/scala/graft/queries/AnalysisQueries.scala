@@ -105,27 +105,33 @@ object AnalysisQueries extends graft.QueryModule {
   /** Per-document top TF-IDF term: tf from the token explode, df over the
     * (doc, term) pairs, idf = ln(N/df). Ranking uses the ROUNDED score
     * (cross-engine ulp differences in ln can't flip the order) with a
-    * lexicographic tie-break. */
+    * lexicographic tie-break (term DESC — chosen so the argmax is a plain
+    * `max(struct(tfidf, term))` aggregation with partial combine, not a
+    * row_number window that would shuffle and sort every (doc, term)
+    * row). tf feeds BOTH the df branch and the scoring branch — Catalyst
+    * doesn't CSE across self-references, so it is persisted for the run
+    * (the Dedup.minhashNearDups pattern). */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.loadSpread(spark, dir, "documents")
     val tf = docs
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.regex_tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // vocabulary << corpus: broadcasting df avoids re-shuffling the whole
     // (doc, term) tf table on term
-    val scored = tf.join(broadcast(dft), "term")
+    val out = tf.join(broadcast(dft), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 6))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("term"), col("tfidf"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("tfidf"), col("term"))).as("m"))
+      .select(col("doc_id"), col("m.term").as("term"), col("m.tfidf").as("tfidf"))
+      .localCheckpoint(true) // materialize, then free the tf cache
+    tf.unpersist(blocking = false)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -233,7 +239,7 @@ object AnalysisQueries extends graft.QueryModule {
          |  FROM tf t JOIN dft USING (term) CROSS JOIN n)
          |SELECT doc_id, term, tfidf FROM (
          |  SELECT *, row_number() OVER
-         |    (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+         |    (PARTITION BY doc_id ORDER BY tfidf DESC, term DESC) AS rn
          |  FROM scored) WHERE rn = 1""".stripMargin,
     "mm_decode_stats" ->
       """WITH b AS (
