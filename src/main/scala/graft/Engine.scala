@@ -101,11 +101,11 @@ case class Engine(
     import org.apache.spark.sql.functions._
     val a = truncationAnswers(documents, contextWindow, buffer, strategy)
     val scaled = col("score") / lit(qaFormat.scoreScale / 10) // back to 0-10
-    val judgment = when(col("score") <= config.threshold, "No answer")
-      .when(scaled >= 4, "Correct")
-      .when(scaled === 3, "Coherent")
-      .when(scaled === 2, "Deviated")
-      .otherwise("Incorrect")
+    // below-threshold scores are the truncation path's "no surviving
+    // chunk"; routed through the model's judge slot like the MapReduce
+    // path, so a custom model judges BOTH plan shapes
+    val judgment = model.judge(scaled,
+      when(col("score") <= config.threshold, lit(0)).otherwise(lit(1)))
     MapReducePipeline.positionalBatches(
       a.withColumn("judgment", judgment), col("doc_id"))
   }

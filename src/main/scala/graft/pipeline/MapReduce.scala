@@ -44,6 +44,18 @@ trait TextModel {
     val t = trim(regexp_replace(question, "\\s+", " "))
     when(t.endsWith("?"), t).otherwise(concat(t, lit("?")))
   }
+
+  /** P7/O5 judge (the reference's separate judge LLM,
+    * async_evaluation.py + judge_prompt.yml's 5-way scale). Inputs are
+    * the reduce outcome: the 0-10-scaled best score and the surviving
+    * chunk count (0 => the canned no-answer row). Default: the
+    * deterministic score-band stand-in. */
+  def judge(bestScore: Column, chunksAfter: Column): Column =
+    when(chunksAfter === 0, "No answer")
+      .when(bestScore >= 4, "Correct")
+      .when(bestScore === 3, "Coherent")
+      .when(bestScore === 2, "Deviated")
+      .otherwise("Incorrect")
 }
 
 /** Deterministic extractive scorer: score = |distinct chunk tokens ∩
@@ -203,18 +215,15 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
           "\n").as("judge_block"))
   }
 
-  /** Judge stage (O5 positional batching + deterministic judgment + P7
-    * normalization): batches of 5 docs by doc_id order; judgment from the
-    * best_score (stand-in for the LLM judge, 5-way as in
-    * config/prompts/judge_prompt.yml). */
+  /** Judge stage (O5 positional batching + P7 normalization): batches of
+    * 5 docs by doc_id order; judgment routed through the MODEL's judge
+    * slot (5-way as in config/prompts/judge_prompt.yml) — a custom
+    * [[TextModel]] supplies its own judge exactly like its own map/
+    * reduce. */
   def judged(documents: DataFrame): DataFrame = {
     val a = answers(documents)
-    val judgment = when(col("chunks_after") === 0, "No answer")
-      .when(col("best_score") >= 4, "Correct")
-      .when(col("best_score") === 3, "Coherent")
-      .when(col("best_score") === 2, "Deviated")
-      .otherwise("Incorrect")
     MapReducePipeline.positionalBatches(
-      a.withColumn("judgment", judgment), col("doc_id"))
+      a.withColumn("judgment",
+        model.judge(col("best_score"), col("chunks_after"))), col("doc_id"))
   }
 }

@@ -39,6 +39,26 @@ class EngineSpec extends SparkSpec {
     assert(out(0).getAs[String]("original_question") == "what is revenue")
   }
 
+  test("a custom TextModel judge reaches both plan shapes") {
+    import org.apache.spark.sql.Column
+    object BinaryJudge extends graft.pipeline.TextModel {
+      def score(chunkTokens: Column, questionTokens: Column): Column =
+        graft.pipeline.ExtractiveModel.score(chunkTokens, questionTokens)
+      def content(chunkTokens: Column): Column =
+        graft.pipeline.ExtractiveModel.content(chunkTokens)
+      override def judge(bestScore: Column, chunksAfter: Column): Column =
+        when(chunksAfter === 0, "No answer").otherwise("Custom")
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = "spark query join data filter group sort merge window stream batch hash"
+    val mr = Engine(question = q, model = BinaryJudge).judged(docs)
+      .select("judgment").distinct().collect().map(_.getString(0)).toSet
+    assert(mr.subsetOf(Set("No answer", "Custom")) && mr.contains("Custom"))
+    val tr = Engine(question = q, model = BinaryJudge).truncationJudged(docs)
+      .select("judgment").distinct().collect().map(_.getString(0)).toSet
+    assert(tr.subsetOf(Set("No answer", "Custom")))
+  }
+
   test("Engine format selection changes thresholds and reduce shape") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = "spark query join data filter group sort merge window stream batch hash"
