@@ -38,7 +38,16 @@ object Tables {
   def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = load(spark, sfDir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // decide from the file stat, not df.rdd.getNumPartitions — the .rdd
+    // probe forces a full physical planning pass PER CALL (~100 ms), paid
+    // by every query builder. A single parquet file under the split size
+    // is exactly the one-partition-scan case the spread exists for; a
+    // directory of files parallelizes by split on its own.
+    val file = new java.io.File(s"$sfDir/$name.parquet")
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    if (file.isFile && file.length() < maxPart && target > 1)
+      df.repartition(target)
+    else df
   }
 
   /** Registers all tables as temp views so `spark.sql` text matches the
