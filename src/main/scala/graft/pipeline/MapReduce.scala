@@ -215,15 +215,18 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
           "\n").as("judge_block"))
   }
 
-  /** Judge stage (O5 positional batching + P7 normalization): batches of
-    * 5 docs by doc_id order; judgment routed through the MODEL's judge
-    * slot (5-way as in config/prompts/judge_prompt.yml) — a custom
+  /** Answers + judgment, WITHOUT positional batching — for analytics
+    * that aggregate judgments and never look at batch keys; skips the
+    * global-order pass entirely. Judgment routed through the MODEL's
+    * judge slot (5-way as in config/prompts/judge_prompt.yml) — a custom
     * [[TextModel]] supplies its own judge exactly like its own map/
     * reduce. */
-  def judged(documents: DataFrame): DataFrame = {
-    val a = answers(documents)
-    MapReducePipeline.positionalBatches(
-      a.withColumn("judgment",
-        model.judge(col("best_score"), col("chunks_after"))), col("doc_id"))
-  }
+  def judgedAnswers(documents: DataFrame): DataFrame =
+    answers(documents).withColumn("judgment",
+      model.judge(col("best_score"), col("chunks_after")))
+
+  /** Judge stage (O5 positional batching + P7 normalization): batches of
+    * 5 docs by doc_id order on top of [[judgedAnswers]]. */
+  def judged(documents: DataFrame): DataFrame =
+    MapReducePipeline.positionalBatches(judgedAnswers(documents), col("doc_id"))
 }

@@ -34,6 +34,11 @@ object QaPipeline extends graft.QueryModule {
   def judged(spark: SparkSession, dir: String): DataFrame =
     pipe.judged(Tables.loadSpread(spark, dir, "documents"))
 
+  /** Judgments without batch keys — the cheap base for the judgment
+    * aggregations below (skips the global-order pass they never use). */
+  private def judgedAnswers(spark: SparkSession, dir: String): DataFrame =
+    pipe.judgedAnswers(Tables.loadSpread(spark, dir, "documents"))
+
   /** Judge input blocks: 5 items per batch, XML shape (FIXTURES.md §6). */
   def judgeBlocks(spark: SparkSession, dir: String): DataFrame =
     pipe.judgeBlocks(Tables.loadSpread(spark, dir, "documents"))
@@ -41,7 +46,7 @@ object QaPipeline extends graft.QueryModule {
   /** A4: judgment distribution with share-of-total. */
   def judgmentDistribution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    judged(spark, dir)
+    judgedAnswers(spark, dir)
       .groupBy(col("judgment"))
       .agg(count(lit(1)).as("n"))
       .withColumn("pct",
@@ -54,7 +59,7 @@ object QaPipeline extends graft.QueryModule {
     // plain load: this side is broadcast (collected to the driver) — a
     // spread shuffle before a broadcast would be pure overhead
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang"))
-    judged(spark, dir)
+    judgedAnswers(spark, dir)
       .join(broadcast(docs), Seq("doc_id"))
       .groupBy(col("lang"))
       .agg(
