@@ -45,6 +45,17 @@ object TextAnalysis {
       "quality" -> least(quality, lit(1.0)))
   }
 
+  /** Gopher-style duplicate-word fraction (the published web-corpus
+    * quality rules: Rae et al. 2021 §A1.1 — fraction of repeated units).
+    * A pure scalar over one tokenization. */
+  def dupWordFrac(text: Column): Column = {
+    val toks = tokensOf(text)
+    val n = size(toks).cast("double")
+    round(when(n > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / n)
+      .otherwise(lit(0.0)), 6)
+  }
+
   /** Marker-word language ID: per-language marker lists, predicted language
     * = argmax marker hits (ties -> lexicographically first), 'und' if no
     * marker hits at all. A classic n-gram/profile heuristic reduced to

@@ -134,7 +134,36 @@ object AnalysisQueries extends graft.QueryModule {
     out
   }
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021
+    * §A1.1): duplicate-word fraction plus the most frequent word 2-gram
+    * and the fraction of text characters it covers. The 2-gram argmax is
+    * a max(struct) aggregation with partial combine (tiebreak: count
+    * DESC, gram DESC), same discipline as [[tfidfTop]]. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+      TextAnalysis.dupWordFrac(col("text")).as("dup_word_frac"),
+      graft.functions.TextFunctions.regex_tokens(col("text")).as("ts"))
+    val grams = base.select(col("doc_id"), col("n_chars"), col("dup_word_frac"),
+      // guard: sequence(0, -1) would generate a DESCENDING range; docs
+      // with < 2 tokens have no 2-grams and drop out (both engines)
+      explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => concat_ws(" ", element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    grams.groupBy(col("doc_id"), col("n_chars"), col("dup_word_frac"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_chars"), col("dup_word_frac"))
+      .agg(max(struct(col("cnt"), col("gram"))).as("m"))
+      .select(col("doc_id"), col("dup_word_frac"),
+        col("m.gram").as("top_2gram"),
+        round(col("m.cnt") * length(col("m.gram")).cast("double")
+          / col("n_chars"), 6).as("top_2gram_char_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_repetition" -> repetition,
     "ta_quality" -> quality,
     "ta_langid" -> langid,
     "ta_langid_ngram" -> langidNgram,
@@ -163,6 +192,27 @@ object AnalysisQueries extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ta_repetition" ->
+      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
+         |             regexp_extract_all(text, '$re') AS ts FROM documents),
+         |base AS (
+         |  SELECT doc_id, n_chars,
+         |    round(CASE WHEN len(ts) > 0
+         |      THEN 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+         |      ELSE 0.0 END, 6) AS dup_word_frac, ts
+         |  FROM t),
+         |g AS (
+         |  SELECT doc_id, n_chars, dup_word_frac,
+         |    unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS gram
+         |  FROM base),
+         |c AS (SELECT doc_id, n_chars, dup_word_frac, gram, count(*) AS cnt
+         |      FROM g GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id, dup_word_frac, gram AS top_2gram,
+         |  round(CAST(cnt * len(gram) AS DOUBLE) / n_chars, 6)
+         |    AS top_2gram_char_frac
+         |FROM (SELECT *, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+         |      FROM c) WHERE rn = 1""".stripMargin,
     "ta_quality" ->
       s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
          |           FROM documents),
