@@ -162,8 +162,39 @@ object AnalysisQueries extends graft.QueryModule {
           / col("n_chars"), 6).as("top_2gram_char_frac"))
   }
 
+  /** PII scrubbing (training-data sanitization): emails, phone numbers
+    * and account amounts replaced by typed tags, with per-row redaction
+    * counts — the P10 scrub generalized to the structured-PII families a
+    * corpus pipeline redacts before training. Text is built
+    * deterministically from the customer table (identical construction in
+    * the oracle), the scrub itself is three codegen'd regexp_replace
+    * passes — a pure projection at any scale. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9.#]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-\\d{4}"
+    val amountRe = "\\$\\d+(?:\\.\\d+)?"
+    val txt = concat(
+      lit("Contact "), col("c_name"),
+      lit(" at "), lower(replace(col("c_name"), lit("#"), lit("."))),
+      lit("@example.com or +1-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" about the $"), col("c_acctbal").cast("string"),
+      lit(" balance in "), col("c_mktsegment"))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), txt.as("text"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), amountRe, "<AMOUNT>"))
+      .withColumn("n_emails",
+        (size(split(col("text"), emailRe, -1)) - 1).cast("int"))
+      .withColumn("n_phones",
+        (size(split(col("text"), phoneRe, -1)) - 1).cast("int"))
+      .select(col("c_custkey"), col("scrubbed"), col("n_emails"), col("n_phones"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_repetition" -> repetition,
+    "ta_pii_scrub" -> piiScrub,
     "ta_quality" -> quality,
     "ta_langid" -> langid,
     "ta_langid_ngram" -> langidNgram,
@@ -192,6 +223,25 @@ object AnalysisQueries extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ta_pii_scrub" ->
+      s"""WITH t AS (
+         |  SELECT c_custkey,
+         |    'Contact ' || c_name || ' at ' || lower(replace(c_name, '#', '.'))
+         |    || '@example.com or +1-555-'
+         |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         |    || ' about the $$' || CAST(c_acctbal AS VARCHAR)
+         |    || ' balance in ' || c_mktsegment AS txt
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '[a-z0-9.#]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\+1-555-\\d{4}', '<PHONE>', 'g'),
+         |    '\\$$\\d+(?:\\.\\d+)?', '<AMOUNT>', 'g') AS scrubbed,
+         |  CAST(len(string_split_regex(txt,
+         |    '[a-z0-9.#]+@[a-z0-9.-]+\\.[a-z]{2,}')) - 1 AS INT) AS n_emails,
+         |  CAST(len(string_split_regex(txt, '\\+1-555-\\d{4}')) - 1 AS INT)
+         |    AS n_phones
+         |FROM t""".stripMargin,
     "ta_repetition" ->
       s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
          |             regexp_extract_all(text, '$re') AS ts FROM documents),
