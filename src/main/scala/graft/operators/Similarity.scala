@@ -246,6 +246,26 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Symmetric int8 quantization of an embedding (vector compression for
+    * training-data pipelines: 4x smaller than float32, 8x than float64):
+    * scale = max|x| / 127, q_i = clamp(round(x_i / scale), -127, 127).
+    * Returns (scale, qs, max_abs_err) columns; reconstruction error is
+    * bounded by scale/2 per dimension by construction. Pure projection —
+    * compresses a 100 TB embedding column with no shuffle. */
+  def quantizeInt8(emb: Column): (Column, Column, Column) = {
+    val dv = toDoubleArray(emb)
+    val scale = aggregate(transform(dv, x => abs(x)), lit(0.0),
+      (acc, x) => greatest(acc, x)) / 127.0
+    val qs = transform(dv, x =>
+      when(scale =!= 0.0,
+        least(lit(127.0), greatest(lit(-127.0), round(x / scale, 0))))
+        .otherwise(lit(0.0)).cast("int"))
+    val maxErr = aggregate(
+      zip_with(dv, qs, (x, q) => abs(q.cast("double") * scale - x)),
+      lit(0.0), (acc, e) => greatest(acc, e))
+    (scale, qs, maxErr)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * blocked by label (stand-in for an LSH/IVF blocking key at scale —
     * [[rpLshNearDups]] is that path). */

@@ -56,6 +56,16 @@ object SimilarityQueries extends graft.QueryModule {
     Similarity.rpLshTopK(emb.filter(col("vec_id") < NQueries), emb, K)
   }
 
+  /** Int8 quantization stats per vector: the compression scale and the
+    * max per-dimension reconstruction error (bounded by scale/2 by
+    * construction — also asserted in DedupSpec). */
+  def quantizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val (scale, _, maxErr) = Similarity.quantizeInt8(col("embedding"))
+    Tables.loadSpread(spark, dir, "embeddings")
+      .select(col("vec_id"), round(scale, 6).as("scale"),
+        round(maxErr, 6).as("max_abs_err"))
+  }
+
   /** Per-label centroid + each member's L2 distance to its own centroid
     * (cluster-quality / outlier scoring for embedding columns). Both the
     * centroid component sums and the distance fold run left-to-right in a
@@ -90,6 +100,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_ivf" -> topkIvf,
     "sim_topk_rplsh" -> topkRpLsh,
     "sim_centroid_dist" -> centroidDist,
+    "sim_quantize_stats" -> quantizeStats,
   )
 
   /** DuckDB cosine with the exact same operation order as
@@ -126,6 +137,21 @@ object SimilarityQueries extends graft.QueryModule {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCosine("a.embedding", "b.embedding")} > $NearDupThreshold"""
         .stripMargin,
+    "sim_quantize_stats" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, dv,
+        |  list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, scale, dv,
+        |  list_transform(dv, x -> CASE WHEN scale <> 0
+        |    THEN CAST(least(127.0, greatest(-127.0, round(x / scale, 0))) AS INT)
+        |    ELSE 0 END) AS qs
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_max(list_transform(list_zip(qs, dv),
+        |    p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 6) AS max_abs_err
+        |FROM q""".stripMargin,
     "sim_centroid_dist" ->
       """WITH p AS (SELECT vec_id, label,
         |    CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -172,6 +172,23 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("int8 quantization: error bounded by scale/2, dequant cosine ~ 1") {
+    val stats = SimilarityQueries.quantizeStats(spark, sf).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (scale, err) = (r.getDouble(1), r.getDouble(2))
+      assert(err <= scale / 2 + 1e-6, s"vec ${r.getLong(0)}: err $err scale $scale")
+    }
+    // dequantized vectors stay usable for similarity: cosine vs original
+    val (scale, qs, _) = Similarity.quantizeInt8(col("embedding"))
+    val dq = transform(qs, q => q.cast("double") * scale)
+    val sims = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(Similarity.cosine(
+        Similarity.toDoubleArray(col("embedding")), dq).as("s"))
+      .agg(min(col("s"))).collect()(0).getDouble(0)
+    assert(sims > 0.999, s"min dequant cosine $sims")
+  }
+
   test("cosine is 1.0 on identical vectors, symmetric bounds") {
     val sess = spark
     import sess.implicits._
