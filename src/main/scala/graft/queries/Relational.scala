@@ -314,6 +314,38 @@ object Relational extends graft.QueryModule {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Quantile sketch (§2.7+ sketch family, with [[approxDistinct]]):
+    * approx_percentile's GK-sketch quantiles per group. Approximate —
+    * rows-only driver check; RelationalSpec pins the rank-error bound
+    * against the exact percentiles. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        approx_percentile($"o_totalprice", array(lit(0.5), lit(0.95)), lit(1000))
+          .as("approx_p"),
+        count(lit(1)).as("n_rows"))
+      .select($"o_orderpriority", $"n_rows",
+        round(element_at($"approx_p", 1), 2).as("p50"),
+        round(element_at($"approx_p", 2), 2).as("p95"))
+  }
+
+  /** Deterministic train/val/test split (the dataset-assembly op every
+    * training pipeline ends with): bucket = first byte of md5(doc_id) —
+    * engine-independent, reproducible, shuffle-free (pure projection;
+    * the 90/5/5 assignment never moves data). */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // lowercase fixed-width hex compares lexicographically == numerically
+    // in BOTH engines: 'e6'/'f3' are the 230/243 bucket edges (~90/5/5)
+    val bucket = substring(md5($"doc_id".cast("string")), 1, 2)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        when(bucket < "e6", "train").when(bucket < "f3", "val")
+          .otherwise("test").as("split"))
+  }
+
   /** lag() window: inter-event gap per user, aggregated — the lead/lag
     * surface (session analysis building block). */
   def eventGaps(spark: SparkSession, dir: String): DataFrame = {
@@ -367,6 +399,8 @@ object Relational extends graft.QueryModule {
     "rel_set_ops" -> setOps,
     "rel_pivot" -> pivotCounts,
     "rel_approx_distinct" -> approxDistinct,
+    "rel_approx_percentiles" -> approxPercentiles,
+    "rel_dataset_split" -> datasetSplit,
     "rel_cube_agg" -> cubeAgg,
     "rel_percentiles" -> percentiles,
     "rel_running_total" -> runningTotal,
@@ -391,6 +425,12 @@ object Relational extends graft.QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "rel_scan_project" ->
       """SELECT doc_id, lang, source, n_chars, length(text) AS text_len
         |FROM documents""".stripMargin,

@@ -30,6 +30,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles stay within the sketch's rank-error bound") {
+    import org.apache.spark.sql.functions._
+    val approx = Relational.approxPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    approx.foreach { case (prio, (p50, p95)) =>
+      val vals = orders.filter(col("o_orderpriority") === prio)
+        .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+      // accuracy 1000 => rank error <= n/1000; generous slack for ties
+      def rankOf(v: Double) = vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.02 + 1.0 / vals.length, s"$prio p50")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.02 + 1.0 / vals.length, s"$prio p95")
+    }
+  }
+
+  test("dataset split is deterministic and ~90/5/5") {
+    val rows = Relational.datasetSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val again = Relational.datasetSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == again.toSet) // reproducible, not sampled
+    val frac = rows.groupBy(_._2).view.mapValues(_.length.toDouble / rows.length)
+    assert(frac("train") > 0.8 && frac("train") < 0.97)
+    assert(frac.getOrElse("val", 0.0) < 0.12 && frac.getOrElse("test", 0.0) < 0.12)
+  }
+
   test("q1_agg aggregates are exact and grouped correctly") {
     val rows = Relational.q1Agg(spark, sf).collect()
     assert(rows.length == 6) // 3 returnflags x 2 linestatus in synthetic data
