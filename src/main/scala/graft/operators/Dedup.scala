@@ -149,6 +149,54 @@ object Dedup {
     out
   }
 
+  /** Connected components over a verified near-dup pair graph — the
+    * canonical-representative step a dedup pipeline ends with (keep
+    * min-id doc per duplicate cluster, drop the rest).
+    *
+    * Iterative min-label propagation (Pregel-lite): each round every
+    * node takes the min of its own label and its neighbors' labels; stop
+    * at fixpoint. Rounds = graph diameter (near-dup clusters are
+    * shallow); each round is one equi-join + one map-side-combined min
+    * aggregation — the standard scalable formulation (GraphX/large-star
+    * semantics without the library). Labels persist across rounds; the
+    * pair table is tiny relative to the corpus, so the fixpoint check
+    * (one count per round) is cheap.
+    *
+    * @return (id, cluster) for EVERY doc in `docs` — singletons label
+    *         themselves. */
+  def connectedComponents(pairs: DataFrame, docs: DataFrame,
+      idCol: String, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster")), "dst")
+        .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("id"), col("cluster").as("prev")), "id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val out = labels.select(col("id").as(idCol), col("cluster"))
+      .localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** Shared SimHash core: per-bit weighted vote of 64-bit token hashes.
     * Token hash = two independent 32-bit murmur mixes (deterministic). */
   private def simhashVote(tokens: Iterator[String]): Long = {

@@ -73,6 +73,14 @@ object DedupQueries extends graft.QueryModule {
     Dedup.simhashNearDups(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", maxHamming = 8)
 
+  /** Canonical cluster per document: connected components over the exact
+    * near-dup pairs (keep-min-id semantics). Oracled — DuckDB computes
+    * the same transitive closure with a recursive CTE. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      ngramJaccard(spark, dir),
+      Tables.load(spark, dir, "documents"), "doc_id")
+
   /** Stream-static incremental near-dups: streaming docs probed against
     * the static banded-MinHash corpus index; must equal the batch LSH
     * pairs on a bounded stream (DedupSpec parity). Approximate family —
@@ -86,12 +94,25 @@ object DedupQueries extends graft.QueryModule {
     "dedup_exact" -> exact,
     "dedup_fingerprint" -> fingerprint,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_clusters" -> nearDupClusters,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
   )
 
   private val re = Tokenizer.DuckDbTokenRegex
+
+  /** Shared shingle CTE body (3-gram distinct shingles per doc). */
+  private lazy val ShingleCte =
+    s"""sh AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(ts) >= 3 THEN list_distinct(
+       |      [array_to_string(list_slice(ts, i, i + 2), ' ')
+       |       for i in range(1, len(ts) - 2 + 1)])
+       |    ELSE [] END AS sh
+       |  FROM (SELECT doc_id, lang, regexp_extract_all(text, '$re') AS ts
+       |        FROM documents)
+       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -110,15 +131,7 @@ object DedupQueries extends graft.QueryModule {
          |  min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM nums GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, lang,
-         |    CASE WHEN len(ts) >= 3 THEN list_distinct(
-         |      [array_to_string(list_slice(ts, i, i + 2), ' ')
-         |       for i in range(1, len(ts) - 2 + 1)])
-         |    ELSE [] END AS sh
-         |  FROM (SELECT doc_id, lang, regexp_extract_all(text, '$re') AS ts
-         |        FROM documents)
-         |)
+      s"""WITH $ShingleCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  round(len(list_intersect(a.sh, b.sh)) * 1.0
          |        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
@@ -126,5 +139,24 @@ object DedupQueries extends graft.QueryModule {
          |WHERE len(list_intersect(a.sh, b.sh)) > 0
          |  AND len(list_intersect(a.sh, b.sh)) * 1.0
          |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |    AND len(list_intersect(a.sh, b.sh)) * 1.0
+         |        / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src)
+         |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+         |FROM documents d LEFT JOIN labels l USING (doc_id)""".stripMargin,
   )
 }

@@ -172,6 +172,29 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("connected components equal a union-find over the exact pairs") {
+    // independent union-find in test code
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val pairs = DedupQueries.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val want = docs.map(d => d -> find(d)).toMap
+    val got = DedupQueries.nearDupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // clusters actually merge something on the planted near-dups
+    assert(got.exists { case (d, c) => d != c })
+  }
+
   test("int8 quantization: error bounded by scale/2, dequant cosine ~ 1") {
     val stats = SimilarityQueries.quantizeStats(spark, sf).collect()
     assert(stats.nonEmpty)
