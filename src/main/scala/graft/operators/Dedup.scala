@@ -170,7 +170,11 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // iterate ONLY over nodes that appear in the pair graph — at corpus
+    // scale duplicates are a sliver of the data, and singletons can't
+    // change label; they are attached in the final projection instead
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
@@ -190,7 +194,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    val out = labels.select(col("id").as(idCol), col("cluster"))
+    val out = docs.select(col(idCol))
+      .join(labels.select(col("id").as(idCol), col("cluster")),
+        Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
       .localCheckpoint(true)
     labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
