@@ -56,6 +56,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("filters push to the parquet scan; projections prune the read schema") {
+    // predicate pushdown: both conjuncts reach the scan
+    val filtered = graft.queries.Relational.scoreFilter(spark, sf)
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters:"), fplan)
+    assert(fplan.contains("GreaterThan(value,") &&
+      fplan.contains("EqualTo(event_type,purchase)"), fplan)
+    // column pruning: a 3-column projection reads 3 columns, not the table
+    val pruned = graft.queries.Relational.orderedLimit(spark, sf)
+    val pplan = pruned.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(pplan).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 3, s"ReadSchema: $readSchema")
+    assert(!readSchema.contains("o_orderpriority"), readSchema)
+  }
+
   test("bucketed tables join with no exchange and no sort") {
     import graft.core.Tables
     val orders = spark.read.parquet(s"$sf/orders.parquet")
