@@ -28,6 +28,26 @@ object ExternalModel {
     def call(prompt: String): String
   }
 
+  /** SURVEY §4's partitioning-to-budget rule, realized: the reference
+    * gates total in-flight requests with one global semaphore
+    * (base_pipeline.py:44); the cluster analog is partitions x
+    * per-partition threads = allowed concurrency. Returns the partition
+    * count that pins an external-call stage to `maxConcurrent`, bounded
+    * below by 1 (never zero) and above by nothing — the BUDGET is the
+    * sizing authority, not the core count (an IO-bound stage can healthily
+    * run more partitions than cores). */
+  def concurrencyPartitions(maxConcurrent: Int, perPartitionParallelism: Int): Int = {
+    require(maxConcurrent > 0 && perPartitionParallelism > 0,
+      "concurrency budget and per-partition parallelism must be positive")
+    math.max(1, math.ceil(
+      maxConcurrent.toDouble / perPartitionParallelism).toInt)
+  }
+
+  /** Repartition an external-call input to the concurrency budget. */
+  def repartitionForBudget[T](ds: Dataset[T], maxConcurrent: Int,
+      perPartitionParallelism: Int): Dataset[T] =
+    ds.repartition(concurrencyPartitions(maxConcurrent, perPartitionParallelism))
+
   /** Retry/backoff policy (reference defaults: <=50 retries, 2 s base,
     * 60 s cap — scaled down for engine use). */
   case class RetryPolicy(maxRetries: Int = 5, baseBackoffMs: Long = 10,

@@ -80,6 +80,19 @@ class ExternalModelSpec extends SparkSpec {
     assert(got.contains("""{"a":1}"""))
   }
 
+  test("concurrency budget pins the stage partitioning") {
+    import graft.pipeline.ExternalModel
+    assert(ExternalModel.concurrencyPartitions(1000, 8) == 125)
+    assert(ExternalModel.concurrencyPartitions(10, 8) == 2)
+    assert(ExternalModel.concurrencyPartitions(3, 8) == 1)
+    intercept[IllegalArgumentException](ExternalModel.concurrencyPartitions(0, 8))
+    val sess = spark
+    import sess.implicits._
+    val ds = (1 to 100).map(i => (i.toLong, s"p$i")).toDS()
+    val pinned = ExternalModel.repartitionForBudget(ds, 24, 4)
+    assert(pinned.rdd.getNumPartitions == 6)
+  }
+
   test("rate limiter bounds throughput") {
     val rl = new ExternalModel.RateLimiter(permitsPerSec = 100, burst = 5)
     val t0 = System.nanoTime()
