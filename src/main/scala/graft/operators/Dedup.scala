@@ -182,13 +182,14 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster")), "dst")
         .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
-      val next = labels
+      // carry the previous label so ONE action both materializes the next
+      // labels (into the persist) and returns the convergence signal
+      val next = labels.select(col("id"), col("cluster").as("prev"))
         .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nmin"), col("prev"))).as("cluster"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("id"), col("cluster").as("prev")), "id")
-        .filter(col("cluster") =!= col("prev")).count()
+      val changed = next.filter(col("cluster") =!= col("prev")).count()
       labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
