@@ -54,26 +54,103 @@ object TruncateTokens {
     StructField("strategy", StringType, nullable = false)))
 }
 
-/** `truncate_tokens(text, maxTokens, mode)` — token-budget truncation with
-  * the reference's stats struct (src/utils/truncation_utils.py:35-156).
-  * mode in {start, end, smart}; smart delegates to start (the reference's
-  * placeholder does the same, relabeling the strategy). */
-case class TruncateTokens(text: Expression, maxTokens: Expression, mode: Expression)
-    extends TernaryExpression with CodegenFallback {
-  override def first: Expression = text
-  override def second: Expression = maxTokens
-  override def third: Expression = mode
-  override def dataType: DataType = TruncateTokens.schema
-  override def nullSafeEval(t: Any, m: Any, md: Any): Any = {
-    val s = t.asInstanceOf[UTF8String].toString
-    val max = m.asInstanceOf[Int]
-    val strategy = md.asInstanceOf[UTF8String].toString
-    val (out, orig, kept) = Tokenizer.truncate(s, max, strategy)
+/** Static kernels shared by interpreted eval and generated code — a
+  * top-level object gets static forwarders, so Janino-generated Java can
+  * call them directly (no fallback row materialization or boxing). */
+object TextKernels {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def truncateTokens(t: UTF8String, max: Int, mode: UTF8String): InternalRow = {
+    val strategy = mode.toString
+    val (out, orig, kept) = Tokenizer.truncate(t.toString, max, strategy)
     val rate = if (orig > 0) kept.toDouble / orig else 1.0
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(out), orig, kept, rate,
       java.lang.Boolean.valueOf(kept < orig), UTF8String.fromString(strategy)))
   }
+
+  def shingles(t: UTF8String, kv: Int): ArrayData = {
+    val s = t.toString
+    val offs = Tokenizer.tokenize(s)
+    val n = offs.length / 2
+    if (n < kv) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](math.max(16, n))
+    var i = 0
+    while (i <= n - kv) {
+      // shingle = tokens i..i+k-1 joined by single spaces
+      val sb = new java.lang.StringBuilder(
+        offs(2 * (i + kv - 1) + 1) - offs(2 * i) + kv)
+      var j = i
+      while (j < i + kv) {
+        if (j > i) sb.append(' ')
+        sb.append(s, offs(2 * j), offs(2 * j + 1))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = UTF8String.fromString(it.next()); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  def minhashBands(arr: ArrayData, nh: Int, nb: Int): ArrayData = {
+    import Mix.fmix64
+    // bands > numHashes would make r = 0 and every band hash a constant —
+    // LSH degenerates to one all-docs bucket (quadratic pair explosion);
+    // a non-dividing bands count silently drops trailing hashes
+    if (nb < 1 || nb > nh || nh % nb != 0)
+      throw new IllegalArgumentException(
+        s"minhash_bands: bands ($nb) must divide numHashes ($nh) with 1 <= bands <= numHashes")
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(nh)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+      var j = 0
+      while (j < nh) {
+        val h = fmix64(base ^ (j * 0x9E3779B97F4A7C15L))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val r = nh / nb
+    val out = new Array[Any](nb)
+    var b = 0
+    while (b < nb) {
+      var acc = fmix64(b + 0x165667B19E3779F9L)
+      var k = 0
+      while (k < r) { acc = fmix64(acc ^ mins(b * r + k)); k += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `truncate_tokens(text, maxTokens, mode)` — token-budget truncation with
+  * the reference's stats struct (src/utils/truncation_utils.py:35-156).
+  * mode in {start, end, smart}; smart delegates to start (the reference's
+  * placeholder does the same, relabeling the strategy). Codegen-
+  * participating (static kernel call). */
+case class TruncateTokens(text: Expression, maxTokens: Expression, mode: Expression)
+    extends TernaryExpression {
+  override def first: Expression = text
+  override def second: Expression = maxTokens
+  override def third: Expression = mode
+  override def dataType: DataType = TruncateTokens.schema
+  override def nullSafeEval(t: Any, m: Any, md: Any): Any =
+    TextKernels.truncateTokens(t.asInstanceOf[UTF8String],
+      m.asInstanceOf[Int], md.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m, md) =>
+      s"graft.functions.TextKernels.truncateTokens($t, $m, $md)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): TruncateTokens = copy(f, s, t)
   override def prettyName: String = "truncate_tokens"
@@ -183,37 +260,15 @@ case class SplitChunksChars(text: Expression, size: Expression,
   * is first occurrence (set consumers — intersect counts, minhash,
   * explode — are order-insensitive). */
 case class Shingles(text: Expression, k: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = text
   override def right: Expression = k
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(t: Any, kk: Any): Any = {
-    val s = t.asInstanceOf[UTF8String].toString
-    val kv = kk.asInstanceOf[Int]
-    val offs = Tokenizer.tokenize(s)
-    val n = offs.length / 2
-    if (n < kv) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](math.max(16, n))
-    var i = 0
-    while (i <= n - kv) {
-      // shingle = tokens i..i+k-1 joined by single spaces
-      val sb = new java.lang.StringBuilder(
-        offs(2 * (i + kv - 1) + 1) - offs(2 * i) + kv)
-      var j = i
-      while (j < i + kv) {
-        if (j > i) sb.append(' ')
-        sb.append(s, offs(2 * j), offs(2 * j + 1))
-        j += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var x = 0
-    while (it.hasNext) { out(x) = UTF8String.fromString(it.next()); x += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(t: Any, kk: Any): Any =
+    TextKernels.shingles(t.asInstanceOf[UTF8String], kk.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, kk) =>
+      s"graft.functions.TextKernels.shingles($t, $kk)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Shingles = copy(l, r)
   override def prettyName: String = "shingles"
@@ -241,52 +296,18 @@ object Mix {
   * numHashes/bands minima combined), ready for posexplode -> bucket join.
   * Empty shingle array -> empty output (no bands, no candidates). */
 case class MinHashBands(shingles: Expression, numHashes: Expression, bands: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = shingles
   override def second: Expression = numHashes
   override def third: Expression = bands
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  import Mix.fmix64
-
-  override def nullSafeEval(shv: Any, nhv: Any, bv: Any): Any = {
-    val arr = shv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val nh = nhv.asInstanceOf[Int]
-    val nb = bv.asInstanceOf[Int]
-    // bands > numHashes would make r = 0 and every band hash a constant —
-    // LSH degenerates to one all-docs bucket (quadratic pair explosion);
-    // a non-dividing bands count silently drops trailing hashes
-    if (nb < 1 || nb > nh || nh % nb != 0)
-      throw new IllegalArgumentException(
-        s"minhash_bands: bands ($nb) must divide numHashes ($nh) with 1 <= bands <= numHashes")
-    val n = arr.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val mins = Array.fill(nh)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      val base = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
-      var j = 0
-      while (j < nh) {
-        val h = fmix64(base ^ (j * 0x9E3779B97F4A7C15L))
-        if (h < mins(j)) mins(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    val r = nh / nb
-    val out = new Array[Any](nb)
-    var b = 0
-    while (b < nb) {
-      var acc = fmix64(b + 0x165667B19E3779F9L)
-      var k = 0
-      while (k < r) { acc = fmix64(acc ^ mins(b * r + k)); k += 1 }
-      out(b) = acc
-      b += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(shv: Any, nhv: Any, bv: Any): Any =
+    TextKernels.minhashBands(
+      shv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nhv.asInstanceOf[Int], bv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sh, nh, nb) =>
+      s"graft.functions.TextKernels.minhashBands($sh, $nh, $nb)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): MinHashBands = copy(f, s, t)
   override def prettyName: String = "minhash_bands"

@@ -228,17 +228,23 @@ object Dedup {
     out
   }
 
+  /** Static kernel for [[SimHash64]] (callable from generated code). */
+  def simhash64Kernel(arr: ArrayData): Long =
+    simhashVote(
+      (0 until arr.numElements()).iterator.map(arr.getUTF8String(_).toString))
+
   /** 64-bit SimHash over a token array: per-bit weighted vote of 64-bit
     * token hashes. Custom expression — the 64-counter loop has no efficient
-    * composition from built-ins (SURVEY.md §2.11 preference order (b)). */
+    * composition from built-ins (SURVEY.md §2.11 preference order (b)).
+    * Codegen-participating (static kernel call). */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      java.lang.Long.valueOf(simhashVote(
-        (0 until arr.numElements()).iterator.map(arr.getUTF8String(_).toString)))
-    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(simhash64Kernel(v.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.operators.Dedup.simhash64Kernel($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
     override def prettyName: String = "simhash64"
   }

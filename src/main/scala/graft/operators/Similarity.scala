@@ -145,47 +145,53 @@ object Similarity {
     * r_tb. P(bit match) = 1 - angle/pi, so close vectors collide in some
     * table with high probability. One pass: tables x bits x dim
     * multiply-adds per vector, no shuffle. Input must be array<double>. */
+  /** Static kernel for [[RpLshSig]] (callable from generated code). */
+  def rpLshSigKernel(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      nt: Int, nb: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import graft.functions.Mix.fmix64
+    require(nb >= 1 && nb <= 63 && nt >= 1, s"rp_lsh: bad tables=$nt bits=$nb")
+    val dim = arr.numElements()
+    val out = new Array[Any](nt)
+    var t = 0
+    while (t < nt) {
+      var sig = 0L
+      var b = 0
+      while (b < nb) {
+        var dot = 0.0
+        var i = 0
+        while (i < dim) {
+          // Rademacher component from one integer mix — the "random"
+          // hyperplane, identical on every executor with no broadcast
+          val s = if ((fmix64(t * 1048573L + b * 8191L + i) & 1L) == 0L) 1.0 else -1.0
+          dot += arr.getDouble(i) * s
+          i += 1
+        }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   case class RpLshSig(child: org.apache.spark.sql.catalyst.expressions.Expression,
       tables: org.apache.spark.sql.catalyst.expressions.Expression,
       bits: org.apache.spark.sql.catalyst.expressions.Expression)
-      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
     override def first = child
     override def second = tables
     override def third = bits
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    import graft.functions.Mix.fmix64
-    override def nullSafeEval(v: Any, tv: Any, bv: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val nt = tv.asInstanceOf[Int]
-      val nb = bv.asInstanceOf[Int]
-      require(nb >= 1 && nb <= 63 && nt >= 1, s"rp_lsh: bad tables=$nt bits=$nb")
-      val dim = arr.numElements()
-      val out = new Array[Any](nt)
-      var t = 0
-      while (t < nt) {
-        var sig = 0L
-        var b = 0
-        while (b < nb) {
-          var dot = 0.0
-          var i = 0
-          while (i < dim) {
-            // Rademacher component from one integer mix — the "random"
-            // hyperplane, identical on every executor with no broadcast
-            val s = if ((fmix64(t * 1048573L + b * 8191L + i) & 1L) == 0L) 1.0 else -1.0
-            dot += arr.getDouble(i) * s
-            i += 1
-          }
-          if (dot >= 0) sig |= (1L << b)
-          b += 1
-        }
-        out(t) = sig
-        t += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(v: Any, tv: Any, bv: Any): Any =
+      rpLshSigKernel(v.asInstanceOf[ArrayData],
+        tv.asInstanceOf[Int], bv.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, t, b) =>
+        s"graft.operators.Similarity.rpLshSigKernel($v, $t, $b)")
     override protected def withNewChildrenInternal(
         f: org.apache.spark.sql.catalyst.expressions.Expression,
         s: org.apache.spark.sql.catalyst.expressions.Expression,
