@@ -195,6 +195,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // no silent caps: labels are still correct-but-coarser (some
+      // clusters not yet merged) — say so instead of pretending fixpoint
+      System.err.println(s"[graft-metrics] connected_components: " +
+        s"NOT converged after $maxIters rounds (graph deeper than bound)")
     val out = docs.select(col(idCol))
       .join(labels.select(col("id").as(idCol), col("cluster")),
         Seq(idCol), "left_outer")
