@@ -165,8 +165,27 @@ object Dedup {
     * @return (id, cluster) for EVERY doc in `docs` — singletons label
     *         themselves. */
   def connectedComponents(pairs: DataFrame, docs: DataFrame,
-      idCol: String, maxIters: Int = 20): DataFrame = {
+      idCol: String, maxIters: Int = 20,
+      driverGate: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // Strategy switch, not an approximation: both paths produce the same
+    // min-label components. The VERIFIED near-dup pair set is orders of
+    // magnitude smaller than the corpus by construction (LSH/verify
+    // prunes it), so at any scale where it fits the gate (default 1M
+    // edges) a single-pass union-find beats
+    // paying #rounds x (join + agg + fixpoint count) of job overhead.
+    // Bigger graphs fall through to the iterative propagation below.
+    if (driverGate > 0) {
+      val n = pairs.count()
+      if (n <= driverGate) {
+        val small = driverUnionFind(pairs, docs, idCol)
+        if (small != null) {
+          System.err.println(s"[graft-metrics] connected_components: " +
+            s"$n verified pairs <= gate $driverGate -> single-pass union-find")
+          return small
+        }
+      }
+    }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -208,6 +227,45 @@ object Dedup {
     labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out
+  }
+
+  /** Single-pass union-find over a collected pair set (small-graph path
+    * of [[connectedComponents]]; min-id labels, identical output to the
+    * iterative formulation). Returns null when the id type has no
+    * natural min ordering it knows — caller falls back to the loop. */
+  private def driverUnionFind(pairs: DataFrame, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val dt = pairs.schema.fields(0).dataType
+    val lt: (Any, Any) => Boolean = dt match {
+      case LongType => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case StringType => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case _ => return null
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while ({ val p = parent.getOrDefault(r, r); p != r && { r = p; true } }) ()
+      var c = x // path compression
+      while ({ val p = parent.getOrDefault(c, c); p != c && { parent.put(c, r); c = p; true } }) ()
+      r
+    }
+    pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    // roots are component minima (unions always point larger -> smaller)
+    val labels = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    parent.keySet().forEach(n => labels.add(org.apache.spark.sql.Row(n, find(n))))
+    val spark = docs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, dt),
+      org.apache.spark.sql.types.StructField("cluster", dt)))
+    val labelDf = spark.createDataFrame(labels, schema)
+    docs.select(col(idCol))
+      .join(broadcast(labelDf), Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
   }
 
   /** Shared SimHash core: per-bit weighted vote of 64-bit token hashes.

@@ -193,6 +193,14 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
     // clusters actually merge something on the planted near-dups
     assert(got.exists { case (d, c) => d != c })
+    // the distributed min-label loop (gate disabled) agrees with the
+    // small-graph union-find path exactly
+    val viaLoop = graft.operators.Dedup.connectedComponents(
+        DedupQueries.ngramJaccard(spark, sf),
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
+        driverGate = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop == want)
   }
 
   test("int8 quantization: error bounded by scale/2, dequant cosine ~ 1") {
