@@ -69,6 +69,32 @@ object TextKernels {
       java.lang.Boolean.valueOf(kept < orig), UTF8String.fromString(strategy)))
   }
 
+  /** Per-row term frequencies: tokenize (engine tokenizer) and count in
+    * one pass. Emitting map<term, n> per document collapses the tf stage
+    * of TF-IDF map-side — the shuffle then carries one row per DISTINCT
+    * (doc, term), not one per token occurrence. */
+  def termCounts(t: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val s = t.toString
+    val offs = Tokenizer.tokenize(s)
+    val n = offs.length / 2
+    val counts = new java.util.LinkedHashMap[String, Long](math.max(16, n))
+    var i = 0
+    while (i < n) {
+      counts.merge(s.substring(offs(2 * i), offs(2 * i + 1)), 1L, _ + _)
+      i += 1
+    }
+    val ks = new Array[Any](counts.size)
+    val vs = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var x = 0
+    while (it.hasNext) {
+      val e = it.next()
+      ks(x) = UTF8String.fromString(e.getKey); vs(x) = e.getValue; x += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(ks), new GenericArrayData(vs))
+  }
+
   def shingles(t: UTF8String, kv: Int): ArrayData = {
     val s = t.toString
     val offs = Tokenizer.tokenize(s)
@@ -314,6 +340,21 @@ case class MinHashBands(shingles: Expression, numHashes: Expression, bands: Expr
 }
 
 /** Column-level API for the text kernel. */
+/** `term_counts(text)` — map<term, count> per row under the engine
+  * tokenizer; the map-side tf kernel for TF-IDF-family queries (equal to
+  * explode(regex_tokens) + groupBy count, property-tested). */
+case class TermCounts(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.termCounts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.termCounts($c)")
+  override protected def withNewChildInternal(c: Expression): TermCounts = copy(c)
+  override def prettyName: String = "term_counts"
+}
+
 object TextFunctions {
   private def col(e: Expression): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -330,6 +371,7 @@ object TextFunctions {
       sep: Column): Column =
     col(SplitChunksChars(ex(c), ex(size), ex(overlap), ex(sep)))
   def shingles(c: Column, k: Column): Column = col(Shingles(ex(c), ex(k)))
+  def term_counts(c: Column): Column = col(TermCounts(ex(c)))
   def top_k_structs(ordStruct: Column, k: Int): Column =
     col(TopKStructs(ex(ordStruct),
       ex(org.apache.spark.sql.functions.lit(k))).toAggregateExpression())

@@ -102,21 +102,23 @@ object AnalysisQueries extends graft.QueryModule {
       .orderBy(col("n").desc, col("term").asc)
       .limit(50)
 
-  /** Per-document top TF-IDF term: tf from the token explode, df over the
-    * (doc, term) pairs, idf = ln(N/df). Ranking uses the ROUNDED score
-    * (cross-engine ulp differences in ln can't flip the order) with a
-    * lexicographic tie-break (term DESC — chosen so the argmax is a plain
-    * `max(struct(tfidf, term))` aggregation with partial combine, not a
-    * row_number window that would shuffle and sort every (doc, term)
-    * row). tf feeds BOTH the df branch and the scoring branch — Catalyst
-    * doesn't CSE across self-references, so it is persisted for the run
-    * (the Dedup.minhashNearDups pattern). */
+  /** Per-document top TF-IDF term: tf from the per-row `term_counts`
+    * kernel (one map<term,n> per document — NO shuffle to build tf; the
+    * explode emits one row per distinct (doc, term), not per token
+    * occurrence), df over the (doc, term) pairs, idf = ln(N/df). Ranking
+    * uses the ROUNDED score (cross-engine ulp differences in ln can't
+    * flip the order) with a lexicographic tie-break (term DESC — chosen
+    * so the argmax is a plain `max(struct(tfidf, term))` aggregation with
+    * partial combine, not a row_number window that would shuffle and sort
+    * every (doc, term) row). tf feeds BOTH the df branch and the scoring
+    * branch — Catalyst doesn't CSE across self-references, so it is
+    * persisted for the run (the Dedup.minhashNearDups pattern). */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
     val tf = docs
       .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.regex_tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        explode(graft.functions.TextFunctions.term_counts(col("text")))
+          .as(Seq("term", "tf")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))

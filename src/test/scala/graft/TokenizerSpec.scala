@@ -173,4 +173,22 @@ class TokenizerSpec extends SparkSpec {
       }
     }
   }
+
+  test("term_counts equals explode(regex_tokens) + groupBy count") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val viaKernel = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.term_counts(col("text"))).as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaExplode = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.regex_tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaKernel == viaExplode)
+    assert(viaKernel.nonEmpty)
+  }
 }
