@@ -194,7 +194,104 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("c_custkey"), col("scrubbed"), col("n_emails"), col("n_phones"))
   }
 
+  /** Test-set decontamination (the pretraining-pipeline step that drops
+    * training docs overlapping an eval benchmark; GPT-3 appendix C /
+    * Llama-style n-gram matching, here token 5-grams over this corpus's
+    * 31-term vocabulary). `src0` documents play the benchmark split.
+    *
+    * Scale shape: the BENCHMARK shingle set is tiny next to the corpus
+    * (eval sets are thousands of docs, the corpus is the 100 TB side), so
+    * it is broadcast — the corpus explodes its shingles map-side, hash-
+    * probes the broadcast set, and aggregates per doc with partial
+    * combine. The corpus never shuffles its text, and nothing quadratic
+    * exists anywhere. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val benchGrams = docs.filter(col("source") === "src0")
+      .select(explode(graft.operators.Dedup.shingles(col("text"), 5)).as("g"))
+      .distinct()
+    val corpus = docs.filter(col("source") =!= "src0")
+    val hits = corpus
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"), 5)).as("g"))
+      .join(broadcast(benchGrams), Seq("g")) // semi-shaped: count hits per doc
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Sequence packing for training-data prep: greedily pack documents
+    * (in deterministic doc_id order) into token-budget bins — the step
+    * that turns a filtered corpus into fixed-length training sequences.
+    * Packing is inherently sequential, so it runs per bounded group
+    * (lang, doc_id % 16): groups parallelize freely, group size is
+    * bounded by the bucket fan-out you choose, and no global order is
+    * ever materialized. A doc larger than the budget keeps its own bin
+    * (packers don't split documents here). Oracle: DuckDB recursive CTE
+    * replaying the same greedy fold per group. */
+  def packBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 128
+    val base = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(16)).cast("int").as("bucket"),
+        graft.functions.TextFunctions.count_tokens(col("text")).as("n_tokens"))
+      .as[(Long, String, Int, Int)]
+    base.groupByKey(r => (r._2, r._3))
+      .flatMapGroups { (key: (String, Int),
+          it: Iterator[(Long, String, Int, Int)]) =>
+        val (lang, bucket) = key
+        val docs = it.toArray.sortBy(_._1)
+        var bin = 0
+        var acc = 0
+        docs.iterator.map { case (id, _, _, n) =>
+          if (acc > 0 && acc + n > budget) { bin += 1; acc = n } else acc += n
+          (id, lang, bucket, n, bin)
+        }
+      }
+      .toDF("doc_id", "lang", "bucket", "n_tokens", "bin")
+  }
+
+  /** Unigram-LM quality score (CCNet-style perplexity-proxy filtering):
+    * mean log-probability of each document under the corpus's own
+    * unigram distribution. The model side (vocab -> count map + total) is
+    * one map-side-combined aggregation collapsed to a single broadcast
+    * row; scoring is then purely per-row — the per-doc fold walks the
+    * doc's term map in sorted-term order so both engines sum floats in
+    * the identical sequence. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val model = docs
+      .select(explode(graft.functions.TextFunctions.term_counts(col("text")))
+        .as(Seq("term", "tf")))
+      .groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("cnt"))))
+          .as("freq"),
+        sum(col("cnt")).as("total"))
+    val entries = sort_array(map_entries(
+      graft.functions.TextFunctions.term_counts(col("text"))))
+    docs.crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        aggregate(entries, lit(0L),
+          (acc, e) => acc + e.getField("value")).as("n_tokens"),
+        round(
+          aggregate(entries, lit(0.0d), (acc, e) =>
+            acc + e.getField("value") *
+              log(element_at(col("freq"), e.getField("key")) /
+                col("total").cast("double"))) /
+            aggregate(entries, lit(0L),
+              (acc, e) => acc + e.getField("value")).cast("double"),
+          5).as("avg_logprob"))
+      .filter(col("n_tokens") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_decontaminate" -> decontaminate,
+    "ta_pack_bins" -> packBins,
+    "ta_unigram_logprob" -> unigramLogprob,
     "ta_repetition" -> repetition,
     "ta_pii_scrub" -> piiScrub,
     "ta_quality" -> quality,
@@ -225,6 +322,68 @@ object AnalysisQueries extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ta_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |              regexp_extract_all(text, '$re') AS ts FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |  CASE WHEN len(ts) >= 5 THEN list_distinct(
+         |    [array_to_string(list_slice(ts, i, i + 4), ' ')
+         |     for i in range(1, len(ts) - 5 + 2)])
+         |  ELSE [] END AS sh
+         |  FROM tok),
+         |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE source = 'src0'),
+         |corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE source <> 'src0'),
+         |hits AS (SELECT doc_id, count(*) AS n FROM corpus
+         |         JOIN bench USING (g) GROUP BY 1)
+         |SELECT s.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared,
+         |  coalesce(h.n, 0) > 0 AS contaminated
+         |FROM sh s LEFT JOIN hits h USING (doc_id)
+         |WHERE s.source <> 'src0'""".stripMargin,
+    "ta_pack_bins" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, lang, CAST(doc_id % 16 AS INT) AS bucket,
+         |    CAST(len(regexp_extract_all(text, '$re')) AS INT) AS n
+         |  FROM documents),
+         |r AS (SELECT t.*, CAST(row_number() OVER
+         |        (PARTITION BY lang, bucket ORDER BY doc_id) AS INT) AS rn
+         |      FROM t),
+         |p AS (
+         |  SELECT lang, bucket, rn, doc_id, n, 0 AS bin, n AS acc
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.lang, r.bucket, r.rn, r.doc_id, r.n,
+         |    CASE WHEN p.acc > 0 AND p.acc + r.n > 128
+         |      THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.acc > 0 AND p.acc + r.n > 128
+         |      THEN r.n ELSE p.acc + r.n END
+         |  FROM p JOIN r ON r.lang = p.lang AND r.bucket = p.bucket
+         |    AND r.rn = p.rn + 1)
+         |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
+         |FROM p""".stripMargin,
+    "ta_unigram_logprob" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$re')) AS term
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |freq AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM freq),
+         |l AS (SELECT doc_id,
+         |        list(struct_pack(term := tf.term, tf := tf.tf,
+         |                         p := freq.cnt) ORDER BY tf.term) AS xs
+         |      FROM tf JOIN freq USING (term) GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(xs, x -> x.tf)), (a, b) -> a + b) AS BIGINT)
+         |    AS n_tokens,
+         |  round(
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(xs, x -> x.tf * ln(x.p / total))),
+         |      (a, b) -> a + b)
+         |    / list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(xs, x -> x.tf)), (a, b) -> a + b),
+         |    5) AS avg_logprob
+         |FROM l, tot""".stripMargin,
     "ta_pii_scrub" ->
       s"""WITH t AS (
          |  SELECT c_custkey,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.AnalysisQueries
+
+/** Contracts for the training-data-prep ops added on top of the oracle
+  * checks: decontamination, sequence packing, unigram-LM scoring. */
+class TrainingDataSpec extends SparkSpec {
+
+  test("decontaminate: benchmark docs excluded, flag consistent, hits real") {
+    val rows = AnalysisQueries.decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) > 0))
+    }
+    // benchmark (src0) docs never appear in the output
+    val benchIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !benchIds.contains(r.getLong(0))))
+    // the 31-term vocabulary guarantees real 5-gram collisions exist
+    assert(rows.exists(_.getBoolean(2)))
+    // independent recomputation for one contaminated doc
+    val docId = rows.filter(_.getBoolean(2)).map(_.getLong(0)).min
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[String]("source")))
+    def grams(t: String): Set[String] = {
+      val ts = graft.functions.Tokenizer.tokens(t)
+      if (ts.length < 5) Set.empty
+      else ts.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._3 == "src0").flatMap(d => grams(d._2)).toSet
+    val mine = grams(docs.find(_._1 == docId).get._2)
+    val want = mine.count(bench.contains)
+    val got = rows.find(_.getLong(0) == docId).get.getLong(1)
+    assert(got == want.toLong, s"doc $docId: got $got want $want")
+  }
+
+  test("pack_bins: greedy invariants per (lang, bucket) group") {
+    val rows = AnalysisQueries.packBins(spark, sf).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(0), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((lang, bucket), g) =>
+      val byDoc = g.sortBy(_._3)
+      // bins start at 0, never decrease, step by at most 1 in doc order
+      assert(byDoc.head._5 == 0)
+      byDoc.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 - a._5 == 0 || b._5 - a._5 == 1)
+        case _ => ()
+      }
+      // every bin fits the budget unless it is a single oversized doc
+      byDoc.groupBy(_._5).foreach { case (bin, members) =>
+        val tot = members.map(_._4).sum
+        assert(tot <= 128 || members.length == 1,
+          s"($lang,$bucket) bin $bin overflows: $tot tokens, ${members.length} docs")
+      }
+      // greedy: a doc opens a new bin only because it would not have fit
+      byDoc.sliding(2).foreach {
+        case Array(a, b) if b._5 == a._5 + 1 =>
+          val binTot = byDoc.filter(_._5 == a._5).map(_._4).sum
+          assert(binTot + b._4 > 128,
+            s"($lang,$bucket): doc ${b._3} opened bin ${b._5} but would fit")
+        case _ => ()
+      }
+    }
+  }
+
+  test("unigram logprob: bounded above by 0, n_tokens matches count") {
+    val rows = AnalysisQueries.unigramLogprob(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= 0.0, s"doc ${r.getLong(0)} logprob > 0")
+      assert(r.getLong(1) > 0)
+    }
+    // docs made of only the most common terms score higher than average
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.max > scores.min) // non-degenerate distribution
+  }
+}
