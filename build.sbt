@@ -29,5 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Local-mode Spark with 32 executor threads churns the young gen hard;
+  // a roomy fixed-size young gen keeps minor-GC pauses off the bench.
+  "-XX:+UseG1GC", "-XX:MaxGCPauseMillis=50",
 )

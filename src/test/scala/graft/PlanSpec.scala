@@ -125,4 +125,25 @@ class PlanSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
     assert(got == expected)
   }
+
+  test("decontaminate broadcasts the benchmark side; corpus text never shuffles") {
+    val physical = graft.queries.AnalysisQueries.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin") ||
+      physical.contains("BroadcastExchange"), physical)
+    // the only exchanges are the benchmark broadcast and the per-doc
+    // aggregation — no exchange may carry the text column
+    physical.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text"), s"text crosses an exchange: $line")
+    }
+  }
+
+  test("pack_bins plan has no global sort or single-partition exchange") {
+    val physical = graft.queries.AnalysisQueries.packBins(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("SinglePartition"), physical)
+    // sorting happens inside bounded groups (flatMapGroups), never as a
+    // whole-dataset Sort [global]
+    assert(!physical.matches("(?s).*Sort \\[[^\\]]*\\] true.*"), physical)
+  }
 }
