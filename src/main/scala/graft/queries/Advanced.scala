@@ -276,6 +276,27 @@ object Advanced extends graft.QueryModule {
         (unix_timestamp(col("ts")) - unix_timestamp(col("v_ts"))).as("gap_sec"))
   }
 
+  /** Banded interval join via [[graft.operators.RangeJoin]]: views by the
+    * same user in the hour BEFORE each purchase (attribution-window
+    * count). The band becomes an equi-join key (bin = ts div bandwidth),
+    * so the plan is a plain hash join on (user, bin) with <= 2x left row
+    * expansion — no broadcast nested loop, no per-key quadratic work.
+    * Purchases with no in-window views keep a 0 via the outer re-join. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    val hits = graft.operators.RangeJoin
+      .binned(purchases, views, key = "user_id", ts = "ts",
+        loSec = -3600, hiSec = 0, rightPrefix = "v_")
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_views"))
+    purchases.select(col("event_id"))
+      .join(hits, Seq("event_id"), "left_outer")
+      .select(col("event_id"), coalesce(col("n_views"), lit(0L)).as("n_views"))
+  }
+
   /** Two-phase salted aggregation — the skew-mitigation pattern for heavy
     * group keys (events has only 5 event_type values; at 100 TB a direct
     * groupBy would hash all rows of one type to one reducer). Phase 1
@@ -325,6 +346,7 @@ object Advanced extends graft.QueryModule {
     "adv_fuzzy_best_match" -> fuzzyBestMatch,
     "adv_number_extraction" -> numberExtraction,
     "adv_asof_join" -> asofJoin,
+    "adv_range_join" -> rangeJoin,
     "adv_salted_agg" -> saltedAgg,
     "stream_window_agg" -> streamWindowAgg,
     "stream_dedup_count" -> streamDedup,
@@ -484,6 +506,14 @@ object Advanced extends graft.QueryModule {
         |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
         |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_name_tokens
         |FROM part""".stripMargin,
+    "adv_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, CAST(count(v.ts) AS BIGINT) AS n_views
+        |FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |  AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |GROUP BY 1""".stripMargin,
     "adv_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
