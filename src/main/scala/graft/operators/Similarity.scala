@@ -272,6 +272,67 @@ object Similarity {
     (scale, qs, maxErr)
   }
 
+  /** Deterministic Lloyd k-means over the embedding column — the topic-
+    * clustering step of a corpus pipeline (cluster-then-sample /
+    * cluster-balance curation). Engine-reproducible by construction, so
+    * it is fully ORACLE-checkable, unlike library k-means:
+    *
+    *  - init: the vectors with the `k` smallest ids (no RNG);
+    *  - assignment: L2 argmin as `min(struct(dist, cluster))` — a plain
+    *    aggregation with partial combine (map-side argmin), never a
+    *    row_number window; ties break to the smallest cluster id;
+    *  - update: per-dimension mean folded in vec_id order (the
+    *    [[graft.queries.SimilarityQueries.centroidDist]] discipline), so
+    *    float sums are identical across engines and partitionings;
+    *  - each round's centroids (k x dim doubles) are materialized via
+    *    localCheckpoint — iteration i+1's plan starts from a tiny
+    *    in-memory table instead of re-deriving the whole lineage (the
+    *    standard iterative-algorithm pattern; at 100 TB only the
+    *    centroid table ever sits on the driver-side barrier).
+    *
+    * Clusters that lose all members simply drop out of the centroid
+    * table (both engines agree). Returns the final assignment
+    * (vec_id, cluster, dist). */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = vectors.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    def assign(cent: DataFrame): DataFrame = e
+      .join(broadcast(cent), lit(true))
+      .withColumn("dist", l2(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.dist").as("dist"))
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val members = assign(cent).select(col("vec_id"), col("cluster"))
+        .join(e, "vec_id")
+        .select(col("cluster"), col("vec_id"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+      val next = members.groupBy(col("cluster"), col("pos"))
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+            s => s.getField("x")),
+          lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("c"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cv"))
+        .localCheckpoint(true)
+      cent.unpersist(blocking = false)
+      cent = next
+      it += 1
+    }
+    assign(cent)
+      .select(col("vec_id"), col("cluster"),
+        round(sqrt(col("dist")), 6).as("dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * blocked by label (stand-in for an LSH/IVF blocking key at scale —
     * [[rpLshNearDups]] is that path). */

@@ -93,7 +93,14 @@ object SimilarityQueries extends graft.QueryModule {
       .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Deterministic Lloyd k-means (k=8, 2 update rounds) — see
+    * [[Similarity.kmeans]] for why this is oracle-checkable. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(Tables.loadSpread(spark, dir, "embeddings"),
+      k = 8, iters = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans" -> kmeansAssign,
     "sim_topk_brute" -> topkBrute,
     "sim_cosine_neardups" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
@@ -102,6 +109,48 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_centroid_dist" -> centroidDist,
     "sim_quantize_stats" -> quantizeStats,
   )
+
+  /** DuckDB replay of [[Similarity.kmeans]] (k=8, 2 rounds), generated
+    * so the assign/update blocks are written once: every float fold runs
+    * in the same order as the Spark side (dist = left-to-right dim fold;
+    * mean = vec_id-ordered member fold / count). */
+  private def kmeansOracle: String = {
+    def distCte(alias: String, cent: String) =
+      s"""$alias AS (SELECT e.vec_id, c.cluster,
+         |  list_reduce(list_prepend(0.0, list_transform(list_zip(e.v, c.cv),
+         |    q -> (q[1] - q[2]) * (q[1] - q[2]))), (a, b) -> a + b) AS dist
+         |  FROM e, $cent c)""".stripMargin
+    def assignCte(alias: String, dist: String) =
+      s"""$alias AS (SELECT vec_id, cluster, dist FROM (
+         |  SELECT vec_id, cluster, dist, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM $dist) WHERE rn = 1)""".stripMargin
+    def updateCte(pAlias: String, mAlias: String, cAlias: String,
+        assign: String) =
+      s"""$pAlias AS (SELECT a.cluster, e.vec_id, unnest(e.v) AS x,
+         |  generate_subscripts(e.v, 1) AS pos
+         |  FROM e JOIN $assign a USING (vec_id)),
+         |$mAlias AS (SELECT cluster, pos,
+         |  list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+         |    (a, b) -> a + b) / count(*) AS c
+         |  FROM $pAlias GROUP BY 1, 2),
+         |$cAlias AS (SELECT cluster, list(c ORDER BY pos) AS cv
+         |  FROM $mAlias GROUP BY 1)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv
+       |       FROM e WHERE vec_id < 8),
+       |${distCte("d1", "c0")},
+       |${assignCte("a1", "d1")},
+       |${updateCte("p1", "m1", "c1", "a1")},
+       |${distCte("d2", "c1")},
+       |${assignCte("a2", "d2")},
+       |${updateCte("p2", "m2", "c2", "a2")},
+       |${distCte("d3", "c2")},
+       |${assignCte("a3", "d3")}
+       |SELECT vec_id, cluster, round(sqrt(dist), 6) AS dist FROM a3""".stripMargin
+  }
 
   /** DuckDB cosine with the exact same operation order as
     * [[Similarity.cosine]]: elementwise products folded left-to-right,
@@ -152,6 +201,7 @@ object SimilarityQueries extends graft.QueryModule {
         |  round(list_max(list_transform(list_zip(qs, dv),
         |    p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 6) AS max_abs_err
         |FROM q""".stripMargin,
+    "sim_kmeans" -> kmeansOracle,
     "sim_centroid_dist" ->
       """WITH p AS (SELECT vec_id, label,
         |    CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -77,4 +77,21 @@ class TrainingDataSpec extends SparkSpec {
     val scores = rows.map(_.getDouble(2))
     assert(scores.max > scores.min) // non-degenerate distribution
   }
+
+  test("kmeans: Lloyd objective is non-increasing over rounds") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    def objective(iters: Int): Double =
+      graft.operators.Similarity.kmeans(emb, k = 8, iters = iters)
+        .agg(sum(col("dist") * col("dist"))).collect()(0).getDouble(0)
+    val o0 = objective(0)
+    val o1 = objective(1)
+    val o2 = objective(2)
+    assert(o1 <= o0 + 1e-9, s"round 1 worsened: $o0 -> $o1")
+    assert(o2 <= o1 + 1e-9, s"round 2 worsened: $o1 -> $o2")
+    assert(o1 < o0) // the planted clusters actually move the centroids
+    // every vector is assigned to exactly one live cluster
+    val assigned = graft.operators.Similarity.kmeans(emb, 8, 2).collect()
+    assert(assigned.length == emb.count())
+    assert(assigned.map(_.getInt(1)).distinct.length <= 8)
+  }
 }
