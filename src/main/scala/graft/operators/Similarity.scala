@@ -284,11 +284,9 @@ object Similarity {
     *  - update: per-dimension mean folded in vec_id order (the
     *    [[graft.queries.SimilarityQueries.centroidDist]] discipline), so
     *    float sums are identical across engines and partitionings;
-    *  - each round's centroids (k x dim doubles) are materialized via
-    *    localCheckpoint — iteration i+1's plan starts from a tiny
-    *    in-memory table instead of re-deriving the whole lineage (the
-    *    standard iterative-algorithm pattern; at 100 TB only the
-    *    centroid table ever sits on the driver-side barrier).
+    *  - each round's centroids (k x dim doubles) round-trip through the
+    *    driver and re-enter the plan as literals — iteration i+1 starts
+    *    from values, not lineage, and assignment needs no join at all.
     *
     * Clusters that lose all members simply drop out of the centroid
     * table (both engines agree). Returns the final assignment
@@ -296,41 +294,65 @@ object Similarity {
   def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = vectors.select(col("vec_id"),
       toDoubleArray(col("embedding")).as("v"))
-    val l2 = (a: Column, b: Column) => aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
-    def assign(cent: DataFrame): DataFrame = e
-      .join(broadcast(cent), lit(true))
-      .withColumn("dist", l2(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
-      .select(col("vec_id"), col("m.cluster").as("cluster"),
-        col("m.dist").as("dist"))
-    var cent = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
-      .localCheckpoint(true)
+    // centroids live on the DRIVER between rounds (k x dim doubles — the
+    // one structure of the algorithm that is tiny at any corpus scale;
+    // this is the standard distributed-k-means shape: broadcast/literal
+    // centroids out, aggregate means back). Literalizing them makes the
+    // assignment a pure per-row projection: argmin = first element of
+    // sort_array over (dist, cluster) structs — no join, no shuffle.
+    var cent: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("v"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq
+    // assignment kernel as a closure UDF, NOT a literal-array expression:
+    // k x dim literals inlined into the plan force a fresh Janino compile
+    // of a 500-constant method every round (measured: it costs what the
+    // shuffle-free formulation saves). The closure keeps the plan shape
+    // constant across rounds and datasets; the fold order inside is
+    // exactly the SQL fold's (left-to-right dims, acc + (x-y)^2, first
+    // minimum wins = smallest cluster id on ties).
+    def best: Column = {
+      val centArr = cent.map { case (id, cv) => (id, cv.toArray) }.toArray
+      val assignUdf = udf { (v: Seq[Double]) =>
+        var bd = Double.MaxValue
+        var bc = -1
+        var ci = 0
+        while (ci < centArr.length) {
+          val cv = centArr(ci)._2
+          var acc = 0.0
+          var i = 0
+          while (i < cv.length) {
+            val d = v(i) - cv(i); acc += d * d; i += 1
+          }
+          if (acc < bd) { bd = acc; bc = centArr(ci)._1 }
+          ci += 1
+        }
+        (bd, bc)
+      }
+      assignUdf(col("v")).cast("struct<dist:double,cluster:int>")
+    }
     var it = 0
     while (it < iters) {
-      val members = assign(cent).select(col("vec_id"), col("cluster"))
-        .join(e, "vec_id")
-        .select(col("cluster"), col("vec_id"),
+      // per-dim member fold in vec_id order (the centroidDist discipline)
+      // -> (cluster, pos, mean); the k x dim result is collected and
+      // re-literalized for the next round. Clusters that lose every
+      // member drop out here, same as the oracle's join semantics.
+      val means = e
+        .select(col("vec_id"), best.getField("cluster").as("cluster"),
           posexplode(col("v")).as(Seq("pos", "x")))
-      val next = members.groupBy(col("cluster"), col("pos"))
+        .groupBy(col("cluster"), col("pos"))
         .agg((aggregate(
           transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
             s => s.getField("x")),
           lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("c"))
-        .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          s => s.getField("c")).as("cv"))
-        .localCheckpoint(true)
-      cent.unpersist(blocking = false)
-      cent = next
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      cent = means.groupBy(_._1).toSeq.map { case (cl, xs) =>
+        cl -> xs.sortBy(_._2).map(_._3).toSeq
+      }.sortBy(_._1)
       it += 1
     }
-    assign(cent)
-      .select(col("vec_id"), col("cluster"),
-        round(sqrt(col("dist")), 6).as("dist"))
+    e.select(col("vec_id"), best.getField("cluster").as("cluster"),
+      round(sqrt(best.getField("dist")), 6).as("dist"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
