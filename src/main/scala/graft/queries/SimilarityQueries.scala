@@ -99,8 +99,24 @@ object SimilarityQueries extends graft.QueryModule {
     Similarity.kmeans(Tables.loadSpread(spark, dir, "embeddings"),
       k = 8, iters = 2)
 
+  /** Cluster-balanced sample: N per k-means cluster, selection order from
+    * a content hash (deterministic, engine-independent, shuffle-parallel
+    * — the Advanced.balancedSample discipline applied to LEARNED strata).
+    * This is the cluster-then-sample curation step: cluster the corpus,
+    * then draw a balanced subset across clusters. */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    kmeansAssign(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("cluster"), col("vec_id"), col("rn").cast("int").as("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans" -> kmeansAssign,
+    "sim_cluster_sample" -> clusterSample,
     "sim_topk_brute" -> topkBrute,
     "sim_cosine_neardups" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
@@ -202,6 +218,12 @@ object SimilarityQueries extends graft.QueryModule {
         |    p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 6) AS max_abs_err
         |FROM q""".stripMargin,
     "sim_kmeans" -> kmeansOracle,
+    "sim_cluster_sample" ->
+      s"""WITH km AS ($kmeansOracle)
+         |SELECT cluster, vec_id, CAST(rn AS INT) AS rn FROM (
+         |  SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM km) WHERE rn <= 20""".stripMargin,
     "sim_centroid_dist" ->
       """WITH p AS (SELECT vec_id, label,
         |    CAST(unnest(embedding) AS DOUBLE) AS x,
