@@ -288,7 +288,31 @@ object AnalysisQueries extends graft.QueryModule {
       .filter(col("n_tokens") > 0)
   }
 
+  /** Data-mixture sampling: each source is kept at its own rate (here
+    * (source_num % 4 + 1)/4 — four mixing tiers), decided per doc by a
+    * CONTENT-HASH threshold instead of an RNG: keep iff the first 8 hex
+    * chars of md5(doc_id) fall under the rate's hex threshold. Exact
+    * rate fractions of the 2^32 hash space, deterministic on any
+    * cluster/partitioning, zero shuffle to decide membership — the
+    * standard reproducible-Bernoulli trick for corpus mixing. Output is
+    * the per-source funnel (total, kept, configured rate). */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq("3fffffff", "7fffffff", "bfffffff", "ffffffff")
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val tier = pmod(srcNum, lit(4))
+    val thr = element_at(array(thresholds.map(lit): _*), tier + 1)
+    val kept = substring(md5(col("doc_id").cast("string")), 1, 8) <= thr
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"), tier.as("tier"), kept.as("kept"))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        ((col("tier") + 1) / 4.0).as("rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_source_mix" -> sourceMix,
     "ta_decontaminate" -> decontaminate,
     "ta_pack_bins" -> packBins,
     "ta_unigram_logprob" -> unigramLogprob,
@@ -322,6 +346,18 @@ object AnalysisQueries extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ta_source_mix" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 AS tier,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <=
+         |      (['3fffffff', '7fffffff', 'bfffffff', 'ffffffff'])[
+         |        CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 + 1]
+         |      AS kept
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  (tier + 1) / 4.0 AS rate
+         |FROM t GROUP BY source, tier""".stripMargin,
     "ta_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, source,
          |              regexp_extract_all(text, '$re') AS ts FROM documents),
