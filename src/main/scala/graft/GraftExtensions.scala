@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => operators.Dedup.SimHashText(es.head)))
     e.injectFunction((FunctionIdentifier("minhash_bands"), info("minhash_bands"),
       (es: Seq[Expression]) => functions.MinHashBands(es(0), es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("term_counts"), info("term_counts"),
+      (es: Seq[Expression]) => functions.TermCounts(es.head)))
     e.injectOptimizerRule(_ => plans.TokenFilterStrengthen)
   }
 }

@@ -403,5 +403,7 @@ object TextFunctions {
       es => Shingles(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_bands",
       es => MinHashBands(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("term_counts",
+      es => TermCounts(es.head), "scala_udf")
   }
 }

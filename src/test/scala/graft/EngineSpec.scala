@@ -82,6 +82,10 @@ class EngineSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT count_tokens('hello world') AS c").collect()(0)
     assert(r.getAs[Int]("c") == 2)
+    val tc = spark.sql(
+      "SELECT term_counts('a b a') AS m").collect()(0)
+      .getAs[Map[String, Long]]("m")
+    assert(tc == Map("a" -> 2L, "b" -> 1L))
   }
 
   test("truncationAnswers: budget floor, strategies, threshold gating") {
