@@ -175,13 +175,18 @@ object Dedup {
     // edges) a single-pass union-find beats
     // paying #rounds x (join + agg + fixpoint count) of job overhead.
     // Bigger graphs fall through to the iterative propagation below.
-    if (driverGate > 0) {
-      val n = pairs.count()
-      if (n <= driverGate) {
-        val small = driverUnionFind(pairs, docs, idCol)
+    // One job decides AND fetches: collect gate+1 rows — a separate
+    // count() would compute the whole upstream pair pipeline twice.
+    if (driverGate > 0 && driverGate < Int.MaxValue) {
+      val rows = pairs.select(col("doc_a"), col("doc_b"))
+        .limit(driverGate.toInt + 1).collect()
+      if (rows.length <= driverGate) {
+        val small = driverUnionFind(rows, pairs.schema.fields(0).dataType,
+          docs, idCol)
         if (small != null) {
           System.err.println(s"[graft-metrics] connected_components: " +
-            s"$n verified pairs <= gate $driverGate -> single-pass union-find")
+            s"${rows.length} verified pairs <= gate $driverGate -> " +
+            "single-pass union-find")
           return small
         }
       }
@@ -233,10 +238,10 @@ object Dedup {
     * of [[connectedComponents]]; min-id labels, identical output to the
     * iterative formulation). Returns null when the id type has no
     * natural min ordering it knows — caller falls back to the loop. */
-  private def driverUnionFind(pairs: DataFrame, docs: DataFrame,
-      idCol: String): DataFrame = {
+  private def driverUnionFind(pairRows: Array[org.apache.spark.sql.Row],
+      dt: org.apache.spark.sql.types.DataType,
+      docs: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StringType}
-    val dt = pairs.schema.fields(0).dataType
     val lt: (Any, Any) => Boolean = dt match {
       case LongType => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
       case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
@@ -251,7 +256,7 @@ object Dedup {
       while ({ val p = parent.getOrDefault(c, c); p != c && { parent.put(c, r); c = p; true } }) ()
       r
     }
-    pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
+    pairRows.foreach { row =>
       val (ra, rb) = (find(row.get(0)), find(row.get(1)))
       if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
     }
