@@ -160,6 +160,43 @@ object Relational extends graft.QueryModule {
       .select($"c_custkey", $"c_nationkey")
   }
 
+  /** Ordered conversion funnel (view -> click -> purchase, first-touch
+    * attribution, 24h step windows) in ONE shuffle: per user, events are
+    * collected and sorted by (ts, event_id), then a single left fold
+    * walks the stage machine — a later stage only fires STRICTLY after
+    * the previous stage's timestamp and within its window, so the result
+    * equals the anchored min-ts cascade the oracle computes with three
+    * correlated aggregations. At scale this is one hash partition by
+    * user + O(events-per-user) state; no self-joins of the event
+    * table. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val windowMicros = 24L * 3600 * 1000000
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id",
+        struct(unix_micros($"ts").as("ts"), $"event_id".as("eid"),
+          $"event_type".as("et")).as("e"))
+    val zero = struct(lit(0).as("stage"), lit(Long.MinValue).as("lts"))
+    val stage = aggregate(
+      array_sort(col("es")), zero,
+      (acc, e) => {
+        val et = e.getField("et")
+        val ets = e.getField("ts")
+        val inWindow = ets > acc.getField("lts") &&
+          ets <= acc.getField("lts") + windowMicros
+        when(acc.getField("stage") === 0 && et === "view",
+            struct(lit(1).as("stage"), ets.as("lts")))
+          .when(acc.getField("stage") === 1 && et === "click" && inWindow,
+            struct(lit(2).as("stage"), ets.as("lts")))
+          .when(acc.getField("stage") === 2 && et === "purchase" && inWindow,
+            struct(lit(3).as("stage"), ets.as("lts")))
+          .otherwise(acc)
+      }).getField("stage")
+    ev.groupBy($"user_id").agg(collect_list($"e").as("es"))
+      .select(stage.as("stage"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Bloom pre-join reduction: prune the fact scan through an
     * approximate-membership test on the filtered dimension's keys BEFORE
     * the exact semi join ([[graft.operators.BloomJoin]]). The Bloom pass
@@ -439,6 +476,7 @@ object Relational extends graft.QueryModule {
     "rel_anti_join" -> antiJoin,
     "rel_semi_join" -> semiJoin,
     "rel_bloom_prejoin" -> bloomPrejoin,
+    "rel_funnel" -> funnel,
     "rel_window_top1" -> windowTop1,
     "rel_judge_batches" -> judgeBatches,
     "rel_confusion_matrix" -> confusionMatrix,
@@ -532,6 +570,27 @@ object Relational extends graft.QueryModule {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
+    "rel_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.vt
+        |        AND e.ts <= v.vt + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.ct
+        |        AND e.ts <= c.ct + INTERVAL 24 HOUR GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            WHEN v.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS INT) AS stage,
+        |  count(*) AS n_users
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |  LEFT JOIN c ON u.user_id = c.user_id
+        |  LEFT JOIN p ON u.user_id = p.user_id
+        |GROUP BY 1""".stripMargin,
     "rel_bloom_prejoin" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
