@@ -422,6 +422,46 @@ object Relational extends graft.QueryModule {
         max($"gap_sec").as("max_gap"))
   }
 
+  /** Cohort retention matrix: users grouped by first-activity day
+    * (cohort), activity counted per (cohort_day, activity_day). The
+    * cohort assignment is a per-user min — one partial-combined
+    * aggregation broadcast back onto the (pre-aggregated) daily activity
+    * rather than joined against raw events. */
+  def cohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"))
+    val firstDay = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    // distinct (user, day) BEFORE the join: the join input is bounded by
+    // users x active-days, not raw events
+    ev.distinct()
+      .join(firstDay, "user_id")
+      .groupBy($"cohort_day", $"day")
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"),
+        date_format($"day", "yyyy-MM-dd").as("day"), $"n_users")
+  }
+
+  /** 7-day trailing moving average of daily revenue per event type — the
+    * RANGE window frame (interval-bounded, not row-bounded): each day
+    * averages over days [d-6, d] whether or not all 7 exist. Daily
+    * totals are exact DECIMAL sums; the frame runs over the pre-
+    * aggregated daily table (365ish rows per type), never raw events. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum($"value".cast(DecimalType(18, 2))).as("daily_value"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy(unix_date($"day"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("trailing_avg",
+        r4(avg($"daily_value".cast("double")).over(w)))
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"daily_value".cast("double").as("daily_value"), $"trailing_avg")
+  }
+
   /** Set operations: purchasers EXCEPT error-affected, INTERSECT of
     * clickers and viewers — one summary row (EXCEPT/INTERSECT are
     * hash-dedup shuffles on the key, same cost model as groupBy). */
@@ -477,6 +517,8 @@ object Relational extends graft.QueryModule {
     "rel_semi_join" -> semiJoin,
     "rel_bloom_prejoin" -> bloomPrejoin,
     "rel_funnel" -> funnel,
+    "rel_cohorts" -> cohorts,
+    "rel_moving_avg" -> movingAvg,
     "rel_window_top1" -> windowTop1,
     "rel_judge_batches" -> judgeBatches,
     "rel_confusion_matrix" -> confusionMatrix,
@@ -570,6 +612,23 @@ object Relational extends graft.QueryModule {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
+    "rel_cohorts" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        |d AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  strftime(d.day, '%Y-%m-%d') AS day, count(*) AS n_users
+        |FROM d JOIN f ON d.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "rel_moving_avg" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS dv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(dv AS DOUBLE) AS daily_value,
+        |  round(avg(CAST(dv AS DOUBLE)) OVER (PARTITION BY event_type
+        |    ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+        |    AND CURRENT ROW), 4) AS trailing_avg
+        |FROM daily""".stripMargin,
     "rel_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
