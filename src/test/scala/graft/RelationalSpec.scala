@@ -90,4 +90,35 @@ class RelationalSpec extends SparkSpec {
     val anti = Relational.antiJoin(spark, sf).count()
     assert(semi + anti == cust)
   }
+
+  test("funnel stage machine: strict-after ties, window expiry, first-touch") {
+    // exercise the fold via a synthetic events table written to parquet
+    // (the query reads through Tables.load)
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.lit
+    val h = 3600L * 1000000 // 1h in micros
+    val rows = Seq(
+      // u1: clean conversion inside windows -> stage 3
+      (1L, 10L, "view", 0L), (1L, 11L, "click", h), (1L, 12L, "purchase", 2 * h),
+      // u2: click at EXACTLY the view ts -> strict-after blocks it -> stage 1
+      (2L, 20L, "view", 0L), (2L, 21L, "click", 0L),
+      // u3: click after the 24h window -> stage 1
+      (3L, 30L, "view", 0L), (3L, 31L, "click", 25 * h),
+      // u4: purchase before any view -> stage 1 (order matters)
+      (4L, 40L, "purchase", 0L), (4L, 41L, "view", h),
+      // u5: no view at all -> stage 0
+      (5L, 50L, "click", 0L)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    // ts as plain INT64 nanos, the on-disk shape Tables.load expects
+    rows.toDF("user_id", "event_id", "event_type", "mus")
+      .select($"event_id", ($"mus" * 1000L).as("ts"),
+        $"user_id", $"event_type", lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = Relational.funnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 1L, 1 -> 3L, 3 -> 1L), s"got $got")
+  }
 }
