@@ -422,6 +422,45 @@ object Relational extends graft.QueryModule {
         max($"gap_sec").as("max_gap"))
   }
 
+  /** Declarative data-validation report (the Deequ-style pre-training
+    * gate): each constraint is one aggregate over its table — uniqueness
+    * via count vs distinct count, referential integrity via a broadcast
+    * anti-join count, completeness via null rate, domain checks via
+    * conditional fractions. Every check is a map-side-combined
+    * aggregation producing ONE row; the union of rows is the report.
+    * Metrics are exact; `passed` applies each constraint's bound. */
+  def constraints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val events = Tables.load(spark, dir, "events")
+    val pkUnique = orders.agg(
+      (count(lit(1)) - countDistinct($"o_orderkey")).cast("double").as("m"))
+      .select(lit("orders_pk_unique").as("constraint"), $"m".as("metric"),
+        ($"m" === 0.0).as("passed"))
+    val fkIntegrity = orders.join(broadcast(customer.select($"c_custkey")),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).cast("double").as("m"))
+      .select(lit("orders_fk_customer").as("constraint"), $"m".as("metric"),
+        ($"m" === 0.0).as("passed"))
+    val completeness = events.agg(
+      (sum(when($"user_id".isNull, 1L).otherwise(0L)) /
+        count(lit(1)).cast("double")).as("m"))
+      .select(lit("events_user_id_complete").as("constraint"),
+        round($"m", 6).as("metric"), ($"m" === 0.0).as("passed"))
+    val domain = orders.agg(
+      (sum(when($"o_totalprice" > 0, 1L).otherwise(0L)) /
+        count(lit(1)).cast("double")).as("m"))
+      .select(lit("orders_totalprice_positive").as("constraint"),
+        round($"m", 6).as("metric"), ($"m" >= 1.0).as("passed"))
+    val priorities = orders.agg(
+      countDistinct($"o_orderpriority").cast("double").as("m"))
+      .select(lit("orders_priority_cardinality").as("constraint"),
+        $"m".as("metric"), ($"m" <= 5.0).as("passed"))
+    pkUnique.unionAll(fkIntegrity).unionAll(completeness)
+      .unionAll(domain).unionAll(priorities)
+  }
+
   /** Cohort retention matrix: users grouped by first-activity day
     * (cohort), activity counted per (cohort_day, activity_day). The
     * cohort assignment is a per-user min — one partial-combined
@@ -519,6 +558,7 @@ object Relational extends graft.QueryModule {
     "rel_funnel" -> funnel,
     "rel_cohorts" -> cohorts,
     "rel_moving_avg" -> movingAvg,
+    "rel_constraints" -> constraints,
     "rel_window_top1" -> windowTop1,
     "rel_judge_batches" -> judgeBatches,
     "rel_confusion_matrix" -> confusionMatrix,
@@ -612,6 +652,30 @@ object Relational extends graft.QueryModule {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
+    "rel_constraints" ->
+      """SELECT 'orders_pk_unique' AS constraint,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+        |  count(*) - count(DISTINCT o_orderkey) = 0 AS passed FROM orders
+        |UNION ALL
+        |SELECT 'orders_fk_customer',
+        |  CAST(count(*) AS DOUBLE),
+        |  count(*) = 0
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'events_user_id_complete',
+        |  round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6),
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0 FROM events
+        |UNION ALL
+        |SELECT 'orders_totalprice_positive',
+        |  round(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6),
+        |  sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) = count(*)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_priority_cardinality',
+        |  CAST(count(DISTINCT o_orderpriority) AS DOUBLE),
+        |  count(DISTINCT o_orderpriority) <= 5 FROM orders""".stripMargin,
     "rel_cohorts" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
