@@ -422,6 +422,46 @@ object Relational extends graft.QueryModule {
         max($"gap_sec").as("max_gap"))
   }
 
+  /** TPC-H Q5 shape — the deep multi-join: lineitem ⋈ orders ⋈ customer
+    * ⋈ supplier ⋈ nation ⋈ region, revenue per nation for one region +
+    * year, customer and supplier in the SAME nation. Only the
+    * guaranteed-tiny dimensions (nation ⋈ region) carry an explicit
+    * broadcast hint; customer/supplier/orders/lineitem sizes are left to
+    * Catalyst + AQE, which broadcasts them at test SFs and falls back to
+    * shuffle joins at cluster scale — hard-hinting those would force a
+    * multi-GB broadcast at 100 TB. The same-nation predicate rides the
+    * supplier join as an equi-key, not a post-filter. Revenue = exact
+    * DECIMAL sum of extendedprice*(1-discount). */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val natRegion = Tables.load(spark, dir, "nation")
+      .join(broadcast(Tables.load(spark, dir, "region")
+        .filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(natRegion), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey")
+    val supp = Tables.load(spark, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_extendedprice".cast(DecimalType(18, 2)) *
+          (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+            $"l_discount".cast(DecimalType(18, 2)))).as("rev"))
+    ord.join(cust, $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(supp,
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(natRegion), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"rev").cast("double").as("revenue"))
+      .select($"n_name".as("nation"), round($"revenue", 4).as("revenue"))
+  }
+
   /** Declarative data-validation report (the Deequ-style pre-training
     * gate): each constraint is one aggregate over its table — uniqueness
     * via count vs distinct count, referential integrity via a broadcast
@@ -559,6 +599,7 @@ object Relational extends graft.QueryModule {
     "rel_cohorts" -> cohorts,
     "rel_moving_avg" -> movingAvg,
     "rel_constraints" -> constraints,
+    "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_window_top1" -> windowTop1,
     "rel_judge_batches" -> judgeBatches,
     "rel_confusion_matrix" -> confusionMatrix,
@@ -652,6 +693,18 @@ object Relational extends graft.QueryModule {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
+    "rel_local_supplier_volume" ->
+      """SELECT n_name AS nation,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE), 4) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY 1""".stripMargin,
     "rel_constraints" ->
       """SELECT 'orders_pk_unique' AS constraint,
         |  CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS metric,
