@@ -33,6 +33,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.distinct.length == got.length)
   }
 
+  test("fuzz: binned join equals reference enumeration on random data") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      // timestamps cluster around bin boundaries of every band below
+      val mk = () => (1 + rnd.nextInt(3)).toLong ->
+        (100000L + rnd.nextInt(400) * 15L + rnd.nextInt(3) - 1)
+      val ls = Seq.fill(60)(mk()).zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+      val rs = Seq.fill(60)(mk()).zipWithIndex
+        .map { case ((k, t), i) => (k, t, (1000 + i).toLong) }
+      for ((lo, hi) <- Seq((-60L, 0L), (-45L, 45L), (30L, 90L))) {
+        val want = (for {
+          (lk, lt, lid) <- ls
+          (rk, rt, rid) <- rs
+          if lk == rk && rt >= lt + lo && rt <= lt + hi
+        } yield (lid, rid)).sorted
+        val left = ls.toDF("k", "t", "lid")
+          .withColumn("t", timestamp_seconds(col("t")))
+        val right = rs.toDF("k", "t", "rid")
+          .withColumn("t", timestamp_seconds(col("t")))
+        val got = RangeJoin.binned(left, right, "k", "t", lo, hi, "r_")
+          .select(col("lid"), col("r_rid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(got == want, s"trial $trial band [$lo,$hi]")
+      }
+    }
+  }
+
   test("parity with the naive theta join on real events; no nested loop") {
     val ev = graft.core.Tables.load(spark, sf, "events")
     val p = ev.filter(col("event_type") === "purchase")
