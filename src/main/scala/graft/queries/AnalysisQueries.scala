@@ -226,12 +226,14 @@ object AnalysisQueries extends graft.QueryModule {
   /** Sequence packing for training-data prep: greedily pack documents
     * (in deterministic doc_id order) into token-budget bins — the step
     * that turns a filtered corpus into fixed-length training sequences.
-    * Packing is inherently sequential, so it runs per bounded group
-    * (lang, doc_id % 16): groups parallelize freely, group size is
-    * bounded by the bucket fan-out you choose, and no global order is
-    * ever materialized. A doc larger than the budget keeps its own bin
-    * (packers don't split documents here). Oracle: DuckDB recursive CTE
-    * replaying the same greedy fold per group. */
+    * Packing is inherently sequential, so it runs per group
+    * (lang, doc_id % 16): groups parallelize freely, and
+    * `flatMapSortedGroups` pushes the per-group doc_id ordering into the
+    * shuffle's sort, so the fold streams each group with CONSTANT memory
+    * — no group is ever materialized, and group size need not be
+    * bounded by the bucket fan-out. A doc larger than the budget keeps
+    * its own bin (packers don't split documents here). Oracle: DuckDB
+    * recursive CTE replaying the same greedy fold per group. */
   def packBins(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val budget = 128
@@ -241,13 +243,12 @@ object AnalysisQueries extends graft.QueryModule {
         graft.functions.TextFunctions.count_tokens(col("text")).as("n_tokens"))
       .as[(Long, String, Int, Int)]
     base.groupByKey(r => (r._2, r._3))
-      .flatMapGroups { (key: (String, Int),
+      .flatMapSortedGroups(col("doc_id")) { (key: (String, Int),
           it: Iterator[(Long, String, Int, Int)]) =>
         val (lang, bucket) = key
-        val docs = it.toArray.sortBy(_._1)
         var bin = 0
         var acc = 0
-        docs.iterator.map { case (id, _, _, n) =>
+        it.map { case (id, _, _, n) =>
           if (acc > 0 && acc + n > budget) { bin += 1; acc = n } else acc += n
           (id, lang, bucket, n, bin)
         }
