@@ -161,39 +161,41 @@ object Relational extends graft.QueryModule {
   }
 
   /** Ordered conversion funnel (view -> click -> purchase, first-touch
-    * attribution, 24h step windows) in ONE shuffle: per user, events are
-    * collected and sorted by (ts, event_id), then a single left fold
-    * walks the stage machine — a later stage only fires STRICTLY after
-    * the previous stage's timestamp and within its window, so the result
-    * equals the anchored min-ts cascade the oracle computes with three
-    * correlated aggregations. At scale this is one hash partition by
-    * user + O(events-per-user) state; no self-joins of the event
-    * table. */
+    * attribution, 24h step windows) in ONE shuffle: events stream
+    * through a per-user stage machine in (ts, event_id) order — a later
+    * stage only fires STRICTLY after the previous stage's timestamp and
+    * within its window, so the result equals the anchored min-ts cascade
+    * the oracle computes with three correlated aggregations. At scale
+    * this is one hash partition by user with the ordering supplied by
+    * the shuffle sort and O(1) state per user; no self-joins of the
+    * event table, no per-user array. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val windowMicros = 24L * 3600 * 1000000
     val ev = Tables.load(spark, dir, "events")
-      .select($"user_id",
-        struct(unix_micros($"ts").as("ts"), $"event_id".as("eid"),
-          $"event_type".as("et")).as("e"))
-    val zero = struct(lit(0).as("stage"), lit(Long.MinValue).as("lts"))
-    val stage = aggregate(
-      array_sort(col("es")), zero,
-      (acc, e) => {
-        val et = e.getField("et")
-        val ets = e.getField("ts")
-        val inWindow = ets > acc.getField("lts") &&
-          ets <= acc.getField("lts") + windowMicros
-        when(acc.getField("stage") === 0 && et === "view",
-            struct(lit(1).as("stage"), ets.as("lts")))
-          .when(acc.getField("stage") === 1 && et === "click" && inWindow,
-            struct(lit(2).as("stage"), ets.as("lts")))
-          .when(acc.getField("stage") === 2 && et === "purchase" && inWindow,
-            struct(lit(3).as("stage"), ets.as("lts")))
-          .otherwise(acc)
-      }).getField("stage")
-    ev.groupBy($"user_id").agg(collect_list($"e").as("es"))
-      .select(stage.as("stage"))
+      .select($"user_id", unix_micros($"ts").as("mus"), $"event_id",
+        $"event_type")
+      .as[(Long, Long, Long, String)]
+    // sorted-group fold: the (ts, event_id) order rides the shuffle sort
+    // (flatMapSortedGroups), so a user's history streams through the
+    // stage machine with constant memory — no per-user array
+    val stages = ev.groupByKey(_._1)
+      .flatMapSortedGroups(col("mus"), col("event_id")) {
+        (_: Long, it: Iterator[(Long, Long, Long, String)]) =>
+          var stage = 0
+          var lts = Long.MinValue
+          it.foreach { case (_, ts, _, et) =>
+            val inWindow = ts > lts && ts <= lts + windowMicros
+            if (stage == 0 && et == "view") { stage = 1; lts = ts }
+            else if (stage == 1 && et == "click" && inWindow) {
+              stage = 2; lts = ts
+            } else if (stage == 2 && et == "purchase" && inWindow) {
+              stage = 3; lts = ts
+            }
+          }
+          Iterator.single(stage)
+      }
+    stages.toDF("stage")
       .groupBy($"stage").agg(count(lit(1)).as("n_users"))
   }
 
