@@ -75,6 +75,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-document duplicated SPANS — substring-level dedup in the
+    * shape of exact-substring training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better";
+    * suffix-array spans re-expressed as maximal runs of shared k-grams):
+    *
+    *  1. positional k-grams per doc (one explode, token positions kept);
+    *  2. a gram is *duplicated* iff it occurs in more than one doc —
+    *     detected with `min(doc_id) != max(doc_id)` over a window
+    *     partitioned by the gram: ONE shuffle on the gram, O(1) state
+    *     per group (no collect_set, no pair enumeration, so unlike the
+    *     Jaccard family this needs no document-frequency cap — a gram
+    *     in a million docs still contributes one linear partition);
+    *  3. per-doc gaps-and-islands (`pos - row_number()`) merges
+    *     consecutive duplicated positions into maximal spans.
+    *
+    * The gram string itself is the shuffle key for oracle parity; at
+    * 100 TB substitute `xxhash64(g)` to shuffle 8 bytes per occurrence.
+    * Returns (doc_id, start_pos 1-based, n_grams, span_tokens). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol), tokensOf(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= k)
+    val occ = toks.select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("ts")) - (k - 1)),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("ts"), i, lit(k))).as("g")))).as("e"))
+      .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
+    val byGram = Window.partitionBy(col("g"))
+    val dpos = occ
+      .withColumn("dup",
+        min(col(idCol)).over(byGram) =!= max(col(idCol)).over(byGram))
+      .filter(col("dup"))
+    val run = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dpos
+      .withColumn("grp", col("pos") - row_number().over(run))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("start_pos"), col("n_grams"),
+        (col("n_grams") + (k - 1)).as("span_tokens"))
+  }
+
   /** Exact blocked n-gram-Jaccard pairs via a grouped inverted index:
     * explode (block, shingle, doc), group once on (block, shingle) into
     * postings lists, enumerate in-bucket pairs, count shared shingles per

@@ -18,6 +18,7 @@ import graft.operators.{Dedup, TextAnalysis}
 object DedupQueries extends graft.QueryModule {
 
   private val JaccardThreshold = 0.3
+  private val SpanK = 5
 
   /** Exact dedup: hash-groupBy on content digest; one group per distinct
     * text, keeper = min doc_id (reference dedup J1 build side,
@@ -89,8 +90,17 @@ object DedupQueries extends graft.QueryModule {
     graft.streaming.StreamingOps.streamingNearDups(spark, dir,
       shingleK = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold)
 
+  /** Substring-level dedup: maximal per-doc runs of 5-grams that occur
+    * in more than one document ([[Dedup.duplicatedSpans]] — the
+    * exact-substring-dedup span report). Linear end-to-end; the islands
+    * merge is the only per-doc window. */
+  def duplicatedSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.loadSpread(spark, dir, "documents"),
+      "doc_id", "text", k = SpanK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_neardup_join" -> streamingNearDups,
+    "dedup_spans" -> duplicatedSpans,
     "dedup_exact" -> exact,
     "dedup_fingerprint" -> fingerprint,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -130,6 +140,35 @@ object DedupQueries extends graft.QueryModule {
          |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
          |  min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM nums GROUP BY 1""".stripMargin,
+    "dedup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+         |  FROM documents
+         |),
+         |occ AS (
+         |  SELECT doc_id, unnest(range(1, len(ts) - $SpanK + 2)) AS pos, ts
+         |  FROM toks WHERE len(ts) >= $SpanK
+         |),
+         |grams AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(list_slice(ts, pos, pos + ${SpanK - 1}), ' ') AS g
+         |  FROM occ
+         |),
+         |dpos AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      min(doc_id) OVER (PARTITION BY g)
+         |        <> max(doc_id) OVER (PARTITION BY g) AS dup
+         |    FROM grams) WHERE dup
+         |),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dpos
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+         |  count(*) AS n_grams, count(*) + ${SpanK - 1} AS span_tokens
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

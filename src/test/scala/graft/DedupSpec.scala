@@ -220,6 +220,25 @@ class DedupSpec extends SparkSpec {
     assert(sims > 0.999, s"min dequant cosine $sims")
   }
 
+  test("duplicated spans: islands merge, within-doc repeats excluded") {
+    val sess = spark
+    import sess.implicits._
+    // docs 1 and 2 share the 7-token run "a b c d e f g" (one maximal
+    // 5-gram island: 3 grams, 7 tokens). doc 3 repeats its own 5-gram
+    // twice but shares nothing cross-doc. doc 4 is under k tokens.
+    val docs = Seq(
+      (1L, "a b c d e f g xx yy zz"),
+      (2L, "qq rr a b c d e f g ss"),
+      (3L, "p q r s t uu p q r s t"),
+      (4L, "w x")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // doc 1: positions 1..3 duplicated -> one span at 1, 3 grams, 7 toks
+    // doc 2: positions 3..5 duplicated -> one span at 3
+    assert(spans == Set((1L, 1L, 3L, 7L), (2L, 3L, 3L, 7L)))
+  }
+
   test("cosine is 1.0 on identical vectors, symmetric bounds") {
     val sess = spark
     import sess.implicits._
