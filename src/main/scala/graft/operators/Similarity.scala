@@ -292,8 +292,14 @@ object Similarity {
     * table (both engines agree). Returns the final assignment
     * (vec_id, cluster, dist). */
   def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    // each Lloyd round plus the final assignment is its own action over
+    // the same projected vectors — cache them once (k x dim doubles per
+    // row; the projection, not the source table) instead of re-scanning
+    // and re-spreading the input `iters + 2` times. Stays cached for the
+    // returned assignment's lineage, so no unpersist here.
     val e = vectors.select(col("vec_id"),
       toDoubleArray(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // centroids live on the DRIVER between rounds (k x dim doubles — the
     // one structure of the algorithm that is tiny at any corpus scale;
     // this is the standard distributed-k-means shape: broadcast/literal

@@ -146,4 +146,13 @@ class PlanSpec extends SparkSpec {
     // whole-dataset Sort [global]
     assert(!physical.matches("(?s).*Sort \\[[^\\]]*\\] true.*"), physical)
   }
+
+  test("duplicated spans plan is linear: no cartesian, no global exchange") {
+    val physical = graft.queries.DedupQueries.duplicatedSpans(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical)
+    assert(!physical.contains("SinglePartition"), physical)
+    // both windows are keyed (gram / doc) — never a global Sort
+    assert(!physical.matches("(?s).*Sort \\[[^\\]]*\\] true.*"), physical)
+  }
 }
