@@ -93,8 +93,11 @@ object Dedup {
     * The gram string itself is the shuffle key for oracle parity; at
     * 100 TB substitute `xxhash64(g)` to shuffle 8 bytes per occurrence.
     * Returns (doc_id, start_pos 1-based, n_grams, span_tokens). */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+  /** Token positions (1-based) of k-grams that occur in more than one
+    * document: the shared core of [[duplicatedSpans]] and
+    * [[spanCoverage]]. Returns (idCol, pos). */
+  private def dupGramPositions(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col(idCol), tokensOf(col(textCol)).as("ts"))
@@ -105,18 +108,48 @@ object Dedup {
             concat_ws(" ", slice(col("ts"), i, lit(k))).as("g")))).as("e"))
       .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
     val byGram = Window.partitionBy(col("g"))
-    val dpos = occ
+    occ
       .withColumn("dup",
         min(col(idCol)).over(byGram) =!= max(col(idCol)).over(byGram))
       .filter(col("dup"))
+      .select(col(idCol), col("pos"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val run = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    dpos
+    dupGramPositions(docs, idCol, textCol, k)
       .withColumn("grp", col("pos") - row_number().over(run))
       .groupBy(col(idCol), col("grp"))
       .agg(min(col("pos")).cast("long").as("start_pos"),
         count(lit(1)).as("n_grams"))
       .select(col(idCol), col("start_pos"), col("n_grams"),
         (col("n_grams") + (k - 1)).as("span_tokens"))
+  }
+
+  /** Per-document duplicated-content fraction — the curation signal the
+    * span report feeds ("drop documents whose text is mostly shared"):
+    * each duplicated k-gram covers tokens [pos, pos+k-1]; coverage is
+    * counted over DISTINCT token positions so adjacent/overlapping grams
+    * never double-count. Every doc appears (zero coverage included).
+    * Linear: the k-times position explode runs only on duplicated
+    * positions. Returns (idCol, n_tokens, dup_tokens, dup_frac). */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val counts = docs.select(col(idCol),
+      size(tokensOf(col(textCol))).cast("long").as("n_tokens"))
+    val covered = dupGramPositions(docs, idCol, textCol, k)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_tokens"))
+    counts.join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .select(col(idCol), col("n_tokens"), col("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("dup_tokens") * lit(1.0) / col("n_tokens"), 6))
+          .as("dup_frac"))
   }
 
   /** Exact blocked n-gram-Jaccard pairs via a grouped inverted index:

@@ -98,9 +98,18 @@ object DedupQueries extends graft.QueryModule {
     Dedup.duplicatedSpans(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", k = SpanK)
 
+  /** Duplicated-content fraction per document — the "drop docs that are
+    * mostly shared text" curation filter built on [[Dedup.spanCoverage]]
+    * (distinct covered token positions, so overlaps never
+    * double-count). */
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanCoverage(Tables.loadSpread(spark, dir, "documents"),
+      "doc_id", "text", k = SpanK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_neardup_join" -> streamingNearDups,
     "dedup_spans" -> duplicatedSpans,
+    "dedup_span_coverage" -> spanCoverage,
     "dedup_exact" -> exact,
     "dedup_fingerprint" -> fingerprint,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -169,6 +178,38 @@ object DedupQueries extends graft.QueryModule {
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
          |  count(*) AS n_grams, count(*) + ${SpanK - 1} AS span_tokens
          |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    "dedup_span_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+         |  FROM documents
+         |),
+         |occ AS (
+         |  SELECT doc_id, unnest(range(1, len(ts) - $SpanK + 2)) AS pos, ts
+         |  FROM toks WHERE len(ts) >= $SpanK
+         |),
+         |grams AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(list_slice(ts, pos, pos + ${SpanK - 1}), ' ') AS g
+         |  FROM occ
+         |),
+         |dpos AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      min(doc_id) OVER (PARTITION BY g)
+         |        <> max(doc_id) OVER (PARTITION BY g) AS dup
+         |    FROM grams) WHERE dup
+         |),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT tpos) AS dup_tokens FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + $SpanK)) AS tpos
+         |    FROM dpos) GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CASE WHEN len(t.ts) = 0 THEN 0.0
+         |    ELSE round(coalesce(c.dup_tokens, 0) * 1.0 / len(t.ts), 6)
+         |  END AS dup_frac
+         |FROM toks t LEFT JOIN cov c USING (doc_id)""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

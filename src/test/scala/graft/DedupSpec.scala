@@ -237,6 +237,14 @@ class DedupSpec extends SparkSpec {
     // doc 1: positions 1..3 duplicated -> one span at 1, 3 grams, 7 toks
     // doc 2: positions 3..5 duplicated -> one span at 3
     assert(spans == Set((1L, 1L, 3L, 7L), (2L, 3L, 3L, 7L)))
+
+    // coverage counts DISTINCT covered token positions (7 of 10), zero
+    // for the self-repeating doc 3 and the sub-k doc 4
+    val cov = Dedup.spanCoverage(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(cov == Set((1L, 10L, 7L, 0.7), (2L, 10L, 7L, 0.7),
+      (3L, 11L, 0L, 0.0), (4L, 2L, 0L, 0.0)))
   }
 
   test("cosine is 1.0 on identical vectors, symmetric bounds") {
