@@ -90,8 +90,8 @@ object Dedup {
     *  3. per-doc gaps-and-islands (`pos - row_number()`) merges
     *     consecutive duplicated positions into maximal spans.
     *
-    * The gram string itself is the shuffle key for oracle parity; at
-    * 100 TB substitute `xxhash64(g)` to shuffle 8 bytes per occurrence.
+    * The shuffle/window key is `xxhash64(gram)` — 8 bytes per
+    * occurrence, the gram string never leaves the map side.
     * Returns (doc_id, start_pos 1-based, n_grams, span_tokens). */
   /** Token positions (1-based) of k-grams that occur in more than one
     * document: the shared core of [[duplicatedSpans]] and
@@ -102,10 +102,15 @@ object Dedup {
     val toks = docs
       .select(col(idCol), tokensOf(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= k)
+    // the gram never leaves the map side: its 64-bit hash is the shuffle
+    // and window-sort key (8 bytes/occurrence instead of the k-token
+    // string). A collision would need two distinct grams in the corpus
+    // sharing an xxhash64 — ~n^2/2^64, negligible at any corpus size,
+    // and deterministic (the oracle gate exercises exactly this plan).
     val occ = toks.select(col(idCol),
         explode(transform(sequence(lit(1), size(col("ts")) - (k - 1)),
           i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("ts"), i, lit(k))).as("g")))).as("e"))
+            xxhash64(concat_ws(" ", slice(col("ts"), i, lit(k)))).as("g")))).as("e"))
       .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
     val byGram = Window.partitionBy(col("g"))
     occ
