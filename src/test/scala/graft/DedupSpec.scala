@@ -247,6 +247,57 @@ class DedupSpec extends SparkSpec {
       (3L, 11L, 0L, 0.0), (4L, 2L, 0L, 0.0)))
   }
 
+  test("duplicated spans match brute-force enumeration on fuzzed corpora") {
+    val sess = spark
+    import sess.implicits._
+    val k = 3
+    val rnd = new scala.util.Random(42)
+    // small vocab forces cross-doc collisions, within-doc repeats,
+    // adjacent islands and sub-k docs
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpus = (1L to 30L).map { id =>
+      id -> Vector.fill(rnd.nextInt(41))(vocab(rnd.nextInt(vocab.size)))
+    }
+    // independent reference: a gram is duplicated iff some OTHER doc
+    // contains it; islands and distinct-position coverage in plain Scala
+    val gramsByDoc = corpus.map { case (id, ts) =>
+      id -> ts.sliding(k).filter(_.size == k).map(_.mkString(" ")).toVector
+    }.toMap
+    val owners = gramsByDoc.toSeq
+      .flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val expSpans = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    val expCov = scala.collection.mutable.Set[(Long, Long, Long)]()
+    corpus.foreach { case (id, ts) =>
+      val dup = gramsByDoc(id).zipWithIndex.collect {
+        case (g, i) if (owners(g) - id).nonEmpty => i + 1
+      }
+      var run = Vector[Long]()
+      def flush(): Unit = if (run.nonEmpty) {
+        expSpans += ((id, run.head, run.size.toLong, run.size.toLong + k - 1))
+        run = Vector()
+      }
+      dup.foreach { p =>
+        if (run.nonEmpty && p != run.last + 1) flush()
+        run :+= p.toLong
+      }
+      flush()
+      expCov += ((id, ts.size.toLong,
+        dup.flatMap(p => p until p + k).distinct.size.toLong))
+    }
+    val docs = corpus.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val gotSpans = Dedup.duplicatedSpans(docs, "doc_id", "text", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(gotSpans == expSpans.toSet)
+    val gotCov = Dedup.spanCoverage(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotCov == expCov.toSet)
+    assert(expSpans.nonEmpty, "fuzz corpus produced no duplicated spans")
+  }
+
   test("cosine is 1.0 on identical vectors, symmetric bounds") {
     val sess = spark
     import sess.implicits._
