@@ -154,5 +154,11 @@ class PlanSpec extends SparkSpec {
     assert(!physical.contains("SinglePartition"), physical)
     // both windows are keyed (gram / doc) — never a global Sort
     assert(!physical.matches("(?s).*Sort \\[[^\\]]*\\] true.*"), physical)
+    // projection pruning reaches the parquet scan: of documents' columns
+    // only (doc_id, text) are read
+    val scan = physical.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scan.exists(l => l.contains("doc_id") && l.contains("text")
+      && !l.contains("lang") && !l.contains("source")), scan.toString)
   }
 }
