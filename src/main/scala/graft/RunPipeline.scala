@@ -27,7 +27,17 @@ object RunPipeline {
       question: String = "spark query join data",
       limit: Option[Int] = None, outDir: String = "runs")
 
-  def parse(args: Array[String]): Config =
+  private val usage =
+    """usage: runMain graft.RunPipeline --path <dir>
+      |  [--dataset markdown|binary|parquet] [--approach mapreduce|truncation]
+      |  [--format hybrid|json|plain] [--prompt-set <name>]
+      |  [--question "..."] [--limit N] [--out <dir>]""".stripMargin
+
+  def parse(args: Array[String]): Config = {
+    if (args.contains("--help") || args.contains("-h")) {
+      System.err.println(usage)
+      sys.exit(0)
+    }
     args.sliding(2, 2).foldLeft(Config()) {
       case (c, Array("--dataset", v)) => c.copy(dataset = v)
       case (c, Array("--path", v)) => c.copy(path = v)
@@ -38,8 +48,9 @@ object RunPipeline {
       case (c, Array("--limit", v)) => c.copy(limit = Some(v.toInt))
       case (c, Array("--out", v)) => c.copy(outDir = v)
       case (_, other) => throw new IllegalArgumentException(
-        s"unknown argument '${other.mkString(" ")}'")
+        s"unknown argument '${other.mkString(" ")}'\n$usage")
     }
+  }
 
   /** Run the configured pipeline; returns the run directory (the
     * reference's results path). */
