@@ -18,6 +18,7 @@ object SparkEntry {
     q.SimilarityQueries,
     q.AnalysisQueries,
     q.Advanced,
+    q.GraphQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Graph
+
+/** Graph-shaped coverage over the synthetic star schema: co-occurrence
+  * pair mining (market-basket shape) and fixed-iteration PageRank over
+  * the resulting co-purchase graph.
+  *
+  * Scale notes:
+  *  - pair expansion happens AFTER a groupBy(orderkey) — the per-order
+  *    item set is bounded (TPC-H-ish ~4-7 lines), so the O(k^2) blowup is
+  *    a small constant per order and the only shuffle key is `l_orderkey`
+  *    (then the pair itself for the count). No self-join of the fact
+  *    table against itself — the classic formulation shuffles lineitem
+  *    twice and joins; this shuffles it once;
+  *  - PageRank per-round cost is one rank-vector shuffle (see
+  *    [[graft.operators.Graph]]); edges are partitioned once.
+  */
+object GraphQueries extends graft.QueryModule {
+
+  private val MinSupport = 2
+  private val Iters = 3
+
+  /** Distinct (order, part) pairs -> sorted per-order item sets. */
+  private def orderItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("items"))
+  }
+
+  /** Unordered part pairs (pa < pb) co-occurring in an order, one row per
+    * (order, pair) — the input both queries below share. */
+  private def pairTable(spark: SparkSession, dir: String): DataFrame =
+    orderItems(spark, dir)
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+
+  /** Market-basket co-occurrence: part pairs bought together in at least
+    * `MinSupport` orders. */
+  def copurchase(spark: SparkSession, dir: String): DataFrame =
+    pairTable(spark, dir)
+      .groupBy(col("pa").as("part_a"), col("pb").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= MinSupport)
+
+  /** 3-round PageRank (d=0.85) over the distinct co-purchase graph;
+    * rank_norm = rank x |V| (1.0 = uniform). */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(pairTable(spark, dir).distinct(), Iters)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_copurchase" -> copurchase,
+    "rel_pagerank" -> pagerank,
+  )
+
+  /** DuckDB replay of [[Graph.pageRank]]: one generated CTE block per
+    * round, every float fold in src order (the Spark side folds a
+    * src-sorted list) so doubles are bit-identical across engines. */
+  private def pagerankOracle: String = {
+    def iterCte(alias: String, prev: String) =
+      s"""$alias AS (SELECT e.dst AS node,
+         |  (1.0 - 0.85) / (SELECT nn FROM n) + 0.85 * list_reduce(
+         |    list_prepend(0.0, list(p.pr / e.d ORDER BY e.src)),
+         |    (a, b) -> a + b) AS pr
+         |  FROM edges e JOIN $prev p ON e.src = p.node
+         |  GROUP BY e.dst)""".stripMargin
+    val rounds = (1 to Iters)
+      .map(i => iterCte(s"it$i", if (i == 1) "pr0" else s"it${i - 1}"))
+      .mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e0 AS (SELECT pa AS src, pb AS dst FROM pairs
+       |       UNION SELECT pb, pa FROM pairs),
+       |deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+       |edges AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg USING (src)),
+       |n AS (SELECT count(*) AS nn FROM deg),
+       |pr0 AS (SELECT src AS node, 1.0 / (SELECT nn FROM n) AS pr FROM deg),
+       |$rounds
+       |SELECT node, round(pr * (SELECT nn FROM n), 6) AS rank_norm
+       |FROM it$Iters""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_copurchase" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |  count(*) AS n_orders
+         |FROM li a JOIN li b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |GROUP BY 1, 2 HAVING count(*) >= $MinSupport""".stripMargin,
+    "rel_pagerank" -> pagerankOracle,
+  )
+}

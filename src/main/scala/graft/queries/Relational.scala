@@ -543,6 +543,61 @@ object Relational extends graft.QueryModule {
         $"daily_value".cast("double").as("daily_value"), $"trailing_avg")
   }
 
+  /** Calendar gap fill + forward fill: daily order counts/revenue per
+    * priority on a DENSE day grid (missing days materialized, counts 0,
+    * revenue carried forward). The grid is generated from one global
+    * min/max aggregate (`sequence` explode — a few hundred rows) crossed
+    * with the 5 priorities, then LEFT-joined against the pre-aggregated
+    * daily table: the fill window runs over |days| x |priorities| rows,
+    * never raw orders, so the whole repair step is dimension-sized no
+    * matter the fact-table scale. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority", to_date($"o_orderdate").as("day"),
+        $"o_totalprice")
+    val daily = orders.groupBy($"o_orderpriority", $"day")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("total"))
+    val days = orders.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+    val grid = orders.select($"o_orderpriority").distinct().crossJoin(days)
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    grid.join(daily, Seq("o_orderpriority", "day"), "left")
+      .withColumn("n_orders", coalesce($"n_orders", lit(0L)))
+      .withColumn("filled_total",
+        last($"total", ignoreNulls = true).over(w).cast("double"))
+      .select($"o_orderpriority", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_orders", $"filled_total")
+  }
+
+  /** Winsorized robust statistics: per-group exact p05/p95, values
+    * clipped to that band, then an exact DECIMAL mean over the clipped
+    * values plus the clipped fraction. Two passes over the fact table
+    * (quantiles, then clip+agg) with the tiny per-group quantile table
+    * broadcast back — the standard way to de-outlier a metric without a
+    * sort per row. At 100 TB swap `percentile` for `approx_percentile`
+    * (the GK sketch) — the clip path is unchanged. */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice")
+    val bounds = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_extendedprice", lit(0.05)).as("p05"),
+        percentile($"l_extendedprice", lit(0.95)).as("p95"))
+    val clipped = least(greatest($"l_extendedprice", $"p05"), $"p95")
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        r4(min($"p05")).as("p05"),
+        r4(min($"p95")).as("p95"),
+        r4(sum(clipped.cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1))).as("wins_mean"),
+        r4(avg(when($"l_extendedprice" < $"p05", 1.0)
+          .when($"l_extendedprice" > $"p95", 1.0)
+          .otherwise(0.0))).as("clipped_frac"))
+  }
+
   /** Set operations: purchasers EXCEPT error-affected, INTERSECT of
     * clickers and viewers — one summary row (EXCEPT/INTERSECT are
     * hash-dedup shuffles on the key, same cost model as groupBy). */
@@ -600,6 +655,8 @@ object Relational extends graft.QueryModule {
     "rel_funnel" -> funnel,
     "rel_cohorts" -> cohorts,
     "rel_moving_avg" -> movingAvg,
+    "rel_gap_fill" -> gapFill,
+    "rel_winsorized" -> winsorized,
     "rel_constraints" -> constraints,
     "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_window_top1" -> windowTop1,
@@ -748,6 +805,40 @@ object Relational extends graft.QueryModule {
         |    ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
         |    AND CURRENT ROW), 4) AS trailing_avg
         |FROM daily""".stripMargin,
+    "rel_gap_fill" ->
+      """WITH o AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+        |    o_totalprice FROM orders),
+        |daily AS (SELECT o_orderpriority, day, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM o GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |grid AS (SELECT p.o_orderpriority, d.day
+        |  FROM (SELECT DISTINCT o_orderpriority FROM o) p CROSS JOIN days d)
+        |SELECT g.o_orderpriority, strftime(g.day, '%Y-%m-%d') AS day,
+        |  coalesce(daily.n_orders, 0) AS n_orders,
+        |  CAST(last_value(daily.total IGNORE NULLS) OVER (
+        |    PARTITION BY g.o_orderpriority ORDER BY g.day) AS DOUBLE)
+        |    AS filled_total
+        |FROM grid g LEFT JOIN daily
+        |  ON g.o_orderpriority = daily.o_orderpriority
+        |  AND g.day = daily.day""".stripMargin,
+    "rel_winsorized" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  round(min(b.p05), 4) AS p05, round(min(b.p95), 4) AS p95,
+        |  round(CAST(sum(CAST(least(greatest(l.l_extendedprice, b.p05),
+        |      b.p95) AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+        |    AS wins_mean,
+        |  round(avg(CASE WHEN l.l_extendedprice < b.p05 THEN 1.0
+        |                 WHEN l.l_extendedprice > b.p95 THEN 1.0
+        |                 ELSE 0.0 END), 4) AS clipped_frac
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
     "rel_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

@@ -93,6 +93,51 @@ object SimilarityQueries extends graft.QueryModule {
       .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Per-label embedding diversity: the mean pairwise squared L2
+    * distance, computed in CLOSED FORM via the second-moment identity
+    *
+    *   sum_{i,j} ||x_i - x_j||^2 = 2n * sum_i ||x_i||^2 - 2 ||sum_i x_i||^2
+    *
+    * so the metric needs two aggregation passes and ZERO pair
+    * enumeration — the exact number a quadratic pairwise scan would
+    * produce, at linear cost (the curation signal "how redundant is this
+    * cluster" stays computable when a label holds 10^9 members). Both
+    * component sums fold in a fixed order (vec_id resp. dimension) for
+    * cross-engine bit-equality; at production scale plain `sum` suffices. */
+  def diversity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    // sum_i x_i per (label, dim), vec_id-ordered fold
+    val pos = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    val sv = pos.groupBy(col("label"), col("pos"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+          s => s.getField("x").cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("s"))
+    // ||sum_i x_i||^2 per label, dim-ordered fold of s^2
+    val nsq = sv.groupBy(col("label"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          t => t.getField("s") * t.getField("s")),
+        lit(0.0), (acc, v) => acc + v).as("nsq"))
+    // sum_i ||x_i||^2 per label, vec_id-ordered fold of per-vector norms
+    val norms = emb.select(col("label"), col("vec_id"),
+      aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("nrm"))
+    val ssq = norms.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("nrm")))),
+            s => s.getField("nrm")),
+          lit(0.0), (acc, v) => acc + v).as("ssq"))
+    val nd = col("n").cast("double")
+    ssq.join(nsq, "label")
+      .select(col("label"), col("n"),
+        round(lit(2.0) * (nd * col("ssq") - col("nsq"))
+          / (nd * (nd - lit(1.0))), 6).as("mean_pair_sqdist"))
+  }
+
   /** Deterministic Lloyd k-means (k=8, 2 update rounds) — see
     * [[Similarity.kmeans]] for why this is oracle-checkable. */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
@@ -124,6 +169,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_rplsh" -> topkRpLsh,
     "sim_centroid_dist" -> centroidDist,
     "sim_quantize_stats" -> quantizeStats,
+    "sim_diversity" -> diversity,
   )
 
   /** DuckDB replay of [[Similarity.kmeans]] (k=8, 2 rounds), generated
@@ -224,6 +270,32 @@ object SimilarityQueries extends graft.QueryModule {
          |  SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
          |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
          |  FROM km) WHERE rn <= 20""".stripMargin,
+    "sim_diversity" ->
+      """WITH p AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |sv AS (SELECT label, pos,
+        |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+        |      (a, b) -> a + b) AS s
+        |  FROM p GROUP BY 1, 2),
+        |nsq AS (SELECT label,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list(s ORDER BY pos), v -> v * v)),
+        |      (a, b) -> a + b) AS nsq
+        |  FROM sv GROUP BY 1),
+        |norms AS (SELECT label, vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (a, b) -> a + b) AS nrm
+        |  FROM embeddings),
+        |ssq AS (SELECT label, count(*) AS n,
+        |    list_reduce(list_prepend(0.0, list(nrm ORDER BY vec_id)),
+        |      (a, b) -> a + b) AS ssq
+        |  FROM norms GROUP BY 1)
+        |SELECT s.label, s.n,
+        |  round(2.0 * (CAST(s.n AS DOUBLE) * s.ssq - q.nsq)
+        |    / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1.0)), 6)
+        |    AS mean_pair_sqdist
+        |FROM ssq s JOIN nsq q USING (label)""".stripMargin,
     "sim_centroid_dist" ->
       """WITH p AS (SELECT vec_id, label,
         |    CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+import graft.queries.{GraphQueries, SimilarityQueries}
+
+class GraphSpec extends SparkSpec {
+  private val sess = SparkSpec.spark
+  import sess.implicits._
+
+  test("pagerank conserves rank mass and converges toward degree order") {
+    // star + triangle: hub 0 connected to 1..4; triangle 5-6-7
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L)).toDF("pa", "pb")
+    val pr = Graph.pageRank(pairs, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 8)
+    // rank_norm is rank * n, so the total mass is n
+    assert(math.abs(pr.values.sum - 8.0) < 1e-4, pr.toString)
+    // the hub outranks every leaf; triangle members tie by symmetry
+    assert(pr(0L) > pr(1L) && pr(0L) > pr(5L))
+    assert(math.abs(pr(5L) - pr(6L)) < 1e-12)
+    assert(pr(1L) == pr(2L) && pr(2L) == pr(3L))
+  }
+
+  test("copurchase equals the brute-force self-join on the same data") {
+    val brute = {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val a = li.toDF("k", "pa")
+      val b = li.toDF("k", "pb")
+      a.join(b, Seq("k")).filter($"pa" < $"pb")
+        .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val got = GraphQueries.copurchase(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
+  test("pair expansion plan has no join of the fact table against itself") {
+    val plan = GraphQueries.copurchase(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"copurchase should aggregate + explode, not self-join:\n$plan")
+  }
+
+  test("closed-form diversity equals the brute-force pairwise mean") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+    val brute = emb.as("a").join(emb.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.label".as("label"), aggregate(
+        zip_with($"a.embedding", $"b.embedding",
+          (x, y) => (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v).as("sq"))
+      .groupBy($"label").agg(avg($"sq").as("mean_sq"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val closed = SimilarityQueries.diversity(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(closed.keySet == brute.keySet)
+    closed.foreach { case (label, v) =>
+      assert(math.abs(v - brute(label)) < 1e-4,
+        s"label $label: closed $v vs brute ${brute(label)}")
+    }
+  }
+}
