@@ -242,6 +242,11 @@ object Advanced extends graft.QueryModule {
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
     StreamingOps.windowedEventAgg(spark, dir)
 
+  /** Stream-stream interval join — see
+    * [[graft.streaming.StreamingOps.clickAttribution]]. */
+  def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.clickAttribution(spark, dir)
+
   /** Session windows (gap 30 min) over events per user — Spark's
     * `session_window` (the streaming-native session operator, here in
     * batch form; identical semantics under a watermark in streaming).
@@ -350,6 +355,7 @@ object Advanced extends graft.QueryModule {
     "adv_salted_agg" -> saltedAgg,
     "stream_window_agg" -> streamWindowAgg,
     "stream_dedup_count" -> streamDedup,
+    "stream_join_attrib" -> streamJoinAttrib,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -533,6 +539,13 @@ object Advanced extends graft.QueryModule {
     "stream_dedup_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "stream_join_attrib" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+        |  date_diff('second', v.ts, c.ts) AS lag_sec
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id AND v.event_type = 'view'
+        |  AND c.event_type = 'click'
+        |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE""".stripMargin,
     "stream_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '45 minutes', ts), '%Y-%m-%d %H:%M:%S')
         |    AS window_start,

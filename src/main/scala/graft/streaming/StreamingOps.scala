@@ -145,6 +145,50 @@ object StreamingOps {
     spark.table(name).localCheckpoint(true)
   }
 
+  /** Stream-STREAM interval join (click attribution): views and clicks
+    * run as two independent watermarked streams; a click joins every
+    * same-user view it follows within `lagMinutes`. The time-bound join
+    * condition is what makes unbounded stream-stream state safe: with
+    * both sides watermarked and the range condition relating the two
+    * event times, Spark derives a state eviction horizon — each side's
+    * buffer holds only rows newer than (watermark - range), so state is
+    * O(rate x window) regardless of how long the query runs. The same
+    * graph at 100 TB/day is the standard attribution topology: shuffle
+    * by user_id, bounded per-key buffers, append output. */
+  def clickAttribution(spark: SparkSession, dir: String,
+      lagMinutes: Int = 10): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val joined = views.join(clicks, expr(
+        s"v_user = c_user AND cts > vts AND cts <= vts + interval $lagMinutes minutes"))
+      // per-timestamp SECOND truncation before the diff (DuckDB
+      // date_diff counts boundary crossings, not elapsed time)
+      .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
+        expr("unix_micros(cts) div 1000000 - unix_micros(vts) div 1000000")
+          .as("lag_sec"))
+    val name = "graft_stream_attrib"
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name).localCheckpoint(true)
+  }
+
   /** The QA MapReduce dataflow in streaming form: documents arrive as a
     * stream; every micro-batch runs the identical answers() graph via
     * foreachBatch, appending to an in-memory sink. Returns the union of
