@@ -91,6 +91,68 @@ object AnalysisQueries extends graft.QueryModule {
         round(col("entropy"), 6).as("entropy"))
   }
 
+  /** BM25 keyword scoring (Okapi, k1=1.2 b=0.75) for a fixed query-term
+    * set — the retrieval shape behind corpus search and RAG candidate
+    * generation. One tf pass feeds document lengths, per-term df, and
+    * the scoring rows; df and the 2-scalar corpus stats broadcast back,
+    * so the only per-document shuffle key is doc_id. All arithmetic runs
+    * on explicit doubles in the same operation order as the oracle, and
+    * the per-document term sum folds in term order (<= 3 values). */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("join", "filter", "vector")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.term_counts(col("text")))
+          .as(Seq("term", "tf")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val stats = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot"))
+      .select(col("n_docs"),
+        (col("tot").cast("double") / col("n_docs")).as("avgdl"))
+    val qtf = tf.filter(col("term").isin(queryTerms: _*))
+    val dft = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val idf = log((nd - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("len").cast("double") / col("avgdl"))
+    val out = qtf.join(len, "doc_id").join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (idf * col("tf").cast("double") / denom).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("s")))),
+          t => t.getField("s")),
+        lit(0.0), (acc, v) => acc + v), 6).as("bm25"))
+      .localCheckpoint(true)
+    tf.unpersist(blocking = false)
+    out
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis): each document draws u from a content hash
+    * (reproducible, no RNG state) and competes with key u^(1/w) — here
+    * ranked by the monotone-equivalent ln(u)/w so no pow is needed —
+    * with w = n_chars. The top-k selection is a TakeOrdered (per-
+    * partition top-k, k rows per partition cross the shuffle), never a
+    * full sort: the curation move "sample big documents more often,
+    * reproducibly" at any corpus scale. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val key = log((h.cast("double") + lit(0.5)) / lit(4294967296.0)) /
+      col("n_chars")
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("weight"), key.as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("weight"),
+        round(col("key") * lit(10000.0), 6).as("skey"))
+  }
+
   /** Corpus term frequency, top-50 (ties broken lexicographically): the
     * explode shuffles (term, partial-count) thanks to map-side combine —
     * never raw token rows. */
@@ -325,6 +387,8 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_langid_confusion" -> langidConfusion,
     "ta_top_terms" -> topTerms,
     "ta_tfidf_top" -> tfidfTop,
+    "ta_bm25" -> bm25,
+    "ta_weighted_sample" -> weightedSample,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_stats" -> mmResizeStats,
@@ -526,6 +590,33 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM (SELECT unnest(regexp_extract_all(text, '$re')) AS term
          |      FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 50""".stripMargin,
+    "ta_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re'))
+         |    AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |len AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM len),
+         |dft AS (SELECT term, count(*) AS df FROM tf
+         |  WHERE term IN ('join', 'filter', 'vector') GROUP BY 1),
+         |scored AS (SELECT t.doc_id, t.term,
+         |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * CAST(t.tf AS DOUBLE)
+         |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |          + 0.75 * CAST(l.len AS DOUBLE) / avgdl)) AS s
+         |  FROM tf t JOIN len l USING (doc_id) JOIN dft USING (term)
+         |  CROSS JOIN stats)
+         |SELECT doc_id, round(list_reduce(list_prepend(0.0,
+         |    list(s ORDER BY term)), (a, v) -> a + v), 6) AS bm25
+         |FROM scored GROUP BY doc_id""".stripMargin,
+    "ta_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, n_chars AS weight,
+        |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS key
+        |  FROM documents)
+        |SELECT doc_id, weight, round(key * 10000.0, 6) AS skey
+        |FROM t ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
     "ta_tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re')) AS term
          |              FROM documents),

@@ -598,6 +598,57 @@ object Relational extends graft.QueryModule {
           .otherwise(0.0))).as("clipped_frac"))
   }
 
+  /** SCD2 history build (gaps-and-islands): collapse each user's event
+    * stream into contiguous same-type segments with [valid_from,
+    * valid_to) ranges — the slowly-changing-dimension shape that turns an
+    * event log into a point-in-time joinable state table. One shuffle
+    * (user_id); both window passes share the same partitioning, so
+    * Catalyst plans a single Exchange and sorts once. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val byUserType = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val seg = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("grp",
+        row_number().over(byUser) - row_number().over(byUserType))
+    // event_type tie-break: two same-ts events of different types start
+    // two segments with equal valid_from
+    val byUserFrom = Window.partitionBy($"user_id")
+      .orderBy($"valid_from", $"event_type")
+    seg.groupBy($"user_id", $"event_type", $"grp")
+      .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(byUserFrom))
+      .select($"user_id", $"event_type".as("status"),
+        date_format($"valid_from", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format($"valid_to", "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        $"n_events")
+  }
+
+  /** Z-score outlier detection: per-type mean/stddev from EXACT decimal
+    * moments (sum, sum of squares), so the flagged set is identical
+    * under any partitioning; rows with |z| > 3 survive. The moment
+    * aggregation is one map-side-combined pass; the per-row z pass
+    * broadcasts the 5-row stats table. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 4))).as("s"),
+        sum(($"value" * $"value").cast(DecimalType(28, 8))).as("sq"))
+      .select($"event_type",
+        ($"s".cast("double") / $"n").as("mean"),
+        sqrt(($"sq".cast("double") - $"s".cast("double")
+          * $"s".cast("double") / $"n") / ($"n" - lit(1))).as("std"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", ($"value" - $"mean") / $"std")
+      .filter(abs($"z") > 3.0)
+      .select($"event_id", $"event_type", $"value", r4($"z").as("z"))
+  }
+
   /** Set operations: purchasers EXCEPT error-affected, INTERSECT of
     * clickers and viewers — one summary row (EXCEPT/INTERSECT are
     * hash-dedup shuffles on the key, same cost model as groupBy). */
@@ -657,6 +708,8 @@ object Relational extends graft.QueryModule {
     "rel_moving_avg" -> movingAvg,
     "rel_gap_fill" -> gapFill,
     "rel_winsorized" -> winsorized,
+    "rel_scd2" -> scd2,
+    "rel_outliers" -> outliers,
     "rel_constraints" -> constraints,
     "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_window_top1" -> windowTop1,
@@ -824,6 +877,36 @@ object Relational extends graft.QueryModule {
         |FROM grid g LEFT JOIN daily
         |  ON g.o_orderpriority = daily.o_orderpriority
         |  AND g.day = daily.day""".stripMargin,
+    "rel_scd2" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS grp
+        |  FROM events),
+        |seg AS (SELECT user_id, event_type, grp, min(ts) AS valid_from,
+        |    count(*) AS n_events
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type AS status,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_type), '%Y-%m-%d %H:%M:%S')
+        |    AS valid_to,
+        |  n_events
+        |FROM seg""".stripMargin,
+    "rel_outliers" ->
+      """WITH stats AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS s,
+        |    sum(CAST(value * value AS DECIMAL(28,8))) AS sq
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / n) / (n - 1)) AS std
+        |  FROM stats)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - m.mean) / m.std, 4) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs((e.value - m.mean) / m.std) > 3""".stripMargin,
     "rel_winsorized" ->
       """WITH b AS (SELECT l_returnflag,
         |    quantile_cont(l_extendedprice, 0.05) AS p05,
