@@ -36,14 +36,11 @@ import org.apache.spark.storage.StorageLevel
 object Graph {
 
   /** Undirected pairs (`pa < pb`, deduplicated) -> both-direction edge
-    * list with the out-degree `d` of each `src` attached. Both legs are
-    * disjoint and duplicate-free by construction, so no distinct pass. */
-  def directedWithDegree(pairs: DataFrame): (DataFrame, DataFrame) = {
-    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+    * list. Both legs are disjoint and duplicate-free by construction, so
+    * no distinct pass. */
+  def directedEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    (edges, deg)
-  }
 
   /** Fixed-iteration PageRank (damping `d`) over an undirected pair table
     * (`pa < pb`, deduplicated). Returns (node, rank_norm) where
@@ -51,14 +48,22 @@ object Graph {
     * scale-independent). */
   def pageRank(pairs: DataFrame, iters: Int, damping: Double = 0.85,
       broadcastRanks: Boolean = true): DataFrame = {
-    val (edges0, deg) = directedWithDegree(pairs)
+    // Cache the raw directed edge list FIRST: the pair table feeding it
+    // (often a groupBy+explode over a fact table) is the expensive input
+    // and must flow exactly once. deg, the degree-annotated edges, and
+    // pr0 all derive from this cache.
+    val edges0 = directedEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    val degC = edges0.groupBy("src").agg(count(lit(1)).as("d"))
     val partKey = if (broadcastRanks) "dst" else "src"
-    val edges = edges0.join(broadcast(deg), "src")
+    val edges = edges0.join(broadcast(degC), "src")
       .repartition(col(partKey))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the one eager scalar: |V| (every node of the undirected graph
-    // appears as a src, so the degree table's size is the node count)
-    val n = deg.count()
+    // Materializing the edge cache eagerly fixes its outputPartitioning
+    // (an unexecuted AQE plan inside InMemoryRelation reports Unknown,
+    // which would re-insert a per-round Exchange before the aggregation)
+    // and leaves the one eager scalar — |V| — a cheap cached aggregate.
+    edges.count()
+    val n = degC.count()
     // (1.0 - damping) evaluated the same way in the DuckDB oracle
     // ((1.0 - 0.85) / n) so the teleport term is bit-identical
     val teleport = (lit(1.0) - lit(damping)) / lit(n.toDouble)
@@ -66,16 +71,19 @@ object Graph {
     // pr(v) = (1-d)/n + d * fold_{u in N(v), src-ordered}(pr(u)/deg(u))
     def round1(pr: DataFrame): DataFrame = {
       val ranks = if (broadcastRanks) broadcast(pr) else pr
+      // group on the bare `dst` attribute (an alias in the grouping key
+      // would defeat the partitioning match and re-add an Exchange)
       edges.join(ranks, edges("src") === ranks("node"))
         .select(col("dst"), col("src"), (col("pr") / col("d")).as("contrib"))
-        .groupBy(col("dst").as("node"))
+        .groupBy(col("dst"))
         .agg((teleport + lit(damping) * aggregate(
           transform(array_sort(collect_list(struct(col("src"), col("contrib")))),
             s => s.getField("contrib")),
           lit(0.0), (acc, v) => acc + v)).as("pr"))
+        .withColumnRenamed("dst", "node")
     }
 
-    val pr0 = deg.select(col("src").as("node"))
+    val pr0 = degC.select(col("src").as("node"))
       .withColumn("pr", lit(1.0) / lit(n.toDouble))
     val prN = (1 to iters).foldLeft(pr0)((pr, _) => round1(pr))
     prN.select(col("node"),

@@ -153,6 +153,81 @@ object AnalysisQueries extends graft.QueryModule {
         round(col("key") * lit(10000.0), 6).as("skey"))
   }
 
+  /** Bigram PMI collocations: pointwise mutual information
+    * ln(p(xy) / (p(x)p(y))) over adjacent token pairs, for bigrams seen
+    * at least 5 times. Bigrams are materialized map-side from each
+    * document's token array (zero extra shuffle vs the token explode);
+    * the unigram vocabulary is broadcast onto the bigram counts twice
+    * (w1, w2). Ranking uses the ROUNDED score so cross-engine ulp noise
+    * in ln can't flip the cut (the tfidfTop discipline). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.loadSpread(spark, dir, "documents")
+      .select(graft.functions.TextFunctions.regex_tokens(col("text")).as("ts"))
+    val bigrams = toks
+      .select(explode(expr(
+        """transform(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |  (t, i) -> struct(t AS w1, element_at(ts, i + 2) AS w2))"""
+          .stripMargin)).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    // total bigram instances = total tokens - one per document
+    val nb = Tables.loadSpread(spark, dir, "documents")
+      .agg(sum(greatest(
+        size(graft.functions.TextFunctions.regex_tokens(col("text"))) - 1,
+        lit(0))).as("nb"))
+    val pmi = log(
+      (col("c_xy").cast("double") / col("nb"))
+        / ((col("c1").cast("double") / col("nu"))
+          * (col("c2").cast("double") / col("nu"))))
+    val out = bigrams
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "c1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "c2")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_xy"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(100)
+      .localCheckpoint(true)
+    uni.unpersist(blocking = false)
+    out
+  }
+
+  /** Mutual information between two categorical columns (lang x source)
+    * — the "how much does provenance predict language" curation signal.
+    * Everything derives from one contingency-table aggregation (25ish
+    * cells) + margins computed FROM the cells (no second scan); the MI
+    * sum folds cells in (lang, source) order for cross-engine equality. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.loadSpread(spark, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = cells.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
+    val nn = cells.agg(sum(col("n_xy")).as("n"))
+    val term = (col("n_xy").cast("double") / col("n")) * log(
+      (col("n_xy").cast("double") / col("n"))
+        / ((col("n_x").cast("double") / col("n"))
+          * (col("n_y").cast("double") / col("n"))))
+    val out = cells.join(broadcast(mx), "lang").join(broadcast(my), "source")
+      .crossJoin(broadcast(nn))
+      .select(col("lang"), col("source"), term.as("t"))
+      .agg(count(lit(1)).as("n_cells"),
+        round(aggregate(
+          transform(
+            array_sort(collect_list(struct(col("lang"), col("source"), col("t")))),
+            s => s.getField("t")),
+          lit(0.0), (acc, v) => acc + v), 6).as("mi"))
+      .localCheckpoint(true)
+    cells.unpersist(blocking = false)
+    out
+  }
+
   /** Corpus term frequency, top-50 (ties broken lexicographically): the
     * explode shuffles (term, partial-count) thanks to map-side combine —
     * never raw token rows. */
@@ -389,6 +464,8 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_tfidf_top" -> tfidfTop,
     "ta_bm25" -> bm25,
     "ta_weighted_sample" -> weightedSample,
+    "ta_collocations" -> collocations,
+    "ta_mutual_info" -> mutualInfo,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_stats" -> mmResizeStats,
@@ -590,6 +667,39 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM (SELECT unnest(regexp_extract_all(text, '$re')) AS term
          |      FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 50""".stripMargin,
+    "ta_collocations" ->
+      s"""WITH toks AS (SELECT regexp_extract_all(text, '$re') AS ts
+         |  FROM documents),
+         |big AS (SELECT unnest(ts[1:greatest(len(ts) - 1, 0)]) AS w1,
+         |               unnest(ts[2:len(ts)]) AS w2 FROM toks),
+         |bc AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY 1, 2
+         |       HAVING count(*) >= 5),
+         |uni AS (SELECT unnest(ts) AS w FROM toks),
+         |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+         |nu AS (SELECT sum(c) AS nu FROM uc),
+         |nb AS (SELECT sum(greatest(len(ts) - 1, 0)) AS nb FROM toks)
+         |SELECT w1, w2, c_xy,
+         |  round(ln((CAST(c_xy AS DOUBLE) / nb.nb)
+         |    / ((CAST(u1.c AS DOUBLE) / nu.nu)
+         |      * (CAST(u2.c AS DOUBLE) / nu.nu))), 6) AS pmi
+         |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+         |CROSS JOIN nu CROSS JOIN nb
+         |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+    "ta_mutual_info" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n_xy
+        |  FROM documents GROUP BY 1, 2),
+        |mx AS (SELECT lang, sum(n_xy) AS n_x FROM cells GROUP BY 1),
+        |my AS (SELECT source, sum(n_xy) AS n_y FROM cells GROUP BY 1),
+        |nn AS (SELECT sum(n_xy) AS n FROM cells),
+        |t AS (SELECT lang, source,
+        |    (CAST(n_xy AS DOUBLE) / n) * ln((CAST(n_xy AS DOUBLE) / n)
+        |      / ((CAST(n_x AS DOUBLE) / n) * (CAST(n_y AS DOUBLE) / n))) AS t
+        |  FROM cells JOIN mx USING (lang) JOIN my USING (source)
+        |  CROSS JOIN nn)
+        |SELECT count(*) AS n_cells,
+        |  round(list_reduce(list_prepend(0.0, list(t ORDER BY lang, source)),
+        |    (a, v) -> a + v), 6) AS mi
+        |FROM t""".stripMargin,
     "ta_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re'))
          |    AS term FROM documents),

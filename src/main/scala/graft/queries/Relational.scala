@@ -222,6 +222,21 @@ object Relational extends graft.QueryModule {
           .as("revenue"))
   }
 
+  /** Top-3-per-group WITH ties (dense_rank — rank semantics coverage
+    * next to the row_number argmax below): per-brand price leaders where
+    * equal prices share a rank. Partitioned window (25 brands run in
+    * parallel); at larger fan-in the per-partition top-k aggregate
+    * ([[graft.functions]] TopKStructs) is the pre-filter. */
+  def denseTopParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc)
+    Tables.load(spark, dir, "part")
+      .withColumn("rk", dense_rank().over(w))
+      .filter($"rk" <= 3)
+      .select($"p_brand", $"p_partkey", $"p_retailprice",
+        $"rk".cast("int").as("rk"))
+  }
+
   /** O4: arg-max per group via row_number window (fuzzy-join top-1 analog). */
   def windowTop1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -710,6 +725,7 @@ object Relational extends graft.QueryModule {
     "rel_winsorized" -> winsorized,
     "rel_scd2" -> scd2,
     "rel_outliers" -> outliers,
+    "rel_dense_top" -> denseTopParts,
     "rel_constraints" -> constraints,
     "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_window_top1" -> windowTop1,
@@ -877,6 +893,12 @@ object Relational extends graft.QueryModule {
         |FROM grid g LEFT JOIN daily
         |  ON g.o_orderpriority = daily.o_orderpriority
         |  AND g.day = daily.day""".stripMargin,
+    "rel_dense_top" ->
+      """SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INT) AS rk
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |    dense_rank() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC) AS rk
+        |  FROM part) WHERE rk <= 3""".stripMargin,
     "rel_scd2" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)

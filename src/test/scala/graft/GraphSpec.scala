@@ -47,6 +47,18 @@ class GraphSpec extends SparkSpec {
       s"copurchase should aggregate + explode, not self-join:\n$plan")
   }
 
+  test("pagerank round is shuffle-free: agg sits directly on the broadcast join") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)).toDF("pa", "pb")
+    val plan = Graph.pageRank(pairs, 3).queryExecution.executedPlan.toString
+    // the text before the first cached-edges scan is the outermost
+    // round's fragment: final agg -> partial agg -> project -> broadcast
+    // join. A shuffle there would mean every round re-partitions.
+    val top = plan.substring(0, plan.indexOf("InMemoryTableScan") max 0)
+    assert(top.contains("BroadcastHashJoin"), plan)
+    assert(!top.contains("Exchange hashpartitioning"),
+      s"per-round shuffle detected in round fragment:\n$top")
+  }
+
   test("closed-form diversity equals the brute-force pairwise mean") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"label", $"embedding")
