@@ -153,6 +153,96 @@ object AnalysisQueries extends graft.QueryModule {
         round(col("key") * lit(10000.0), 6).as("skey"))
   }
 
+  /** Heavy hitters via the ApproxTopK sketch (Spark 4 built-in): the
+    * one-pass mergeable-summary alternative to the exact
+    * explode-groupBy-sort of [[topTerms]]. With maxItemsTracked >= the
+    * vocabulary size the sketch is EXACT (every item tracked), which is
+    * what makes this oracle-checkable; under-budgeted sketches degrade
+    * gracefully and are the 100 TB configuration (constant memory per
+    * partition, one merge pass). k=11 keeps the cut boundary tie-free at
+    * every test scale factor, so the selected SET is deterministic (ties
+    * inside the set don't matter — rows are compared unordered). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.regex_tokens(col("text")))
+        .as("term"))
+      .selectExpr("approx_top_k(term, 11, 100000) AS tk")
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("n"))
+
+  /** Sparse TF-IDF cosine similarity join — the text-side ANN shape
+    * (dense embeddings get brute/IVF/RP-LSH; sparse vectors get THIS):
+    * per-document vectors truncated to the top-10 TF-IDF terms, joined
+    * through the term inverted index, pair dot products folded in term
+    * order, cosine from precomputed norms. Truncation bounds each
+    * document's posting list (the standard sparse-retrieval move);
+    * at scale the remaining hot term keys get the df-cap/salt treatment
+    * of dedup_ngram_jaccard. Truncation ranks on the ROUNDED weight so
+    * cross-engine ulp noise in ln can't change which terms survive. */
+  def sparseSim(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.term_counts(col("text")))
+          .as(Seq("term", "tf")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w").desc, col("term"))
+    val vec = tf.join(broadcast(dft), "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 6).as("w"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = vec.groupBy(col("doc_id"))
+      .agg(sqrt(aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("w")))),
+          t => t.getField("w") * t.getField("w")),
+        lit(0.0), (acc, v) => acc + v)).as("nrm"))
+    val a = vec.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+    val b = vec.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb"))
+    val out = a.join(b, "term").filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(
+          struct(col("term"), (col("wa") * col("wb")).as("p")))),
+          t => t.getField("p")),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+      .join(norms.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nrm", "na"), "doc_a")
+      .join(norms.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nrm", "nb"), "doc_b")
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos") > 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
+      .localCheckpoint(true)
+    vec.unpersist(blocking = false)
+    tf.unpersist(blocking = false)
+    out
+  }
+
+  /** Scale-safe percentile rank: percent_rank without the global sort.
+    * The value DISTRIBUTION (distinct value -> count) is dimension-sized;
+    * a window over it yields the strictly-below cumulative count, which
+    * broadcasts back onto the scan: pct = below / (n - 1) — exactly
+    * SQL percent_rank (ties share a rank), with the only total order
+    * running over distinct values, never rows. */
+  def percentileRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val dist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
+    val nn = docs.agg(count(lit(1)).as("n"))
+    docs.join(broadcast(cum), "n_chars").crossJoin(broadcast(nn))
+      .select(col("doc_id"), col("n_chars"),
+        round(col("below").cast("double") / (col("n") - lit(1)), 6).as("pct"))
+  }
+
   /** Bigram PMI collocations: pointwise mutual information
     * ln(p(xy) / (p(x)p(y))) over adjacent token pairs, for bigrams seen
     * at least 5 times. Bigrams are materialized map-side from each
@@ -466,6 +556,9 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_weighted_sample" -> weightedSample,
     "ta_collocations" -> collocations,
     "ta_mutual_info" -> mutualInfo,
+    "ta_heavy_hitters" -> heavyHitters,
+    "ta_sparse_sim" -> sparseSim,
+    "ta_quality_pct" -> percentileRank,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_stats" -> mmResizeStats,
@@ -667,6 +760,41 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM (SELECT unnest(regexp_extract_all(text, '$re')) AS term
          |      FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 50""".stripMargin,
+    "ta_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(regexp_extract_all(text, '$re')) AS term
+         |  FROM documents)
+         |SELECT term, n FROM (SELECT term, count(*) AS n FROM toks
+         |  GROUP BY 1 ORDER BY n DESC, term LIMIT 11)""".stripMargin,
+    "ta_sparse_sim" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re'))
+         |    AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |vec AS (SELECT doc_id, term, w FROM (
+         |  SELECT doc_id, t.term,
+         |    round(tf * ln(n_docs * 1.0 / df), 6) AS w,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY round(tf * ln(n_docs * 1.0 / df), 6) DESC, t.term)
+         |      AS rn
+         |  FROM tf t JOIN dft USING (term) CROSS JOIN n) WHERE rn <= 10),
+         |norms AS (SELECT doc_id, sqrt(list_reduce(list_prepend(0.0,
+         |    list_transform(list(w ORDER BY term), x -> x * x)),
+         |    (a, v) -> a + v)) AS nrm
+         |  FROM vec GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    list_reduce(list_prepend(0.0, list(a.w * b.w ORDER BY a.term)),
+         |      (x, y) -> x + y) AS dot
+         |  FROM vec a JOIN vec b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+         |FROM pairs JOIN norms na ON doc_a = na.doc_id
+         |           JOIN norms nb ON doc_b = nb.doc_id
+         |WHERE dot / (na.nrm * nb.nrm) > 0.5""".stripMargin,
+    "ta_quality_pct" ->
+      """SELECT doc_id, n_chars,
+        |  round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct
+        |FROM documents""".stripMargin,
     "ta_collocations" ->
       s"""WITH toks AS (SELECT regexp_extract_all(text, '$re') AS ts
          |  FROM documents),
