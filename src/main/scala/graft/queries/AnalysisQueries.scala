@@ -172,15 +172,16 @@ object AnalysisQueries extends graft.QueryModule {
 
   /** Sparse TF-IDF cosine similarity join — the text-side ANN shape
     * (dense embeddings get brute/IVF/RP-LSH; sparse vectors get THIS):
-    * per-document vectors truncated to the top-10 TF-IDF terms, joined
-    * through the term inverted index, pair dot products folded in term
-    * order, cosine from precomputed norms. Truncation bounds each
-    * document's posting list (the standard sparse-retrieval move);
-    * at scale the remaining hot term keys get the df-cap/salt treatment
-    * of dedup_ngram_jaccard. Truncation ranks on the ROUNDED weight so
-    * cross-engine ulp noise in ln can't change which terms survive. */
+    * per-document vectors truncated to the top-10 TF-IDF terms, a query
+    * set (first 100 documents — the retrieval shape: queries vs corpus,
+    * the sim_topk convention) joined through the term inverted index,
+    * pair dot products folded in term order, cosine from precomputed
+    * norms. Truncation bounds each document's posting list (the standard
+    * sparse-retrieval move); at scale the remaining hot term keys get
+    * the df-cap/salt treatment of dedup_ngram_jaccard. Truncation ranks
+    * on the ROUNDED weight so cross-engine ulp noise in ln can't change
+    * which terms survive. */
   def sparseSim(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.loadSpread(spark, dir, "documents")
     val tf = docs.select(col("doc_id"),
         explode(graft.functions.TextFunctions.term_counts(col("text")))
@@ -188,32 +189,42 @@ object AnalysisQueries extends graft.QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("w").desc, col("term"))
+    // truncation via the partial top-k aggregate, NOT a row_number
+    // window: 10 rows per (doc, partition) cross the shuffle instead of
+    // the full (doc, term) table, and nothing is fully sorted. The heap
+    // keeps the lexicographically largest (w, term) structs, so the tie
+    // break at equal weight is term DESC — mirrored in the oracle.
     val vec = tf.join(broadcast(dft), "term").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 6).as("w"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TextFunctions.top_k_structs(
+        struct(col("w"), col("term")), 10).as("tk"))
+      .select(col("doc_id"), explode(col("tk")).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.w").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = vec.groupBy(col("doc_id"))
       .agg(sqrt(aggregate(
         transform(array_sort(collect_list(struct(col("term"), col("w")))),
           t => t.getField("w") * t.getField("w")),
         lit(0.0), (acc, v) => acc + v)).as("nrm"))
-    val a = vec.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+    // query postings broadcast: the corpus-side index never moves for
+    // the join; only the surviving pair contributions shuffle (by pair)
+    // for the ordered fold. Norms (one double per doc) broadcast too.
+    val a = vec.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
     val b = vec.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb"))
-    val out = a.join(b, "term").filter(col("doc_a") < col("doc_b"))
+    val out = b.join(broadcast(a), "term").filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(aggregate(
         transform(array_sort(collect_list(
           struct(col("term"), (col("wa") * col("wb")).as("p")))),
           t => t.getField("p")),
         lit(0.0), (acc, v) => acc + v).as("dot"))
-      .join(norms.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("nrm", "na"), "doc_a")
-      .join(norms.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("nrm", "nb"), "doc_b")
+      .join(broadcast(norms.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nrm", "na")), "doc_a")
+      .join(broadcast(norms.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nrm", "nb")), "doc_b")
       .withColumn("cos", col("dot") / (col("na") * col("nb")))
       .filter(col("cos") > 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
@@ -775,8 +786,8 @@ object AnalysisQueries extends graft.QueryModule {
          |  SELECT doc_id, t.term,
          |    round(tf * ln(n_docs * 1.0 / df), 6) AS w,
          |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY round(tf * ln(n_docs * 1.0 / df), 6) DESC, t.term)
-         |      AS rn
+         |      ORDER BY round(tf * ln(n_docs * 1.0 / df), 6) DESC,
+         |               t.term DESC) AS rn
          |  FROM tf t JOIN dft USING (term) CROSS JOIN n) WHERE rn <= 10),
          |norms AS (SELECT doc_id, sqrt(list_reduce(list_prepend(0.0,
          |    list_transform(list(w ORDER BY term), x -> x * x)),
@@ -785,7 +796,8 @@ object AnalysisQueries extends graft.QueryModule {
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    list_reduce(list_prepend(0.0, list(a.w * b.w ORDER BY a.term)),
          |      (x, y) -> x + y) AS dot
-         |  FROM vec a JOIN vec b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  FROM vec a JOIN vec b ON a.term = b.term
+         |    AND a.doc_id < 100 AND a.doc_id <> b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
          |FROM pairs JOIN norms na ON doc_a = na.doc_id
