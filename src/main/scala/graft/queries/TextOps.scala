@@ -96,7 +96,7 @@ object TextOps extends graft.QueryModule {
   def longDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
-      .filter(count_tokens($"text") > 150)
+      .filter(count_tokens($"text") > 80)
       .select($"doc_id", count_tokens($"text").as("n_tokens"))
   }
 
@@ -177,7 +177,7 @@ object TextOps extends graft.QueryModule {
          |FROM chunks c GROUP BY c.doc_id""".stripMargin,
     "text_long_docs" ->
       s"""SELECT doc_id, $tokExpr AS n_tokens
-         |FROM documents WHERE $tokExpr > 150""".stripMargin,
+         |FROM documents WHERE $tokExpr > 80""".stripMargin,
     "text_truncate_stats" ->
       s"""SELECT doc_id, n AS original_tokens,
          |  least(n, $TruncateMax) AS truncated_tokens,

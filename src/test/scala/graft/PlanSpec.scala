@@ -17,7 +17,7 @@ class PlanSpec extends SparkSpec {
   // must build a FRESH plan inside/outside the rule scope.
   private def probe() =
     spark.read.parquet(s"$sf/documents.parquet")
-      .filter(count_tokens(col("text")) > 150).select(col("doc_id"))
+      .filter(count_tokens(col("text")) > 80).select(col("doc_id"))
 
   test("TokenFilterStrengthen adds a length bound before the tokenizer") {
     val base = probe().queryExecution.optimizedPlan.toString
@@ -33,10 +33,10 @@ class PlanSpec extends SparkSpec {
 
   test("TokenFilterStrengthen preserves results and reaches fixpoint") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val baseline = docs.filter(count_tokens(col("text")) > 150)
+    val baseline = docs.filter(count_tokens(col("text")) > 80)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     withRule {
-      val q = docs.filter(count_tokens(col("text")) > 150 && col("doc_id") >= 0)
+      val q = docs.filter(count_tokens(col("text")) > 80 && col("doc_id") >= 0)
         .select(col("doc_id"))
       val got = q.collect().map(_.getLong(0)).toSet
       assert(got == baseline)
