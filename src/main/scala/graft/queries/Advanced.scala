@@ -242,6 +242,23 @@ object Advanced extends graft.QueryModule {
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
     StreamingOps.windowedEventAgg(spark, dir)
 
+  /** Hopping (sliding) windows: 60-minute windows every 30 minutes, so
+    * each event lands in exactly two — `window(ts, len, slide)` in batch
+    * mode (identical semantics to its streaming use behind a watermark).
+    * The window explode is map-side; only (window, type, partial agg)
+    * rows shuffle. */
+  def hoppingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "60 minutes", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"), col("n"), col("total_value"))
+  }
+
   /** Stream-stream interval join — see
     * [[graft.streaming.StreamingOps.clickAttribution]]. */
   def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame =
@@ -356,6 +373,7 @@ object Advanced extends graft.QueryModule {
     "stream_window_agg" -> streamWindowAgg,
     "stream_dedup_count" -> streamDedup,
     "stream_join_attrib" -> streamJoinAttrib,
+    "adv_hopping_window" -> hoppingWindow,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -539,6 +557,18 @@ object Advanced extends graft.QueryModule {
     "stream_dedup_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "adv_hopping_window" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |      - INTERVAL '30 minutes',
+        |    event_type, value FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "stream_join_attrib" ->
       """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
         |  date_diff('second', v.ts, c.ts) AS lag_sec

@@ -664,6 +664,53 @@ object Relational extends graft.QueryModule {
       .select($"event_id", $"event_type", $"value", r4($"z").as("z"))
   }
 
+  /** Wide->long reshape (unpivot/melt, the §2.7 inverse of pivot):
+    * status counts pivoted wide per priority, melted back to
+    * (priority, status, n) rows. Both reshapes run on the
+    * dimension-sized aggregate, never the fact table. */
+  def unpivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P")).agg(count(lit(1)))
+      .na.fill(0L)
+    wide.unpivot(Array(col("o_orderpriority")),
+      Array(col("F"), col("O"), col("P")), "status", "n")
+  }
+
+  /** Full outer join (the one join type not yet on the surface):
+    * high-balance customers reconciled against the BUILDING segment,
+    * with membership flags — the "compare two populations" report. */
+  def fullOuterSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+    val rich = cust.filter($"c_acctbal" > 9000)
+      .select($"c_custkey", $"c_acctbal")
+    val building = cust.filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("k2"))
+    rich.join(building, $"c_custkey" === $"k2", "full_outer")
+      .select(coalesce($"c_custkey", $"k2").as("custkey"),
+        $"c_custkey".isNotNull.as("is_rich"),
+        $"k2".isNotNull.as("is_building"))
+  }
+
+  /** Edit-distance similarity join: near-identical part names within a
+    * p_size block (`levenshtein` is codegen'd in both engines and the
+    * integer distance is engine-independent — no float discipline
+    * needed). Blocking bounds the pair space the same way the fuzzy /
+    * composite joins block on year. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_size"))
+    val a = p.toDF("part_a", "name_a", "p_size")
+    val b = p.toDF("part_b", "name_b", "p_size")
+    a.join(b, Seq("p_size")).filter(col("part_a") < col("part_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("part_a"), col("part_b"), col("name_a"), col("name_b"),
+        col("dist"))
+  }
+
   /** Set operations: purchasers EXCEPT error-affected, INTERSECT of
     * clickers and viewers — one summary row (EXCEPT/INTERSECT are
     * hash-dedup shuffles on the key, same cost model as groupBy). */
@@ -726,6 +773,9 @@ object Relational extends graft.QueryModule {
     "rel_scd2" -> scd2,
     "rel_outliers" -> outliers,
     "rel_dense_top" -> denseTopParts,
+    "rel_unpivot" -> unpivotCounts,
+    "rel_full_outer" -> fullOuterSegments,
+    "rel_edit_pairs" -> editDistancePairs,
     "rel_constraints" -> constraints,
     "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_window_top1" -> windowTop1,
@@ -893,6 +943,31 @@ object Relational extends graft.QueryModule {
         |FROM grid g LEFT JOIN daily
         |  ON g.o_orderpriority = daily.o_orderpriority
         |  AND g.day = daily.day""".stripMargin,
+    "rel_unpivot" ->
+      """WITH wide AS (SELECT o_orderpriority,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+        |    count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+        |    count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'F' AS status, f AS n FROM wide
+        |UNION ALL SELECT o_orderpriority, 'O', o FROM wide
+        |UNION ALL SELECT o_orderpriority, 'P', p FROM wide""".stripMargin,
+    "rel_full_outer" ->
+      """SELECT coalesce(r.c_custkey, b.c_custkey) AS custkey,
+        |  r.c_custkey IS NOT NULL AS is_rich,
+        |  b.c_custkey IS NOT NULL AS is_building
+        |FROM (SELECT c_custkey, c_acctbal FROM customer
+        |      WHERE c_acctbal > 9000) r
+        |FULL OUTER JOIN (SELECT c_custkey FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') b
+        |  ON r.c_custkey = b.c_custkey""".stripMargin,
+    "rel_edit_pairs" ->
+      """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
     "rel_dense_top" ->
       """SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INT) AS rk
         |FROM (SELECT p_brand, p_partkey, p_retailprice,
