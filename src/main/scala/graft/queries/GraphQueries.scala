@@ -58,9 +58,40 @@ object GraphQueries extends graft.QueryModule {
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     Graph.pageRank(pairTable(spark, dir).distinct(), Iters)
 
+  /** Association rules from the co-purchase pairs: for each directed
+    * rule x -> y with pair support >= `MinSupport`,
+    * confidence = P(y|x) = c_xy / c_x and lift = c_xy * N / (c_x c_y).
+    * Item supports are a second aggregate over the same distinct
+    * (order, part) table; both support tables broadcast onto the pair
+    * counts (all ratios are bigint divisions in doubles — deterministic
+    * with no ordering discipline). */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val itemN = li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+    val nOrders = li.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val rules = copurchase(spark, dir)
+      .select(explode(array(
+        struct($"part_a".as("x"), $"part_b".as("y"), $"n_orders".as("c_xy")),
+        struct($"part_b".as("x"), $"part_a".as("y"), $"n_orders".as("c_xy"))))
+        .as("r"))
+      .select($"r.x".as("antecedent"), $"r.y".as("consequent"), $"r.c_xy")
+    rules
+      .join(broadcast(itemN.toDF("antecedent", "c_x")), "antecedent")
+      .join(broadcast(itemN.toDF("consequent", "c_y")), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .select($"antecedent", $"consequent", $"c_xy",
+        round($"c_xy".cast("double") / $"c_x", 6).as("confidence"),
+        round($"c_xy".cast("double") * $"n_orders" / ($"c_x" * $"c_y"), 6)
+          .as("lift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_copurchase" -> copurchase,
     "rel_pagerank" -> pagerank,
+    "rel_assoc_rules" -> assocRules,
   )
 
   /** DuckDB replay of [[Graph.pageRank]]: one generated CTE block per
@@ -101,5 +132,23 @@ object GraphQueries extends graft.QueryModule {
          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          |GROUP BY 1, 2 HAVING count(*) >= $MinSupport""".stripMargin,
     "rel_pagerank" -> pagerankOracle,
+    "rel_assoc_rules" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         |    count(*) AS c_xy
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |r AS (SELECT pa AS antecedent, pb AS consequent, c_xy FROM pc
+         |      UNION ALL SELECT pb, pa, c_xy FROM pc),
+         |ic AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
+         |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+         |SELECT antecedent, consequent, c_xy,
+         |  round(CAST(c_xy AS DOUBLE) / cx.c, 6) AS confidence,
+         |  round(CAST(c_xy AS DOUBLE) * n.n_orders / (cx.c * cy.c), 6)
+         |    AS lift
+         |FROM r JOIN ic cx ON r.antecedent = cx.l_partkey
+         |       JOIN ic cy ON r.consequent = cy.l_partkey
+         |CROSS JOIN n""".stripMargin,
   )
 }

@@ -664,6 +664,31 @@ object Relational extends graft.QueryModule {
       .select($"event_id", $"event_type", $"value", r4($"z").as("z"))
   }
 
+  /** Pearson correlation from EXACT decimal co-moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²) rather than the built-in `corr` — the builtin's merge-based
+    * co-moment accumulation is float-order-dependent under partitioning,
+    * exact moments make the result reproducible bit-for-bit AND
+    * oracle-checkable. One map-side-combined pass; the closed form runs
+    * on six scalars per group. */
+  def correlation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity"
+    val y = $"l_extendedprice"
+    val m = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum(y.cast(DecimalType(18, 2))).cast("double").as("sy"),
+        sum((x * y).cast(DecimalType(28, 4))).cast("double").as("sxy"),
+        sum((x * x).cast(DecimalType(28, 4))).cast("double").as("sxx"),
+        sum((y * y).cast(DecimalType(38, 4))).cast("double").as("syy"))
+    val nd = $"n".cast("double")
+    m.select($"l_returnflag", $"n",
+      round((nd * $"sxy" - $"sx" * $"sy")
+        / (sqrt(nd * $"sxx" - $"sx" * $"sx")
+          * sqrt(nd * $"syy" - $"sy" * $"sy")), 6).as("r"))
+  }
+
   /** Wide->long reshape (unpivot/melt, the §2.7 inverse of pivot):
     * status counts pivoted wide per priority, melted back to
     * (priority, status, n) rows. Both reshapes run on the
@@ -776,6 +801,7 @@ object Relational extends graft.QueryModule {
     "rel_unpivot" -> unpivotCounts,
     "rel_full_outer" -> fullOuterSegments,
     "rel_edit_pairs" -> editDistancePairs,
+    "rel_correlation" -> correlation,
     "rel_constraints" -> constraints,
     "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_window_top1" -> windowTop1,
@@ -943,6 +969,22 @@ object Relational extends graft.QueryModule {
         |FROM grid g LEFT JOIN daily
         |  ON g.o_orderpriority = daily.o_orderpriority
         |  AND g.day = daily.day""".stripMargin,
+    "rel_correlation" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r
+        |FROM m""".stripMargin,
     "rel_unpivot" ->
       """WITH wide AS (SELECT o_orderpriority,
         |    count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
