@@ -153,6 +153,27 @@ object AnalysisQueries extends graft.QueryModule {
         round(col("key") * lit(10000.0), 6).as("skey"))
   }
 
+  /** End-to-end corpus curation composite — the operators COMPOSE into
+    * one plan: fingerprint dedup (keep-min) -> language + length gates
+    * -> per-source document/token budget. One pipeline, three of the
+    * engine's curation stages, a single job: dedup's window runs
+    * per-fingerprint (parallel), the gates push into the scan above it,
+    * and the budget aggregation is map-side combined. This is the
+    * "prepare a training corpus" report a data team actually runs. */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    Tables.loadSpread(spark, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text"), 32))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("lang").isin("en", "de") &&
+        col("n_chars").between(100, 520))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.count_tokens(col("text"))
+          .cast("long")).as("total_tokens"))
+  }
+
   /** Heavy hitters via the ApproxTopK sketch (Spark 4 built-in): the
     * one-pass mergeable-summary alternative to the exact
     * explode-groupBy-sort of [[topTerms]]. With maxItemsTracked >= the
@@ -570,6 +591,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_heavy_hitters" -> heavyHitters,
     "ta_sparse_sim" -> sparseSim,
     "ta_quality_pct" -> percentileRank,
+    "ta_corpus_prep" -> corpusPrep,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_stats" -> mmResizeStats,
@@ -771,6 +793,21 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM (SELECT unnest(regexp_extract_all(text, '$re')) AS term
          |      FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 50""".stripMargin,
+    "ta_corpus_prep" ->
+      s"""WITH f AS (SELECT doc_id, lang, source, n_chars, text,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |      list_slice(regexp_extract_all(text, '$re'), 1, 32),
+         |      t -> CAST(ascii(t) + length(t) * 7 AS BIGINT))),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         |  FROM documents),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn FROM f),
+         |k AS (SELECT * FROM d WHERE rn = 1 AND lang IN ('en', 'de')
+         |      AND n_chars BETWEEN 100 AND 520)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '$re'))) AS BIGINT)
+         |    AS total_tokens
+         |FROM k GROUP BY 1""".stripMargin,
     "ta_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(regexp_extract_all(text, '$re')) AS term
          |  FROM documents)
