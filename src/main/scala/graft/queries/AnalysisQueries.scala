@@ -320,6 +320,29 @@ object AnalysisQueries extends graft.QueryModule {
     out
   }
 
+  /** Shannon entropy of each source's term distribution — the
+    * "vocabulary richness / repetitiveness" corpus signal (a collapsed
+    * source has low entropy; a diverse one approaches ln|V|). Counts
+    * aggregate map-side; the per-source entropy folds term-ordered for
+    * cross-engine equality. */
+  def termEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.term_counts(col("text")))
+          .as(Seq("term", "tf")))
+      .groupBy(col("source"), col("term")).agg(sum(col("tf")).as("c"))
+    val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n")
+    tc.join(broadcast(tot), "source")
+      .select(col("source"), col("term"), (p * log(p)).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(-aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("t")))),
+            s => s.getField("t")),
+          lit(0.0), (acc, v) => acc + v), 6).as("entropy"))
+  }
+
   /** Mutual information between two categorical columns (lang x source)
     * — the "how much does provenance predict language" curation signal.
     * Everything derives from one contingency-table aggregation (25ish
@@ -592,6 +615,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_sparse_sim" -> sparseSim,
     "ta_quality_pct" -> percentileRank,
     "ta_corpus_prep" -> corpusPrep,
+    "ta_term_entropy" -> termEntropy,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_stats" -> mmResizeStats,
@@ -793,6 +817,16 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM (SELECT unnest(regexp_extract_all(text, '$re')) AS term
          |      FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 50""".stripMargin,
+    "ta_term_entropy" ->
+      s"""WITH tc AS (SELECT source, term, count(*) AS c FROM
+         |    (SELECT source, unnest(regexp_extract_all(text, '$re')) AS term
+         |     FROM documents) GROUP BY 1, 2),
+         |tot AS (SELECT source, sum(c) AS n FROM tc GROUP BY 1)
+         |SELECT source, count(*) AS n_terms,
+         |  round(-list_reduce(list_prepend(0.0,
+         |    list((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+         |      ORDER BY term)), (a, v) -> a + v), 6) AS entropy
+         |FROM tc JOIN tot USING (source) GROUP BY source""".stripMargin,
     "ta_corpus_prep" ->
       s"""WITH f AS (SELECT doc_id, lang, source, n_chars, text,
          |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(

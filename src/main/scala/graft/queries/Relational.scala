@@ -664,6 +664,29 @@ object Relational extends graft.QueryModule {
       .select($"event_id", $"event_type", $"value", r4($"z").as("z"))
   }
 
+  /** MAD-based robust outliers (the median/MAD complement to the
+    * mean/stddev z-score in [[outliers]]): flag rows with
+    * |x - median| / MAD > 3.5 (the classic Iglewicz-Hoaglin cut uses
+    * 0.6745·dev/MAD > 3.5; folding the constant keeps the arithmetic
+    * identical in both engines). Exact medians per group (swap for
+    * approx_percentile at 100 TB); the 5-row stats table broadcasts. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select($"event_id", $"event_type", $"value", $"med",
+        abs($"value" - $"med").as("adev"))
+    val mad = dev.groupBy($"event_type")
+      .agg(percentile($"adev", lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("score", ($"adev" / $"mad") * lit(0.6745))
+      .filter($"score" > 3.5)
+      .select($"event_id", $"event_type", $"value", r4($"score").as("score"))
+  }
+
   /** Pearson correlation from EXACT decimal co-moments (n, Σx, Σy, Σxy,
     * Σx², Σy²) rather than the built-in `corr` — the builtin's merge-based
     * co-moment accumulation is float-order-dependent under partitioning,
@@ -802,6 +825,7 @@ object Relational extends graft.QueryModule {
     "rel_full_outer" -> fullOuterSegments,
     "rel_edit_pairs" -> editDistancePairs,
     "rel_correlation" -> correlation,
+    "rel_mad_outliers" -> madOutliers,
     "rel_constraints" -> constraints,
     "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_window_top1" -> windowTop1,
@@ -969,6 +993,18 @@ object Relational extends graft.QueryModule {
         |FROM grid g LEFT JOIN daily
         |  ON g.o_orderpriority = daily.o_orderpriority
         |  AND g.day = daily.day""".stripMargin,
+    "rel_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.event_type, e.value,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  round((d.adev / m.mad) * 0.6745, 4) AS score
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE (d.adev / m.mad) * 0.6745 > 3.5""".stripMargin,
     "rel_correlation" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
