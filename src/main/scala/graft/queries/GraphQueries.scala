@@ -17,8 +17,9 @@ import graft.operators.Graph
   *    (then the pair itself for the count). No self-join of the fact
   *    table against itself — the classic formulation shuffles lineitem
   *    twice and joins; this shuffles it once;
-  *  - PageRank per-round cost is one rank-vector shuffle (see
-  *    [[graft.operators.Graph]]); edges are partitioned once.
+  *  - PageRank rounds move zero edge bytes (rank vector broadcast onto
+  *    dst-partitioned cached edges — see [[graft.operators.Graph]]);
+  *    edges are partitioned once.
   */
 object GraphQueries extends graft.QueryModule {
 
