@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Storage-layout contracts for the write path: partitioned layouts
+  * prune at the source (PartitionFilters, zero non-matching files
+  * read), and dynamic partition overwrite replaces ONLY the partitions
+  * a batch touches — the idempotent-backfill pattern every production
+  * pipeline leans on. Complements the bucketed-join (exchange-free)
+  * proof in ScaleSpec. */
+class LayoutSpec extends SparkSpec {
+
+  test("partitionBy layout prunes non-matching partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.partitionBy("lang").mode(SaveMode.Overwrite).parquet(dir)
+
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected a lang partition filter at the scan:\n$scan")
+    // the pruned scan must read only the en partition's rows
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en").count()
+    assert(q.count() == expected)
+  }
+
+  test("dynamic partition overwrite replaces only the touched partition") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("id", "lang")
+        .write.partitionBy("lang").mode(SaveMode.Overwrite).parquet(dir)
+      // second batch rewrites ONLY lang=en; de/fr untouched
+      Seq((10L, "en")).toDF("id", "lang")
+        .write.partitionBy("lang").mode(SaveMode.Overwrite).parquet(dir)
+      val got = spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((10L, "en"), (2L, "de"), (3L, "fr")), got.toString)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  test("algebraic aggregates reaggregate: merge of partial aggs == full agg") {
+    // the exact-agg sibling of ReaggregateSpec's sketch-merge: daily
+    // partial (count, DECIMAL sum) rows roll up to the same totals as
+    // one pass over raw events — materialize-fine, answer-coarse
+    val ev = graft.core.Tables.load(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSet
+    val direct = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSet
+    assert(merged == direct, s"merged $merged\ndirect $direct")
+  }
+}

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
 class ReaggregateSpec extends SparkSpec {
 
   test("daily HLL sketches merged == direct sketch; estimate near exact") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
+    // events must go through Tables.load (INT64 TIMESTAMP(NANOS) parquet)
+    val ev = graft.core.Tables.load(spark, sf, "events")
       .select(col("user_id"), to_date(col("ts")).as("day"))
 
     // fine-grained summaries: one 12-bit HLL sketch per day
