@@ -375,6 +375,24 @@ object TextFunctions {
   def top_k_structs(ordStruct: Column, k: Int): Column =
     col(TopKStructs(ex(ordStruct),
       ex(org.apache.spark.sql.functions.lit(k))).toAggregateExpression())
+
+  /** Order-stable float sum for use inside `agg(...)`: collects
+    * (keys..., value) structs, sorts by the keys, folds the values
+    * left-to-right from 0.0 — so double addition order is FIXED under
+    * any partitioning/AQE re-plan, matching a DuckDB
+    * `list_reduce(list_prepend(0.0, list(v ORDER BY keys)), ...)` fold
+    * bit-for-bit. This is the engine's cross-engine-reproducibility
+    * idiom for float aggregation; use plain `sum` where order tolerance
+    * is acceptable. */
+  def ordered_sum(value: Column, keys: Column*): Column = {
+    import org.apache.spark.sql.functions._
+    val fields = keys.zipWithIndex.map { case (k, i) => k.as(s"k$i") } :+
+      value.as("v")
+    aggregate(
+      transform(array_sort(collect_list(struct(fields: _*))),
+        s => s.getField("v")),
+      lit(0.0), (acc, x) => acc + x)
+  }
   def minhash_bands(c: Column, numHashes: Column, bands: Column): Column =
     col(MinHashBands(ex(c), ex(numHashes), ex(bands)))
 

@@ -64,8 +64,13 @@ object Graph {
     // and leaves the one eager scalar — |V| — a cheap cached aggregate.
     edges.count()
     val n = degC.count()
-    // (1.0 - damping) evaluated the same way in the DuckDB oracle
-    // ((1.0 - 0.85) / n) so the teleport term is bit-identical
+    // The DuckDB oracle casts its literals to DOUBLE before this same
+    // subtraction, so the teleport term is bit-identical (DECIMAL
+    // folding on the oracle side would differ by 1 ulp).
+    // NB: both caches are intentionally retained for the session — the
+    // lazy result still references them, and the eager
+    // localCheckpoint+unpersist variant measured 2-3x slower. Callers
+    // running many engines in one JVM can spark.catalog.clearCache().
     val teleport = (lit(1.0) - lit(damping)) / lit(n.toDouble)
 
     // pr(v) = (1-d)/n + d * fold_{u in N(v), src-ordered}(pr(u)/deg(u))
@@ -76,10 +81,9 @@ object Graph {
       edges.join(ranks, edges("src") === ranks("node"))
         .select(col("dst"), col("src"), (col("pr") / col("d")).as("contrib"))
         .groupBy(col("dst"))
-        .agg((teleport + lit(damping) * aggregate(
-          transform(array_sort(collect_list(struct(col("src"), col("contrib")))),
-            s => s.getField("contrib")),
-          lit(0.0), (acc, v) => acc + v)).as("pr"))
+        .agg((teleport + lit(damping) *
+          graft.functions.TextFunctions.ordered_sum(col("contrib"), col("src")))
+          .as("pr"))
         .withColumnRenamed("dst", "node")
     }
 

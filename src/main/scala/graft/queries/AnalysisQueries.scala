@@ -123,10 +123,8 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("doc_id"), col("term"),
         (idf * col("tf").cast("double") / denom).as("s"))
       .groupBy(col("doc_id"))
-      .agg(round(aggregate(
-        transform(array_sort(collect_list(struct(col("term"), col("s")))),
-          t => t.getField("s")),
-        lit(0.0), (acc, v) => acc + v), 6).as("bm25"))
+      .agg(round(graft.functions.TextFunctions.ordered_sum(
+        col("s"), col("term")), 6).as("bm25"))
       .localCheckpoint(true)
     tf.unpersist(blocking = false)
     out
@@ -225,10 +223,8 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("doc_id"), col("e.term").as("term"), col("e.w").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = vec.groupBy(col("doc_id"))
-      .agg(sqrt(aggregate(
-        transform(array_sort(collect_list(struct(col("term"), col("w")))),
-          t => t.getField("w") * t.getField("w")),
-        lit(0.0), (acc, v) => acc + v)).as("nrm"))
+      .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
+        col("w") * col("w"), col("term"))).as("nrm"))
     // query postings broadcast: the corpus-side index never moves for
     // the join; only the surviving pair contributions shuffle (by pair)
     // for the ordered fold. Norms (one double per doc) broadcast too.
@@ -237,11 +233,8 @@ object AnalysisQueries extends graft.QueryModule {
     val b = vec.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb"))
     val out = b.join(broadcast(a), "term").filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(
-          struct(col("term"), (col("wa") * col("wb")).as("p")))),
-          t => t.getField("p")),
-        lit(0.0), (acc, v) => acc + v).as("dot"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("wa") * col("wb"), col("term")).as("dot"))
       .join(broadcast(norms.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("nrm", "na")), "doc_a")
       .join(broadcast(norms.withColumnRenamed("doc_id", "doc_b")
@@ -269,7 +262,8 @@ object AnalysisQueries extends graft.QueryModule {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = dist
       .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
-    val nn = docs.agg(count(lit(1)).as("n"))
+    // n derives from the cells — no second scan of the fact table
+    val nn = dist.agg(sum(col("c")).as("n"))
     docs.join(broadcast(cum), "n_chars").crossJoin(broadcast(nn))
       .select(col("doc_id"), col("n_chars"),
         round(col("below").cast("double") / (col("n") - lit(1)), 6).as("pct"))
@@ -283,8 +277,12 @@ object AnalysisQueries extends graft.QueryModule {
     * (w1, w2). Ranking uses the ROUNDED score so cross-engine ulp noise
     * in ln can't flip the cut (the tfidfTop discipline). */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
+    // tokenize ONCE: toks feeds bigram counts, the unigram vocabulary
+    // AND the bigram-total scalar (three consumers of the most
+    // expensive kernel in the module)
     val toks = Tables.loadSpread(spark, dir, "documents")
       .select(graft.functions.TextFunctions.regex_tokens(col("text")).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bigrams = toks
       .select(explode(expr(
         """transform(slice(ts, 1, greatest(size(ts) - 1, 0)),
@@ -297,11 +295,7 @@ object AnalysisQueries extends graft.QueryModule {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nu = uni.agg(sum(col("c")).as("nu"))
-    // total bigram instances = total tokens - one per document
-    val nb = Tables.loadSpread(spark, dir, "documents")
-      .agg(sum(greatest(
-        size(graft.functions.TextFunctions.regex_tokens(col("text"))) - 1,
-        lit(0))).as("nb"))
+    val nb = toks.agg(sum(greatest(size(col("ts")) - 1, lit(0))).as("nb"))
     val pmi = log(
       (col("c_xy").cast("double") / col("nb"))
         / ((col("c1").cast("double") / col("nu"))
@@ -317,6 +311,7 @@ object AnalysisQueries extends graft.QueryModule {
       .limit(100)
       .localCheckpoint(true)
     uni.unpersist(blocking = false)
+    toks.unpersist(blocking = false)
     out
   }
 
@@ -337,10 +332,8 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("source"), col("term"), (p * log(p)).as("t"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_terms"),
-        round(-aggregate(
-          transform(array_sort(collect_list(struct(col("term"), col("t")))),
-            s => s.getField("t")),
-          lit(0.0), (acc, v) => acc + v), 6).as("entropy"))
+        round(-graft.functions.TextFunctions.ordered_sum(
+          col("t"), col("term")), 6).as("entropy"))
   }
 
   /** Mutual information between two categorical columns (lang x source)
@@ -363,11 +356,8 @@ object AnalysisQueries extends graft.QueryModule {
       .crossJoin(broadcast(nn))
       .select(col("lang"), col("source"), term.as("t"))
       .agg(count(lit(1)).as("n_cells"),
-        round(aggregate(
-          transform(
-            array_sort(collect_list(struct(col("lang"), col("source"), col("t")))),
-            s => s.getField("t")),
-          lit(0.0), (acc, v) => acc + v), 6).as("mi"))
+        round(graft.functions.TextFunctions.ordered_sum(
+          col("t"), col("lang"), col("source")), 6).as("mi"))
       .localCheckpoint(true)
     cells.unpersist(blocking = false)
     out

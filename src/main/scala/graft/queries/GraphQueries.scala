@@ -121,9 +121,14 @@ object GraphQueries extends graft.QueryModule {
     * round, every float fold in src order (the Spark side folds a
     * src-sorted list) so doubles are bit-identical across engines. */
   private def pagerankOracle: String = {
+    // every literal is cast to DOUBLE before arithmetic: DuckDB would
+    // otherwise fold (1.0 - 0.85) in exact DECIMAL (0.15) while Spark
+    // subtracts doubles (0.15000000000000002) — a 1-ulp teleport
+    // divergence that the bit-equality contract can't absorb
     def iterCte(alias: String, prev: String) =
       s"""$alias AS (SELECT e.dst AS node,
-         |  (1.0 - 0.85) / (SELECT nn FROM n) + 0.85 * list_reduce(
+         |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn FROM n)
+         |  + CAST(0.85 AS DOUBLE) * list_reduce(
          |    list_prepend(0.0, list(p.pr / e.d ORDER BY e.src)),
          |    (a, b) -> a + b) AS pr
          |  FROM edges e JOIN $prev p ON e.src = p.node
@@ -140,7 +145,8 @@ object GraphQueries extends graft.QueryModule {
        |deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
        |edges AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg USING (src)),
        |n AS (SELECT count(*) AS nn FROM deg),
-       |pr0 AS (SELECT src AS node, 1.0 / (SELECT nn FROM n) AS pr FROM deg),
+       |pr0 AS (SELECT src AS node,
+       |        CAST(1.0 AS DOUBLE) / (SELECT nn FROM n) AS pr FROM deg),
        |$rounds
        |SELECT node, round(pr * (SELECT nn FROM n), 6) AS rank_norm
        |FROM it$Iters""".stripMargin

@@ -628,10 +628,12 @@ object Relational extends graft.QueryModule {
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("grp",
         row_number().over(byUser) - row_number().over(byUserType))
-    // event_type tie-break: two same-ts events of different types start
-    // two segments with equal valid_from
+    // (valid_from, event_type, grp) is a TOTAL order: same-ts events of
+    // different types tie on valid_from, and two same-type segments of
+    // one user can even tie on both — grp (identical arithmetic in both
+    // engines) breaks the remaining tie
     val byUserFrom = Window.partitionBy($"user_id")
-      .orderBy($"valid_from", $"event_type")
+      .orderBy($"valid_from", $"event_type", $"grp")
     seg.groupBy($"user_id", $"event_type", $"grp")
       .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
       .withColumn("valid_to", lead($"valid_from", 1).over(byUserFrom))
@@ -659,6 +661,10 @@ object Relational extends graft.QueryModule {
         sqrt(($"sq".cast("double") - $"s".cast("double")
           * $"s".cast("double") / $"n") / ($"n" - lit(1))).as("std"))
     ev.join(broadcast(stats), "event_type")
+      // std > 0 guard: a degenerate (constant) group would divide by
+      // zero, where Spark yields NULL but DuckDB yields inf — opposite
+      // filter outcomes. Degenerate groups are excluded by contract.
+      .filter($"std" > 0)
       .withColumn("z", ($"value" - $"mean") / $"std")
       .filter(abs($"z") > 3.0)
       .select($"event_id", $"event_type", $"value", r4($"z").as("z"))
@@ -682,6 +688,8 @@ object Relational extends graft.QueryModule {
     val mad = dev.groupBy($"event_type")
       .agg(percentile($"adev", lit(0.5)).as("mad"))
     dev.join(broadcast(mad), "event_type")
+      // mad > 0 guard: same NULL-vs-inf divergence as [[outliers]]
+      .filter($"mad" > 0)
       .withColumn("score", ($"adev" / $"mad") * lit(0.6745))
       .filter($"score" > 3.5)
       .select($"event_id", $"event_type", $"value", r4($"score").as("score"))
@@ -1004,7 +1012,7 @@ object Relational extends graft.QueryModule {
         |SELECT d.event_id, d.event_type, d.value,
         |  round((d.adev / m.mad) * 0.6745, 4) AS score
         |FROM dev d JOIN mad m USING (event_type)
-        |WHERE (d.adev / m.mad) * 0.6745 > 3.5""".stripMargin,
+        |WHERE m.mad > 0 AND (d.adev / m.mad) * 0.6745 > 3.5""".stripMargin,
     "rel_correlation" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -1064,7 +1072,7 @@ object Relational extends graft.QueryModule {
         |SELECT user_id, event_type AS status,
         |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  strftime(lead(valid_from) OVER (PARTITION BY user_id
-        |    ORDER BY valid_from, event_type), '%Y-%m-%d %H:%M:%S')
+        |    ORDER BY valid_from, event_type, grp), '%Y-%m-%d %H:%M:%S')
         |    AS valid_to,
         |  n_events
         |FROM seg""".stripMargin,
@@ -1081,7 +1089,7 @@ object Relational extends graft.QueryModule {
         |SELECT e.event_id, e.event_type, e.value,
         |  round((e.value - m.mean) / m.std, 4) AS z
         |FROM events e JOIN m USING (event_type)
-        |WHERE abs((e.value - m.mean) / m.std) > 3""".stripMargin,
+        |WHERE m.std > 0 AND abs((e.value - m.mean) / m.std) > 3""".stripMargin,
     "rel_winsorized" ->
       """WITH b AS (SELECT l_returnflag,
         |    quantile_cont(l_extendedprice, 0.05) AS p05,

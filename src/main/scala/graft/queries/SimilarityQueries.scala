@@ -110,16 +110,12 @@ object SimilarityQueries extends graft.QueryModule {
     val pos = emb.select(col("vec_id"), col("label"),
       posexplode(col("embedding")).as(Seq("pos", "x")))
     val sv = pos.groupBy(col("label"), col("pos"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
-          s => s.getField("x").cast("double")),
-        lit(0.0), (acc, v) => acc + v).as("s"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("x").cast("double"), col("vec_id")).as("s"))
     // ||sum_i x_i||^2 per label, dim-ordered fold of s^2
     val nsq = sv.groupBy(col("label"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-          t => t.getField("s") * t.getField("s")),
-        lit(0.0), (acc, v) => acc + v).as("nsq"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("s") * col("s"), col("pos")).as("nsq"))
     // sum_i ||x_i||^2 per label, vec_id-ordered fold of per-vector norms
     val norms = emb.select(col("label"), col("vec_id"),
       aggregate(transform(col("embedding"),
@@ -127,10 +123,8 @@ object SimilarityQueries extends graft.QueryModule {
         lit(0.0), (acc, v) => acc + v).as("nrm"))
     val ssq = norms.groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("vec_id"), col("nrm")))),
-            s => s.getField("nrm")),
-          lit(0.0), (acc, v) => acc + v).as("ssq"))
+        graft.functions.TextFunctions.ordered_sum(
+          col("nrm"), col("vec_id")).as("ssq"))
     val nd = col("n").cast("double")
     ssq.join(nsq, "label")
       .select(col("label"), col("n"),

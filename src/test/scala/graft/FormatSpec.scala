@@ -29,6 +29,8 @@ class FormatSpec extends SparkSpec {
     val orc = tokenStats(spark.read.orc(s"$dir/orc"))
     val csv = tokenStats(spark.read
       .option("header", "true").option("escape", "\"")
+      // multiLine: quoted embedded newlines must not split records
+      .option("multiLine", "true")
       .option("inferSchema", "true").csv(s"$dir/csv")
       .select(col("doc_id").cast("long").as("doc_id"), col("text")))
     val json = tokenStats(spark.read.json(s"$dir/json")
