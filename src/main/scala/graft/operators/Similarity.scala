@@ -347,10 +347,8 @@ object Similarity {
         .select(col("vec_id"), best.getField("cluster").as("cluster"),
           posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
-        .agg((aggregate(
-          transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
-            s => s.getField("x")),
-          lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("c"))
+        .agg((graft.functions.TextFunctions.ordered_sum(
+          col("x"), col("vec_id")) / count(lit(1))).as("c"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       cent = means.groupBy(_._1).toSeq.map { case (cl, xs) =>
         cl -> xs.sortBy(_._2).map(_._3).toSeq

@@ -78,10 +78,8 @@ object SimilarityQueries extends graft.QueryModule {
     val pos = emb.select(col("vec_id"), col("label"),
       posexplode(col("embedding")).as(Seq("pos", "x")))
     val cent0 = pos.groupBy(col("label"), col("pos"))
-      .agg((aggregate(
-        transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
-          s => s.getField("x").cast("double")),
-        lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("c"))
+      .agg((graft.functions.TextFunctions.ordered_sum(
+        col("x").cast("double"), col("vec_id")) / count(lit(1))).as("c"))
     val cent = cent0.groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cv"))
