@@ -136,6 +136,25 @@ object SimilarityQueries extends graft.QueryModule {
     Similarity.kmeans(Tables.loadSpread(spark, dir, "embeddings"),
       k = 8, iters = 2)
 
+  /** Semantic dedup (SemDeDup shape): cluster the embedding space, then
+    * keep only each cluster's most-central half — the "drop semantically
+    * redundant documents" curation move, composed entirely from proven
+    * pieces (deterministic k-means assignment + distance ranking). The
+    * quota compare (rn <= (c + 1) / 2) is float division in BOTH engines
+    * and ranking runs on the ROUNDED distance with a vec_id tie-break,
+    * so the kept set is exact in both engines. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = kmeansAssign(spark, dir)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist"), col("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("rn") <= (col("c") + lit(1)) / lit(2))
+      .select(col("cluster"), col("vec_id"), col("rn").cast("int").as("rn"))
+  }
+
   /** Cluster-balanced sample: N per k-means cluster, selection order from
     * a content hash (deterministic, engine-independent, shuffle-parallel
     * — the Advanced.balancedSample discipline applied to LEARNED strata).
@@ -154,6 +173,7 @@ object SimilarityQueries extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans" -> kmeansAssign,
     "sim_cluster_sample" -> clusterSample,
+    "sim_semantic_dedup" -> semanticDedup,
     "sim_topk_brute" -> topkBrute,
     "sim_cosine_neardups" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
@@ -256,6 +276,13 @@ object SimilarityQueries extends graft.QueryModule {
         |    p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 6) AS max_abs_err
         |FROM q""".stripMargin,
     "sim_kmeans" -> kmeansOracle,
+    "sim_semantic_dedup" ->
+      s"""WITH km AS ($kmeansOracle)
+         |SELECT cluster, vec_id, CAST(rn AS INT) AS rn FROM (
+         |  SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY dist, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS c
+         |  FROM km) WHERE rn <= (c + 1) / 2""".stripMargin,
     "sim_cluster_sample" ->
       s"""WITH km AS ($kmeansOracle)
          |SELECT cluster, vec_id, CAST(rn AS INT) AS rn FROM (
