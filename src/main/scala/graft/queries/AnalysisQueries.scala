@@ -199,7 +199,16 @@ object AnalysisQueries extends graft.QueryModule {
     * sparse-retrieval move); at scale the remaining hot term keys get
     * the df-cap/salt treatment of dedup_ngram_jaccard. Truncation ranks
     * on the ROUNDED weight so cross-engine ulp noise in ln can't change
-    * which terms survive. */
+    * which terms survive.
+    *
+    * NB the truncated semantics is SPECIFIED (and oracled exactly), not
+    * an approximation claiming recall against the full sparse cosine:
+    * on a low-entropy corpus like the synthetic one (~220-word
+    * vocabulary) nearly every full-vector pair clears a 0.5 cosine (the
+    * shared-stopword mass dominates), while the top-10 vectors keep
+    * only each document's DISTINCTIVE subspace — measured overlap ~2%.
+    * On a realistic Zipfian corpus idf weighting already concentrates
+    * the norm in those distinctive terms and the two measures converge. */
   def sparseSim(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
     val tf = docs.select(col("doc_id"),
