@@ -346,6 +346,22 @@ object Relational extends graft.QueryModule {
         grouping_id().cast("long").as("gid"))
   }
 
+  /** Explicit GROUPING SETS (the general form behind cube/rollup): the
+    * two one-dimension marginals plus the grand total, WITHOUT the
+    * cross-dimension cells a cube would also compute — one pass, each
+    * input row expanded only to its requested sets. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .createOrReplaceTempView("graft_li_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin)
+  }
+
   /** Exact percentiles per group (A6 extended past the median): one pass,
     * three exact quantiles. Exact `percentile` needs the full value list
     * per group; at 100 TB cardinalities use `percentile_approx`
@@ -834,6 +850,7 @@ object Relational extends graft.QueryModule {
     "rel_edit_pairs" -> editDistancePairs,
     "rel_correlation" -> correlation,
     "rel_mad_outliers" -> madOutliers,
+    "rel_grouping_sets" -> groupingSets,
     "rel_constraints" -> constraints,
     "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_window_top1" -> windowTop1,
@@ -1001,6 +1018,13 @@ object Relational extends graft.QueryModule {
         |FROM grid g LEFT JOIN daily
         |  ON g.o_orderpriority = daily.o_orderpriority
         |  AND g.day = daily.day""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin,
     "rel_mad_outliers" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |  FROM events GROUP BY 1),
