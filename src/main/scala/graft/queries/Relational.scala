@@ -635,12 +635,18 @@ object Relational extends graft.QueryModule {
     * event log into a point-in-time joinable state table. One shuffle
     * (user_id); both window passes share the same partitioning, so
     * Catalyst plans a single Exchange and sorts once. */
-  def scd2(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.load(spark, dir, "events"))
+
+  /** Core of [[scd2]] over any (user_id, ts, event_id, event_type)
+    * DataFrame — separated so Scd2Spec can drive it with synthetic
+    * collision-heavy input. */
+  def scd2Of(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val byUserType = Window.partitionBy($"user_id", $"event_type")
       .orderBy($"ts", $"event_id")
-    val seg = Tables.load(spark, dir, "events")
+    val seg = events
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("grp",
         row_number().over(byUser) - row_number().over(byUserType))

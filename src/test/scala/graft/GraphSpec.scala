@@ -59,6 +59,40 @@ class GraphSpec extends SparkSpec {
       s"per-round shuffle detected in round fragment:\n$top")
   }
 
+  test("pagerank matches an independent naive implementation on a random graph") {
+    // seeded random graph; the reference implementation below shares NO
+    // structure with the engine or its DuckDB oracle (plain nested
+    // loops), so a conceptual bug common to both would surface here
+    val rnd = new scala.util.Random(42)
+    val n = 30
+    val pairSet = (0 until 120).map { _ =>
+      val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val nodes = pairSet.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val neigh = nodes.map { v =>
+      v -> pairSet.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }.sorted
+    }.toMap
+    var pr = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 3)
+      pr = nodes.map { v =>
+        v -> ((1.0 - 0.85) / nodes.size +
+          0.85 * neigh(v).map(u => pr(u) / neigh(u).size).sum)
+      }.toMap
+    val expected = pr.map { case (v, p) => v -> p * nodes.size }
+
+    val got = Graph.pageRank(pairSet.toDF("pa", "pb"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - expected(v)) < 1e-6,
+        s"node $v: engine $r vs naive ${expected(v)}")
+    }
+  }
+
   test("closed-form diversity equals the brute-force pairwise mean") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"label", $"embedding")
