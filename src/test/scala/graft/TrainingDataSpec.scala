@@ -94,4 +94,56 @@ class TrainingDataSpec extends SparkSpec {
     assert(assigned.length == emb.count())
     assert(assigned.map(_.getInt(1)).distinct.length <= 8)
   }
+
+  test("kmeans matches an independent driver-side Lloyd bit-for-bit") {
+    // plain-loop reimplementation sharing no structure with the engine
+    // or its generated-CTE oracle. Because the engine pins every float
+    // fold order (dims left-to-right, members vec_id-ordered), the
+    // naive version folding in the same order must agree EXACTLY.
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val k = 8
+    var cent: Array[Array[Double]] =
+      emb.filter(_._1 < k).sortBy(_._1).map(_._2)
+    def assign(v: Array[Double]): (Int, Double) = {
+      var bestC = -1; var bestD = Double.MaxValue
+      for (c <- 0 until cent.length) {
+        var d = 0.0
+        var i = 0
+        while (i < v.length) {
+          val t = v(i) - cent(c)(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c } // ties: lowest cluster wins
+      }
+      (bestC, bestD)
+    }
+    for (_ <- 1 to 2) {
+      val byCluster = emb.map { case (id, v) => (assign(v)._1, id, v) }
+        .groupBy(_._1)
+      cent = (0 until k).map { c =>
+        byCluster.get(c).map { members =>
+          val sorted = members.sortBy(_._2)
+          val dim = sorted.head._3.length
+          Array.tabulate(dim) { i =>
+            var s = 0.0
+            sorted.foreach(m => s += m._3(i)) // vec_id-ordered fold
+            s / sorted.length
+          }
+        }.getOrElse(cent(c))
+      }.toArray
+    }
+    val naive = emb.map { case (id, v) =>
+      val (c, d) = assign(v)
+      (id, c, BigDecimal(math.sqrt(d)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val engine = graft.operators.Similarity.kmeans(
+      graft.core.Tables.load(spark, sf, "embeddings"), k, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(engine == naive,
+      s"mismatch: ${(engine -- naive).take(3)} vs ${(naive -- engine).take(3)}")
+  }
 }
