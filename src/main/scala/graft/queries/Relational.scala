@@ -783,8 +783,11 @@ object Relational extends graft.QueryModule {
     val a = p.toDF("part_a", "name_a", "p_size")
     val b = p.toDF("part_b", "name_b", "p_size")
     a.join(b, Seq("p_size")).filter(col("part_a") < col("part_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 2)
+      // thresholded variant: banded O(n*k) DP with early exit, returns
+      // -1 beyond the bound — exact distances for every surviving row,
+      // so the oracle's plain levenshtein(...) <= 2 is unchanged
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("dist") >= 0)
       .select(col("part_a"), col("part_b"), col("name_a"), col("name_b"),
         col("dist"))
   }
