@@ -376,6 +376,14 @@ object TextFunctions {
     col(TopKStructs(ex(ordStruct),
       ex(org.apache.spark.sql.functions.lit(k))).toAggregateExpression())
 
+  /** Bounded bottom-k: the k SMALLEST structs, ascending — the partial
+    * aggregate replacement for `row_number over (partition by g order by
+    * keys asc) <= k`. */
+  def bottom_k_structs(ordStruct: Column, k: Int): Column =
+    col(TopKStructs(ex(ordStruct),
+      ex(org.apache.spark.sql.functions.lit(k)),
+      asc = true).toAggregateExpression())
+
   /** Order-stable float sum for use inside `agg(...)`: collects
     * (keys..., value) structs, sorts by the keys, folds the values
     * left-to-right from 0.0 — so double addition order is FIXED under

@@ -12,7 +12,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   *
   * Keeps the k LARGEST input structs (lexicographic struct order — put
   * the ordering keys first, payload after) in a size-k heap, and returns
-  * them as a descending array.
+  * them as a descending array. With `asc = true` the comparisons flip:
+  * the k SMALLEST structs are kept and returned ascending (the
+  * `bottom_k_structs` form) — same bounded-state contract either way.
   *
   * This is the scale-correct final stage for ANN/top-k queries: the
   * window formulation (`row_number over (partition by query order by
@@ -25,6 +27,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 case class TopKStructs(
     child: Expression,
     kExpr: Expression,
+    asc: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.PriorityQueue[InternalRow]] {
@@ -35,9 +38,13 @@ case class TopKStructs(
     v.asInstanceOf[Int]
   }
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
-  private lazy val ordering: Ordering[InternalRow] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+  // "largest by this ordering" is what the heap keeps; flipping it turns
+  // the aggregate into bottom-k with zero changes to the heap logic
+  private lazy val ordering: Ordering[InternalRow] = {
+    val base = TypeUtils.getInterpretedOrdering(child.dataType)
       .asInstanceOf[Ordering[InternalRow]]
+    if (asc) base.reverse else base
+  }
 
   override def children: Seq[Expression] = Seq(child, kExpr)
   override def nullable: Boolean = false

@@ -142,15 +142,24 @@ object SimilarityQueries extends graft.QueryModule {
     * pieces (deterministic k-means assignment + distance ranking). The
     * quota compare (rn <= (c + 1) / 2) is float division in BOTH engines
     * and ranking runs on the ROUNDED distance with a vec_id tie-break,
-    * so the kept set is exact in both engines. */
+    * so the kept set is exact in both engines.
+    *
+    * Scale shape: the obvious `row_number over (partition by cluster
+    * order by dist)` caps parallelism at k tasks (k = 8 here), each
+    * sorting n/k rows — a by-construction scale-killer. Instead the rank
+    * is a GLOBAL dense row number over (cluster, dist, vec_id) via
+    * [[graft.operators.GlobalOrder.withRowNumber]] (range-partitioned
+    * sort + zipWithIndex — every task numbers one range, none holds a
+    * whole cluster), rebased per cluster by a k-row bounds aggregate
+    * joined back by broadcast. Same rows, full shuffle parallelism. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val assigned = kmeansAssign(spark, dir)
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("dist"), col("vec_id"))
-    assigned
-      .withColumn("rn", row_number().over(w))
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    val ordered = graft.operators.GlobalOrder.withRowNumber(
+      kmeansAssign(spark, dir),
+      struct(col("cluster"), col("dist"), col("vec_id")), out = "grn")
+    val bounds = ordered.groupBy(col("cluster"))
+      .agg(min(col("grn")).as("base"), count(lit(1)).as("c"))
+    ordered.join(broadcast(bounds), "cluster")
+      .withColumn("rn", col("grn") - col("base") + lit(1L))
       .filter(col("rn") <= (col("c") + lit(1)) / lit(2))
       .select(col("cluster"), col("vec_id"), col("rn").cast("int").as("rn"))
   }
@@ -159,15 +168,23 @@ object SimilarityQueries extends graft.QueryModule {
     * a content hash (deterministic, engine-independent, shuffle-parallel
     * — the Advanced.balancedSample discipline applied to LEARNED strata).
     * This is the cluster-then-sample curation step: cluster the corpus,
-    * then draw a balanced subset across clusters. */
+    * then draw a balanced subset across clusters.
+    *
+    * Scale shape: per-cluster bottom-20 by (md5, vec_id) is a bounded
+    * partial aggregate ([[graft.functions.TopKStructs]] ascending), not a
+    * window — each map task keeps at most 20 rows per cluster, so the
+    * shuffle moves O(k·partitions) rows and nothing is ever fully sorted.
+    * The struct's lexicographic order (hash, then vec_id) is exactly the
+    * oracle's ORDER BY md5(vec_id), vec_id. */
   def clusterSample(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     kmeansAssign(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
-      .select(col("cluster"), col("vec_id"), col("rn").cast("int").as("rn"))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.TextFunctions.bottom_k_structs(
+        struct(md5(col("vec_id").cast("string")).as("h"),
+          col("vec_id")), 20).as("sel"))
+      .select(col("cluster"), posexplode(col("sel")).as(Seq("pos", "p")))
+      .select(col("cluster"), col("p.vec_id").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

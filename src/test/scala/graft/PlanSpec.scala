@@ -147,6 +147,45 @@ class PlanSpec extends SparkSpec {
     assert(!physical.matches("(?s).*Sort \\[[^\\]]*\\] true.*"), physical)
   }
 
+  test("semanticDedup/clusterSample have no per-cluster window sort and match the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = graft.queries.SimilarityQueries.kmeansAssign(spark, sf)
+
+    // contract: neither plan may contain a Window over the corpus — the
+    // k-partition window caps parallelism at the cluster count (8 tasks
+    // at ANY scale); selection must be a bounded aggregate / rebased
+    // global row number instead
+    val dedup = graft.queries.SimilarityQueries.semanticDedup(spark, sf)
+    val sample = graft.queries.SimilarityQueries.clusterSample(spark, sf)
+    assert(!dedup.queryExecution.executedPlan.toString.contains("Window"),
+      dedup.queryExecution.executedPlan.toString)
+    assert(!sample.queryExecution.executedPlan.toString.contains("Window"),
+      sample.queryExecution.executedPlan.toString)
+
+    // same rows as the textbook (non-scalable) row_number formulations
+    val wD = Window.partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
+    val expDedup = assigned
+      .withColumn("rn", row_number().over(wD))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("rn") <= (col("c") + lit(1)) / lit(2))
+      .select(col("cluster"), col("vec_id"), col("rn").cast("int").as("rn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val gotDedup = dedup.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotDedup == expDedup)
+
+    val wS = Window.partitionBy(col("cluster"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val expSample = assigned
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= 20)
+      .select(col("cluster"), col("vec_id"), col("rn").cast("int").as("rn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val gotSample = sample.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotSample == expSample)
+  }
+
   test("duplicated spans plan is linear: no cartesian, no global exchange") {
     val physical = graft.queries.DedupQueries.duplicatedSpans(spark, sf)
       .queryExecution.executedPlan.toString
