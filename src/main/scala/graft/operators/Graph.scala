@@ -48,27 +48,35 @@ object Graph {
     * scale-independent). */
   def pageRank(pairs: DataFrame, iters: Int, damping: Double = 0.85,
       broadcastRanks: Boolean = true): DataFrame = {
-    // Cache the raw directed edge list FIRST: the pair table feeding it
-    // (often a groupBy+explode over a fact table) is the expensive input
-    // and must flow exactly once. deg, the degree-annotated edges, and
-    // pr0 all derive from this cache.
-    val edges0 = directedEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
-    val degC = edges0.groupBy("src").agg(count(lit(1)).as("d"))
+    // Single cache: only the degree-annotated, round-partitioned edge
+    // table persists. The pair table flows twice while BUILDING it (once
+    // for the degree count, once for the join) — a bounded one-time cost
+    // — and every round plus pr0/|V| then derives from this one cache,
+    // halving the retained footprint vs the two-cache variant (which
+    // measurably inflated the rest of a many-query session via cache
+    // pressure: 4.1 s in-suite vs 2.6 s isolated).
+    val degC = directedEdges(pairs).groupBy("src").agg(count(lit(1)).as("d"))
     val partKey = if (broadcastRanks) "dst" else "src"
-    val edges = edges0.join(broadcast(degC), "src")
+    // degC is |V| rows — the same cardinality as the rank vector, so it
+    // is only safely broadcast when the rank vector is; in the
+    // billions-of-nodes layout the degree attach must shuffle too.
+    val degSide = if (broadcastRanks) broadcast(degC) else degC
+    val edges = directedEdges(pairs).join(degSide, "src")
       .repartition(col(partKey))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Materializing the edge cache eagerly fixes its outputPartitioning
     // (an unexecuted AQE plan inside InMemoryRelation reports Unknown,
-    // which would re-insert a per-round Exchange before the aggregation)
-    // and leaves the one eager scalar — |V| — a cheap cached aggregate.
+    // which would re-insert a per-round Exchange before the aggregation).
     edges.count()
-    val n = degC.count()
+    // |V| and pr0 from the cache: every node of the undirected graph
+    // appears as a src (both edge directions are present).
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count()
     // The DuckDB oracle casts its literals to DOUBLE before this same
     // subtraction, so the teleport term is bit-identical (DECIMAL
     // folding on the oracle side would differ by 1 ulp).
-    // NB: both caches are intentionally retained for the session — the
-    // lazy result still references them, and the eager
+    // NB: the cache is intentionally retained for the session — the
+    // lazy result still references it, and the eager
     // localCheckpoint+unpersist variant measured 2-3x slower. Callers
     // running many engines in one JVM can spark.catalog.clearCache().
     val teleport = (lit(1.0) - lit(damping)) / lit(n.toDouble)
@@ -87,8 +95,7 @@ object Graph {
         .withColumnRenamed("dst", "node")
     }
 
-    val pr0 = degC.select(col("src").as("node"))
-      .withColumn("pr", lit(1.0) / lit(n.toDouble))
+    val pr0 = nodes.withColumn("pr", lit(1.0) / lit(n.toDouble))
     val prN = (1 to iters).foldLeft(pr0)((pr, _) => round1(pr))
     prN.select(col("node"),
       round(col("pr") * lit(n.toDouble), 6).as("rank_norm"))
