@@ -57,14 +57,49 @@ object TextMetrics {
   }
 
   /** Score answers against references and aggregate (the reference's
-    * metric-summary shape: mean P/R/F1 over the dataset). */
+    * metric-summary shape: mean P/R/F1 over the dataset).
+    *
+    * With `orderCols` the means fold in that fixed order
+    * ([[graft.functions.TextFunctions.ordered_sum]] — keys must be
+    * unique per group), making the float result reproducible across
+    * engines/partitionings; without, plain order-tolerant `avg`. */
   def scoreAnswers(answers: DataFrame, candidateCol: String,
-      referenceCol: String): DataFrame =
+      referenceCol: String, orderCols: Column*): DataFrame = {
+    def mean(c: Column) =
+      if (orderCols.isEmpty) avg(c)
+      else graft.functions.TextFunctions.ordered_sum(c, orderCols: _*) /
+        count(lit(1))
     answers
       .withColumn("m", lexicalPRF(col(candidateCol), col(referenceCol)))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("m.precision")), 6).as("mean_precision"),
-        round(avg(col("m.recall")), 6).as("mean_recall"),
-        round(avg(col("m.f1")), 6).as("mean_f1"))
+        round(mean(col("m.precision")), 6).as("mean_precision"),
+        round(mean(col("m.recall")), 6).as("mean_recall"),
+        round(mean(col("m.f1")), 6).as("mean_f1"))
+  }
+
+  /** The model-scorer path: the same pairing/aggregation dataflow with a
+    * pluggable [[EmbeddingScorer]] evaluated per partition — the shape a
+    * real BERTScore/FinBERT scorer needs (load weights once per
+    * partition, batch texts through them). With [[TokenOverlapScorer]]
+    * this equals [[scoreAnswers]] exactly (spec-pinned), so swapping in
+    * a model scorer changes only the kernel, not the dataflow. */
+  def scoreAnswersWith(scorer: EmbeddingScorer, answers: DataFrame,
+      candidateCol: String, referenceCol: String): DataFrame = {
+    val spark = answers.sparkSession
+    import spark.implicits._
+    val scored = answers
+      .select(col(candidateCol).cast("string"), col(referenceCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        // per-partition scorer init point (weights load would go here)
+        it.map { case (c, r) => scorer.score(c, r) }
+      }
+      .toDF("precision", "recall", "f1")
+    scored.agg(
+      count(lit(1)).as("n"),
+      round(avg(round(col("precision"), 6)), 6).as("mean_precision"),
+      round(avg(round(col("recall"), 6)), 6).as("mean_recall"),
+      round(avg(round(col("f1"), 6)), 6).as("mean_f1"))
+  }
 }

@@ -113,6 +113,23 @@ object QaPipeline extends graft.QueryModule {
         .as("avg_retention"))
   }
 
+  /** §5 answer-quality metrics dataflow (text_evaluation_metrics.py:20-69
+    * shape): score every reduced answer against a deterministic reference
+    * — the document's first-[[TruncMax]]-token prefix — with the lexical
+    * P/R/F1 scorer, then the corpus means. The means fold doc_id-ordered
+    * ([[graft.operators.TextMetrics.scoreAnswers]]) so the floats are
+    * engine-reproducible; the model-scorer plug point for this same
+    * dataflow is spec-pinned in ScaleSpec. */
+  def answerPrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val refs = docs
+      .withColumn("t", truncate_tokens(col("text"), lit(TruncMax), lit("start")))
+      .select(col("doc_id"), col("t.text").as("ref_text"))
+    val cand = pipe.answers(docs).select(col("doc_id"), col("llm_answer"))
+    graft.operators.TextMetrics.scoreAnswers(
+      cand.join(refs, "doc_id"), "llm_answer", "ref_text", col("doc_id"))
+  }
+
   /** Formatter variants (factory.py format dispatch): same graph, format
     * semantics swapped. Longer question so format thresholds (5 on 0-10,
     * 50 on 0-100) are reachable. */
@@ -152,6 +169,7 @@ object QaPipeline extends graft.QueryModule {
     "qa_token_summary" -> tokenSummary,
     "qa_truncation" -> truncation,
     "qa_truncation_summary" -> truncationSummary,
+    "qa_answer_prf" -> answerPrf,
   )
 
   // ------------------------------------------------------------- oracles
@@ -314,6 +332,37 @@ object QaPipeline extends graft.QueryModule {
          |  least(10, len(list_intersect(
          |    list_distinct(list_slice(ts, 1, least(len(ts), $TruncMax))), $qlist))) AS score
          |FROM toks""".stripMargin,
+    "qa_answer_prf" ->
+      s"""$scoredCte, answers AS ($answersSelect),
+         |refs AS (
+         |  SELECT doc_id, list_distinct(list_slice(ts, 1,
+         |    least(len(ts), $TruncMax))) AS rtoks
+         |  FROM toks
+         |), prf AS (
+         |  SELECT a.doc_id,
+         |    CASE WHEN len(ctoks) > 0
+         |      THEN len(list_intersect(ctoks, rtoks)) * 1.0 / len(ctoks)
+         |      ELSE 0.0 END AS p,
+         |    CASE WHEN len(rtoks) > 0
+         |      THEN len(list_intersect(ctoks, rtoks)) * 1.0 / len(rtoks)
+         |      ELSE 0.0 END AS r
+         |  FROM (SELECT doc_id,
+         |          list_distinct(regexp_extract_all(llm_answer, '$re')) AS ctoks
+         |        FROM answers) a JOIN refs USING (doc_id)
+         |), prf2 AS (
+         |  SELECT doc_id, round(p, 6) AS p, round(r, 6) AS r,
+         |    round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+         |               ELSE 0.0 END, 6) AS f1
+         |  FROM prf
+         |)
+         |SELECT count(*) AS n,
+         |  round(list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
+         |    (a, b) -> a + b) / count(*), 6) AS mean_precision,
+         |  round(list_reduce(list_prepend(0.0, list(r ORDER BY doc_id)),
+         |    (a, b) -> a + b) / count(*), 6) AS mean_recall,
+         |  round(list_reduce(list_prepend(0.0, list(f1 ORDER BY doc_id)),
+         |    (a, b) -> a + b) / count(*), 6) AS mean_f1
+         |FROM prf2""".stripMargin,
     "qa_truncation_summary" ->
       s"""WITH toks AS (
          |  SELECT doc_id, len(regexp_extract_all(text, '$re')) AS n FROM documents

@@ -114,4 +114,30 @@ class ScaleSpec extends SparkSpec {
     assert(agg.getAs[Long]("n") == 2)
     assert(math.abs(agg.getAs[Double]("mean_f1") - 0.5) < 1e-9) // (1.0 + 0.0)/2
   }
+
+  test("EmbeddingScorer plug point: mapPartitions path equals the column path") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      ("total revenue was high", "revenue was low"),
+      ("a b c", "a b c"),
+      ("", "x"),
+      ("net income rose", "net income rose sharply")).toDF("cand", "ref")
+    val colPath = TextMetrics.scoreAnswers(df, "cand", "ref").collect()(0)
+    val scorerPath = TextMetrics.scoreAnswersWith(
+      TextMetrics.TokenOverlapScorer, df, "cand", "ref").collect()(0)
+    assert(scorerPath.getAs[Long]("n") == colPath.getAs[Long]("n"))
+    for (c <- Seq("mean_precision", "mean_recall", "mean_f1"))
+      assert(math.abs(scorerPath.getAs[Double](c) - colPath.getAs[Double](c)) < 1e-6,
+        s"$c: $scorerPath vs $colPath")
+
+    // a swapped-in scorer changes only the kernel: a constant scorer
+    // flows through the same dataflow and lands as the constant mean
+    val const = new TextMetrics.EmbeddingScorer {
+      def score(c: String, r: String): (Double, Double, Double) = (0.25, 0.5, 0.375)
+    }
+    val sw = TextMetrics.scoreAnswersWith(const, df, "cand", "ref").collect()(0)
+    assert(math.abs(sw.getAs[Double]("mean_precision") - 0.25) < 1e-9)
+    assert(math.abs(sw.getAs[Double]("mean_f1") - 0.375) < 1e-9)
+  }
 }
