@@ -115,6 +115,37 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(agg.getAs[Double]("mean_f1") - 0.5) < 1e-9) // (1.0 + 0.0)/2
   }
 
+  test("approx_top_k under budget still returns the true top-k on a skewed stream") {
+    // ta_heavy_hitters' oracled config is exact (budget >= |vocab|); the
+    // 100 TB configuration is an UNDER-budgeted sketch. Contract pinned
+    // here: on a skewed distribution, a sketch tracking ~1/8 of the
+    // vocabulary still selects exactly the true top-k SET (counts are
+    // approximate — membership is what degrades gracefully or not).
+    val sess = spark
+    import sess.implicits._
+    val heavy = (0 until 10).flatMap(i => Seq.fill(1000 - 50 * i)(s"h$i"))
+    val tail = (0 until 500).flatMap(i => Seq.fill(2)(s"t$i"))
+    val terms = sess.sparkContext
+      .parallelize(heavy ++ tail, 16).toDF("term")
+    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("term")).limit(10)
+      .collect().map(_.getString(0)).toSet
+    // 64 tracked items << 510 distinct terms
+    val sketched = terms.selectExpr("approx_top_k(term, 10, 64) AS tk")
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("n"))
+      .collect()
+    assert(sketched.map(_.getString(0)).toSet == exact,
+      s"under-budget sketch lost a true heavy hitter: ${sketched.mkString(",")}")
+    // estimated counts stay within the sketch's n/budget error envelope
+    val trueCounts = (0 until 10).map(i => s"h$i" -> (1000L - 50 * i)).toMap
+    val n = heavy.size + tail.size
+    sketched.foreach { r =>
+      assert(math.abs(r.getLong(1) - trueCounts(r.getString(0))) <= n / 64,
+        s"estimate off by more than n/budget: $r")
+    }
+  }
+
   test("EmbeddingScorer plug point: mapPartitions path equals the column path") {
     val sess = spark
     import sess.implicits._
