@@ -360,8 +360,11 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * blocked by label (stand-in for an LSH/IVF blocking key at scale —
-    * [[rpLshNearDups]] is that path). */
+    * blocked by label. TEST ORACLE, not a production operator: within a
+    * block this is all-pairs quadratic, so a popular label at scale is a
+    * scale-killer by construction. It exists as the exact ground truth
+    * that DedupSpec's recall contract pins [[rpLshNearDups]] (the
+    * production path) against. */
   def cosineNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
     val a = vectors.select(col("label"), col("vec_id").as("vec_a"),
       toDoubleArray(col("embedding")).as("va"))

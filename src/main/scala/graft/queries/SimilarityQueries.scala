@@ -28,7 +28,11 @@ object SimilarityQueries extends graft.QueryModule {
   }
 
   /** Embedding-cosine near-duplicate pairs, label-blocked (exact within
-    * blocks — the oracled ground truth for the LSH variant below). */
+    * blocks). TEST ORACLE, NOT A PRODUCTION API: a popular label is an
+    * all-pairs quadratic block at scale. This entry exists solely as the
+    * oracled ground truth the RP-LSH recall contract (DedupSpec) is
+    * pinned against — the production near-dup surface is
+    * [[rpLshNearDups]], hence the `_exact_oracle` query name. */
   def cosineNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(
       Tables.loadSpread(spark, dir, "embeddings"), NearDupThreshold)
@@ -192,7 +196,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_cluster_sample" -> clusterSample,
     "sim_semantic_dedup" -> semanticDedup,
     "sim_topk_brute" -> topkBrute,
-    "sim_cosine_neardups" -> cosineNearDups,
+    "sim_neardups_exact_oracle" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
     "sim_topk_ivf" -> topkIvf,
     "sim_topk_rplsh" -> topkRpLsh,
@@ -270,7 +274,7 @@ object SimilarityQueries extends graft.QueryModule {
          |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
          |  FROM scored)
          |WHERE rank <= $K""".stripMargin,
-    "sim_cosine_neardups" ->
+    "sim_neardups_exact_oracle" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${duckCosine("a.embedding", "b.embedding")}, 6) AS sim
          |FROM embeddings a JOIN embeddings b
