@@ -166,28 +166,72 @@ object Dedup {
     * a near-stopword shingle would create at 100 TB (a shingle shared by
     * df documents yields df^2/2 pairs; df grows linearly with corpus
     * size). Dropped hot shingles are surfaced via the observed metric
-    * `ngram_jaccard.dropped_hot_shingles` — never silent.
+    * `ngram_jaccard.dropped_hot_shingles` — never silent. When the hot
+    * keys must be KEPT, `saltHot = true` switches to the skew-salted
+    * exact mode (salted sub-buckets + cross-bucket join; zero drops,
+    * same pairs, bounded per-task postings).
     *
     * Reference scope: P11/J3 set-similarity semantics (augment_finqa.py's
     * Jaccard components) generalized to corpus self-join. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, k: Int = 3, threshold: Double = 0.3,
-      dfCap: Int = 1000): DataFrame = {
+      dfCap: Int = 1000, saltHot: Boolean = false): DataFrame = {
     val sh = docs.select(col(blockCol), col(idCol),
       shingles(col(textCol), k).as("sh"))
     val ex = sh.select(col(blockCol),
       struct(col(idCol).as("id"), size(col("sh")).as("n")).as("d"),
       explode(col("sh")).as("shingle"))
-    // postings per (block, shingle), sorted by doc id so pair enumeration
-    // yields doc_a < doc_b directly
-    val buckets = ex.groupBy(col(blockCol), col("shingle"))
-      .agg(sort_array(collect_list(col("d"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .observe("ngram_jaccard",
-        sum(when(size(col("ds")) > dfCap, 1).otherwise(0))
-          .as("dropped_hot_shingles"))
-      .filter(size(col("ds")) <= dfCap)
-    buckets.select(explode(pairsOf(col("ds"))).as("p"))
+    val pairs =
+      if (!saltHot) {
+        // postings per (block, shingle), sorted by doc id so pair
+        // enumeration yields doc_a < doc_b directly
+        ex.groupBy(col(blockCol), col("shingle"))
+          .agg(sort_array(collect_list(col("d"))).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .observe("ngram_jaccard",
+            sum(when(size(col("ds")) > dfCap, 1).otherwise(0))
+              .as("dropped_hot_shingles"))
+          .filter(size(col("ds")) <= dfCap)
+          .select(explode(pairsOf(col("ds"))).as("p"))
+      } else {
+        // Skew-salted exact mode: NOTHING is dropped. A df pre-pass
+        // finds the hot shingles (df > dfCap — rare by definition, so
+        // the hot set broadcasts); their postings split into
+        // ceil(df/dfCap) salted sub-buckets keyed by a doc-id hash, so
+        // no task ever collects a full hot postings list. A pair sharing
+        // a hot shingle lands exactly once: same salt -> within-bucket
+        // enumeration; different salts -> the (salt_a < salt_b)
+        // cross-bucket join row. The df^2 pair work is inherent to the
+        // exact semantics — salting spreads it across s^2 tasks instead
+        // of one.
+        val hot = broadcast(
+          ex.groupBy(col(blockCol), col("shingle"))
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df") > dfCap)
+            .select(col(blockCol), col("shingle"),
+              ceil(col("df") / lit(dfCap)).cast("int").as("nsalt")))
+        val posts = ex.join(hot, Seq(blockCol, "shingle"), "left")
+          .withColumn("nsalt", coalesce(col("nsalt"), lit(1)))
+          .withColumn("salt",
+            pmod(xxhash64(col("d.id")), col("nsalt")).cast("int"))
+          .groupBy(col(blockCol), col("shingle"), col("nsalt"), col("salt"))
+          .agg(sort_array(collect_list(col("d"))).as("ds"))
+          .observe("ngram_jaccard",
+            sum(lit(0)).as("dropped_hot_shingles"))
+        val within = posts.filter(size(col("ds")) > 1)
+          .select(explode(pairsOf(col("ds"))).as("p"))
+        val hotPosts = posts.filter(col("nsalt") > 1)
+        val cross = hotPosts
+          .select(col(blockCol), col("shingle"), col("salt").as("sa"),
+            col("ds").as("dsa"))
+          .join(hotPosts.select(col(blockCol), col("shingle"),
+            col("salt").as("sb"), col("ds").as("dsb")),
+            Seq(blockCol, "shingle"))
+          .filter(col("sa") < col("sb"))
+          .select(explode(crossPairsOf(col("dsa"), col("dsb"))).as("p"))
+        within.unionByName(cross)
+      }
+    pairs
       .groupBy(col("p._1.id").as("doc_a"), col("p._2.id").as("doc_b"),
         col("p._1.n").as("n_a"), col("p._2.n").as("n_b"))
       .agg(count(lit(1)).as("c"))
@@ -202,6 +246,14 @@ object Dedup {
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y =>
         struct(x.as("_1"), y.as("_2")))))
+
+  /** All cross pairs between two disjoint postings arrays, each emitted
+    * with the smaller doc id first (ids are unique, so strict `<`). */
+  private def crossPairsOf(as: Column, bs: Column): Column =
+    flatten(transform(as, x => transform(bs, y =>
+      when(x.getField("id") < y.getField("id"),
+        struct(x.as("_1"), y.as("_2")))
+        .otherwise(struct(y.as("_1"), x.as("_2"))))))
 
   /** Full MinHash-LSH near-dup pipeline: candidates + exact-Jaccard verify.
     * Output: doc_a, doc_b, jaccard (>= threshold only). */

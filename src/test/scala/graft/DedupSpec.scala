@@ -129,6 +129,24 @@ class DedupSpec extends SparkSpec {
     assert(dropped > 0, "expected the cap to trigger and be observed")
   }
 
+  test("skew-salted ngram jaccard keeps hot shingles: zero drops, identical pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // dfCap=2 makes nearly every shared shingle "hot" — the same config
+    // that drops pairs in capped mode must, in salted mode, reproduce
+    // the exact ground truth (within-salt + cross-salt paths both land)
+    val salted = Dedup.ngramJaccardPairs(docs.withColumn("blk", lit(1)),
+      "doc_id", "text", "blk", k = 3, threshold = 0.3, dfCap = 2,
+      saltHot = true)
+    val got = salted.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == exactPairs)
+    got.foreach { case (p, j) =>
+      assert(math.abs(j - exactPairsJ(p)) < 1e-6, s"pair $p jaccard $j") }
+    val dropped = salted.queryExecution.observedMetrics("ngram_jaccard")
+      .getAs[Long]("dropped_hot_shingles")
+    assert(dropped == 0, s"salted mode must not drop (got $dropped)")
+  }
+
   test("RP-LSH near-dups: exact-verified precision, bounded recall vs exact pairs") {
     val exact = SimilarityQueries.cosineNearDups(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
