@@ -391,7 +391,14 @@ object TextFunctions {
     * `list_reduce(list_prepend(0.0, list(v ORDER BY keys)), ...)` fold
     * bit-for-bit. This is the engine's cross-engine-reproducibility
     * idiom for float aggregation; use plain `sum` where order tolerance
-    * is acceptable. */
+    * is acceptable.
+    *
+    * PRECONDITION: the sort keys must be UNIQUE within each group. On
+    * ties Spark's array_sort falls through to comparing the value field,
+    * while DuckDB's `list(v ORDER BY keys)` leaves tie order
+    * unspecified — duplicate keys make the cross-engine bit-equality
+    * contract nondeterministic. Every in-repo call site keys on a unique
+    * id (vec_id / doc_id / src / pos). */
   def ordered_sum(value: Column, keys: Column*): Column = {
     import org.apache.spark.sql.functions._
     val fields = keys.zipWithIndex.map { case (k, i) => k.as(s"k$i") } :+

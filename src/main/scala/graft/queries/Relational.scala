@@ -678,6 +678,10 @@ object Relational extends graft.QueryModule {
       .agg(count(lit(1)).as("n"),
         sum($"value".cast(DecimalType(18, 4))).as("s"),
         sum(($"value" * $"value").cast(DecimalType(28, 8))).as("sq"))
+      // n >= 2 first: an n=1 group is 0/0 (NaN), whose ordering DuckDB
+      // and Spark disagree on — the guard is structural, not
+      // data-dependent, and mirrored in the oracle
+      .filter($"n" >= 2)
       .select($"event_type",
         ($"s".cast("double") / $"n").as("mean"),
         sqrt(($"sq".cast("double") - $"s".cast("double")
@@ -708,10 +712,11 @@ object Relational extends graft.QueryModule {
       .select($"event_id", $"event_type", $"value", $"med",
         abs($"value" - $"med").as("adev"))
     val mad = dev.groupBy($"event_type")
-      .agg(percentile($"adev", lit(0.5)).as("mad"))
+      .agg(percentile($"adev", lit(0.5)).as("mad"), count(lit(1)).as("n"))
     dev.join(broadcast(mad), "event_type")
-      // mad > 0 guard: same NULL-vs-inf divergence as [[outliers]]
-      .filter($"mad" > 0)
+      // n >= 2 + mad > 0 guards: structural exclusion of degenerate
+      // groups (same NULL-vs-inf divergence as [[outliers]])
+      .filter($"n" >= 2 && $"mad" > 0)
       .withColumn("score", ($"adev" / $"mad") * lit(0.6745))
       .filter($"score" > 3.5)
       .select($"event_id", $"event_type", $"value", r4($"score").as("score"))
@@ -1040,12 +1045,14 @@ object Relational extends graft.QueryModule {
         |dev AS (SELECT e.event_id, e.event_type, e.value,
         |    abs(e.value - m.med) AS adev
         |  FROM events e JOIN med m USING (event_type)),
-        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad,
+        |    count(*) AS n
         |  FROM dev GROUP BY 1)
         |SELECT d.event_id, d.event_type, d.value,
         |  round((d.adev / m.mad) * 0.6745, 4) AS score
         |FROM dev d JOIN mad m USING (event_type)
-        |WHERE m.mad > 0 AND (d.adev / m.mad) * 0.6745 > 3.5""".stripMargin,
+        |WHERE m.n >= 2 AND m.mad > 0
+        |  AND (d.adev / m.mad) * 0.6745 > 3.5""".stripMargin,
     "rel_correlation" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -1118,7 +1125,7 @@ object Relational extends graft.QueryModule {
         |    CAST(s AS DOUBLE) / n AS mean,
         |    sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
         |      / n) / (n - 1)) AS std
-        |  FROM stats)
+        |  FROM stats WHERE n >= 2)
         |SELECT e.event_id, e.event_type, e.value,
         |  round((e.value - m.mean) / m.std, 4) AS z
         |FROM events e JOIN m USING (event_type)

@@ -33,6 +33,20 @@ object StreamingOps {
     * fixed for the query's lifetime — sized to the stateful key space,
     * not the core count (32 stores for a few thousand keys is pure
     * per-batch open/commit/fsync overhead). */
+  /** Run `body` with the INT64-nanos parquet read flag set, restoring
+    * the prior session value after (queries here drain synchronously, so
+    * scoping the conf is safe — no session-global side effect leaks). */
+  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def drainToMemorySink(spark: SparkSession, agg: DataFrame,
       name: String, statePartitions: Int = 8): DataFrame = {
     val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -49,8 +63,7 @@ object StreamingOps {
     * (file source -> watermark -> window agg -> memory sink), drained
     * synchronously. Returns the final result table. */
   def windowedEventAgg(spark: SparkSession, dir: String,
-      windowLen: String = "45 minutes"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      windowLen: String = "45 minutes"): DataFrame = withNanosAsLong(spark) {
     val src = spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", 1) // source throttle (rate-limit analog)
@@ -73,8 +86,7 @@ object StreamingOps {
     * operators in one continuous query. Deterministic regardless of
     * arrival order (which row of a dup pair survives doesn't change the
     * per-type distinct-user count). */
-  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
     val src = spark.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -156,8 +168,7 @@ object StreamingOps {
     * graph at 100 TB/day is the standard attribution topology: shuffle
     * by user_id, bounded per-key buffers, append output. */
   def clickAttribution(spark: SparkSession, dir: String,
-      lagMinutes: Int = 10): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      lagMinutes: Int = 10): DataFrame = withNanosAsLong(spark) {
     def src = spark.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
