@@ -42,6 +42,57 @@ object Graph {
     pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
 
+  /** Degree-ordered edge orientation: every undirected edge points from
+    * its lower-(degree, id) endpoint to the higher one. The total order
+    * makes the oriented graph acyclic, and — the classic triangle-count
+    * refinement — bounds any node's OUT-degree by O(sqrt(m)): a hub's
+    * edges all point INTO it, so the wedge step never enumerates a hub's
+    * neighbor pairs. Returns (src, dst, ddeg) with ddeg = dst's degree
+    * (the rank key the wedge join orders on). */
+  def orientByDegree(pairs: DataFrame): DataFrame = {
+    val deg = directedEdges(pairs)
+      .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    pairs
+      .join(deg.select(col("v").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("v").as("pb"), col("deg").as("db")), "pb")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("pa") < col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst"), col("db").as("ddeg")))
+          .otherwise(
+            struct(col("pb").as("src"), col("pa").as("dst"), col("da").as("ddeg")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddeg").as("ddeg"))
+  }
+
+  /** Triangle enumeration with true degree-ordered orientation (not the
+    * hashed-id a<b<c approximation): wedges fan out only along oriented
+    * out-edges, ordered by the (degree, id) rank so each triangle's
+    * lowest-rank node emits exactly one wedge, closed by the oriented
+    * third edge. Output triples are id-sorted (a < b < c) — identical
+    * rows to the id-ordered formulation, with per-node wedge work
+    * bounded by out-degree^2 = O(m) total instead of a hub's deg^2. */
+  def trianglesByDegree(pairs: DataFrame): DataFrame = {
+    val o = orientByDegree(pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = o.select(col("src").as("u"), col("dst").as("v"),
+        col("ddeg").as("dv"))
+      .join(o.select(col("src").as("u"), col("dst").as("w"),
+        col("ddeg").as("dw")), "u")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    // rank(v) < rank(w), so a closing edge {v,w} is oriented v -> w
+    val tri = wedges
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+      .select(element_at(col("t"), 1).as("a"), element_at(col("t"), 2).as("b"),
+        element_at(col("t"), 3).as("c"))
+      .localCheckpoint(true)
+    o.unpersist(blocking = false)
+    tri
+  }
+
   /** Fixed-iteration PageRank (damping `d`) over an undirected pair table
     * (`pa < pb`, deduplicated). Returns (node, rank_norm) where
     * rank_norm = rank * n (relative to uniform; keeps the rounded value

@@ -92,23 +92,17 @@ object GraphQueries extends graft.QueryModule {
   }
 
   /** Triangle enumeration over the support-thresholded co-purchase
-    * graph — the classic two-equi-join formulation (a<b<c ordering
-    * makes each triangle appear exactly once and caps the wedge
-    * blow-up): edges(a,b) x edges(b,c) builds wedges, the third join
-    * closes them. On a skewed 100 TB graph the standard refinement is
-    * degree-ordered orientation (low-degree endpoint first), which this
-    * a<b<c scheme approximates for free on hashed ids. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = copurchase(spark, dir).select(col("part_a"), col("part_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = e.toDF("a", "b")
-      .join(e.toDF("b", "c"), "b")
-      .join(e.toDF("a", "c"), Seq("a", "c"))
-      .select(col("a"), col("b"), col("c"))
-      .localCheckpoint(true)
-    e.unpersist(blocking = false)
-    out
-  }
+    * graph, via TRUE degree-ordered orientation
+    * ([[graft.operators.Graph.trianglesByDegree]]): wedges fan out only
+    * from each triangle's lowest-(degree, id) node, so a skewed hub
+    * never enumerates its neighbor pairs — the per-node wedge bound the
+    * id-ordered two-join formulation only approximates. Same rows
+    * (id-sorted triples), GraphSpec pins the hub bound on a planted
+    * star. */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.trianglesByDegree(
+      copurchase(spark, dir)
+        .select(col("part_a").as("pa"), col("part_b").as("pb")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_copurchase" -> copurchase,

@@ -24,6 +24,25 @@ class GraphSpec extends SparkSpec {
     assert(pr(1L) == pr(2L) && pr(2L) == pr(3L))
   }
 
+  test("degree-ordered triangles: exact on a planted graph, hub emits no wedges") {
+    // hub 0 touches every leaf 1..50 (and id-orders FIRST, the worst
+    // case for id-ordered orientation: 50*49/2 wedges at the hub);
+    // leaf edges (1,2) and (3,4) close two triangles through the hub
+    val pairs = ((1L to 50L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L)))
+      .toDF("pa", "pb")
+    val tris = Graph.trianglesByDegree(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tris == Set((0L, 1L, 2L), (0L, 3L, 4L)))
+    // degree orientation: every hub edge points INTO the hub, so the
+    // hub's out-degree is 0 and no task ever enumerates its neighbor
+    // pairs; the max out-degree anywhere stays O(sqrt(m))
+    val outDeg = Graph.orientByDegree(pairs)
+      .groupBy($"src").agg(count(lit(1)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!outDeg.contains(0L), s"hub must have zero out-edges: $outDeg")
+    assert(outDeg.values.max <= 2, s"out-degree must stay bounded: $outDeg")
+  }
+
   test("copurchase equals the brute-force self-join on the same data") {
     val brute = {
       val li = spark.read.parquet(s"$sf/lineitem.parquet")
