@@ -211,9 +211,35 @@ object AnalysisQueries extends graft.QueryModule {
     * the norm in those distinctive terms and the two measures converge. */
   def sparseSim(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
-    val tf = docs.select(col("doc_id"),
-        explode(graft.functions.TextFunctions.term_counts(col("text")))
-          .as(Seq("term", "tf")))
+    sparseSimOver(docs, docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.term_counts(col("text")))
+        .as(Seq("term", "tf"))))
+  }
+
+  /** Bigram feature family for [[sparseSim]]: identical retrieval
+    * pipeline, features = adjacent token PAIRS. On a low-entropy corpus
+    * unigram tf-idf leaves little distinctive mass (the ~220-word
+    * vocabulary problem documented above); bigrams square the feature
+    * space, so the top-10 truncated vectors carry far more
+    * document-specific signal — the standard realism upgrade for sparse
+    * retrieval over repetitive text. Bigram materialization is map-side
+    * (the collocations trick); the per-doc counts are one wordcount
+    * shuffle. */
+  def sparseSimBigram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.regex_tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |  (t, i) -> concat(t, ' ', element_at(ts, i + 2)))"""
+          .stripMargin)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    sparseSimOver(docs, tf)
+  }
+
+  private def sparseSimOver(docs: DataFrame, tf0: DataFrame): DataFrame = {
+    val tf = tf0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -612,6 +638,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_mutual_info" -> mutualInfo,
     "ta_heavy_hitters" -> heavyHitters,
     "ta_sparse_sim" -> sparseSim,
+    "ta_sparse_sim_bigram" -> sparseSimBigram,
     "ta_quality_pct" -> percentileRank,
     "ta_corpus_prep" -> corpusPrep,
     "ta_term_entropy" -> termEntropy,
@@ -849,6 +876,36 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_sparse_sim" ->
       s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re'))
          |    AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |vec AS (SELECT doc_id, term, w FROM (
+         |  SELECT doc_id, t.term,
+         |    round(tf * ln(n_docs * 1.0 / df), 6) AS w,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY round(tf * ln(n_docs * 1.0 / df), 6) DESC,
+         |               t.term DESC) AS rn
+         |  FROM tf t JOIN dft USING (term) CROSS JOIN n) WHERE rn <= 10),
+         |norms AS (SELECT doc_id, sqrt(list_reduce(list_prepend(0.0,
+         |    list_transform(list(w ORDER BY term), x -> x * x)),
+         |    (a, v) -> a + v)) AS nrm
+         |  FROM vec GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    list_reduce(list_prepend(0.0, list(a.w * b.w ORDER BY a.term)),
+         |      (x, y) -> x + y) AS dot
+         |  FROM vec a JOIN vec b ON a.term = b.term
+         |    AND a.doc_id < 100 AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+         |FROM pairs JOIN norms na ON doc_a = na.doc_id
+         |           JOIN norms nb ON doc_b = nb.doc_id
+         |WHERE dot / (na.nrm * nb.nrm) > 0.5""".stripMargin,
+    "ta_sparse_sim_bigram" ->
+      s"""WITH t0 AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+         |  FROM documents),
+         |toks AS (SELECT doc_id, w1 || ' ' || w2 AS term FROM (
+         |  SELECT doc_id, unnest(ts[1:greatest(len(ts) - 1, 0)]) AS w1,
+         |         unnest(ts[2:len(ts)]) AS w2 FROM t0)),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
          |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          |n AS (SELECT count(*) AS n_docs FROM documents),
