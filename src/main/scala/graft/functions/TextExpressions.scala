@@ -95,6 +95,33 @@ object TextKernels {
       new GenericArrayData(ks), new GenericArrayData(vs))
   }
 
+  /** Adjacent-token-pair counts (bigram tf), one pass — the map-side
+    * kernel for the bigram sparse-retrieval feature family; equal to
+    * exploding `concat(tok_i, ' ', tok_i+1)` + groupBy count. */
+  def bigramCounts(t: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val s = t.toString
+    val offs = Tokenizer.tokenize(s)
+    val n = offs.length / 2
+    val counts = new java.util.LinkedHashMap[String, Long](math.max(16, n))
+    var i = 0
+    while (i < n - 1) {
+      val big = s.substring(offs(2 * i), offs(2 * i + 1)) + " " +
+        s.substring(offs(2 * i + 2), offs(2 * i + 3))
+      counts.merge(big, 1L, _ + _)
+      i += 1
+    }
+    val ks = new Array[Any](counts.size)
+    val vs = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var x = 0
+    while (it.hasNext) {
+      val e = it.next()
+      ks(x) = UTF8String.fromString(e.getKey); vs(x) = e.getValue; x += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(ks), new GenericArrayData(vs))
+  }
+
   def shingles(t: UTF8String, kv: Int): ArrayData = {
     val s = t.toString
     val offs = Tokenizer.tokenize(s)
@@ -355,6 +382,21 @@ case class TermCounts(child: Expression)
   override def prettyName: String = "term_counts"
 }
 
+/** `bigram_counts(text)` — map<bigram, count> per row (adjacent token
+  * pairs, space-joined) under the engine tokenizer; the map-side tf
+  * kernel for the bigram feature family. */
+case class BigramCounts(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.bigramCounts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bigramCounts($c)")
+  override protected def withNewChildInternal(c: Expression): BigramCounts = copy(c)
+  override def prettyName: String = "bigram_counts"
+}
+
 object TextFunctions {
   private def col(e: Expression): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -372,6 +414,7 @@ object TextFunctions {
     col(SplitChunksChars(ex(c), ex(size), ex(overlap), ex(sep)))
   def shingles(c: Column, k: Column): Column = col(Shingles(ex(c), ex(k)))
   def term_counts(c: Column): Column = col(TermCounts(ex(c)))
+  def bigram_counts(c: Column): Column = col(BigramCounts(ex(c)))
   def top_k_structs(ordStruct: Column, k: Int): Column =
     col(TopKStructs(ex(ordStruct),
       ex(org.apache.spark.sql.functions.lit(k))).toAggregateExpression())

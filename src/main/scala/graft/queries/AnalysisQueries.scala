@@ -227,15 +227,11 @@ object AnalysisQueries extends graft.QueryModule {
     * shuffle. */
   def sparseSimBigram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
-    val tf = docs
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.regex_tokens(col("text")).as("ts"))
-      .select(col("doc_id"), explode(expr(
-        """transform(slice(ts, 1, greatest(size(ts) - 1, 0)),
-          |  (t, i) -> concat(t, ' ', element_at(ts, i + 2)))"""
-          .stripMargin)).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    sparseSimOver(docs, tf)
+    // map-side bigram tf (one fused pass, no wordcount shuffle) — the
+    // same kernel discipline as term_counts for the unigram family
+    sparseSimOver(docs, docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.bigram_counts(col("text")))
+        .as(Seq("term", "tf"))))
   }
 
   private def sparseSimOver(docs: DataFrame, tf0: DataFrame): DataFrame = {

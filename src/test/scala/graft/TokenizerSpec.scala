@@ -191,4 +191,25 @@ class TokenizerSpec extends SparkSpec {
     assert(viaKernel == viaExplode)
     assert(viaKernel.nonEmpty)
   }
+
+  test("bigram_counts equals the transform/explode bigram formulation") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val viaKernel = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.bigram_counts(col("text"))).as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaExplode = docs
+      .select(col("doc_id"), TextFunctions.regex_tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |  (t, i) -> concat(t, ' ', element_at(ts, i + 2)))"""
+          .stripMargin)).as("term"))
+      .groupBy("doc_id", "term").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaKernel == viaExplode)
+    assert(viaKernel.nonEmpty)
+  }
 }
