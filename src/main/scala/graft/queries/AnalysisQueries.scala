@@ -615,8 +615,82 @@ object AnalysisQueries extends graft.QueryModule {
         ((col("tier") + 1) / 4.0).as("rate"))
   }
 
+  /** Temperature-weighted mixture sampling (the multinomial-with-
+    * temperature corpus-mixing rule: w_s ∝ n_s^(1/T), here T=2 i.e.
+    * sqrt): per-source keep RATES are derived from the source sizes so
+    * the kept mix hits a corpus-budget share of B=0.5, upweighting small
+    * sources relative to proportional sampling. Membership is the same
+    * content-hash Bernoulli as [[sourceMix]] (first 8 md5 hex chars as a
+    * fraction of 2^32) — zero shuffle to decide, reproducible on any
+    * cluster. The tiny per-source rate table broadcasts; every float
+    * step (sqrt, the source-ordered normalizer fold, one division
+    * chain) is written identically in the oracle. */
+  def sourceMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(
+      graft.functions.TextFunctions.ordered_sum(
+        sqrt(col("n_s").cast("double")), col("source")).as("s_sqrt"),
+      sum(col("n_s")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("w", sqrt(col("n_s").cast("double")) / col("s_sqrt"))
+      .withColumn("rate", least(lit(1.0),
+        (lit(0.5) * col("n_total").cast("double") * col("w"))
+          / col("n_s").cast("double")))
+      .select(col("source"), col("w"), col("rate"))
+    val hashFrac = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    docs.join(broadcast(rates), "source")
+      .select(col("source"), col("w"), col("rate"),
+        (hashFrac < col("rate")).as("kept"))
+      .groupBy(col("source"), col("w"), col("rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("w"), 6).as("weight"), round(col("rate"), 6).as("rate"))
+  }
+
+  /** Interpolated bigram-LM document scoring (the KenLM-filter shape one
+    * order up from [[unigramLogprob]]): avg over the doc's bigram
+    * occurrences of ln(0.75·p(w2|w1) + 0.25·p(w2)), model = the corpus
+    * itself. The MODEL is bigram-vocabulary-sized, so unlike the unigram
+    * one-row broadcast it stays a key-partitioned JOIN on the bigram —
+    * the honest 100 TB shape (doc tf rows meet model rows on the shuffle
+    * key; nothing vocabulary-sized is collected or broadcast). Per-doc
+    * sums fold in bigram order; ln noise is absorbed by round-5 (the
+    * unigramLogprob discipline). */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val btf = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.bigram_counts(col("text")))
+        .as(Seq("bg", "tf")))
+    val uni = docs
+      .select(explode(graft.functions.TextFunctions.term_counts(col("text")))
+        .as(Seq("term", "utf")))
+      .groupBy(col("term")).agg(sum(col("utf")).as("cnt"))
+    val utotal = uni.agg(sum(col("cnt")).as("utotal"))
+    val model = btf.groupBy(col("bg")).agg(sum(col("tf")).as("bcnt"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("term").as("w1"), col("cnt").as("c1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("cnt").as("c2")), "w2")
+      .crossJoin(broadcast(utotal))
+      .select(col("bg"),
+        (lit(0.75) * (col("bcnt").cast("double") / col("c1").cast("double"))
+          + lit(0.25) * (col("c2").cast("double") / col("utotal").cast("double")))
+          .as("p"))
+    btf.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(graft.functions.TextFunctions.ordered_sum(
+          col("tf").cast("double") * log(col("p")), col("bg"))
+          / sum(col("tf")).cast("double"), 5).as("avg_logprob"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_source_mix" -> sourceMix,
+    "ta_source_mix_temperature" -> sourceMixTemperature,
+    "ta_bigram_logprob" -> bigramLogprob,
     "ta_decontaminate" -> decontaminate,
     "ta_pack_bins" -> packBins,
     "ta_unigram_logprob" -> unigramLogprob,
@@ -710,6 +784,59 @@ object AnalysisQueries extends graft.QueryModule {
          |    AND r.rn = p.rn + 1)
          |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
          |FROM p""".stripMargin,
+    "ta_source_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(sqrt(CAST(n_s AS DOUBLE)) ORDER BY source)),
+        |    (a, b) -> a + b) AS s_sqrt,
+        |  sum(n_s) AS n_total FROM c),
+        |r AS (SELECT source, n_s,
+        |    sqrt(CAST(n_s AS DOUBLE)) / t.s_sqrt AS w,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      (CAST(0.5 AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+        |        * (sqrt(CAST(n_s AS DOUBLE)) / t.s_sqrt))
+        |      / CAST(n_s AS DOUBLE)) AS rate
+        |  FROM c CROSS JOIN t)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN
+        |      CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |        AS BIGINT) AS DOUBLE) / CAST(4294967296.0 AS DOUBLE) < r.rate
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(r.w, 6) AS weight, round(r.rate, 6) AS rate
+        |FROM documents d JOIN r USING (source)
+        |GROUP BY d.source, r.w, r.rate""".stripMargin,
+    "ta_bigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+         |  FROM documents),
+         |bigp AS (SELECT doc_id, w1 || ' ' || w2 AS bg FROM (
+         |  SELECT doc_id, unnest(ts[1:greatest(len(ts) - 1, 0)]) AS w1,
+         |         unnest(ts[2:len(ts)]) AS w2 FROM toks)),
+         |btf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+         |  FROM bigp GROUP BY 1, 2),
+         |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY 1),
+         |ut AS (SELECT sum(cnt) AS utotal FROM uni),
+         |bm AS (SELECT bg, sum(tf) AS bcnt FROM btf GROUP BY 1),
+         |model AS (SELECT bm.bg,
+         |    CAST(0.75 AS DOUBLE)
+         |      * (CAST(bm.bcnt AS DOUBLE) / CAST(u1.cnt AS DOUBLE))
+         |    + CAST(0.25 AS DOUBLE)
+         |      * (CAST(u2.cnt AS DOUBLE) / CAST(ut.utotal AS DOUBLE)) AS p
+         |  FROM bm
+         |  JOIN uni u1 ON string_split(bm.bg, ' ')[1] = u1.term
+         |  JOIN uni u2 ON string_split(bm.bg, ' ')[2] = u2.term
+         |  CROSS JOIN ut),
+         |s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams
+         |  FROM btf GROUP BY 1),
+         |l AS (SELECT t.doc_id,
+         |    list(struct_pack(tf := t.tf, p := m.p) ORDER BY t.bg) AS xs
+         |  FROM btf t JOIN model m USING (bg) GROUP BY 1)
+         |SELECT l.doc_id, s.n_bigrams,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(xs, x -> CAST(x.tf AS DOUBLE) * ln(x.p))),
+         |      (a, b) -> a + b)
+         |    / CAST(s.n_bigrams AS DOUBLE), 5) AS avg_logprob
+         |FROM l JOIN s USING (doc_id)""".stripMargin,
     "ta_unigram_logprob" ->
       s"""WITH tf AS (
          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
