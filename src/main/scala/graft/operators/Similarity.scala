@@ -139,6 +139,74 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product quantization encode (the IVF-PQ compression standard):
+    * split each vector into `m` subspaces of `dim/m` dims, code each
+    * subvector as the 1-based POSITION of its nearest codeword in that
+    * subspace's codebook (L2, tie-break lowest position). Codebooks are
+    * anchor-derived (the [[ivfAssign]] centroid rule: a small
+    * deterministic sample's subvectors), so encoding is a PURE
+    * PROJECTION — the codebook literal rides along, argmin per subspace
+    * is `array_min` over (dist, code) structs, and the corpus never
+    * shuffles to get its codes. Returns (vec_id, codes array<int>,
+    * recon_err): an m-byte-ish code per vector (the 8-32x memory
+    * compression ANN at 100 TB rests on) plus the exact reconstruction
+    * error. Anchors encode to themselves (recon_err 0 — spec-pinned). */
+  def pqEncode(vectors: DataFrame, anchors: DataFrame, m: Int,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
+    val sub = dim / m
+    val cents = centroidsLit(anchors)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val bests = (0 until m).map { j =>
+      array_min(transform(cents, (c, i) =>
+        struct(
+          l2sq(slice(col("dv"), j * sub + 1, sub),
+            slice(c("_2"), j * sub + 1, sub)).as("d"),
+          (i + 1).as("code")))).as(s"b$j")
+    }
+    val withB = vectors
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("dv"))
+      .select(col("vec_id") +: bests: _*)
+    val recon = (0 until m).map(j => col(s"b$j")("d")).reduceLeft(_ + _)
+    withB.select(col("vec_id"),
+      array((0 until m).map(j => col(s"b$j")("code")): _*).as("codes"),
+      round(sqrt(recon), 6).as("recon_err"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): each query precomputes its
+    * per-subspace distance TABLE against the codebook (m x |codebook|
+    * doubles, built once on the broadcast side), and every encoded
+    * candidate is scored with just m table lookups + adds — never
+    * touching the original vectors. This is the compressed-domain scan
+    * that makes billion-vector ANN affordable; approximate family
+    * (recall spec vs the exact L2 top-k, like IVF/RP-LSH). */
+  def pqTopK(queries: DataFrame, encoded: DataFrame, anchors: DataFrame,
+      k: Int, m: Int, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
+    val sub = dim / m
+    val cents = centroidsLit(anchors)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val qt = queries
+      .select(col("vec_id").as("query_id"),
+        toDoubleArray(col("embedding")).as("qv"))
+      .withColumn("dtab", array((0 until m).map(j =>
+        transform(cents, c =>
+          l2sq(slice(col("qv"), j * sub + 1, sub),
+            slice(c("_2"), j * sub + 1, sub)))): _*))
+      .select(col("query_id"), col("dtab"))
+    val dist = (0 until m).map(j =>
+      element_at(element_at(col("dtab"), j + 1),
+        element_at(col("codes"), j + 1))).reduceLeft(_ + _)
+    val scored = encoded.select(col("vec_id").as("cand_id"), col("codes"))
+      .join(broadcast(qt), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", -dist) // rankTopK orders sim DESC = distance ASC
+    rankTopK(scored, k)
+  }
+
   /** Random-hyperplane LSH signatures (SimHash for vectors): for each of
     * `tables` hash tables, a `bits`-bit signature where bit b =
     * sign(dot(v, r_tb)) over a deterministic Rademacher (+-1) hyperplane

@@ -60,6 +60,32 @@ object SimilarityQueries extends graft.QueryModule {
     Similarity.rpLshTopK(emb.filter(col("vec_id") < NQueries), emb, K)
   }
 
+  private val PqM = 8
+
+  /** PQ codes + exact reconstruction error per vector
+    * ([[Similarity.pqEncode]]): deterministic anchor codebooks (every
+    * 50th vector — the IVF centroid rule), so the full encode is
+    * oracle-checkable; codes emitted as a dash-joined string. */
+  def pqStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+    Similarity.pqEncode(emb, anchors, PqM)
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), "-")
+          .as("codes"),
+        col("recon_err"))
+  }
+
+  /** PQ asymmetric-distance top-k over the encoded corpus
+    * ([[Similarity.pqTopK]]). Approximate family: rows-only driver
+    * check + SimilaritySpec recall contract vs the exact L2 top-k. */
+  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+    Similarity.pqTopK(emb.filter(col("vec_id") < NQueries),
+      Similarity.pqEncode(emb, anchors, PqM), anchors, K, PqM)
+  }
+
   /** Int8 quantization stats per vector: the compression scale and the
     * max per-dimension reconstruction error (bounded by scale/2 by
     * construction — also asserted in DedupSpec). */
@@ -202,8 +228,43 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_rplsh" -> topkRpLsh,
     "sim_centroid_dist" -> centroidDist,
     "sim_quantize_stats" -> quantizeStats,
+    "sim_pq_stats" -> pqStats,
+    "sim_topk_pq" -> topkPq,
     "sim_diversity" -> diversity,
   )
+
+  /** DuckDB replay of [[Similarity.pqEncode]] (m=8 subspaces over the
+    * 64-dim vectors): per subspace, distances to every anchor codeword
+    * with the same left-to-right folds, argmin via (dist, code)
+    * row_number — the kmeans-oracle discipline applied per subspace. */
+  private def pqOracle: String = {
+    val m = PqM; val sub = 64 / m
+    val dists = (0 until m).map { j =>
+      val lo = j * sub + 1; val hi = j * sub + sub
+      s"""d$j AS (SELECT e.vec_id, a.code,
+         |  list_reduce(list_prepend(0.0, list_transform(
+         |    list_zip(e.v[$lo:$hi], a.av[$lo:$hi]),
+         |    q -> (q[1] - q[2]) * (q[1] - q[2]))), (x, y) -> x + y) AS dist
+         |  FROM e, a),
+         |s$j AS (SELECT vec_id, code, dist FROM (
+         |  SELECT vec_id, code, dist, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dist, code) AS rn FROM d$j)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codes = (0 until m).map(j => s"CAST(s$j.code AS VARCHAR)")
+      .mkString(" || '-' || ")
+    val recon = (0 until m).map(j => s"s$j.dist").mkString(" + ")
+    val joins = (1 until m).map(j => s"JOIN s$j USING (vec_id)").mkString(" ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code,
+       |       v AS av FROM e WHERE vec_id % 50 = 0),
+       |$dists
+       |SELECT s0.vec_id, $codes AS codes,
+       |  round(sqrt($recon), 6) AS recon_err
+       |FROM s0 $joins""".stripMargin
+  }
 
   /** DuckDB replay of [[Similarity.kmeans]] (k=8, 2 rounds), generated
     * so the assign/update blocks are written once: every float fold runs
@@ -297,6 +358,7 @@ object SimilarityQueries extends graft.QueryModule {
         |    p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 6) AS max_abs_err
         |FROM q""".stripMargin,
     "sim_kmeans" -> kmeansOracle,
+    "sim_pq_stats" -> pqOracle,
     "sim_semantic_dedup" ->
       s"""WITH km AS ($kmeansOracle)
          |SELECT cluster, vec_id, CAST(rn AS INT) AS rn FROM (

@@ -129,6 +129,54 @@ class DedupSpec extends SparkSpec {
     assert(dropped > 0, "expected the cap to trigger and be observed")
   }
 
+  test("PQ: anchors reconstruct exactly; ADC top-k recall vs exact L2") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // denser codebook than the driver query (100 vs 10 codewords per
+    // subspace): the recall contract should reflect a realistically
+    // sized codebook, not the 500-vector corpus's sparse anchor grid
+    val anchors = emb.filter(col("vec_id") % 5 === 0)
+    val encoded = Similarity.pqEncode(emb, anchors, m = 8)
+    // every anchor is its own nearest codeword in every subspace
+    val anchorErrs = encoded.join(anchors.select(col("vec_id")), "vec_id")
+      .select(col("recon_err")).collect().map(_.getDouble(0))
+    assert(anchorErrs.nonEmpty && anchorErrs.forall(_ == 0.0))
+    // ADC vs exact L2, same queries
+    val k = 5
+    val queries = emb.filter(col("vec_id") < 10)
+    val adcRows = Similarity.pqTopK(queries, encoded, anchors, k, m = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val q = queries.select(col("vec_id").as("query_id"),
+      Similarity.toDoubleArray(col("embedding")).as("qv"))
+    val c = emb.select(col("vec_id").as("cand_id"),
+      Similarity.toDoubleArray(col("embedding")).as("cv"))
+    val distsDf = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("d", aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v))
+    val trueD = distsDf.select(col("query_id"), col("cand_id"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // THE ADC correctness contract (exact math, not a tuned bound):
+    // adc estimates ||q - x_hat|| for the reconstruction x_hat, so
+    // | ||q - x_hat|| - ||q - x|| | <= ||x - x_hat|| = recon_err(x)
+    val errs = encoded.select(col("vec_id"), col("recon_err"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    adcRows.foreach { case ((qid, cid), sim) =>
+      val adcDist = math.sqrt(-sim) // sim = -squared ADC distance
+      val exactDist = math.sqrt(trueD((qid, cid)))
+      assert(math.abs(adcDist - exactDist) <= errs(cid) + 1e-5,
+        s"ADC estimate for ($qid,$cid) outside the reconstruction bound")
+    }
+    // recall floor: deterministic (fixed data + anchor codebooks),
+    // measured 0.20 at sf0.001 — the synthetic embeddings have near-
+    // random neighbor structure (top-5 cosine ~0.3-0.48, the same
+    // hostile regime as the RP-LSH bound above), the worst case for 8x
+    // lossy compression; on clustered corpora ADC recall is far higher.
+    val exact = trueD.toSeq.groupBy(_._1._1).values.flatMap(
+      _.sortBy { case ((_, cid), d) => (d, cid) }.take(k).map(_._1)).toSet
+    val recall = (adcRows.keySet & exact).size.toDouble / exact.size
+    assert(recall >= 0.15, s"PQ ADC recall $recall too low")
+  }
+
   test("skew-salted ngram jaccard keeps hot shingles: zero drops, identical pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // dfCap=2 makes nearly every shared shingle "hot" — the same config
