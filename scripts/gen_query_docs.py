@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Regenerate docs/QUERIES.md from a Verify output directory.
+
+Usage: python3 scripts/gen_query_docs.py /tmp/verify_out > docs/QUERIES.md
+
+Groups queries by name prefix, marks each as oracle-gated (present in
+oracle_sql.json) or rows+spec (approximate family), and records the
+sf0.01 result row counts from the dumped parquet.
+"""
+import json
+import sys
+
+import pyarrow.parquet as pq
+from pathlib import Path
+
+FAMILIES = [
+    ("qa_", "QA pipeline (reference parity)"),
+    ("stream_", "Structured Streaming"),
+    ("text_", "Text kernel"),
+    ("rel_", "Relational / analytics"),
+    ("adv_", "Advanced (fuzzy / composite / windows)"),
+    ("dedup_", "Deduplication"),
+    ("sim_", "Similarity / embeddings"),
+    ("ta_", "Text analysis / corpus curation"),
+    ("mm_", "Multimodal plumbing"),
+]
+
+
+def main(outdir: str) -> None:
+    out = Path(outdir)
+    oracles = set(json.loads((out / "oracle_sql.json").read_text()).keys())
+    rows = {}
+    for p in sorted(out.iterdir()):
+        if p.name == "oracle_sql.json" or p.name.startswith("."):
+            continue
+        try:
+            rows[p.name] = pq.read_table(str(p)).num_rows
+        except Exception:
+            continue
+
+    print("# Query catalog")
+    print()
+    print("One row per driver-checkable query (`SparkEntry.queries`). "
+          "\"oracle\" means a\nDuckDB hash-compare gate at sf0.01; "
+          "approximate-family queries are rows-only\nchecked by the driver "
+          "and carry recall/contract specs instead. Row counts are\nthe "
+          "sf0.01 result sizes. Implementation notes live in README.md and "
+          "the\nper-module Scaladoc.")
+    print()
+    print("Regenerate: `sbt \"runMain graft.Verify /root/testdata/sf0.01 "
+          "/tmp/v\"` then\n`python3 scripts/gen_query_docs.py /tmp/v > "
+          "docs/QUERIES.md`.")
+    seen = set()
+    for prefix, title in FAMILIES:
+        names = sorted(n for n in rows if n.startswith(prefix))
+        names = [n for n in names if n not in seen]
+        if not names:
+            continue
+        seen.update(names)
+        print(f"\n## {title} ({len(names)})\n")
+        print("| query | check | rows@sf0.01 |")
+        print("|---|---|---|")
+        for n in names:
+            check = "oracle" if n in oracles else "rows + spec"
+            print(f"| `{n}` | {check} | {rows[n]} |")
+    rest = sorted(n for n in rows if n not in seen)
+    if rest:
+        print(f"\n## Other ({len(rest)})\n")
+        print("| query | check | rows@sf0.01 |")
+        print("|---|---|---|")
+        for n in rest:
+            check = "oracle" if n in oracles else "rows + spec"
+            print(f"| `{n}` | {check} | {rows[n]} |")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])
