@@ -160,6 +160,40 @@ object SimilarityQueries extends graft.QueryModule {
           / (nd * (nd - lit(1.0))), 6).as("mean_pair_sqdist"))
   }
 
+  /** Embedding covariance matrix (upper triangle): exact moment
+    * computation — cov(i,j) = (S_ij - S_i·S_j/n) / (n-1) — the
+    * whitening/PCA prep step for embedding columns. Every float fold
+    * runs vec_id-ordered so the matrix is engine-reproducible; at
+    * production scale the folds become plain map-side-combined `sum`s
+    * (order tolerance acceptable there) and the shuffle carries n·d²/2
+    * moment contributions aggregated down to d² cells. */
+  def covariance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val p = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        col("x").cast("double").as("x"))
+    val a = p.select(col("vec_id"), col("i"), col("x").as("xa"))
+    val b = p.select(col("vec_id"), col("i").as("j"), col("x").as("xb"))
+    val sij = a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("xa") * col("xb"), col("vec_id")).as("s_ij"))
+    val si = p.groupBy(col("i"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("x"), col("vec_id")).as("s"))
+    val n = emb.agg(count(lit(1)).as("n"))
+    sij
+      .join(broadcast(si.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(si.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        // + 0.0 canonicalizes IEEE -0.0 (a round() output for tiny
+        // negative covariances) so both engines print the same zero
+        (round((col("s_ij") - col("si") * col("sj") / col("n"))
+          / (col("n") - lit(1)), 6) + lit(0.0)).as("cov"))
+  }
+
   /** Deterministic Lloyd k-means (k=8, 2 update rounds) — see
     * [[Similarity.kmeans]] for why this is oracle-checkable. */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
@@ -230,6 +264,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_quantize_stats" -> quantizeStats,
     "sim_pq_stats" -> pqStats,
     "sim_topk_pq" -> topkPq,
+    "sim_covariance" -> covariance,
     "sim_diversity" -> diversity,
   )
 
@@ -359,6 +394,25 @@ object SimilarityQueries extends graft.QueryModule {
         |FROM q""".stripMargin,
     "sim_kmeans" -> kmeansOracle,
     "sim_pq_stats" -> pqOracle,
+    "sim_covariance" ->
+      """WITH p AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |pr AS (SELECT a.vec_id, a.i, b.i AS j, a.x * b.x AS xy
+        |  FROM p a JOIN p b ON a.vec_id = b.vec_id AND a.i <= b.i),
+        |sij AS (SELECT i, j,
+        |    list_reduce(list_prepend(0.0, list(xy ORDER BY vec_id)),
+        |      (u, v) -> u + v) AS s_ij
+        |  FROM pr GROUP BY 1, 2),
+        |si AS (SELECT i,
+        |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+        |      (u, v) -> u + v) AS s
+        |  FROM p GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT s.i, s.j,
+        |  round((s.s_ij - a.s * b.s / n.n) / (n.n - 1), 6) + 0.0 AS cov
+        |FROM sij s JOIN si a ON s.i = a.i JOIN si b ON s.j = b.i
+        |CROSS JOIN n""".stripMargin,
     "sim_semantic_dedup" ->
       s"""WITH km AS ($kmeansOracle)
          |SELECT cluster, vec_id, CAST(rn AS INT) AS rn FROM (
