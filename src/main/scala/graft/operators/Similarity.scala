@@ -207,6 +207,48 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF-PQ search — the composed billion-scale ANN topology: IVF
+    * probing narrows the corpus to `nprobe` buckets (cosine probe
+    * selection, as [[ivfTopK]]), and candidates inside them are scored
+    * in the COMPRESSED domain with the ADC distance tables of
+    * [[pqTopK]] — so the scan touches only m-byte codes bucketed by
+    * centroid, never the original vectors. `encoded` must carry
+    * (vec_id, codes, centroid_id) — [[pqEncode]] joined to
+    * [[ivfAssign]]. */
+  def ivfPqTopK(queries: DataFrame, encoded: DataFrame, anchors: DataFrame,
+      centroids: DataFrame, k: Int, m: Int, nprobe: Int,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
+    val sub = dim / m
+    val cb = centroidsLit(anchors)
+    val cents = centroidsLit(centroids)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    // per query: ADC distance table + nprobe probed buckets, both built
+    // once on the broadcast side (pure projections over the literals)
+    val qt = queries
+      .select(col("vec_id").as("query_id"),
+        toDoubleArray(col("embedding")).as("qv"))
+      .withColumn("dtab", array((0 until m).map(j =>
+        transform(cb, c =>
+          l2sq(slice(col("qv"), j * sub + 1, sub),
+            slice(c("_2"), j * sub + 1, sub)))): _*))
+      .withColumn("p", explode(slice(array_sort(transform(cents, c =>
+        struct((-cosine(col("qv"), c("_2"))).as("neg_sim"),
+          c("_1").as("centroid_id")))), 1, nprobe)))
+      .select(col("query_id"), col("dtab"), col("p.centroid_id").as("centroid_id"))
+    val dist = (0 until m).map(j =>
+      element_at(element_at(col("dtab"), j + 1),
+        element_at(col("codes"), j + 1))).reduceLeft(_ + _)
+    val scored = encoded.select(col("vec_id").as("cand_id"), col("codes"),
+        col("centroid_id"))
+      .join(broadcast(qt), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", -dist)
+    rankTopK(scored, k)
+  }
+
   /** Random-hyperplane LSH signatures (SimHash for vectors): for each of
     * `tables` hash tables, a `bits`-bit signature where bit b =
     * sign(dot(v, r_tb)) over a deterministic Rademacher (+-1) hyperplane

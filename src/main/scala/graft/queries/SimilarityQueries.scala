@@ -160,6 +160,20 @@ object SimilarityQueries extends graft.QueryModule {
           / (nd * (nd - lit(1.0))), 6).as("mean_pair_sqdist"))
   }
 
+  /** IVF-PQ composed search ([[Similarity.ivfPqTopK]]): probe the IVF
+    * buckets, ADC-scan their codes. Approximate family: rows-only
+    * driver check + DedupSpec parity contract (equals the exhaustive
+    * ADC scan restricted to the probed buckets). */
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    val encoded = Similarity.pqEncode(emb, centroids, PqM)
+      .join(Similarity.ivfAssign(emb, centroids)
+        .select(col("vec_id"), col("centroid_id")), "vec_id")
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < NQueries), encoded,
+      centroids, centroids, K, PqM, nprobe = 3)
+  }
+
   /** Embedding covariance matrix (upper triangle): exact moment
     * computation — cov(i,j) = (S_ij - S_i·S_j/n) / (n-1) — the
     * whitening/PCA prep step for embedding columns. Every float fold
@@ -264,6 +278,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_quantize_stats" -> quantizeStats,
     "sim_pq_stats" -> pqStats,
     "sim_topk_pq" -> topkPq,
+    "sim_topk_ivfpq" -> topkIvfPq,
     "sim_covariance" -> covariance,
     "sim_diversity" -> diversity,
   )

@@ -177,6 +177,48 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"PQ ADC recall $recall too low")
   }
 
+  test("IVF-PQ equals the exhaustive ADC scan restricted to the probed buckets") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(emb, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val encoded = Similarity.pqEncode(emb, centroids, m = 8)
+      .join(assigned, "vec_id")
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.ivfPqTopK(queries, encoded, centroids, centroids,
+        k = 5, m = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // expected: per query, pqTopK over ONLY the vectors in its probed
+    // buckets (probe selection reproduced via the same cosine argsort)
+    val cents = centroids.select(col("vec_id").as("cid"),
+      Similarity.toDoubleArray(col("embedding")).as("cv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val buckets = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      var na = 0.0; var nb = 0.0; i = 0
+      while (i < a.length) { na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = queries.select(col("vec_id"),
+        Similarity.toDoubleArray(col("embedding")).as("qv")).collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        val probed = cents.sortBy { case (cid, cv) => (-cos(qv, cv), cid) }
+          .take(3).map(_._1).toSet
+        val sub = emb.filter(col("vec_id").isin(
+          buckets.filter(kv => probed(kv._2)).keys.toSeq: _*))
+        Similarity.pqTopK(queries.filter(col("vec_id") === qid),
+            Similarity.pqEncode(sub, centroids, m = 8), centroids,
+            k = 5, m = 8)
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+      }.toSet
+    assert(got == expected)
+  }
+
   test("skew-salted ngram jaccard keeps hot shingles: zero drops, identical pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // dfCap=2 makes nearly every shared shingle "hot" — the same config
