@@ -874,9 +874,32 @@ object Relational extends graft.QueryModule {
     "rel_shipping_priority" -> shippingPriority,
     "rel_above_group_avg" -> aboveGroupAvg,
     "rel_distinct_counts" -> distinctCounts,
+    "rel_zorder_key" -> zorderKey,
   )
 
+  /** Morton key per event over (user bucket, value bucket) — the
+    * write-side layout key of [[graft.operators.ZOrder]]; fully
+    * deterministic bit arithmetic, so the whole dilation is
+    * oracle-checked (LayoutSpec holds the locality contract the key
+    * exists for). */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_id",
+        pmod($"user_id", lit(1024L)).as("xb"),
+        pmod(floor($"value").cast("long"), lit(1024L)).as("yb"))
+      .select($"event_id", $"xb", $"yb",
+        graft.operators.ZOrder.zorder2($"xb", $"yb").as("zkey"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "rel_zorder_key" -> {
+      val xb = "(user_id % 1024)"
+      val yb = "(CAST(floor(value) AS BIGINT) % 1024)"
+      s"""SELECT event_id, $xb AS xb, $yb AS yb,
+         |  ${graft.operators.ZOrder.duckZorder2(xb, yb)} AS zkey
+         |FROM events""".stripMargin
+    },
     "rel_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'

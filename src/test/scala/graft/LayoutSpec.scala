@@ -27,6 +27,38 @@ class LayoutSpec extends SparkSpec {
     assert(q.count() == expected)
   }
 
+  test("z-order layout prunes on the NON-sorted dimension; 1-D sort cannot") {
+    import graft.operators.ZOrder
+    // deterministic 64x64 grid: the min-max pruning proxy is "how many
+    // partitions hold rows matching a predicate on ONE dimension". A
+    // layout sorted on x alone scatters y across every partition, so a
+    // y-range predicate touches all of them; the Morton layout keeps
+    // partitions inside rectangles, so the same predicate touches only
+    // the stripe that intersects it.
+    val n = 64
+    val grid = spark.range((n * n).toLong)
+      .select((col("id") % n).as("xb"), expr(s"id div $n").as("yb"))
+    def touched(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("pid", spark_partition_id())
+        .filter(col("yb") < 8)
+        .select(col("pid")).distinct().count()
+    val zTouched = touched(ZOrder.clusterByZ(grid, col("xb"), col("yb"), 16))
+    val linTouched = touched(
+      grid.repartitionByRange(16, col("xb")).sortWithinPartitions(col("xb")))
+    assert(linTouched == 16L, s"1-D sort should scatter y: $linTouched")
+    assert(zTouched * 2 <= linTouched,
+      s"z-order touched $zTouched of $linTouched partitions — no pruning win")
+    // and the Morton key itself is the standard interleave (the
+    // property the layout relies on), checked through the engine
+    val rows = spark.range(1).select(
+      ZOrder.zorder2(lit(0L), lit(0L)).as("a"),
+      ZOrder.zorder2(lit(1L), lit(0L)).as("b"),
+      ZOrder.zorder2(lit(0L), lit(1L)).as("c"),
+      ZOrder.zorder2(lit(3L), lit(5L)).as("d")).collect()(0)
+    assert(rows.getLong(0) == 0L && rows.getLong(1) == 1L && rows.getLong(2) == 2L)
+    assert(rows.getLong(3) == 39L) // interleave(11, 101) = 100111
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val sess = spark
     import sess.implicits._
