@@ -687,8 +687,29 @@ object AnalysisQueries extends graft.QueryModule {
           / sum(col("tf")).cast("double"), 5).as("avg_logprob"))
   }
 
+  /** K-anonymity audit over quasi-identifier combinations (the
+    * release-gate companion to [[piiScrub]]): per (segment, nation)
+    * equivalence class, its size, whether it meets k=8, and the overall
+    * suppression stats — the rows a k-anonymous release would have to
+    * drop or generalize. One map-side-combined aggregation + a one-row
+    * rollup; trivially scale-safe. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"))
+    classes
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < 8, 1L).otherwise(0L)).as("n_below_k"),
+        sum(when(col("class_size") < 8, col("class_size")).otherwise(0L))
+          .as("suppressed_rows"),
+        min(col("class_size")).as("min_class"),
+        round(sum(when(col("class_size") < 8, col("class_size")).otherwise(0L))
+          * lit(1.0) / sum(col("class_size")), 6).as("suppression_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_source_mix" -> sourceMix,
+    "ta_k_anonymity" -> kAnonymity,
     "ta_source_mix_temperature" -> sourceMixTemperature,
     "ta_bigram_logprob" -> bigramLogprob,
     "ta_decontaminate" -> decontaminate,
@@ -784,6 +805,18 @@ object AnalysisQueries extends graft.QueryModule {
          |    AND r.rn = p.rn + 1)
          |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
          |FROM p""".stripMargin,
+    "ta_k_anonymity" ->
+      """WITH cls AS (SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN class_size < 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_below_k,
+        |  CAST(sum(CASE WHEN class_size < 8 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS suppressed_rows,
+        |  min(class_size) AS min_class,
+        |  round(sum(CASE WHEN class_size < 8 THEN class_size ELSE 0 END)
+        |    * 1.0 / sum(class_size), 6) AS suppression_frac
+        |FROM cls""".stripMargin,
     "ta_source_mix_temperature" ->
       """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
         |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
