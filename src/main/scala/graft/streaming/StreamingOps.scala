@@ -85,7 +85,11 @@ object StreamingOps {
     * downstream count aggregates the deduped stream — two stateful
     * operators in one continuous query. Deterministic regardless of
     * arrival order (which row of a dup pair survives doesn't change the
-    * per-type distinct-user count). */
+    * per-type distinct-user count). NB plain dropDuplicates keys state
+    * forever — exact global semantics, matching the DuckDB oracle on
+    * bounded input; an unbounded 100 TB stream uses
+    * `dropDuplicatesWithinWatermark` instead (bounded state, eviction
+    * contract pinned in WatermarkSpec). */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
     val src = spark.readStream
       .schema(eventsRawSchema)

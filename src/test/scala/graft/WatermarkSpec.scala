@@ -55,4 +55,46 @@ class WatermarkSpec extends SparkSpec {
         s"late row must not resurrect the closed window: $all")
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    // the 100 TB-safe variant of stream dedup: plain dropDuplicates
+    // keys state FOREVER (unbounded); the within-watermark form evicts
+    // keys once the watermark passes them, trading global uniqueness
+    // for bounded state. Contract pinned both ways: duplicates inside
+    // the watermark window collapse, a duplicate arriving after its
+    // key's state was evicted is re-emitted.
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sess.sqlContext
+
+    val in = MemoryStream[(Long, String)]
+    val deduped = in.toDF().toDF("sec", "k")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"), col("sec"))
+    val name = "graft_wm_dedup_spec"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // duplicates within the watermark window collapse to first-seen
+      in.addData((10L, "a"), (12L, "a"), (15L, "b"))
+      q.processAllAvailable()
+      val first = spark.table(name).select(col("k"), col("sec"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(first == Set(("a", 10L), ("b", 15L)), s"got $first")
+
+      // advance the watermark far past "a"'s state (10s delay) so the
+      // key is evicted...
+      in.addData((100L, "c"))
+      q.processAllAvailable()
+      // ...then the same key again: bounded state means it re-emits
+      in.addData((120L, "a"))
+      q.processAllAvailable()
+      val all = spark.table(name).select(col("k"), col("sec"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(all == Set(("a", 10L), ("b", 15L), ("c", 100L), ("a", 120L)),
+        s"evicted key must re-emit (bounded state): $all")
+    } finally q.stop()
+  }
 }
