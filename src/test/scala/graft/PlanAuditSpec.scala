@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audit for the round-5 operators: the asserts encode the
+  * plan we WANT (broadcast where small, key-partitioned join where
+  * vocabulary-sized, no cartesian, pruned scans) so a regression in
+  * Catalyst planning or in our code shows up as a failing contract, not
+  * a silent slowdown. */
+class PlanAuditSpec extends SparkSpec {
+
+  test("bigram LM: model join degrades to a key-partitioned shuffle at scale") {
+    // at test scale Catalyst rightly broadcasts the tiny sides; the
+    // 100 TB contract is that NOTHING in our code forces a broadcast of
+    // the vocabulary-sized model — with auto-broadcast off the plan
+    // must fall back to a shuffled equi-join, not a cartesian/collect
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.queries.AnalysisQueries.bigramLogprob(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled model join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"no forced broadcast may survive the threshold=-1 config:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("temperature mixing: rate table broadcasts; corpus membership is zero-shuffle") {
+    val df = graft.queries.AnalysisQueries.sourceMixTemperature(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"rate table should broadcast:\n$plan")
+    // the only non-broadcast exchanges are the tiny per-source aggs —
+    // no exchange may carry doc text
+    plan.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text"), s"text crosses an exchange: $l")
+    }
+  }
+
+  test("PQ encode is a pure projection: no join, no shuffle below the scan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+    val plan = graft.operators.Similarity.pqEncode(emb, anchors, m = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"pqEncode must stay a projection:\n$plan")
+  }
+
+  test("zorder key is a pure projection with a pruned scan") {
+    val df = graft.queries.Relational.zorderKey(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    val scan = plan.linesIterator.find(_.contains("FileScan"))
+    assert(scan.exists(l => !l.contains("event_type")),
+      s"unused columns must prune from the scan: $scan")
+  }
+}
