@@ -707,9 +707,35 @@ object AnalysisQueries extends graft.QueryModule {
           * lit(1.0) / sum(col("class_size")), 6).as("suppression_frac"))
   }
 
+  /** Count-min-sketch point queries over the term stream (the mergeable
+    * frequency summary complementing [[heavyHitters]]' top-k sketch):
+    * one constant-memory pass builds the sketch (partials merge
+    * associatively across partitions — counter arrays add), then the
+    * stopword vocabulary is probed against it. Deterministic for a
+    * fixed seed under ANY partitioning (increments commute), and the
+    * estimate is ONE-SIDED: never below the true count, at most
+    * eps·N above — the hard guarantee ReaggregateSpec pins against
+    * exact counts. Approximate family: rows-only driver check. */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.loadSpread(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.regex_tokens(col("text")))
+        .as("term"))
+    val skBytes = terms
+      .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val probes = graft.operators.TextAnalysis.Stopwords.toSeq.sorted
+    import spark.implicits._
+    probes.map(w => (w, cms.estimateCount(
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      .toDF("term", "est")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_source_mix" -> sourceMix,
     "ta_k_anonymity" -> kAnonymity,
+    "ta_cms_counts" -> cmsCounts,
     "ta_source_mix_temperature" -> sourceMixTemperature,
     "ta_bigram_logprob" -> bigramLogprob,
     "ta_decontaminate" -> decontaminate,

@@ -40,4 +40,41 @@ class ReaggregateSpec extends SparkSpec {
     assert(math.abs(merged - exact).toDouble / exact < 0.08,
       s"estimate $merged too far from exact $exact")
   }
+
+  test("count-min sketch: one-sided error within eps*N; split-merge equals direct") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val terms = docs.select(explode(
+      graft.functions.TextFunctions.regex_tokens(col("text"))).as("term"))
+    val exact = terms.groupBy(col("term")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val eps = 0.001
+    val est = graft.queries.AnalysisQueries.cmsCounts(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (w, e) =>
+      val t = exact.getOrElse(w, 0L)
+      assert(e >= t, s"CMS must never underestimate: $w est $e < true $t")
+      assert(e <= t + math.ceil(eps * n).toLong,
+        s"CMS estimate for '$w' outside eps*N: est $e true $t n $n")
+    }
+    // mergeability: sketches over two disjoint halves, merged, must
+    // EQUAL the single-pass sketch (counter arrays add exactly)
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(
+          df.agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)"))
+            .head.getAs[Array[Byte]](0)))
+    val direct = sketchOf(terms)
+    val half1 = sketchOf(docs.filter(col("doc_id") % 2 === 0).select(explode(
+      graft.functions.TextFunctions.regex_tokens(col("text"))).as("term")))
+    val half2 = sketchOf(docs.filter(col("doc_id") % 2 === 1).select(explode(
+      graft.functions.TextFunctions.regex_tokens(col("text"))).as("term")))
+    half1.mergeInPlace(half2)
+    exact.keys.take(50).foreach { w =>
+      val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(half1.estimateCount(b) == direct.estimateCount(b),
+        s"split-merge diverged from direct for '$w'")
+    }
+  }
 }
