@@ -3,6 +3,10 @@
 
 Usage: python3 scripts/gen_query_docs.py /tmp/verify_out > docs/QUERIES.md
 
+The output directory MUST be fresh (Verify overwrites per-query dirs but
+never deletes stale ones, so a reused directory yields ghost rows for
+since-renamed queries).
+
 Groups queries by name prefix, marks each as oracle-gated (present in
 oracle_sql.json) or rows+spec (approximate family), and records the
 sf0.01 result row counts from the dumped parquet.
