@@ -112,6 +112,16 @@ case class Engine(
 }
 
 object Engine {
+  /** Canonical format names, one per arm of the [[Engine]] format
+    * dispatch ('plain' is accepted as an alias but the reference
+    * endpoint advertises 'plain_text' — main.py capabilities listing).
+    * [[graft.QaService.models]] derives its listing from these so the
+    * advertised surface cannot drift from what the dispatch accepts. */
+  val supportedFormats: Seq[String] = Seq("json", "plain_text", "hybrid")
+  /** Pipelines the engine exposes: `answers`/`judged` (mapreduce) and
+    * `truncationAnswers` (truncation). */
+  val supportedPipelines: Seq[String] = Seq("mapreduce", "truncation")
+
   /** Dataset registry (factory.py:203-220 register_dataset analog). */
   def loadDataset(spark: SparkSession, dataset: String, path: String,
       limit: Option[Int] = None): DataFrame = dataset match {

@@ -136,12 +136,13 @@ class QaService(spark: SparkSession, model: TextModel = ExtractiveModel) {
   }
 
   /** `/models` semantics: the capability listing, derived from the live
-    * registries (parser slot, prompt sets, truncation strategies) rather
-    * than hardcoded lists. */
+    * registries (parser slot, prompt sets, truncation strategies) and the
+    * [[Engine]] companion's canonical format/pipeline lists rather than
+    * hardcoded literals. */
   def models: ServiceCapabilities = ServiceCapabilities(
     models = Seq(model.getClass.getSimpleName.stripSuffix("$")),
-    pipelineTypes = Seq("mapreduce", "truncation"),
-    formatTypes = Seq("json", "hybrid", "plain"),
+    pipelineTypes = Engine.supportedPipelines,
+    formatTypes = Engine.supportedFormats,
     truncationStrategies = graft.operators.TruncationStrategies.available,
     pdfParsers = BinaryDocs.defaultParsers.keySet.toSeq.sorted,
     promptSets = Prompts.registry.keySet.toSeq.sorted)

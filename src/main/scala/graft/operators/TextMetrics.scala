@@ -44,8 +44,11 @@ object TextMetrics {
   /** Column form of the lexical scorer (codegen-free but set-based —
     * fine off the hot path; model scorers would use mapPartitions). */
   def lexicalPRF(candidate: Column, reference: Column): Column = {
+    // null text scores like empty text — (0,0,0) — instead of a null
+    // recall that avg() would silently drop from the mean
     def toks(c: Column) =
-      array_distinct(graft.functions.TextFunctions.regex_tokens(c))
+      array_distinct(graft.functions.TextFunctions.regex_tokens(
+        coalesce(c, lit(""))))
     val c = toks(candidate)
     val r = toks(reference)
     val overlap = size(array_intersect(c, r)).cast("double")
@@ -88,8 +91,12 @@ object TextMetrics {
       candidateCol: String, referenceCol: String): DataFrame = {
     val spark = answers.sparkSession
     import spark.implicits._
+    // Null texts degrade to zero scores on the column path (lexicalPRF);
+    // coalesce here so the two dataflows stay equivalent instead of the
+    // scorer NPE-ing on a null candidate/reference.
     val scored = answers
-      .select(col(candidateCol).cast("string"), col(referenceCol).cast("string"))
+      .select(coalesce(col(candidateCol).cast("string"), lit("")),
+        coalesce(col(referenceCol).cast("string"), lit("")))
       .as[(String, String)]
       .mapPartitions { it =>
         // per-partition scorer init point (weights load would go here)

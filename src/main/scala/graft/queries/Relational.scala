@@ -894,8 +894,11 @@ object Relational extends graft.QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> {
-      val xb = "(user_id % 1024)"
-      val yb = "(CAST(floor(value) AS BIGINT) % 1024)"
+      // DuckDB % is a sign-following remainder while the Spark side uses
+      // pmod; double-mod keeps the two aligned if a negative user_id or a
+      // value in (-1, 0) (floor = -1) ever enters the fixture.
+      val xb = "((user_id % 1024 + 1024) % 1024)"
+      val yb = "((CAST(floor(value) AS BIGINT) % 1024 + 1024) % 1024)"
       s"""SELECT event_id, $xb AS xb, $yb AS yb,
          |  ${graft.operators.ZOrder.duckZorder2(xb, yb)} AS zkey
          |FROM events""".stripMargin

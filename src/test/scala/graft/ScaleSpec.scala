@@ -153,6 +153,7 @@ class ScaleSpec extends SparkSpec {
       ("total revenue was high", "revenue was low"),
       ("a b c", "a b c"),
       ("", "x"),
+      (null, "null candidate degrades like the column path"),
       ("net income rose", "net income rose sharply")).toDF("cand", "ref")
     val colPath = TextMetrics.scoreAnswers(df, "cand", "ref").collect()(0)
     val scorerPath = TextMetrics.scoreAnswersWith(

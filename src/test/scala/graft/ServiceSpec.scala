@@ -50,8 +50,12 @@ class ServiceSpec extends SparkSpec {
     val svc = new QaService(spark)
     val caps = svc.models
     assert(caps.models == Seq("ExtractiveModel"))
-    assert(caps.pipelineTypes == Seq("mapreduce", "truncation"))
-    assert(caps.formatTypes == Seq("json", "hybrid", "plain"))
+    assert(caps.pipelineTypes == Engine.supportedPipelines)
+    assert(caps.formatTypes == Engine.supportedFormats)
+    // the reference-canonical name is advertised, and every advertised
+    // format is accepted by the Engine dispatch
+    assert(caps.formatTypes.contains("plain_text"))
+    caps.formatTypes.foreach(f => Engine(format = f))
     assert(caps.truncationStrategies.toSet == Set("start", "end", "smart"))
     assert(caps.pdfParsers.contains("marker") && caps.pdfParsers.contains("markdown"))
     // every advertised prompt set actually resolves
