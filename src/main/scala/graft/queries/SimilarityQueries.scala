@@ -287,34 +287,166 @@ object SimilarityQueries extends graft.QueryModule {
     * 64-dim vectors): per subspace, distances to every anchor codeword
     * with the same left-to-right folds, argmin via (dist, code)
     * row_number — the kmeans-oracle discipline applied per subspace. */
-  private def pqOracle: String = {
+  /** Shared CTE prefix for the PQ oracles: `e` (double vectors), `a`
+    * (anchor codebook, 1-based code = vec_id rank) and per-subspace
+    * `d$j`/`s$j` encode CTEs (argmin codeword via (dist, code)
+    * row_number — the kmeans-oracle discipline applied per subspace).
+    * Every CTE is MATERIALIZED: the top-k oracle references each `s$j`
+    * from an m-way join, and DuckDB's default CTE inlining re-expands
+    * the whole encode subtree per reference (measured: minutes vs
+    * 0.14 s materialized at sf0.01). */
+  private def pqCodeCtes: String = {
     val m = PqM; val sub = 64 / m
     val dists = (0 until m).map { j =>
       val lo = j * sub + 1; val hi = j * sub + sub
-      s"""d$j AS (SELECT e.vec_id, a.code,
+      s"""d$j AS MATERIALIZED (SELECT e.vec_id, a.code,
          |  list_reduce(list_prepend(0.0, list_transform(
          |    list_zip(e.v[$lo:$hi], a.av[$lo:$hi]),
          |    q -> (q[1] - q[2]) * (q[1] - q[2]))), (x, y) -> x + y) AS dist
          |  FROM e, a),
-         |s$j AS (SELECT vec_id, code, dist FROM (
+         |s$j AS MATERIALIZED (SELECT vec_id, code, dist FROM (
          |  SELECT vec_id, code, dist, row_number() OVER
          |    (PARTITION BY vec_id ORDER BY dist, code) AS rn FROM d$j)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |a AS MATERIALIZED (SELECT
+       |       CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code,
+       |       v AS av FROM e WHERE vec_id % 50 = 0),
+       |$dists""".stripMargin
+  }
+
+  private def pqOracle: String = {
+    val m = PqM
     val codes = (0 until m).map(j => s"CAST(s$j.code AS VARCHAR)")
       .mkString(" || '-' || ")
     val recon = (0 until m).map(j => s"s$j.dist").mkString(" + ")
     val joins = (1 until m).map(j => s"JOIN s$j USING (vec_id)").mkString(" ")
-    s"""WITH e AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code,
-       |       v AS av FROM e WHERE vec_id % 50 = 0),
-       |$dists
+    s"""WITH $pqCodeCtes
        |SELECT s0.vec_id, $codes AS codes,
        |  round(sqrt($recon), 6) AS recon_err
        |FROM s0 $joins""".stripMargin
   }
+
+  /** DuckDB replay of [[Similarity.pqTopK]] (ADC): each query's
+    * per-subspace distance table `qd$j` is the same (x-y)^2 fold the
+    * Spark kernel builds on the broadcast side; a candidate's distance is
+    * the left-to-right sum of the m table lookups at its codes (the
+    * `s$j` encode CTEs), ranked as sim = -dist like the engine. */
+  private def pqTopkOracle: String = {
+    val m = PqM; val sub = 64 / m
+    val qds = (0 until m).map { j =>
+      val lo = j * sub + 1; val hi = j * sub + sub
+      s"""qd$j AS MATERIALIZED (SELECT q.query_id, a.code,
+         |  list_reduce(list_prepend(0.0, list_transform(
+         |    list_zip(q.qv[$lo:$hi], a.av[$lo:$hi]),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y) AS qdist
+         |  FROM q, a)""".stripMargin
+    }.mkString(",\n")
+    val sJoins = (1 until m).map(j => s"JOIN s$j USING (vec_id)").mkString(" ")
+    val qdJoins = "JOIN qd0 ON qd0.code = s0.code" +: (1 until m).map(j =>
+      s"JOIN qd$j ON qd$j.code = s$j.code AND qd$j.query_id = qd0.query_id")
+    val dist = (0 until m).map(j => s"qd$j.qdist").mkString(" + ")
+    s"""WITH $pqCodeCtes,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |$qds,
+       |scored AS (
+       |  SELECT qd0.query_id, s0.vec_id AS cand_id, -($dist) AS sim
+       |  FROM s0 $sJoins
+       |  ${qdJoins.mkString("\n  ")}
+       |  WHERE s0.vec_id <> qd0.query_id)
+       |SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM (
+       |  SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K""".stripMargin
+  }
+
+  /** DuckDB replay of [[topkIvfPq]] — the composed search is still fully
+    * deterministic, so the whole pipeline is replayable: IVF probe set
+    * and bucket assignment exactly as [[ivfOracle]] (anchors double as
+    * coarse centroids), candidates restricted to probed buckets, scored
+    * with the ADC table lookups of [[pqTopkOracle]] (same `s$j` codes,
+    * same `qd$j` tables, same left-assoc sum). */
+  private def ivfPqOracle: String = {
+    val m = PqM; val sub = 64 / m
+    val qds = (0 until m).map { j =>
+      val lo = j * sub + 1; val hi = j * sub + sub
+      s"""qd$j AS MATERIALIZED (SELECT q.query_id, a.code,
+         |  list_reduce(list_prepend(0.0, list_transform(
+         |    list_zip(q.qv[$lo:$hi], a.av[$lo:$hi]),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y) AS qdist
+         |  FROM q, a)""".stripMargin
+    }.mkString(",\n")
+    val sJoins = (1 until m)
+      .map(j => s"JOIN s$j ON s$j.vec_id = s0.vec_id").mkString(" ")
+    val qdJoins = "JOIN qd0 ON qd0.code = s0.code AND qd0.query_id = p.query_id" +:
+      (1 until m).map(j =>
+        s"JOIN qd$j ON qd$j.code = s$j.code AND qd$j.query_id = p.query_id")
+    val dist = (0 until m).map(j => s"qd$j.qdist").mkString(" + ")
+    s"""WITH $pqCodeCtes,
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+       |asgn AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id, row_number() OVER
+       |    (PARTITION BY e.vec_id
+       |     ORDER BY ${duckCosine("e.v", "c.cv")} DESC, c.centroid_id ASC) AS rn
+       |  FROM e, c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS MATERIALIZED (SELECT query_id, centroid_id FROM (
+       |  SELECT q.query_id, c.centroid_id, row_number() OVER
+       |    (PARTITION BY q.query_id
+       |     ORDER BY ${duckCosine("q.qv", "c.cv")} DESC, c.centroid_id ASC) AS rn
+       |  FROM q, c) WHERE rn <= 3),
+       |$qds,
+       |scored AS (
+       |  SELECT p.query_id, s0.vec_id AS cand_id, -($dist) AS sim
+       |  FROM probes p JOIN asgn g USING (centroid_id)
+       |  JOIN s0 ON s0.vec_id = g.vec_id $sJoins
+       |  ${qdJoins.mkString("\n  ")}
+       |  WHERE s0.vec_id <> p.query_id)
+       |SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM (
+       |  SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K""".stripMargin
+  }
+
+  /** DuckDB replay of [[topkIvf]]: the probe set and in-bucket distances
+    * are fully deterministic (anchor centroids = every 50th vector), so
+    * the whole approximate search is exactly replayable — assign = argmin
+    * via (csim DESC, centroid_id ASC) row_number, probes = the nprobe=3
+    * head of the same ordering per query, then the brute-force top-k
+    * restricted to probed buckets. Same [[duckCosine]] fold as the Spark
+    * kernel, rank on the unrounded sim like `sim_topk_brute`. */
+  private def ivfOracle: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+       |asgn AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id, row_number() OVER
+       |    (PARTITION BY e.vec_id
+       |     ORDER BY ${duckCosine("e.v", "c.cv")} DESC, c.centroid_id ASC) AS rn
+       |  FROM e, c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS (SELECT query_id, qv, centroid_id FROM (
+       |  SELECT q.query_id, q.qv, c.centroid_id, row_number() OVER
+       |    (PARTITION BY q.query_id
+       |     ORDER BY ${duckCosine("q.qv", "c.cv")} DESC, c.centroid_id ASC) AS rn
+       |  FROM q, c) WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    ${duckCosine("p.qv", "e.v")} AS sim
+       |  FROM probes p JOIN asgn a USING (centroid_id)
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM (
+       |  SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K""".stripMargin
 
   /** DuckDB replay of [[Similarity.kmeans]] (k=8, 2 rounds), generated
     * so the assign/update blocks are written once: every float fold runs
@@ -408,7 +540,10 @@ object SimilarityQueries extends graft.QueryModule {
         |    p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 6) AS max_abs_err
         |FROM q""".stripMargin,
     "sim_kmeans" -> kmeansOracle,
+    "sim_topk_ivf" -> ivfOracle,
     "sim_pq_stats" -> pqOracle,
+    "sim_topk_pq" -> pqTopkOracle,
+    "sim_topk_ivfpq" -> ivfPqOracle,
     "sim_covariance" ->
       """WITH p AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |    generate_subscripts(embedding, 1) AS i
