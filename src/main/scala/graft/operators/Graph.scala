@@ -42,19 +42,32 @@ object Graph {
     pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
 
+  /** Node degrees of the undirected pair table, via a single explode
+    * scan (each endpoint occurrence counts once) — same counts as
+    * grouping [[directedEdges]] by src at half the input volume. */
+  private def degrees(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(col("pa"), col("pb"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+
   /** Degree-ordered edge orientation: every undirected edge points from
     * its lower-(degree, id) endpoint to the higher one. The total order
     * makes the oriented graph acyclic, and — the classic triangle-count
     * refinement — bounds any node's OUT-degree by O(sqrt(m)): a hub's
     * edges all point INTO it, so the wedge step never enumerates a hub's
     * neighbor pairs. Returns (src, dst, ddeg) with ddeg = dst's degree
-    * (the rank key the wedge join orders on). */
-  def orientByDegree(pairs: DataFrame): DataFrame = {
-    val deg = directedEdges(pairs)
-      .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    * (the rank key the wedge join orders on).
+    *
+    * The degree table is |V| rows (one long per node) and is broadcast
+    * by default, so the pair table takes both degree attaches map-side
+    * without shuffling; `broadcastDeg = false` flips to shuffle joins
+    * for the billions-of-nodes layout (the [[pageRank]]
+    * `broadcastRanks` convention). */
+  def orientByDegree(pairs: DataFrame, broadcastDeg: Boolean = true): DataFrame = {
+    val deg = degrees(pairs)
+    val degSide = if (broadcastDeg) broadcast(deg) else deg
     pairs
-      .join(deg.select(col("v").as("pa"), col("deg").as("da")), "pa")
-      .join(deg.select(col("v").as("pb"), col("deg").as("db")), "pb")
+      .join(degSide.select(col("v").as("pa"), col("deg").as("da")), "pa")
+      .join(degSide.select(col("v").as("pb"), col("deg").as("db")), "pb")
       .select(
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("pa") < col("pb")),
@@ -102,11 +115,14 @@ object Graph {
     // Single cache: only the degree-annotated, round-partitioned edge
     // table persists. The pair table flows twice while BUILDING it (once
     // for the degree count, once for the join) — a bounded one-time cost
-    // — and every round plus pr0/|V| then derives from this one cache,
+    // whose repeated subplans share their shuffle via exchange reuse
+    // (an explicit short-lived persist of the pair table measured SLOWER:
+    // cache write + read beats nothing when the exchange is reused) —
+    // and every round plus pr0/|V| then derives from this one cache,
     // halving the retained footprint vs the two-cache variant (which
     // measurably inflated the rest of a many-query session via cache
     // pressure: 4.1 s in-suite vs 2.6 s isolated).
-    val degC = directedEdges(pairs).groupBy("src").agg(count(lit(1)).as("d"))
+    val degC = degrees(pairs).select(col("v").as("src"), col("deg").as("d"))
     val partKey = if (broadcastRanks) "dst" else "src"
     // degC is |V| rows — the same cardinality as the rank vector, so it
     // is only safely broadcast when the rank vector is; in the
