@@ -300,6 +300,53 @@ object AnalysisQueries extends graft.QueryModule {
         round(col("below").cast("double") / (col("n") - lit(1)), 6).as("pct"))
   }
 
+  private val CurriculumShards = 4
+
+  /** Curriculum sharding by difficulty quantile — the data-ordering step
+    * of a staged training pipeline: split the corpus into
+    * [[CurriculumShards]] equal-size difficulty buckets (composite
+    * quality score ascending, doc_id tiebreak), exactly SQL
+    * `ntile(k) OVER (ORDER BY quality, doc_id)`.
+    *
+    * Scale-safe ntile without the global row sort: the score
+    * DISTRIBUTION (distinct quality -> count) is dimension-sized and
+    * takes the only unpartitioned window (the [[percentileRank]]
+    * discipline); a row's global position is then
+    * below(score) + rank-within-tie-group, where the tie-group
+    * row_number is a window PARTITIONED by score (per-group bounded
+    * sort, never a single-partition exchange). The ntile bucket is pure
+    * arithmetic over that position: the first n mod k buckets take
+    * ceil(n/k) rows, the rest floor(n/k). */
+  def curriculumShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+    val scored = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), feats("quality").as("quality"))
+    val dist = scored.groupBy(col("quality")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
+      .select(col("quality"), col("below"))
+    // total count is score-independent: a pruned doc_id-only scan, not a
+    // third pass of the tokenizing quality kernel
+    val nn = Tables.loadSpread(spark, dir, "documents")
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("quality")).orderBy(col("doc_id"))
+    val k = lit(CurriculumShards.toLong)
+    val i = col("below") + col("tie_rn") - lit(1L) // 0-based global position
+    val base = floor(col("n") / k).cast("long")    // floor(n/k) rows/bucket
+    val rem = col("n") % k                         // first `rem` take one more
+    val big = (base + lit(1L)) * rem               // rows in the bigger buckets
+    val shard = when(i < big, floor(i / (base + lit(1L))))
+      .otherwise(rem + floor((i - big) / base)) + lit(1L)
+    scored
+      .withColumn("tie_rn", row_number().over(wt).cast("long"))
+      .join(broadcast(cum), "quality")
+      .crossJoin(broadcast(nn))
+      .select(col("doc_id"), col("quality"), shard.cast("int").as("shard"))
+  }
+
   /** Bigram PMI collocations: pointwise mutual information
     * ln(p(xy) / (p(x)p(y))) over adjacent token pairs, for bigrams seen
     * at least 5 times. Bigrams are materialized map-side from each
@@ -757,6 +804,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_sparse_sim" -> sparseSim,
     "ta_sparse_sim_bigram" -> sparseSimBigram,
     "ta_quality_pct" -> percentileRank,
+    "ta_curriculum_shards" -> curriculumShards,
     "ta_corpus_prep" -> corpusPrep,
     "ta_term_entropy" -> termEntropy,
     "mm_decode_stats" -> mmDecodeStats,
@@ -767,6 +815,33 @@ object AnalysisQueries extends graft.QueryModule {
 
   private val re = Tokenizer.DuckDbTokenRegex
   private val stopList = TextAnalysis.Stopwords.mkString("['", "','", "']")
+
+  /** Shared DuckDB CTEs computing the per-doc quality features (`f`) —
+    * replayed by ta_quality and as the difficulty signal of
+    * ta_curriculum_shards. */
+  private def qualityFeatureCtes: String =
+    s"""t AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+       |           FROM documents),
+       |f AS (SELECT doc_id,
+       |  len(ts) AS n_tokens,
+       |  CASE WHEN len(ts) > 0 THEN len(list_filter(ts,
+       |    t -> list_contains($stopList, t))) * 1.0 / len(ts) ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN len(ts) > 0 THEN len(list_filter(ts,
+       |    t -> regexp_matches(t, '^[^\\p{L}\\p{N}]$$'))) * 1.0 / len(ts) ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN len(ts) > 0 THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(ts, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) * 1.0 / len(ts)
+       |  ELSE 0.0 END AS mean_len
+       |  FROM t)""".stripMargin
+
+  /** The composite quality score over the `f` feature columns (same
+    * weights as [[TextAnalysis.qualityFeatures]]). */
+  private def qualityScoreSql: String =
+    """least(round(
+      |    least(n_tokens / 500.0, 1.0) * 0.3
+      |    + stop_ratio * 10.0 * 0.3
+      |    + (1.0 - punct_ratio) * 0.2
+      |    + (CASE WHEN mean_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+      |    4), 1.0)""".stripMargin
 
   private val langCases = {
     // lexicographic lang order gives the tie-break: first max wins
@@ -961,29 +1036,20 @@ object AnalysisQueries extends graft.QueryModule {
          |        (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
          |      FROM c) WHERE rn = 1""".stripMargin,
     "ta_quality" ->
-      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
-         |           FROM documents),
-         |f AS (SELECT doc_id,
-         |  len(ts) AS n_tokens,
-         |  CASE WHEN len(ts) > 0 THEN len(list_filter(ts,
-         |    t -> list_contains($stopList, t))) * 1.0 / len(ts) ELSE 0.0 END AS stop_ratio,
-         |  CASE WHEN len(ts) > 0 THEN len(list_filter(ts,
-         |    t -> regexp_matches(t, '^[^\\p{L}\\p{N}]$$'))) * 1.0 / len(ts) ELSE 0.0 END AS punct_ratio,
-         |  CASE WHEN len(ts) > 0 THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(ts, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) * 1.0 / len(ts)
-         |  ELSE 0.0 END AS mean_len
-         |  FROM t)
+      s"""WITH $qualityFeatureCtes
          |SELECT doc_id, n_tokens,
          |  round(stop_ratio, 4) AS stopword_ratio,
          |  round(punct_ratio, 4) AS punct_ratio,
          |  round(mean_len, 4) AS mean_token_len,
-         |  least(round(
-         |    least(n_tokens / 500.0, 1.0) * 0.3
-         |    + stop_ratio * 10.0 * 0.3
-         |    + (1.0 - punct_ratio) * 0.2
-         |    + (CASE WHEN mean_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2,
-         |    4), 1.0) AS quality
+         |  $qualityScoreSql AS quality
          |FROM f""".stripMargin,
+    "ta_curriculum_shards" ->
+      s"""WITH $qualityFeatureCtes,
+         |q AS (SELECT doc_id, $qualityScoreSql AS quality FROM f)
+         |SELECT doc_id, quality,
+         |  CAST(ntile($CurriculumShards) OVER (ORDER BY quality, doc_id)
+         |    AS INT) AS shard
+         |FROM q""".stripMargin,
     "ta_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '$re') AS ts
          |           FROM documents),

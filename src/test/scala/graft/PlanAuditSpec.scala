@@ -48,6 +48,31 @@ class PlanAuditSpec extends SparkSpec {
       s"pqEncode must stay a projection:\n$plan")
   }
 
+  test("curriculum shards: no global row sort; matches the ntile window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.queries.AnalysisQueries.curriculumShards(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    // the corpus row stream is never totally ordered: its window is
+    // PARTITIONED by score (per-tie-group sort), and no Sort in the plan
+    // is global — the only single-partition work is the dimension-sized
+    // score distribution (the percentileRank discipline)
+    assert(!physical.matches("(?s).*Sort \\[[^\\]]*\\] true.*"), physical)
+    val rowWindow = physical.linesIterator
+      .find(l => l.contains("Window") && l.contains("row_number"))
+    assert(rowWindow.exists(_.contains("], [knownfloatingpointnormalized")
+      ) || rowWindow.exists(_.contains("], [quality")),
+      s"tie-group window must be partitioned by score: $rowWindow")
+    // same buckets as the textbook (single-partition) ntile window
+    val feats = graft.operators.TextAnalysis.qualityFeatures(col("text")).toMap
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), feats("quality").as("q"))
+      .withColumn("shard",
+        ntile(4).over(Window.orderBy(col("q"), col("doc_id"))))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
   test("zorder key is a pure projection with a pruned scan") {
     val df = graft.queries.Relational.zorderKey(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
