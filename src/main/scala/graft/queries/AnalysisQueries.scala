@@ -1292,5 +1292,36 @@ object AnalysisQueries extends graft.QueryModule {
         |  CAST(ceil(n_frames / 4.0) AS BIGINT) AS n_sampled,
         |  CAST((CAST(ceil(n_frames / 4.0) AS BIGINT) - 1) * 4 AS INT) AS last_frame
         |FROM b""".stripMargin,
+    // the stub feature kernel is pure byte math (8-bucket histogram of
+    // byte >> 5 over the UTF-8 blob + its entropy), so it replays
+    // exactly: bytes come from hex(encode(text)) two digits at a time,
+    // the entropy fold runs in bucket order like the Spark array scan
+    "mm_features" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |e AS (SELECT doc_id, hx, n, unnest(range(n)) AS i FROM b),
+        |byt AS (SELECT doc_id, n,
+        |    ((strpos('0123456789ABCDEF', hx[2*i+1 : 2*i+1]) - 1) * 16
+        |     + strpos('0123456789ABCDEF', hx[2*i+2 : 2*i+2]) - 1) // 32 AS bucket
+        |  FROM e),
+        |h AS (SELECT doc_id, n, bucket, count(*) AS c FROM byt GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, bucket,
+        |        CAST(c AS DOUBLE) / greatest(n, 1) AS p FROM h),
+        |agg AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN bucket = 1 THEN p END), 0.0) AS f1,
+        |    coalesce(sum(CASE WHEN bucket = 3 THEN p END), 0.0) AS f3,
+        |    -list_reduce(list_prepend(0.0, list(p * ln(p) ORDER BY bucket)),
+        |                 (a, x) -> a + x) AS entropy
+        |  FROM p GROUP BY doc_id)
+        |SELECT b.doc_id, b.media_type,
+        |  round(coalesce(agg.f1, 0.0), 6) AS f1,
+        |  round(coalesce(agg.f3, 0.0), 6) AS f3,
+        |  round(coalesce(agg.entropy, 0.0), 6) AS entropy
+        |FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin,
   )
 }
