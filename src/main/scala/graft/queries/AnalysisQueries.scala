@@ -301,6 +301,19 @@ object AnalysisQueries extends graft.QueryModule {
   }
 
   private val CurriculumShards = 4
+  private val BpeRounds = 3
+
+  /** BPE merge induction ([[graft.operators.Bpe.mergeRules]]): learn
+    * [[BpeRounds]] byte-pair merges from the corpus word frequencies —
+    * tokenizer training's iterate-with-shrinking-vocab dataflow. One
+    * corpus-sized aggregation; every round is vocabulary-sized. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.loadSpread(spark, dir, "documents")
+      .select(explode(
+        graft.functions.TextFunctions.regex_tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    graft.operators.Bpe.mergeRules(spark, words, BpeRounds)
+  }
 
   /** Curriculum sharding by difficulty quantile — the data-ordering step
     * of a staged training pipeline: split the corpus into
@@ -805,6 +818,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_sparse_sim_bigram" -> sparseSimBigram,
     "ta_quality_pct" -> percentileRank,
     "ta_curriculum_shards" -> curriculumShards,
+    "ta_bpe_merges" -> bpeMerges,
     "ta_corpus_prep" -> corpusPrep,
     "ta_term_entropy" -> termEntropy,
     "mm_decode_stats" -> mmDecodeStats,
@@ -815,6 +829,64 @@ object AnalysisQueries extends graft.QueryModule {
 
   private val re = Tokenizer.DuckDbTokenRegex
   private val stopList = TextAnalysis.Stopwords.mkString("['", "','", "']")
+
+  /** DuckDB replay of [[graft.operators.Bpe.mergeRules]] with one
+    * generated CTE block per round (the kmeans-oracle discipline).
+    * The greedy left-to-right merge (overlapping occurrences are not
+    * re-merged: `a a a` + (a,a) -> `[aa, a]`) is expressed as
+    * gaps-and-islands over the match positions: consecutive matches
+    * form an island and every ODD position within its island merges —
+    * exactly the scan's skip-after-merge rule. Positions following a
+    * selected merge are dropped; everything else passes through. All
+    * CTEs are MATERIALIZED (each round references its predecessor
+    * twice — default inlining re-expands the whole prefix per
+    * reference, doubling work per round). */
+  private def bpeOracle: String = {
+    def roundCtes(r: Int): String = {
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT a, b, CAST(sum(f) AS BIGINT) AS c
+         |  FROM (SELECT f, syms[i] AS a, syms[i + 1] AS b
+         |        FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i
+         |              FROM $prev))
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT a, b, c FROM p$r
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |pos$r AS MATERIALIZED (SELECT word, f, syms,
+         |    unnest(range(1, len(syms) + 1)) AS i FROM $prev),
+         |hit$r AS MATERIALIZED (SELECT p.word, p.i FROM pos$r p, m$r m
+         |  WHERE p.i < len(p.syms)
+         |    AND p.syms[p.i] = m.a AND p.syms[p.i + 1] = m.b),
+         |sel$r AS MATERIALIZED (SELECT word, i FROM (
+         |    SELECT word, i,
+         |      row_number() OVER (PARTITION BY word, isl ORDER BY i) AS rn
+         |    FROM (SELECT word, i,
+         |            i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+         |          FROM hit$r))
+         |  WHERE rn % 2 = 1),
+         |v$r AS MATERIALIZED (SELECT p.word, any_value(p.f) AS f,
+         |    list(CASE WHEN s.i IS NOT NULL THEN m.a || m.b
+         |              ELSE p.syms[p.i] END ORDER BY p.i) AS syms
+         |  FROM pos$r p
+         |  CROSS JOIN m$r m
+         |  LEFT JOIN sel$r s ON s.word = p.word AND s.i = p.i
+         |  LEFT JOIN sel$r d ON d.word = p.word AND d.i = p.i - 1
+         |  WHERE d.i IS NULL
+         |  GROUP BY p.word)""".stripMargin
+    }
+    val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS merge_rank, a AS sym_a, b AS sym_b, c AS pair_count FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (SELECT unnest(regexp_extract_all(text, '$re')) AS word
+       |  FROM documents),
+       |words AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS f
+       |  FROM toks GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT word, f,
+       |    list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
+       |  FROM words),
+       |$rounds
+       |$out""".stripMargin
+  }
 
   /** Shared DuckDB CTEs computing the per-doc quality features (`f`) —
     * replayed by ta_quality and as the difficulty signal of
@@ -1050,6 +1122,7 @@ object AnalysisQueries extends graft.QueryModule {
          |  CAST(ntile($CurriculumShards) OVER (ORDER BY quality, doc_id)
          |    AS INT) AS shard
          |FROM q""".stripMargin,
+    "ta_bpe_merges" -> bpeOracle,
     "ta_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '$re') AS ts
          |           FROM documents),
