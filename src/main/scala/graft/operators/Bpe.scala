@@ -51,36 +51,51 @@ object Bpe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("f")).as("c"))
 
-  /** Learn `k` merge rules from a (word, f) frequency table. Returns one
-    * row per round: (merge_rank, sym_a, sym_b, pair_count). Ties in
-    * pair count break lexicographically on (a, b) — both engines
-    * compare UTF-8 bytes, so the choice is cross-engine stable. */
-  def mergeRules(spark: SparkSession, words: DataFrame, k: Int): DataFrame = {
+  /** One learned merge rule (rank r's most frequent pair). */
+  final case class Rule(rank: Int, a: String, b: String, count: Long)
+
+  /** Learn `k` merge rules from a (word, f) frequency table and return
+    * them with the post-merge vocabulary (word, f, syms). Rules live on
+    * the driver (k tiny rows — the k-means centroid discipline); the
+    * vocabulary stays distributed. Ties in pair count break
+    * lexicographically on (a, b) — both engines compare UTF-8 bytes,
+    * so the choice is cross-engine stable. */
+  def learn(spark: SparkSession, words: DataFrame, k: Int)
+      : (Seq[Rule], DataFrame) = {
     // vocabulary-sized: persist once, rounds re-derive merge folds from it
     val base = words
       .select(col("word"), col("f"), split(col("word"), "").as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var vocab: DataFrame = base
-    val rules = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
     for (r <- 1 to k) {
       val top = pairCounts(vocab)
         .orderBy(col("c").desc, col("a"), col("b"))
         .limit(1).collect()
       if (top.nonEmpty) {
-        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+        val rule = Rule(r, top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
-        rules += Row(r, a, b, c)
-        vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
+        rules += rule
+        vocab = vocab.withColumn("syms", mergePair(col("syms"), rule.a, rule.b))
       }
     }
-    // all rule rows are already on the driver — the cache can go now
+    // rule rows are on the driver; the base cache only backs the lazy
+    // vocab lineage now, which callers either consume promptly or drop
     base.unpersist(blocking = false)
+    (rules.toSeq, vocab)
+  }
+
+  /** Learn `k` merge rules; one row per round:
+    * (merge_rank, sym_a, sym_b, pair_count). */
+  def mergeRules(spark: SparkSession, words: DataFrame, k: Int): DataFrame = {
+    val (rules, _) = learn(spark, words, k)
     val schema = StructType(Seq(
       StructField("merge_rank", IntegerType, nullable = false),
       StructField("sym_a", StringType, nullable = false),
       StructField("sym_b", StringType, nullable = false),
       StructField("pair_count", LongType, nullable = false)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rules.toSeq, 1), schema)
+      spark.sparkContext.parallelize(
+        rules.map(r => Row(r.rank, r.a, r.b, r.count)), 1), schema)
   }
 }

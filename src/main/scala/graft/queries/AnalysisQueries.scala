@@ -315,6 +315,44 @@ object AnalysisQueries extends graft.QueryModule {
     graft.operators.Bpe.mergeRules(spark, words, BpeRounds)
   }
 
+  /** Apply the learned BPE merges back to the corpus — subword
+    * tokenization at scale: per doc, how many subword units the
+    * [[BpeRounds]]-rule tokenizer produces vs raw tokens. The subword
+    * model is the post-merge VOCABULARY (word -> symbol count), attached
+    * as a key-partitioned join on `word` — the bigram-LM discipline: a
+    * real vocabulary outgrows broadcast, and nothing here forces one. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.regex_tokens(col("text"))).as("word"))
+    val words = toks.groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val (_, vocab) = graft.operators.Bpe.learn(spark, words, BpeRounds)
+    toks
+      .join(vocab.select(col("word"), size(col("syms")).as("n_syms")), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_syms")).as("n_subwords"))
+      .withColumn("subwords_per_token",
+        round(col("n_subwords").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Deterministic epoch shuffle — the training-order randomization step:
+    * every document gets a dense 1-based shuffle position keyed by
+    * md5(seed ':' doc_id), reproducible across engines and runs (a new
+    * seed is a new permutation). The total order is materialized
+    * scale-safely by [[graft.operators.GlobalOrder]] (range partition +
+    * per-partition offsets), never a single-task sort. */
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(encode(concat(lit("42:"), col("doc_id").cast("string")), "UTF-8"))
+          .as("skey"))
+    graft.operators.GlobalOrder
+      .withRowNumber(keyed, struct(col("skey"), col("doc_id")),
+        out = "shuffle_pos")
+      .select(col("doc_id"), col("shuffle_pos"))
+  }
+
   /** Curriculum sharding by difficulty quantile — the data-ordering step
     * of a staged training pipeline: split the corpus into
     * [[CurriculumShards]] equal-size difficulty buckets (composite
@@ -819,6 +857,8 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_quality_pct" -> percentileRank,
     "ta_curriculum_shards" -> curriculumShards,
     "ta_bpe_merges" -> bpeMerges,
+    "ta_bpe_encode" -> bpeEncode,
+    "ta_shuffle_order" -> shuffleOrder,
     "ta_corpus_prep" -> corpusPrep,
     "ta_term_entropy" -> termEntropy,
     "mm_decode_stats" -> mmDecodeStats,
@@ -830,8 +870,9 @@ object AnalysisQueries extends graft.QueryModule {
   private val re = Tokenizer.DuckDbTokenRegex
   private val stopList = TextAnalysis.Stopwords.mkString("['", "','", "']")
 
-  /** DuckDB replay of [[graft.operators.Bpe.mergeRules]] with one
-    * generated CTE block per round (the kmeans-oracle discipline).
+  /** Shared CTE prefix replaying [[graft.operators.Bpe.learn]] with one
+    * generated block per round (the kmeans-oracle discipline): yields
+    * `m1..mK` (the rules) and `v1..vK` (the merged vocabularies).
     * The greedy left-to-right merge (overlapping occurrences are not
     * re-merged: `a a a` + (a,a) -> `[aa, a]`) is expressed as
     * gaps-and-islands over the match positions: consecutive matches
@@ -841,7 +882,7 @@ object AnalysisQueries extends graft.QueryModule {
     * CTEs are MATERIALIZED (each round references its predecessor
     * twice — default inlining re-expands the whole prefix per
     * reference, doubling work per round). */
-  private def bpeOracle: String = {
+  private def bpeCtes: String = {
     def roundCtes(r: Int): String = {
       val prev = if (r == 1) "v0" else s"v${r - 1}"
       s"""p$r AS MATERIALIZED (SELECT a, b, CAST(sum(f) AS BIGINT) AS c
@@ -874,19 +915,37 @@ object AnalysisQueries extends graft.QueryModule {
          |  GROUP BY p.word)""".stripMargin
     }
     val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
-    val out = (1 to BpeRounds).map(r =>
-      s"SELECT $r AS merge_rank, a AS sym_a, b AS sym_b, c AS pair_count FROM m$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH toks AS (SELECT unnest(regexp_extract_all(text, '$re')) AS word
+    s"""toks AS (SELECT unnest(regexp_extract_all(text, '$re')) AS word
        |  FROM documents),
        |words AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS f
        |  FROM toks GROUP BY 1),
        |v0 AS MATERIALIZED (SELECT word, f,
        |    list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
        |  FROM words),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeMergesOracle: String = {
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS merge_rank, a AS sym_a, b AS sym_b, c AS pair_count FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeCtes
        |$out""".stripMargin
   }
+
+  /** DuckDB replay of [[bpeEncode]]: the shared per-round CTEs yield the
+    * final vocabulary `v$BpeRounds`; doc tokens join it on word and the
+    * per-doc subword count is the sum of symbol counts. */
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpeCtes,
+       |d AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re')) AS word
+       |  FROM documents)
+       |SELECT d.doc_id, count(*) AS n_tokens,
+       |  CAST(sum(len(v.syms)) AS BIGINT) AS n_subwords,
+       |  round(CAST(sum(len(v.syms)) AS DOUBLE) / count(*), 6)
+       |    AS subwords_per_token
+       |FROM d JOIN v$BpeRounds v USING (word)
+       |GROUP BY d.doc_id""".stripMargin
 
   /** Shared DuckDB CTEs computing the per-doc quality features (`f`) —
     * replayed by ta_quality and as the difficulty signal of
@@ -1122,7 +1181,14 @@ object AnalysisQueries extends graft.QueryModule {
          |  CAST(ntile($CurriculumShards) OVER (ORDER BY quality, doc_id)
          |    AS INT) AS shard
          |FROM q""".stripMargin,
-    "ta_bpe_merges" -> bpeOracle,
+    "ta_bpe_merges" -> bpeMergesOracle,
+    "ta_bpe_encode" -> bpeEncodeOracle,
+    "ta_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER
+        |    (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
     "ta_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '$re') AS ts
          |           FROM documents),

@@ -73,6 +73,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bpe encode: vocabulary join degrades to a key-partitioned shuffle at scale") {
+    // the subword model (word -> symbol count) is vocabulary-sized; with
+    // auto-broadcast off the attach must fall back to a shuffled
+    // equi-join on word — nothing in our code may force a broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.queries.AnalysisQueries.bpeEncode(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled vocabulary join:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"no forced broadcast may survive the threshold=-1 config:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("epoch shuffle matches the row_number window formulation") {
+    val df = graft.queries.AnalysisQueries.shuffleOrder(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    import org.apache.spark.sql.expressions.Window
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        md5(encode(concat(lit("42:"), col("doc_id").cast("string")), "UTF-8"))
+          .as("k"))
+      .withColumn("p",
+        row_number().over(Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("zorder key is a pure projection with a pruned scan") {
     val df = graft.queries.Relational.zorderKey(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
