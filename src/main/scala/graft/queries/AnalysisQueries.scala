@@ -398,6 +398,87 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("doc_id"), col("quality"), shard.cast("int").as("shard"))
   }
 
+  /** Deterministic train/val/test split (80/10/10): assignment is a pure
+    * PROJECTION over a seed-keyed md5 — no shuffle, no state, stable
+    * under re-runs and appends (a new doc's split never changes an old
+    * doc's). Uniform hashing stratifies each language/source
+    * automatically in expectation; exact within-stratum quantiles are
+    * the [[curriculumShards]] dataflow if a pipeline needs them. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(
+      md5(encode(concat(lit("split:"), col("doc_id").cast("string")), "UTF-8")),
+      1, 8)
+    val frac = conv(h, 16, 10).cast("long").cast("double") / lit(4294967296.0)
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
+          .as("split"))
+  }
+
+  /** Hybrid retrieval fusion: reciprocal-rank fusion (RRF, k=60) of two
+    * lexical rankers for the fixed query-term set — [[bm25]] and a
+    * TF-IDF cosine scorer (idf = ln(n/df), doc norm over the FULL tfidf
+    * vector). The fusion shape is the RAG-stack standard: each ranker's
+    * top-100 comes from orderBy+limit (per-partition top-k, no global
+    * sort), ranks are assigned on ROUNDED scores (the tfidfTop
+    * discipline — cross-engine ulp noise cannot flip a rank), and the
+    * two 100-row lists full-outer-join on doc_id with absent ranks
+    * contributing zero. Output: fused top-20. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queryTerms = Seq("join", "filter", "vector")
+    val rrfK = 60.0
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.term_counts(col("text")))
+          .as(Seq("term", "tf")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(broadcast(dfT), "term")
+      .withColumn("w", col("tf").cast("double") * log(lit(nDocs) / col("df")))
+    // full-vector doc norms, term-ordered fold (sparse-sim discipline)
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
+        col("w") * col("w"), col("term"))).as("nrm"))
+    val qIdf = w.filter(col("term").isin(queryTerms: _*))
+      .select(col("term"), col("df")).distinct()
+      .withColumn("idf", log(lit(nDocs) / col("df")))
+    val qNorm = qIdf.agg(sqrt(graft.functions.TextFunctions.ordered_sum(
+      col("idf") * col("idf"), col("term"))).as("qn"))
+    val cos = w.filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(qIdf.select(col("term"), col("idf"))), "term")
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("w") * col("idf"), col("term")).as("dot"))
+      .join(norms, "doc_id").crossJoin(broadcast(qNorm))
+      .select(col("doc_id"),
+        round(col("dot") / (col("nrm") * col("qn")), 6).as("cos"))
+    def top100(scored: DataFrame, score: String, rank: String): DataFrame =
+      scored.orderBy(col(score).desc, col("doc_id")).limit(100)
+        .withColumn(rank, row_number()
+          .over(Window.orderBy(col(score).desc, col("doc_id"))).cast("int"))
+        .select(col("doc_id"), col(rank))
+    val ra = top100(bm25(spark, dir), "bm25", "rank_bm25")
+    val rb = top100(cos, "cos", "rank_cos")
+    val fused = ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0)).as("rank_bm25"),
+        coalesce(col("rank_cos"), lit(0)).as("rank_cos"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_cos")), lit(0.0)), 6)
+          .as("rrf"))
+    val out = fused
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .withColumn("fused_rank", row_number()
+        .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .localCheckpoint(true)
+    tf.unpersist(blocking = false)
+    out
+  }
+
   /** Bigram PMI collocations: pointwise mutual information
     * ln(p(xy) / (p(x)p(y))) over adjacent token pairs, for bigrams seen
     * at least 5 times. Bigrams are materialized map-side from each
@@ -859,6 +940,8 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_bpe_merges" -> bpeMerges,
     "ta_bpe_encode" -> bpeEncode,
     "ta_shuffle_order" -> shuffleOrder,
+    "ta_split" -> trainSplit,
+    "ta_rrf" -> rrfFusion,
     "ta_corpus_prep" -> corpusPrep,
     "ta_term_entropy" -> termEntropy,
     "mm_decode_stats" -> mmDecodeStats,
@@ -869,6 +952,77 @@ object AnalysisQueries extends graft.QueryModule {
 
   private val re = Tokenizer.DuckDbTokenRegex
   private val stopList = TextAnalysis.Stopwords.mkString("['", "','", "']")
+
+  /** Shared BM25 CTEs (toks/tf/len/stats/dft/scored) — used by the
+    * ta_bm25 oracle and reused as ranker A of the RRF fusion oracle. */
+  private def bm25Ctes: String =
+    s"""toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re'))
+       |    AS term FROM documents),
+       |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf
+       |  FROM toks GROUP BY 1, 2),
+       |len AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM len),
+       |dft AS (SELECT term, count(*) AS df FROM tf
+       |  WHERE term IN ('join', 'filter', 'vector') GROUP BY 1),
+       |scored AS (SELECT t.doc_id, t.term,
+       |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * CAST(t.tf AS DOUBLE)
+       |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+       |          + 0.75 * CAST(l.len AS DOUBLE) / avgdl)) AS s
+       |  FROM tf t JOIN len l USING (doc_id) JOIN dft USING (term)
+       |  CROSS JOIN stats)""".stripMargin
+
+  private def bm25Select: String =
+    """SELECT doc_id, round(list_reduce(list_prepend(0.0,
+      |    list(s ORDER BY term)), (a, v) -> a + v), 6) AS bm25
+      |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** DuckDB replay of [[rrfFusion]]: ranker A = the shared BM25 CTEs;
+    * ranker B = TF-IDF cosine (idf = ln(n/df), full-vector doc norms,
+    * every float fold term-ordered like the Spark side); both rankers'
+    * top-100 cut on (rounded score DESC, doc_id), RRF k=60, fused
+    * top-20 on (rounded rrf DESC, doc_id). */
+  private def rrfOracle: String =
+    s"""WITH $bm25Ctes,
+       |bmq AS MATERIALIZED ($bm25Select),
+       |dfall AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |w AS MATERIALIZED (SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf AS DOUBLE)
+       |      * ln(CAST((SELECT n_docs FROM stats) AS DOUBLE) / dfall.df) AS w
+       |  FROM tf JOIN dfall USING (term)),
+       |norms AS (SELECT doc_id, sqrt(list_reduce(list_prepend(0.0,
+       |    list(w * w ORDER BY term)), (a, x) -> a + x)) AS nrm
+       |  FROM w GROUP BY doc_id),
+       |qidf AS (SELECT term,
+       |    ln(CAST((SELECT n_docs FROM stats) AS DOUBLE) / df) AS idf
+       |  FROM dfall WHERE term IN ('join', 'filter', 'vector')),
+       |qn AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+       |    list(idf * idf ORDER BY term)), (a, x) -> a + x)) AS qn FROM qidf),
+       |cosq AS MATERIALIZED (SELECT w.doc_id,
+       |    round(list_reduce(list_prepend(0.0,
+       |        list(w.w * q.idf ORDER BY w.term)), (a, x) -> a + x)
+       |      / (any_value(n.nrm) * (SELECT qn FROM qn)), 6) AS cos
+       |  FROM w JOIN qidf q USING (term)
+       |  JOIN norms n ON n.doc_id = w.doc_id
+       |  GROUP BY w.doc_id),
+       |ra AS (SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_bm25
+       |  FROM (SELECT * FROM bmq ORDER BY bm25 DESC, doc_id LIMIT 100)),
+       |rb AS (SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY cos DESC, doc_id) AS INT) AS rank_cos
+       |  FROM (SELECT * FROM cosq ORDER BY cos DESC, doc_id LIMIT 100)),
+       |f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+       |    coalesce(rank_bm25, 0) AS rank_bm25,
+       |    coalesce(rank_cos, 0) AS rank_cos,
+       |    round(coalesce(1.0 / (60.0 + rank_bm25), 0.0)
+       |        + coalesce(1.0 / (60.0 + rank_cos), 0.0), 6) AS rrf
+       |  FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id)
+       |SELECT doc_id, rank_bm25, rank_cos, rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+       |    AS fused_rank
+       |FROM (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 20)""".stripMargin
 
   /** Shared CTE prefix replaying [[graft.operators.Bpe.learn]] with one
     * generated block per round (the kmeans-oracle discipline): yields
@@ -1355,25 +1509,19 @@ object AnalysisQueries extends graft.QueryModule {
         |    (a, v) -> a + v), 6) AS mi
         |FROM t""".stripMargin,
     "ta_bm25" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re'))
-         |    AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |len AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
-         |stats AS (SELECT count(*) AS n_docs,
-         |    CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM len),
-         |dft AS (SELECT term, count(*) AS df FROM tf
-         |  WHERE term IN ('join', 'filter', 'vector') GROUP BY 1),
-         |scored AS (SELECT t.doc_id, t.term,
-         |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-         |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-         |      * CAST(t.tf AS DOUBLE)
-         |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
-         |          + 0.75 * CAST(l.len AS DOUBLE) / avgdl)) AS s
-         |  FROM tf t JOIN len l USING (doc_id) JOIN dft USING (term)
-         |  CROSS JOIN stats)
-         |SELECT doc_id, round(list_reduce(list_prepend(0.0,
-         |    list(s ORDER BY term)), (a, v) -> a + v), 6) AS bm25
-         |FROM scored GROUP BY doc_id""".stripMargin,
+      s"""WITH $bm25Ctes
+         |$bm25Select""".stripMargin,
+    "ta_rrf" -> rrfOracle,
+    "ta_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST(concat('0x',
+        |        substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0 < 0.8 THEN 'train'
+        |       WHEN CAST(concat('0x',
+        |        substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0 < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "ta_weighted_sample" ->
       """WITH t AS (SELECT doc_id, n_chars AS weight,
         |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
