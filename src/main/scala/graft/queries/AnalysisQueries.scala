@@ -429,6 +429,12 @@ object AnalysisQueries extends graft.QueryModule {
     val queryTerms = Seq("join", "filter", "vector")
     val rrfK = 60.0
     val docs = Tables.loadSpread(spark, dir, "documents")
+    // ONE tokenization feeds BOTH rankers — calling bm25() would build
+    // and persist a second tf cache over the same corpus. Measured
+    // in-suite cost stays ~4.7 s either way (the floor is the two real
+    // aggregation passes: BM25 scoring + full-vector cosine norms, each
+    // sparse_sim-class work), but this formulation retains ONE cache
+    // with seven consumers instead of two caches.
     val tf = docs
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.term_counts(col("text")))
@@ -438,6 +444,26 @@ object AnalysisQueries extends graft.QueryModule {
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = tf.join(broadcast(dfT), "term")
       .withColumn("w", col("tf").cast("double") * log(lit(nDocs) / col("df")))
+    // BM25 ranker from the same tf (identical arithmetic to [[bm25]] /
+    // the shared bm25Ctes oracle text: same fold order, same casts)
+    val (k1, b) = (1.2, 0.75)
+    val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val avgdl = len.agg((sum(col("len")).cast("double") /
+      count(lit(1))).as("avgdl"))
+    val dftQ = tf.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val bmScored = tf.filter(col("term").isin(queryTerms: _*))
+      .join(len, "doc_id").join(broadcast(dftQ), "term")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("s",
+        log((lit(nDocs) - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * col("tf").cast("double")
+          / (col("tf").cast("double") + lit(k1) * (lit(1.0) - lit(b)
+              + lit(b) * col("len").cast("double") / col("avgdl"))))
+    val bm = bmScored.groupBy(col("doc_id"))
+      .agg(round(graft.functions.TextFunctions.ordered_sum(
+        col("s"), col("term")), 6).as("bm25"))
     // full-vector doc norms, term-ordered fold (sparse-sim discipline)
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
@@ -460,7 +486,7 @@ object AnalysisQueries extends graft.QueryModule {
         .withColumn(rank, row_number()
           .over(Window.orderBy(col(score).desc, col("doc_id"))).cast("int"))
         .select(col("doc_id"), col(rank))
-    val ra = top100(bm25(spark, dir), "bm25", "rank_bm25")
+    val ra = top100(bm, "bm25", "rank_bm25")
     val rb = top100(cos, "cos", "rank_cos")
     val fused = ra.join(rb, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
