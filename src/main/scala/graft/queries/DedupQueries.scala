@@ -46,6 +46,31 @@ object DedupQueries extends graft.QueryModule {
     Dedup.ngramJaccardPairs(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", "lang", k = 3, threshold = JaccardThreshold)
 
+  /** Incremental (ingestion-time) dedup: a NEW batch (doc_id % 5 == 4,
+    * the 20% "arriving" slice) deduped against the indexed corpus and
+    * against itself in one pass — the shape of appending a crawl
+    * snapshot to an existing 100 TB store. Corpus membership is a
+    * digest-keyed left join (at scale: shuffle on the 16-byte digest,
+    * never the text); in-batch first-wins is a min over the digest
+    * group (bounded). Corpus duplication takes precedence over in-batch
+    * duplication in the status. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digested = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("digest"))
+    val existing = digested.filter(col("doc_id") % 5 =!= 4)
+      .select(col("digest")).distinct().withColumn("in_corpus", lit(true))
+    val batch = digested.filter(col("doc_id") % 5 === 4)
+    batch
+      .withColumn("first_id",
+        min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+      .join(existing, Seq("digest"), "left")
+      .select(col("doc_id"),
+        when(col("in_corpus"), "dup_of_corpus")
+          .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
+          .otherwise("unique").as("status"))
+  }
+
   /** MinHash+LSH near-dups: 32 hashes, 16 bands x 2 — candidates from band
     * buckets, verified by exact Jaccard >= 0.3. Approximate (no oracle). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
@@ -111,6 +136,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_spans" -> duplicatedSpans,
     "dedup_span_coverage" -> spanCoverage,
     "dedup_exact" -> exact,
+    "dedup_incremental" -> incremental,
     "dedup_fingerprint" -> fingerprint,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_clusters" -> nearDupClusters,
@@ -138,6 +164,17 @@ object DedupQueries extends graft.QueryModule {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |e AS (SELECT DISTINCT digest FROM d WHERE doc_id % 5 <> 4),
+        |b AS (SELECT doc_id, digest FROM d WHERE doc_id % 5 = 4),
+        |m AS (SELECT digest, min(doc_id) AS first_id FROM b GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN e.digest IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.doc_id <> m.first_id THEN 'dup_in_batch'
+        |       ELSE 'unique' END AS status
+        |FROM b LEFT JOIN e ON b.digest = e.digest
+        |JOIN m ON b.digest = m.digest""".stripMargin,
     "dedup_fingerprint" ->
       s"""WITH nums AS (
          |  SELECT doc_id, list_transform(

@@ -104,6 +104,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("train split is a pure projection: no join, no aggregation exchange") {
+    val df = graft.queries.AnalysisQueries.trainSplit(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // assignment must stay shuffle-free (append-stable by construction);
+    // loadSpread's round-robin repartition is the only allowed exchange
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning") && !plan.contains("SinglePartition"),
+      s"split assignment may not shuffle:\n$plan")
+    val scan = plan.linesIterator.find(_.contains("FileScan"))
+    assert(scan.exists(l => !l.contains("text")),
+      s"text must prune from the scan: $scan")
+  }
+
   test("zorder key is a pure projection with a pruned scan") {
     val df = graft.queries.Relational.zorderKey(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
