@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe quantile bucketing (SQL `ntile` without the global sort).
+  *
+  * `ntile(k) OVER (ORDER BY score, tiebreak)` forces an
+  * `Exchange SinglePartition`: one task sorts every row. This
+  * formulation keeps the row stream distributed:
+  *
+  *  - the score DISTRIBUTION (distinct value -> count) is
+  *    dimension-sized; a window over IT yields each value's
+  *    strictly-below cumulative count, broadcast back onto the rows;
+  *  - within a score tie group, rank comes from a window PARTITIONED by
+  *    score (per-group bounded sort, ordered by the tiebreak);
+  *  - a row's 0-based global position is below + tie_rank - 1, and the
+  *    ntile bucket is pure arithmetic over it: with n rows, the first
+  *    n mod k buckets take ceil(n/k) rows, the rest floor(n/k).
+  *
+  * Total-count `n` is also derived without a second pass of the scoring
+  * kernel — callers pass `total` (usually an `agg(count)` over a pruned
+  * scan of the same source).
+  */
+object Quantiles {
+
+  /** Append an `out` column with the 1-based ntile bucket of each row
+    * under (`score` ASC, `tiebreak` ASC). `total` must be a 1-row frame
+    * with a `n` column = df row count. Exactly SQL
+    * `ntile(k) OVER (ORDER BY score, tiebreak)` for any n and k,
+    * including n < k (each row gets its own bucket i+1). */
+  def ntileBy(df: DataFrame, score: Column, tiebreak: Column, k: Int,
+      total: DataFrame, out: String = "bucket"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"ntile: k must be >= 1, got $k")
+    val scored = df.withColumn("__q", score)
+    val dist = scored.groupBy(col("__q")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("__below", coalesce(sum(col("c")).over(wv), lit(0L)))
+      .select(col("__q"), col("__below"))
+    val wt = Window.partitionBy(col("__q")).orderBy(tiebreak)
+    val kL = lit(k.toLong)
+    val i = col("__below") + col("__tie") - lit(1L) // 0-based global position
+    val base = floor(col("n") / kL).cast("long")    // floor(n/k) rows/bucket
+    val rem = col("n") % kL                         // first `rem` take one more
+    val big = (base + lit(1L)) * rem                // rows in the bigger buckets
+    val bucket = when(i < big, floor(i / (base + lit(1L))))
+      .otherwise(rem + floor((i - big) / base)) + lit(1L)
+    scored
+      .withColumn("__tie", row_number().over(wt).cast("long"))
+      .join(broadcast(cum), "__q")
+      .crossJoin(broadcast(total))
+      .withColumn(out, bucket.cast("int"))
+      .drop("__q", "__below", "__tie", "n")
+  }
+}

@@ -369,33 +369,17 @@ object AnalysisQueries extends graft.QueryModule {
     * arithmetic over that position: the first n mod k buckets take
     * ceil(n/k) rows, the rest floor(n/k). */
   def curriculumShards(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val feats = TextAnalysis.qualityFeatures(col("text")).toMap
     val scored = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), feats("quality").as("quality"))
-    val dist = scored.groupBy(col("quality")).agg(count(lit(1)).as("c"))
-    val wv = Window.orderBy(col("quality"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = dist
-      .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
-      .select(col("quality"), col("below"))
     // total count is score-independent: a pruned doc_id-only scan, not a
-    // third pass of the tokenizing quality kernel
+    // second pass of the tokenizing quality kernel
     val nn = Tables.loadSpread(spark, dir, "documents")
       .agg(count(lit(1)).as("n"))
-    val wt = Window.partitionBy(col("quality")).orderBy(col("doc_id"))
-    val k = lit(CurriculumShards.toLong)
-    val i = col("below") + col("tie_rn") - lit(1L) // 0-based global position
-    val base = floor(col("n") / k).cast("long")    // floor(n/k) rows/bucket
-    val rem = col("n") % k                         // first `rem` take one more
-    val big = (base + lit(1L)) * rem               // rows in the bigger buckets
-    val shard = when(i < big, floor(i / (base + lit(1L))))
-      .otherwise(rem + floor((i - big) / base)) + lit(1L)
-    scored
-      .withColumn("tie_rn", row_number().over(wt).cast("long"))
-      .join(broadcast(cum), "quality")
-      .crossJoin(broadcast(nn))
-      .select(col("doc_id"), col("quality"), shard.cast("int").as("shard"))
+    graft.operators.Quantiles
+      .ntileBy(scored, col("quality"), col("doc_id"), CurriculumShards,
+        nn, out = "shard")
+      .select(col("doc_id"), col("quality"), col("shard"))
   }
 
   /** Deterministic train/val/test split (80/10/10): assignment is a pure
