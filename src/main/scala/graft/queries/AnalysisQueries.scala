@@ -489,6 +489,71 @@ object AnalysisQueries extends graft.QueryModule {
     out
   }
 
+  /** Dense + lexical hybrid related-document retrieval — the fusion RAG
+    * stacks actually run: for a query DOCUMENT (id 0), rank the corpus
+    * by embedding cosine (dense) and by full-vector TF-IDF cosine
+    * (lexical, shared-term candidates only), then reciprocal-rank-fuse
+    * (k=60) as in [[rrfFusion]]. The embeddings and documents tables
+    * share the 0..n id space, so one entity has both representations.
+    * Scale shape: the query doc's term vector broadcasts onto the
+    * inverted index (candidates = docs sharing >= 1 term — never an
+    * all-pairs scan), the dense ranker is the broadcast-query brute
+    * kernel, and both top-100 cuts are orderBy+limit. */
+  def hybridRelated(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queryDoc = 0L
+    val rrfK = 60.0
+    // dense ranker: existing broadcast-query brute-force kernel
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val dense = graft.operators.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === queryDoc), emb, 100)
+      .select(col("cand_id").as("doc_id"), col("rank").as("rank_dense"))
+    // lexical ranker: tfidf cosine vs the query doc's vector
+    val tf = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.term_counts(col("text")))
+          .as(Seq("term", "tf")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(broadcast(dfT), "term")
+      .withColumn("w", col("tf").cast("double") * log(lit(nDocs) / col("df")))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
+        col("w") * col("w"), col("term"))).as("nrm"))
+    val w0 = w.filter(col("doc_id") === queryDoc)
+      .select(col("term"), col("w").as("w0"))
+    val n0 = norms.filter(col("doc_id") === queryDoc)
+      .select(col("nrm").as("n0"))
+    val cos = w.join(broadcast(w0), "term")
+      .filter(col("doc_id") =!= queryDoc)
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("w") * col("w0"), col("term")).as("dot"))
+      .join(norms, "doc_id").crossJoin(broadcast(n0))
+      .select(col("doc_id"),
+        round(col("dot") / (col("nrm") * col("n0")), 6).as("cos"))
+    val lex = cos.orderBy(col("cos").desc, col("doc_id")).limit(100)
+      .withColumn("rank_lex", row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("rank_lex"))
+    val fused = dense.join(lex, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_dense"), lit(0)).as("rank_dense"),
+        coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_dense")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)), 6)
+          .as("rrf"))
+    val out = fused
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .withColumn("fused_rank", row_number()
+        .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .localCheckpoint(true)
+    tf.unpersist(blocking = false)
+    out
+  }
+
   /** Bigram PMI collocations: pointwise mutual information
     * ln(p(xy) / (p(x)p(y))) over adjacent token pairs, for bigrams seen
     * at least 5 times. Bigrams are materialized map-side from each
@@ -952,6 +1017,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_shuffle_order" -> shuffleOrder,
     "ta_split" -> trainSplit,
     "ta_rrf" -> rrfFusion,
+    "ta_hybrid_related" -> hybridRelated,
     "ta_corpus_prep" -> corpusPrep,
     "ta_term_entropy" -> termEntropy,
     "mm_decode_stats" -> mmDecodeStats,
@@ -1033,6 +1099,66 @@ object AnalysisQueries extends graft.QueryModule {
        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
        |    AS fused_rank
        |FROM (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 20)""".stripMargin
+
+  /** DuckDB replay of [[hybridRelated]]: dense ranker = the float-exact
+    * cosine fold over the raw embeddings (the sim_topk_brute
+    * discipline — rank on the UNROUNDED sim, cand tiebreak); lexical
+    * ranker = tfidf cosine vs doc 0's vector with term-ordered folds;
+    * RRF fusion identical to [[rrfOracle]]. */
+  private def hybridOracle: String = {
+    def cosFold(a: String, b: String): String =
+      s"""(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)
+         | / (sqrt(list_reduce(list_prepend(0.0, list_transform($a,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))
+         |    * sqrt(list_reduce(list_prepend(0.0, list_transform($b,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))))"""
+        .stripMargin.replaceAll("\n", " ")
+    s"""WITH ds AS MATERIALIZED (
+       |  SELECT e.vec_id AS doc_id,
+       |    ${cosFold("q.embedding", "e.embedding")} AS sim
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id = 0 AND e.vec_id <> 0),
+       |ra AS (SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY sim DESC, doc_id) AS INT) AS rank_dense
+       |  FROM (SELECT * FROM ds ORDER BY sim DESC, doc_id LIMIT 100)),
+       |toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re'))
+       |    AS term FROM documents),
+       |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf
+       |  FROM toks GROUP BY 1, 2),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd
+       |  FROM (SELECT DISTINCT doc_id FROM tf)),
+       |dfall AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |w AS MATERIALIZED (SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf AS DOUBLE) * ln((SELECT nd FROM nd) / dfall.df) AS w
+       |  FROM tf JOIN dfall USING (term)),
+       |norms AS MATERIALIZED (SELECT doc_id,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      list(w * w ORDER BY term)), (a, x) -> a + x)) AS nrm
+       |  FROM w GROUP BY doc_id),
+       |w0 AS (SELECT term, w AS w0 FROM w WHERE doc_id = 0),
+       |n0 AS (SELECT nrm AS n0 FROM norms WHERE doc_id = 0),
+       |dt AS (SELECT w.doc_id, list_reduce(list_prepend(0.0,
+       |      list(w.w * w0.w0 ORDER BY w.term)), (a, x) -> a + x) AS dot
+       |  FROM w JOIN w0 USING (term) WHERE w.doc_id <> 0
+       |  GROUP BY w.doc_id),
+       |cosq AS (SELECT dt.doc_id,
+       |    round(dt.dot / (norms.nrm * (SELECT n0 FROM n0)), 6) AS cos
+       |  FROM dt JOIN norms ON dt.doc_id = norms.doc_id),
+       |rb AS (SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY cos DESC, doc_id) AS INT) AS rank_lex
+       |  FROM (SELECT * FROM cosq ORDER BY cos DESC, doc_id LIMIT 100)),
+       |f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+       |    coalesce(rank_dense, 0) AS rank_dense,
+       |    coalesce(rank_lex, 0) AS rank_lex,
+       |    round(coalesce(1.0 / (60.0 + rank_dense), 0.0)
+       |        + coalesce(1.0 / (60.0 + rank_lex), 0.0), 6) AS rrf
+       |  FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id)
+       |SELECT doc_id, rank_dense, rank_lex, rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+       |    AS fused_rank
+       |FROM (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 20)""".stripMargin
+  }
 
   /** Shared CTE prefix replaying [[graft.operators.Bpe.learn]] with one
     * generated block per round (the kmeans-oracle discipline): yields
@@ -1522,6 +1648,7 @@ object AnalysisQueries extends graft.QueryModule {
       s"""WITH $bm25Ctes
          |$bm25Select""".stripMargin,
     "ta_rrf" -> rrfOracle,
+    "ta_hybrid_related" -> hybridOracle,
     "ta_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN CAST(concat('0x',
