@@ -393,7 +393,10 @@ object AnalysisQueries extends graft.QueryModule {
       md5(encode(concat(lit("split:"), col("doc_id").cast("string")), "UTF-8")),
       1, 8)
     val frac = conv(h, 16, 10).cast("long").cast("double") / lit(4294967296.0)
-    Tables.loadSpread(spark, dir, "documents")
+    // plain load, not loadSpread: at real scale the scan parallelizes by
+    // file split, and a pure projection this cheap should not pay a
+    // round-robin shuffle of the row stream (the dedup_simhash reasoning)
+    Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
           .as("split"))

@@ -107,10 +107,10 @@ class PlanAuditSpec extends SparkSpec {
   test("train split is a pure projection: no join, no aggregation exchange") {
     val df = graft.queries.AnalysisQueries.trainSplit(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    // assignment must stay shuffle-free (append-stable by construction);
-    // loadSpread's round-robin repartition is the only allowed exchange
+    // assignment must stay completely shuffle-free (append-stable by
+    // construction, parallelized by file split at scale)
     assert(!plan.contains("Join"), plan)
-    assert(!plan.contains("hashpartitioning") && !plan.contains("SinglePartition"),
+    assert(!plan.contains("Exchange"),
       s"split assignment may not shuffle:\n$plan")
     val scan = plan.linesIterator.find(_.contains("FileScan"))
     assert(scan.exists(l => !l.contains("text")),
