@@ -429,7 +429,9 @@ object AnalysisQueries extends graft.QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = tf.join(broadcast(dfT), "term")
+    // df is VOCABULARY-sized: no forced broadcast (a real vocabulary
+    // outgrows it) — Catalyst/AQE picks broadcast at test scale on its own
+    val w = tf.join(dfT, "term")
       .withColumn("w", col("tf").cast("double") * log(lit(nDocs) / col("df")))
     // BM25 ranker from the same tf (identical arithmetic to [[bm25]] /
     // the shared bm25Ctes oracle text: same fold order, same casts)
@@ -519,7 +521,9 @@ object AnalysisQueries extends graft.QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = tf.join(broadcast(dfT), "term")
+    // df is VOCABULARY-sized: no forced broadcast (a real vocabulary
+    // outgrows it) — Catalyst/AQE picks broadcast at test scale on its own
+    val w = tf.join(dfT, "term")
       .withColumn("w", col("tf").cast("double") * log(lit(nDocs) / col("df")))
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
