@@ -382,6 +382,39 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("doc_id"), col("quality"), col("shard"))
   }
 
+  /** Per-language adaptive quality gate: keep documents at or above their
+    * OWN language's 25th quality percentile — the per-domain threshold
+    * curation step (a global cut over-prunes low-resource strata). Same
+    * distribution-count rank as [[percentileRank]], but the windows run
+    * PARTITIONED by language over per-language score distributions, so
+    * unlike the global variant there is no single-partition exchange
+    * anywhere in the plan. Exactly SQL
+    * `percent_rank() OVER (PARTITION BY lang ORDER BY quality)`. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+    val scored = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), feats("quality").as("quality"))
+    val dist = scored.groupBy(col("lang"), col("quality"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("lang")).orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
+      .select(col("lang"), col("quality"), col("below"))
+    val nn = dist.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    scored
+      .join(broadcast(cum), Seq("lang", "quality"))
+      .join(broadcast(nn), "lang")
+      .withColumn("pct",
+        // SQL percent_rank is 0 for a single-row partition; the ratio
+        // would be 0/0 there
+        when(col("n") === 1, lit(0.0)).otherwise(
+          round(col("below").cast("double") / (col("n") - lit(1)), 6)))
+      .filter(col("pct") >= 0.25)
+      .select(col("doc_id"), col("lang"), col("quality"), col("pct"))
+  }
+
   /** Deterministic train/val/test split (80/10/10): assignment is a pure
     * PROJECTION over a seed-keyed md5 — no shuffle, no state, stable
     * under re-runs and appends (a new doc's split never changes an old
@@ -1023,6 +1056,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_bpe_encode" -> bpeEncode,
     "ta_shuffle_order" -> shuffleOrder,
     "ta_split" -> trainSplit,
+    "ta_quality_gate" -> qualityGate,
     "ta_rrf" -> rrfFusion,
     "ta_hybrid_related" -> hybridRelated,
     "ta_corpus_prep" -> corpusPrep,
@@ -1480,6 +1514,16 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM q""".stripMargin,
     "ta_bpe_merges" -> bpeMergesOracle,
     "ta_bpe_encode" -> bpeEncodeOracle,
+    "ta_quality_gate" ->
+      s"""WITH $qualityFeatureCtes,
+         |q AS (SELECT f.doc_id, d.lang, $qualityScoreSql AS quality
+         |  FROM f JOIN documents d ON f.doc_id = d.doc_id),
+         |r AS (SELECT doc_id, lang, quality,
+         |    round(percent_rank() OVER
+         |      (PARTITION BY lang ORDER BY quality), 6) AS pct
+         |  FROM q)
+         |SELECT doc_id, lang, quality, pct FROM r WHERE pct >= 0.25"""
+        .stripMargin,
     "ta_shuffle_order" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER

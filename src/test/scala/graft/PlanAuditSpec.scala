@@ -117,6 +117,15 @@ class PlanAuditSpec extends SparkSpec {
       s"text must prune from the scan: $scan")
   }
 
+  test("per-language quality gate has no single-partition exchange at all") {
+    // unlike the global percentile rank (whose distribution window is
+    // single-partition by necessity), the grouped variant's windows are
+    // partitioned by language — nothing in the plan funnels to one task
+    val plan = graft.queries.AnalysisQueries.qualityGate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("zorder key is a pure projection with a pruned scan") {
     val df = graft.queries.Relational.zorderKey(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
