@@ -382,6 +382,41 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("doc_id"), col("quality"), col("shard"))
   }
 
+  private val TokenBudget = 75000L
+
+  /** Quality-first selection under a global token budget — the
+    * data-selection step of budgeted training runs: walk the corpus in
+    * (quality DESC, doc_id) order and keep documents while the running
+    * character total stays within [[TokenBudget]].
+    *
+    * The running total is computed WITHOUT a global sort: the score
+    * distribution carries per-value (count, char-sum) cells, a window
+    * over IT yields the chars consumed by strictly-better scores, and
+    * each row adds its within-tie-group running sum (a score-partitioned
+    * window, bounded). The cumulative sums are integer arithmetic, so
+    * the cut is exact in both engines. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+    val scored = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), feats("quality").as("quality"))
+    val dist = scored.groupBy(col("quality"))
+      .agg(sum(col("n_chars")).as("t"))
+    val wv = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("above", coalesce(sum(col("t")).over(wv), lit(0L)))
+      .select(col("quality"), col("above"))
+    val wt = Window.partitionBy(col("quality")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("within", sum(col("n_chars")).over(wt))
+      .join(broadcast(cum), "quality")
+      .withColumn("cum", col("above") + col("within"))
+      .filter(col("cum") <= TokenBudget)
+      .select(col("doc_id"), col("quality"), col("n_chars"), col("cum"))
+  }
+
   /** Per-language adaptive quality gate: keep documents at or above their
     * OWN language's 25th quality percentile — the per-domain threshold
     * curation step (a global cut over-prunes low-resource strata). Same
@@ -1057,6 +1092,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_shuffle_order" -> shuffleOrder,
     "ta_split" -> trainSplit,
     "ta_quality_gate" -> qualityGate,
+    "ta_token_budget" -> tokenBudget,
     "ta_rrf" -> rrfFusion,
     "ta_hybrid_related" -> hybridRelated,
     "ta_corpus_prep" -> corpusPrep,
@@ -1514,6 +1550,17 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM q""".stripMargin,
     "ta_bpe_merges" -> bpeMergesOracle,
     "ta_bpe_encode" -> bpeEncodeOracle,
+    "ta_token_budget" ->
+      s"""WITH $qualityFeatureCtes,
+         |q AS (SELECT f.doc_id, d.n_chars, $qualityScoreSql AS quality
+         |  FROM f JOIN documents d ON f.doc_id = d.doc_id)
+         |SELECT doc_id, quality, n_chars, cum FROM (
+         |  SELECT doc_id, quality, n_chars,
+         |    CAST(sum(n_chars) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM q)
+         |WHERE cum <= $TokenBudget""".stripMargin,
     "ta_quality_gate" ->
       s"""WITH $qualityFeatureCtes,
          |q AS (SELECT f.doc_id, d.lang, $qualityScoreSql AS quality
