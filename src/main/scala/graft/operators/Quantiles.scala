@@ -55,4 +55,42 @@ object Quantiles {
       .withColumn(out, bucket.cast("int"))
       .drop("__q", "__below", "__tie", "n")
   }
+
+  /** Grouped variant: the 1-based ntile bucket of each row WITHIN its
+    * `group`, under (`score` ASC, `tiebreak` ASC) — exactly SQL
+    * `ntile(k) OVER (PARTITION BY group ORDER BY score, tiebreak)`.
+    * Same machinery as [[ntileBy]] with every window additionally
+    * partitioned by the group, so nothing ever funnels to a single task
+    * (the per-group distributions replace the global one). `totals`
+    * must carry (`__g`-compatible group value, `n` = group row count);
+    * it is dimension-sized (one row per group) and broadcasts. */
+  def ntileWithin(df: DataFrame, group: Column, score: Column,
+      tiebreak: Column, k: Int, totals: DataFrame, out: String = "bucket")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"ntile: k must be >= 1, got $k")
+    val scored = df.withColumn("__g", group).withColumn("__q", score)
+    val dist = scored.groupBy(col("__g"), col("__q"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("__g")).orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("__below", coalesce(sum(col("c")).over(wv), lit(0L)))
+      .select(col("__g"), col("__q"), col("__below"))
+    val wt = Window.partitionBy(col("__g"), col("__q")).orderBy(tiebreak)
+    val kL = lit(k.toLong)
+    val i = col("__below") + col("__tie") - lit(1L)
+    val base = floor(col("n") / kL).cast("long")
+    val rem = col("n") % kL
+    val big = (base + lit(1L)) * rem
+    val bucket = when(i < big, floor(i / (base + lit(1L))))
+      .otherwise(rem + floor((i - big) / base)) + lit(1L)
+    scored
+      .withColumn("__tie", row_number().over(wt).cast("long"))
+      .join(broadcast(cum), Seq("__g", "__q"))
+      .join(broadcast(totals.withColumnRenamed(
+        totals.columns.head, "__g")), "__g")
+      .withColumn(out, bucket.cast("int"))
+      .drop("__g", "__q", "__below", "__tie", "n")
+  }
 }

@@ -382,6 +382,24 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("doc_id"), col("quality"), col("shard"))
   }
 
+  /** Per-language curriculum: difficulty quartiles WITHIN each language
+    * ([[graft.operators.Quantiles.ntileWithin]]) — the per-domain
+    * variant of [[curriculumShards]], so each stratum orders its own
+    * curriculum instead of being dominated by the corpus-wide
+    * distribution. Exactly
+    * `ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id)`. */
+  def curriculumByLang(spark: SparkSession, dir: String): DataFrame = {
+    val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+    val scored = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), feats("quality").as("quality"))
+    val totals = Tables.loadSpread(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    graft.operators.Quantiles
+      .ntileWithin(scored, col("lang"), col("quality"), col("doc_id"),
+        CurriculumShards, totals, out = "shard")
+      .select(col("doc_id"), col("lang"), col("quality"), col("shard"))
+  }
+
   private val TokenBudget = 75000L
 
   /** Quality-first selection under a global token budget — the
@@ -1087,6 +1105,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_sparse_sim_bigram" -> sparseSimBigram,
     "ta_quality_pct" -> percentileRank,
     "ta_curriculum_shards" -> curriculumShards,
+    "ta_curriculum_by_lang" -> curriculumByLang,
     "ta_bpe_merges" -> bpeMerges,
     "ta_bpe_encode" -> bpeEncode,
     "ta_shuffle_order" -> shuffleOrder,
@@ -1547,6 +1566,14 @@ object AnalysisQueries extends graft.QueryModule {
          |SELECT doc_id, quality,
          |  CAST(ntile($CurriculumShards) OVER (ORDER BY quality, doc_id)
          |    AS INT) AS shard
+         |FROM q""".stripMargin,
+    "ta_curriculum_by_lang" ->
+      s"""WITH $qualityFeatureCtes,
+         |q AS (SELECT f.doc_id, d.lang, $qualityScoreSql AS quality
+         |  FROM f JOIN documents d ON f.doc_id = d.doc_id)
+         |SELECT doc_id, lang, quality,
+         |  CAST(ntile($CurriculumShards) OVER
+         |    (PARTITION BY lang ORDER BY quality, doc_id) AS INT) AS shard
          |FROM q""".stripMargin,
     "ta_bpe_merges" -> bpeMergesOracle,
     "ta_bpe_encode" -> bpeEncodeOracle,

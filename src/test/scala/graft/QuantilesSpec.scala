@@ -36,4 +36,21 @@ class QuantilesSpec extends SparkSpec {
   test("matches SQL ntile: exact division") {
     check((1L to 8L).map(i => (i, (9 - i).toDouble)), k = 4)
   }
+
+  test("ntileWithin matches SQL ntile PARTITION BY group, incl. uneven groups") {
+    val rows = Seq(
+      ("a", 1L, 2.0), ("a", 2L, 1.0), ("a", 3L, 1.0), ("a", 4L, 3.0),
+      ("a", 5L, 0.5), ("b", 6L, 9.0), ("b", 7L, 8.0),
+      ("c", 8L, 4.0), ("c", 9L, 4.0), ("c", 10L, 4.0), ("c", 11L, 4.0))
+    val df = spark.createDataFrame(rows).toDF("g", "id", "s")
+    val totals = df.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val got = Quantiles.ntileWithin(df, col("g"), col("s"), col("id"),
+        k = 3, totals)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    val expected = df
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy(col("g")).orderBy(col("s"), col("id"))))
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(got == expected)
+  }
 }
