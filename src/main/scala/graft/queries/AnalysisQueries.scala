@@ -343,7 +343,9 @@ object AnalysisQueries extends graft.QueryModule {
     * scale-safely by [[graft.operators.GlobalOrder]] (range partition +
     * per-partition offsets), never a single-task sort. */
   def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
-    val keyed = Tables.loadSpread(spark, dir, "documents")
+    // plain load: GlobalOrder range-partitions on the shuffle key anyway,
+    // so loadSpread's round-robin would be a second, wasted shuffle
+    val keyed = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         md5(encode(concat(lit("42:"), col("doc_id").cast("string")), "UTF-8"))
           .as("skey"))
