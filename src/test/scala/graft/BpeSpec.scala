@@ -46,4 +46,39 @@ class BpeSpec extends SparkSpec {
       wordsDf("xy" -> 10L, "zw" -> 3L, "zz" -> 4L), k = 1).collect()
     assert(rules.toSeq == Seq(Row(1, "x", "y", 10L)))
   }
+
+  /** Reference implementation of the greedy left-to-right merge scan. */
+  private def naiveMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  test("property: mergePair equals the naive scan on random small-alphabet words") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small alphabet maximizes overlapping-run coverage ("aaaa" shapes)
+    val word = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+      .map(_.mkString)
+    val pair = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.oneOf("a", "b", "c"))
+    val words = (0 until 300).flatMap(i =>
+      Gen.zip(word, pair).apply(Gen.Parameters.default, Seed(i.toLong)))
+    val grouped = words.groupBy(_._2).toSeq
+    for (((a, b), ws) <- grouped) {
+      val df = spark.createDataFrame(ws.map(w => Tuple1(w._1)).distinct)
+        .toDF("w")
+        .select(col("w"), Bpe.mergePair(split(col("w"), ""), a, b).as("m"))
+      df.collect().foreach { r =>
+        val w = r.getString(0)
+        assert(r.getSeq[String](1) == naiveMerge(w.map(_.toString), a, b),
+          s"word=$w pair=($a,$b)")
+      }
+    }
+  }
 }
