@@ -46,6 +46,19 @@ object DedupQueries extends graft.QueryModule {
     Dedup.ngramJaccardPairs(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", "lang", k = 3, threshold = JaccardThreshold)
 
+  /** Canonicalized ("fuzzy-exact") dedup — the standard web-corpus trick
+    * that catches trivially-reformatted copies exact hashing misses:
+    * lowercase, collapse every non-alphanumeric run to one space, trim,
+    * then hash-groupBy the canonical form. Same plan shape as [[exact]]
+    * (one digest shuffle); the canonicalization is a pure projection. */
+  def canonical(spark: SparkSession, dir: String): DataFrame = {
+    val canon = trim(regexp_replace(lower(col("text")),
+      "[^\\p{L}\\p{N}]+", " "))
+    Tables.loadSpread(spark, dir, "documents")
+      .groupBy(md5(encode(canon, "UTF-8")).as("canonical_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Incremental (ingestion-time) dedup: a NEW batch (doc_id % 5 == 4,
     * the 20% "arriving" slice) deduped against the indexed corpus and
     * against itself in one pass — the shape of appending a crawl
@@ -136,6 +149,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_spans" -> duplicatedSpans,
     "dedup_span_coverage" -> spanCoverage,
     "dedup_exact" -> exact,
+    "dedup_canonical" -> canonical,
     "dedup_incremental" -> incremental,
     "dedup_fingerprint" -> fingerprint,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -163,6 +177,11 @@ object DedupQueries extends graft.QueryModule {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_canonical" ->
+      """SELECT md5(trim(regexp_replace(lower(text),
+        |    '[^\p{L}\p{N}]+', ' ', 'g'))) AS canonical_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
