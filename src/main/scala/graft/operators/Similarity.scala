@@ -103,15 +103,35 @@ object Similarity {
     * and the argmax is `array_max` over per-centroid (csim, -id) structs
     * — the corpus is never shuffled, joined, or aggregated to get its
     * bucket assignment. Tiebreak (csim DESC, centroid_id ASC) encoded in
-    * the struct order. */
+    * the struct order. Every input column rides through unchanged, so a
+    * caller can keep side columns (e.g. a true label for nearest-centroid
+    * classification) without a re-join. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroidsLit(centroids)
-    vectors.select(col("vec_id"), col("embedding"),
-        toDoubleArray(col("embedding")).as("dv"))
+    vectors
+      .withColumn("__dv", toDoubleArray(col("embedding")))
       .withColumn("best", array_max(transform(cents, c =>
-        struct(cosine(col("dv"), c("_2")).as("csim"), (-c("_1")).as("nid")))))
-      .select(col("vec_id"), col("embedding"),
-        (-col("best.nid")).cast("long").as("centroid_id"))
+        struct(cosine(col("__dv"), c("_2")).as("csim"), (-c("_1")).as("nid")))))
+      .withColumn("centroid_id", (-col("best.nid")).cast("long"))
+      .drop("__dv", "best")
+  }
+
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector, the k most cosine-similar candidates carrying a
+    * DIFFERENT label — the negatives that sit closest to the decision
+    * boundary. Same scale shape as [[bruteForceTopK]]: queries broadcast,
+    * candidates scanned once, per-query bounded partial top-k — the
+    * label-mismatch predicate rides on the broadcast join, so same-label
+    * candidates never reach the scorer. */
+  def hardNegativesTopK(queries: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), toDoubleArray(col("embedding")).as("qv"))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      col("label").as("clabel"), toDoubleArray(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("qlabel") =!= col("clabel"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    rankTopK(scored, k)
   }
 
   /** IVF search: score only candidates in the query's `nprobe` closest

@@ -96,6 +96,72 @@ object SimilarityQueries extends graft.QueryModule {
         round(maxErr, 6).as("max_abs_err"))
   }
 
+  /** Per-label mean vectors `(label, cv array<double>)` — every
+    * component sum is a vec_id-ordered fold so the centroid is
+    * bit-identical across engines and partitionings (the
+    * [[Similarity.kmeans]] discipline). Tiny output (labels × dim),
+    * always broadcast or collected by consumers. */
+  private def labelCentroids(emb: DataFrame): DataFrame = {
+    val pos = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    val cent0 = pos.groupBy(col("label"), col("pos"))
+      .agg((graft.functions.TextFunctions.ordered_sum(
+        col("x").cast("double"), col("vec_id")) / count(lit(1))).as("c"))
+    cent0.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+  }
+
+  /** Nearest-centroid classifier evaluation (label-quality audit): each
+    * vector is assigned to the closest per-label mean by cosine and the
+    * result is the confusion matrix of true vs predicted label — the
+    * standard "are these cluster labels coherent" curation check.
+    *
+    * Composition IS the scale story: the per-label means reduce to
+    * labels × dim values, ride along as [[Similarity.ivfAssign]]'s
+    * centroid literal, and the assignment is a pure projection — the
+    * corpus is scanned once and only (label, pred_label) pairs reach the
+    * final aggregate. */
+  def nearestCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val cents = labelCentroids(emb).select(
+      col("label").cast("long").as("vec_id"), col("cv").as("embedding"))
+    Similarity.ivfAssign(emb, cents)
+      .select(col("label"), col("centroid_id").cast("int").as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Hard-negative mining ([[Similarity.hardNegativesTopK]]): per query
+    * vector, the 5 most-similar DIFFERENT-label candidates. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    Similarity.hardNegativesTopK(
+      emb.filter(col("vec_id") < NQueries), emb, K)
+  }
+
+  /** Label-outlier audit: vectors whose distance to their own label
+    * centroid sits >= 2 population standard deviations above the label
+    * mean — the mislabeled/noisy-embedding sweep. Two bounded aggregate
+    * passes over the [[centroidDist]] output (mean, then sigma around
+    * it), each broadcast back; the z compare runs on the ROUNDED z so
+    * the kept set is engine-exact. */
+  def labelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = centroidDist(spark, dir)
+    val mu = d.groupBy(col("label"))
+      .agg((graft.functions.TextFunctions.ordered_sum(
+        col("dist"), col("vec_id")) / count(lit(1))).as("mu"))
+    val dm = d.join(broadcast(mu), "label")
+    val sg = dm.groupBy(col("label"))
+      .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
+        (col("dist") - col("mu")) * (col("dist") - col("mu")),
+        col("vec_id")) / count(lit(1))).as("sigma"))
+    dm.join(broadcast(sg), "label")
+      .withColumn("z", round((col("dist") - col("mu")) / col("sigma"), 4))
+      .filter(col("z") >= 2.0)
+      .select(col("vec_id"), col("label"), col("dist"), col("z"))
+  }
+
   /** Per-label centroid + each member's L2 distance to its own centroid
     * (cluster-quality / outlier scoring for embedding columns). Both the
     * centroid component sums and the distance fold run left-to-right in a
@@ -105,15 +171,7 @@ object SimilarityQueries extends graft.QueryModule {
     * broadcast to the members. */
   def centroidDist(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadSpread(spark, dir, "embeddings")
-    val pos = emb.select(col("vec_id"), col("label"),
-      posexplode(col("embedding")).as(Seq("pos", "x")))
-    val cent0 = pos.groupBy(col("label"), col("pos"))
-      .agg((graft.functions.TextFunctions.ordered_sum(
-        col("x").cast("double"), col("vec_id")) / count(lit(1))).as("c"))
-    val cent = cent0.groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cv"))
-    emb.join(broadcast(cent), "label")
+    emb.join(broadcast(labelCentroids(emb)), "label")
       .withColumn("dist", sqrt(aggregate(
         zip_with(col("embedding"), col("cv"),
           (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
@@ -275,6 +333,9 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_ivf" -> topkIvf,
     "sim_topk_rplsh" -> topkRpLsh,
     "sim_centroid_dist" -> centroidDist,
+    "sim_nearest_centroid" -> nearestCentroid,
+    "sim_hard_negatives" -> hardNegatives,
+    "sim_label_outliers" -> labelOutliers,
     "sim_quantize_stats" -> quantizeStats,
     "sim_pq_stats" -> pqStats,
     "sim_topk_pq" -> topkPq,
@@ -603,21 +664,73 @@ object SimilarityQueries extends graft.QueryModule {
         |    AS mean_pair_sqdist
         |FROM ssq s JOIN nsq q USING (label)""".stripMargin,
     "sim_centroid_dist" ->
-      """WITH p AS (SELECT vec_id, label,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x,
-        |    generate_subscripts(embedding, 1) AS pos
-        |  FROM embeddings),
-        |cent0 AS (SELECT label, pos,
-        |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
-        |      (acc, v) -> acc + v) / count(*) AS c
-        |  FROM p GROUP BY label, pos),
-        |cent AS (SELECT label, list(c ORDER BY pos) AS cv
-        |         FROM cent0 GROUP BY label)
-        |SELECT e.vec_id, e.label,
-        |  round(sqrt(list_reduce(list_prepend(0.0,
-        |    list_transform(list_zip(e.embedding, c.cv),
-        |      q -> (CAST(q[1] AS DOUBLE) - q[2]) * (CAST(q[1] AS DOUBLE) - q[2]))),
-        |    (acc, v) -> acc + v)), 6) AS dist
-        |FROM embeddings e JOIN cent c USING (label)""".stripMargin,
+      s"WITH $centroidDistCtes\nSELECT vec_id, label, dist FROM dist",
+    "sim_nearest_centroid" ->
+      s"""WITH $centroidCtes,
+         |a AS MATERIALIZED (SELECT e.vec_id, e.label, c.label AS pred_label,
+         |  ${duckCosine("e.embedding", "c.cv")} AS csim
+         |  FROM embeddings e, cent c),
+         |b AS (SELECT label, pred_label, row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY csim DESC, pred_label ASC) AS rn
+         |  FROM a)
+         |SELECT label, pred_label, count(*) AS n FROM b
+         |WHERE rn = 1 GROUP BY label, pred_label""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+         |           embedding AS qv FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id AS cand_id, label AS clabel, embedding AS cv
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    ${duckCosine("qv", "cv")} AS sim
+         |  FROM q JOIN c ON qlabel <> clabel
+         |)
+         |SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+    "sim_label_outliers" ->
+      s"""WITH $centroidDistCtes,
+         |mu AS (SELECT label,
+         |  list_reduce(list_prepend(0.0, list(dist ORDER BY vec_id)),
+         |    (acc, v) -> acc + v) / count(*) AS mu
+         |  FROM dist GROUP BY label),
+         |sg AS (SELECT d.label,
+         |  sqrt(list_reduce(list_prepend(0.0,
+         |    list((d.dist - m.mu) * (d.dist - m.mu) ORDER BY d.vec_id)),
+         |    (acc, v) -> acc + v) / count(*)) AS sigma
+         |  FROM dist d JOIN mu m USING (label) GROUP BY d.label)
+         |SELECT d.vec_id, d.label, d.dist,
+         |  round((d.dist - m.mu) / s.sigma, 4) AS z
+         |FROM dist d JOIN mu m USING (label) JOIN sg s ON d.label = s.label
+         |WHERE round((d.dist - m.mu) / s.sigma, 4) >= 2.0""".stripMargin,
   )
+
+  /** Shared per-label centroid CTEs — the [[labelCentroids]] replay
+    * (ordered folds per (label, pos), components reassembled in pos
+    * order). MATERIALIZED: consumers reference `cent` from joins. */
+  private def centroidCtes: String =
+    """p AS (SELECT vec_id, label,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |cent0 AS (SELECT label, pos,
+      |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+      |      (acc, v) -> acc + v) / count(*) AS c
+      |  FROM p GROUP BY label, pos),
+      |cent AS MATERIALIZED (SELECT label, list(c ORDER BY pos) AS cv
+      |         FROM cent0 GROUP BY label)""".stripMargin
+
+  /** [[centroidCtes]] + the rounded own-centroid L2 distance per vector
+    * (the [[centroidDist]] replay); `dist` is MATERIALIZED because the
+    * outlier oracle references it from three joins. */
+  private def centroidDistCtes: String =
+    s"""$centroidCtes,
+       |dist AS MATERIALIZED (SELECT e.vec_id, e.label,
+       |  round(sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(list_zip(e.embedding, c.cv),
+       |      q -> (CAST(q[1] AS DOUBLE) - q[2]) * (CAST(q[1] AS DOUBLE) - q[2]))),
+       |    (acc, v) -> acc + v)), 6) AS dist
+       |FROM embeddings e JOIN cent c USING (label))""".stripMargin
 }
