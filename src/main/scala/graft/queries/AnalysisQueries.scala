@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.Tokenizer
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 
 /** Text-analysis + multimodal-plumbing query coverage (north-star ops:
   * quality scoring, language-ID, fingerprinting [in DedupQueries],
@@ -17,6 +17,57 @@ object AnalysisQueries extends graft.QueryModule {
     val feats = TextAnalysis.qualityFeatures(col("text"))
     Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Per-source n-gram diversity (corpus redundancy audit): distinct
+    * 3-gram types vs total 3-gram occurrences — the type-token ratio
+    * that flags template-heavy or boilerplate sources before training.
+    * Totals never materialize grams (arithmetic on the token count);
+    * the type count is one distinct + count over the per-doc distinct
+    * shingles, so the shuffled unit is a (source, gram) pair, not
+    * documents. */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"), TextAnalysis.tokensOf(col("text")).as("ts"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+    val totals = toks.groupBy(col("source"))
+      .agg(sum(greatest(size(col("ts")) - 2, lit(0))).as("total_grams"))
+    val types = toks.select(col("source"), explode(col("sh")).as("g"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("distinct_grams"))
+    totals.join(types, Seq("source"))
+      .select(col("source"), col("total_grams"), col("distinct_grams"),
+        round(col("distinct_grams") / col("total_grams"), 6).as("diversity"))
+  }
+
+  /** Pairwise source content overlap: Jaccard between the distinct
+    * 3-gram shingle sets of every source pair that shares at least one
+    * gram — the cross-source contamination / mirror-site detector.
+    * Scale shape: one distinct over (source, gram), then a postings
+    * groupBy per gram whose value set is bounded by the source count
+    * (pair expansion is C(sources-with-gram, 2), never document-
+    * quadratic); set sizes are a tiny broadcast joined twice. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = grams.groupBy(col("g"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss")) - i - 1),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("pr"))
+      .groupBy(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
   }
 
   /** Marker-word language ID vs the labeled lang column, per doc. */
@@ -1105,6 +1156,8 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_heavy_hitters" -> heavyHitters,
     "ta_sparse_sim" -> sparseSim,
     "ta_sparse_sim_bigram" -> sparseSimBigram,
+    "ta_ngram_diversity" -> ngramDiversity,
+    "ta_source_overlap" -> sourceOverlap,
     "ta_quality_pct" -> percentileRank,
     "ta_curriculum_shards" -> curriculumShards,
     "ta_curriculum_by_lang" -> curriculumByLang,
@@ -1704,6 +1757,38 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM pairs JOIN norms na ON doc_a = na.doc_id
          |           JOIN norms nb ON doc_b = nb.doc_id
          |WHERE dot / (na.nrm * nb.nrm) > 0.5""".stripMargin,
+    "ta_ngram_diversity" ->
+      s"""WITH t AS MATERIALIZED (SELECT source,
+         |    regexp_extract_all(text, '$re') AS ts FROM documents),
+         |tot AS (SELECT source,
+         |    CAST(sum(greatest(len(ts) - 2, 0)) AS BIGINT) AS total_grams
+         |  FROM t GROUP BY 1),
+         |g AS (SELECT DISTINCT source, g FROM (
+         |  SELECT source, unnest(CASE WHEN len(ts) >= 3 THEN list_distinct(
+         |    [array_to_string(list_slice(ts, i, i + 2), ' ')
+         |     for i in range(1, len(ts) - 2 + 1)]) ELSE [] END) AS g
+         |  FROM t)),
+         |ty AS (SELECT source, count(*) AS distinct_grams FROM g GROUP BY 1)
+         |SELECT tot.source, tot.total_grams, ty.distinct_grams,
+         |  round(ty.distinct_grams * 1.0 / tot.total_grams, 6) AS diversity
+         |FROM tot JOIN ty USING (source)""".stripMargin,
+    "ta_source_overlap" ->
+      s"""WITH t AS (SELECT source, regexp_extract_all(text, '$re') AS ts
+         |  FROM documents),
+         |g AS MATERIALIZED (SELECT DISTINCT source, g FROM (
+         |  SELECT source, unnest(CASE WHEN len(ts) >= 3 THEN list_distinct(
+         |    [array_to_string(list_slice(ts, i, i + 2), ' ')
+         |     for i in range(1, len(ts) - 2 + 1)]) ELSE [] END) AS g
+         |  FROM t)),
+         |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS inter
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT pr.src_a, pr.src_b, pr.inter,
+         |  round(pr.inter * 1.0 / (sa.n + sb.n - pr.inter), 6) AS jaccard
+         |FROM pr JOIN sz sa ON pr.src_a = sa.source
+         |        JOIN sz sb ON pr.src_b = sb.source""".stripMargin,
     "ta_sparse_sim_bigram" ->
       s"""WITH t0 AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
          |  FROM documents),

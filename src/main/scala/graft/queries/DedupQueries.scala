@@ -120,6 +120,25 @@ object DedupQueries extends graft.QueryModule {
       ngramJaccard(spark, dir),
       Tables.load(spark, dir, "documents"), "doc_id")
 
+  /** Near-dup survivorship: per cluster, the representative to KEEP —
+    * longest text wins, ties to the smallest doc_id (the standard
+    * "keep the richest copy" curation rule; every other member is the
+    * drop set). The argmax is a map-side-combinable `max(struct)` over
+    * the (n_chars, -doc_id) order — no window, no per-cluster sort; the
+    * doc join rides the same doc_id shuffle the cluster labels already
+    * carry. */
+  def clusterBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    nearDupClusters(spark, dir).join(docs, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("best.neg_id")).as("keep_id"),
+        col("best.n_chars").as("keep_chars"), col("n_members"))
+  }
+
   /** Stream-static incremental near-dups: streaming docs probed against
     * the static banded-MinHash corpus index; must equal the batch LSH
     * pairs on a bounded stream (DedupSpec parity). Approximate family —
@@ -154,6 +173,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_fingerprint" -> fingerprint,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_clusters" -> nearDupClusters,
+    "dedup_cluster_best" -> clusterBest,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
@@ -276,23 +296,42 @@ object DedupQueries extends graft.QueryModule {
          |  AND len(list_intersect(a.sh, b.sh)) * 1.0
          |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $ShingleCte,
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
-         |    AND len(list_intersect(a.sh, b.sh)) * 1.0
-         |        / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |          UNION ALL SELECT doc_b, doc_a FROM p),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |labels AS (
-         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
-         |  FROM reach GROUP BY src)
-         |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
-         |FROM documents d LEFT JOIN labels l USING (doc_id)""".stripMargin,
+      s"WITH RECURSIVE $ClusterCtes\nSELECT doc_id, cluster FROM cl",
+    "dedup_cluster_best" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |j AS (SELECT c.cluster, c.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+         |  FROM cl c JOIN documents d USING (doc_id)),
+         |nm AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1)
+         |SELECT j.cluster, j.doc_id AS keep_id, j.n_chars AS keep_chars,
+         |  nm.n_members
+         |FROM j JOIN nm USING (cluster) WHERE j.rn = 1""".stripMargin,
   )
+
+  /** Shared transitive-closure CTEs for the cluster oracles: exact
+    * Jaccard pairs -> recursive reachability -> min-label per doc;
+    * `cl` is every document with its cluster id (singletons included).
+    * MATERIALIZED because the survivorship oracle references `cl`
+    * twice. Callers must open with `WITH RECURSIVE`. */
+  private lazy val ClusterCtes =
+    s"""$ShingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |    AND len(list_intersect(a.sh, b.sh)) * 1.0
+       |        / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |cl AS MATERIALIZED (
+       |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN labels l USING (doc_id))""".stripMargin
 }

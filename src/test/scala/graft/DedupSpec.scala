@@ -311,6 +311,24 @@ class DedupSpec extends SparkSpec {
     assert(viaLoop == want)
   }
 
+  test("cluster survivorship keeps the longest member, ties to min id") {
+    val clusters = DedupQueries.nearDupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    val got = DedupQueries.clusterBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == byCluster.size)
+    got.foreach { case (cl, keep, keepChars, n) =>
+      val members = byCluster(cl).map(_._1)
+      assert(n == members.size, s"cluster $cl size")
+      val best = members.minBy(id => (-chars(id), id))
+      assert(keep == best && keepChars == chars(best), s"cluster $cl keeper")
+    }
+  }
+
   test("int8 quantization: error bounded by scale/2, dequant cosine ~ 1") {
     val stats = SimilarityQueries.quantizeStats(spark, sf).collect()
     assert(stats.nonEmpty)

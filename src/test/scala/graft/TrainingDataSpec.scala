@@ -78,6 +78,61 @@ class TrainingDataSpec extends SparkSpec {
     assert(scores.max > scores.min) // non-degenerate distribution
   }
 
+  private def docShingles: Map[String, Set[String]] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (src, ds) =>
+        src -> ds.flatMap { case (_, t) =>
+          val ts = graft.functions.Tokenizer.tokens(t)
+          if (ts.length < 3) Array.empty[String]
+          else ts.sliding(3).map(_.mkString(" ")).toArray
+        }.toSet
+      }
+
+  test("ngram diversity equals the naive per-source type/token ratio") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val totals = texts.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.map(d =>
+        math.max(graft.functions.Tokenizer.tokens(d._2).length - 2, 0).toLong)
+        .sum
+    }
+    val types = docShingles
+    val got = AnalysisQueries.ngramDiversity(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == totals.keySet)
+    got.foreach { case (src, (total, distinct, div)) =>
+      assert(total == totals(src), s"$src totals")
+      assert(distinct == types(src).size.toLong, s"$src types")
+      val want = BigDecimal(distinct.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(div == want, s"$src ratio")
+    }
+  }
+
+  test("source overlap equals naive pairwise shingle Jaccard; no cartesian") {
+    val sets = docShingles
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size if inter > 0
+    } yield {
+      val j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      (a, b) -> ((inter.toLong,
+        BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }).toMap
+    val df = AnalysisQueries.sourceOverlap(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("kmeans: Lloyd objective is non-increasing over rounds") {
     val emb = graft.core.Tables.load(spark, sf, "embeddings")
     def objective(iters: Int): Double =
