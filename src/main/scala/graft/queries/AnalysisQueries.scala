@@ -541,6 +541,68 @@ object AnalysisQueries extends graft.QueryModule {
           .as("split"))
   }
 
+  /** Split-drift audit: the exact two-sample Kolmogorov–Smirnov
+    * statistic between the train and test quality-score distributions,
+    * per language — the "did the hash split skew any stratum" check run
+    * before training. KS = max over distinct scores of |F_train - F_test|.
+    *
+    * Scale shape: scores collapse to (lang, score) cells first, the
+    * CDFs are integer running counts over a lang-partitioned window
+    * (cells per lang are bounded by the score grid, never by corpus
+    * size), and every division happens at the end from exact integers —
+    * no float accumulates across rows, so the statistic is
+    * engine-bit-exact. */
+  def splitKs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = substring(
+      md5(encode(concat(lit("split:"), col("doc_id").cast("string")), "UTF-8")),
+      1, 8)
+    val frac = conv(h, 16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val split = when(frac < 0.8, "train").when(frac < 0.9, "val")
+      .otherwise("test")
+    val qcol = TextAnalysis.qualityFeatures(col("text")).toMap.apply("quality")
+    val g = Tables.loadSpread(spark, dir, "documents")
+      .select(col("lang"), split.as("split"), qcol.as("q"))
+      .filter(col("split") =!= "val")
+    val counts = g.groupBy(col("lang"), col("q"))
+      .agg(sum(when(col("split") === "train", 1).otherwise(0)).as("ct"),
+        sum(when(col("split") === "test", 1).otherwise(0)).as("cv"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("q"))
+    val cum = counts
+      .withColumn("cum_t", sum(col("ct")).over(w))
+      .withColumn("cum_v", sum(col("cv")).over(w))
+    val totals = g.groupBy(col("lang"))
+      .agg(sum(when(col("split") === "train", 1).otherwise(0)).as("n_train"),
+        sum(when(col("split") === "test", 1).otherwise(0)).as("n_test"))
+    cum.join(broadcast(totals), "lang")
+      .withColumn("diff",
+        abs(col("cum_t") / col("n_train") - col("cum_v") / col("n_test")))
+      .groupBy(col("lang"), col("n_train"), col("n_test"))
+      .agg(round(max(col("diff")), 6).as("ks"))
+  }
+
+  /** Vocabulary-coverage audit: per-document out-of-vocabulary token
+    * rate against the corpus top-16 term vocabulary (ties broken by
+    * term) — the "how much of this doc will tokenize to <unk>" signal.
+    * (16 is sized to the synthetic corpus' 31-term vocabulary so the
+    * rate discriminates; a production run would use a real vocab size —
+    * the plan is identical.) The vocabulary is a bounded TakeOrdered
+    * over the term counts and rides as a broadcast to the token stream;
+    * nothing document-sized shuffles. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokensOf(col("text"))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(16)
+      .select(col("term"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+  }
+
   /** Hybrid retrieval fusion: reciprocal-rank fusion (RRF, k=60) of two
     * lexical rankers for the fixed query-term set — [[bm25]] and a
     * TF-IDF cosine scorer (idf = ln(n/df), doc norm over the FULL tfidf
@@ -1165,6 +1227,8 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_bpe_encode" -> bpeEncode,
     "ta_shuffle_order" -> shuffleOrder,
     "ta_split" -> trainSplit,
+    "ta_split_ks" -> splitKs,
+    "ta_oov_rate" -> oovRate,
     "ta_quality_gate" -> qualityGate,
     "ta_token_budget" -> tokenBudget,
     "ta_rrf" -> rrfFusion,
@@ -1871,6 +1935,54 @@ object AnalysisQueries extends graft.QueryModule {
         |        AS BIGINT) / 4294967296.0 < 0.9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "ta_split_ks" ->
+      s"""WITH $qualityFeatureCtes,
+         |q0 AS (SELECT d.lang, $qualityScoreSql AS q,
+         |  CASE WHEN CAST(concat('0x',
+         |        substr(md5('split:' || CAST(f.doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) / 4294967296.0 < 0.8 THEN 'train'
+         |       WHEN CAST(concat('0x',
+         |        substr(md5('split:' || CAST(f.doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) / 4294967296.0 < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM f JOIN documents d ON f.doc_id = d.doc_id),
+         |g AS MATERIALIZED (SELECT lang, split, q FROM q0
+         |                   WHERE split <> 'val'),
+         |c AS (SELECT lang, q,
+         |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cv
+         |  FROM g GROUP BY 1, 2),
+         |cum AS (SELECT lang, q,
+         |    CAST(sum(ct) OVER (PARTITION BY lang ORDER BY q) AS BIGINT)
+         |      AS cum_t,
+         |    CAST(sum(cv) OVER (PARTITION BY lang ORDER BY q) AS BIGINT)
+         |      AS cum_v
+         |  FROM c),
+         |tot AS (SELECT lang,
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_test
+         |  FROM g GROUP BY 1)
+         |SELECT cum.lang, tot.n_train, tot.n_test,
+         |  round(max(abs(cum.cum_t / tot.n_train
+         |                - cum.cum_v / tot.n_test)), 6) AS ks
+         |FROM cum JOIN tot USING (lang)
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "ta_oov_rate" ->
+      s"""WITH tk AS MATERIALIZED (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '$re')) AS term
+         |  FROM documents),
+         |v AS (SELECT term FROM (
+         |    SELECT term, count(*) AS n FROM tk GROUP BY 1)
+         |  ORDER BY n DESC, term ASC LIMIT 16)
+         |SELECT tk.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+         |        / count(*), 6) AS oov_rate
+         |FROM tk LEFT JOIN v ON tk.term = v.term
+         |GROUP BY tk.doc_id""".stripMargin,
     "ta_weighted_sample" ->
       """WITH t AS (SELECT doc_id, n_chars AS weight,
         |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

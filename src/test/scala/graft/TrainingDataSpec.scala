@@ -133,6 +133,54 @@ class TrainingDataSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("split KS statistic equals the naive two-sample computation per lang") {
+    val quality = AnalysisQueries.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val splits = AnalysisQueries.trainSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byLang = splits.filter(_._3 != "val").groupBy(_._2)
+    val expected = byLang.map { case (lang, ds) =>
+      val tr = ds.filter(_._3 == "train").map(d => quality(d._1)).sorted
+      val te = ds.filter(_._3 == "test").map(d => quality(d._1)).sorted
+      val values = (tr ++ te).distinct.sorted
+      val ks = values.map { x =>
+        math.abs(tr.count(_ <= x).toDouble / tr.length
+          - te.count(_ <= x).toDouble / te.length)
+      }.max
+      lang -> ((tr.length.toLong, te.length.toLong,
+        BigDecimal(ks).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = AnalysisQueries.splitKs(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    got.values.foreach { case (_, _, ks) => assert(ks >= 0.0 && ks <= 1.0) }
+  }
+
+  test("oov rate equals the naive top-16 vocabulary computation") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val allToks = texts.flatMap(d => graft.functions.Tokenizer.tokens(d._2))
+    val vocab = allToks.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(16).map(_._1).toSet
+    val expected = texts.flatMap { case (id, t) =>
+      val ts = graft.functions.Tokenizer.tokens(t)
+      if (ts.isEmpty) None else {
+        val oov = ts.count(!vocab.contains(_))
+        Some(id -> ((ts.length.toLong, oov.toLong,
+          BigDecimal(oov.toDouble / ts.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      }
+    }.toMap
+    val got = AnalysisQueries.oovRate(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // non-degenerate: the 16-term vocab leaves real OOV mass
+    assert(got.values.exists(_._3 > 0.0))
+  }
+
   test("kmeans: Lloyd objective is non-increasing over rounds") {
     val emb = graft.core.Tables.load(spark, sf, "embeddings")
     def objective(iters: Int): Double =
