@@ -139,6 +139,26 @@ object DedupQueries extends graft.QueryModule {
         col("best.n_chars").as("keep_chars"), col("n_members"))
   }
 
+  /** Cross-split near-duplicate leakage: exact-Jaccard near-dup pairs
+    * whose members land in DIFFERENT train/val/test splits — the "is my
+    * eval set contaminated by paraphrases of training docs" audit. The
+    * split is a pure hash of doc_id (the ta_split rule), so labeling the
+    * pair table is a zero-join projection on top of the inverted-index
+    * pair plan. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(id: org.apache.spark.sql.Column) = {
+      val h = substring(
+        md5(encode(concat(lit("split:"), id.cast("string")), "UTF-8")), 1, 8)
+      val frac = conv(h, 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)
+      when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
+    }
+    ngramJaccard(spark, dir)
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+  }
+
   /** Stream-static incremental near-dups: streaming docs probed against
     * the static banded-MinHash corpus index; must equal the batch LSH
     * pairs on a bounded stream (DedupSpec parity). Approximate family —
@@ -174,12 +194,23 @@ object DedupQueries extends graft.QueryModule {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_clusters" -> nearDupClusters,
     "dedup_cluster_best" -> clusterBest,
+    "dedup_split_leakage" -> splitLeakage,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
   )
 
   private val re = Tokenizer.DuckDbTokenRegex
+
+  /** The ta_split hash rule as a SQL CASE over a doc-id column. */
+  private def splitCase(idCol: String): String =
+    s"""CASE WHEN CAST(concat('0x',
+       |      substr(md5('split:' || CAST($idCol AS VARCHAR)), 1, 8))
+       |      AS BIGINT) / 4294967296.0 < 0.8 THEN 'train'
+       |     WHEN CAST(concat('0x',
+       |      substr(md5('split:' || CAST($idCol AS VARCHAR)), 1, 8))
+       |      AS BIGINT) / 4294967296.0 < 0.9 THEN 'val'
+       |     ELSE 'test' END""".stripMargin.replaceAll("\n", " ")
 
   /** Shared shingle CTE body (3-gram distinct shingles per doc). */
   private lazy val ShingleCte =
@@ -295,6 +326,19 @@ object DedupQueries extends graft.QueryModule {
          |WHERE len(list_intersect(a.sh, b.sh)) > 0
          |  AND len(list_intersect(a.sh, b.sh)) * 1.0
          |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold""".stripMargin,
+    "dedup_split_leakage" ->
+      s"""WITH $ShingleCte,
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+         |        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
+         |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold)
+         |SELECT doc_a, doc_b, jaccard, ${splitCase("doc_a")} AS split_a,
+         |  ${splitCase("doc_b")} AS split_b
+         |FROM pr
+         |WHERE ${splitCase("doc_a")} <> ${splitCase("doc_b")}""".stripMargin,
     "dedup_clusters" ->
       s"WITH RECURSIVE $ClusterCtes\nSELECT doc_id, cluster FROM cl",
     "dedup_cluster_best" ->

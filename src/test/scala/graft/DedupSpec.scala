@@ -311,6 +311,19 @@ class DedupSpec extends SparkSpec {
     assert(viaLoop == want)
   }
 
+  test("split leakage is exactly the near-dup pairs crossing the hash split") {
+    val splits = graft.queries.AnalysisQueries.trainSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = DedupQueries.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs.filter { case (a, b, _) => splits(a) != splits(b) }
+      .map { case (a, b, j) => (a, b, j, splits(a), splits(b)) }.toSet
+    val got = DedupQueries.splitLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(got == expected)
+  }
+
   test("cluster survivorship keeps the longest member, ties to min id") {
     val clusters = DedupQueries.nearDupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
