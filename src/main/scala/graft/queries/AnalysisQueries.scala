@@ -1149,6 +1149,29 @@ object AnalysisQueries extends graft.QueryModule {
           / sum(col("tf")).cast("double"), 5).as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity buckets: each document labeled head /
+    * middle / tail by its within-language tercile of bigram-LM fluency
+    * (higher [[bigramLogprob]] = lower perplexity = head) — the
+    * standard "keep the head, sample the middle, drop the tail"
+    * curation signal. The tercile is [[graft.operators.Quantiles
+    * .ntileWithin]] (grouped distribution windows, no SinglePartition),
+    * scored on the NEGATED rounded logprob so bucket 1 is the most
+    * fluent; the lang attach is an id-keyed join. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val lp = bigramLogprob(spark, dir)
+      .select(col("doc_id"), col("avg_logprob"))
+    val scored = lp.join(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id")
+    val totals = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    graft.operators.Quantiles
+      .ntileWithin(scored, col("lang"), -col("avg_logprob"), col("doc_id"),
+        3, totals, out = "b")
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** K-anonymity audit over quasi-identifier combinations (the
     * release-gate companion to [[piiScrub]]): per (segment, nation)
     * equivalence class, its size, whether it meets k=8, and the overall
@@ -1200,6 +1223,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_cms_counts" -> cmsCounts,
     "ta_source_mix_temperature" -> sourceMixTemperature,
     "ta_bigram_logprob" -> bigramLogprob,
+    "ta_perplexity_buckets" -> perplexityBuckets,
     "ta_decontaminate" -> decontaminate,
     "ta_pack_bins" -> packBins,
     "ta_unigram_logprob" -> unigramLogprob,
@@ -1243,6 +1267,43 @@ object AnalysisQueries extends graft.QueryModule {
 
   private val re = Tokenizer.DuckDbTokenRegex
   private val stopList = TextAnalysis.Stopwords.mkString("['", "','", "']")
+
+  /** Shared interpolated-bigram-LM CTEs ending in
+    * `blp (doc_id, n_bigrams, avg_logprob)` — the [[bigramLogprob]]
+    * replay, reused by the perplexity-bucket oracle. MATERIALIZED so a
+    * downstream join cannot re-expand the model subtree. */
+  private def bigramLogprobCtes: String =
+    s"""toks AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+       |  FROM documents),
+       |bigp AS (SELECT doc_id, w1 || ' ' || w2 AS bg FROM (
+       |  SELECT doc_id, unnest(ts[1:greatest(len(ts) - 1, 0)]) AS w1,
+       |         unnest(ts[2:len(ts)]) AS w2 FROM toks)),
+       |btf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+       |  FROM bigp GROUP BY 1, 2),
+       |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY 1),
+       |ut AS (SELECT sum(cnt) AS utotal FROM uni),
+       |bm AS (SELECT bg, sum(tf) AS bcnt FROM btf GROUP BY 1),
+       |model AS (SELECT bm.bg,
+       |    CAST(0.75 AS DOUBLE)
+       |      * (CAST(bm.bcnt AS DOUBLE) / CAST(u1.cnt AS DOUBLE))
+       |    + CAST(0.25 AS DOUBLE)
+       |      * (CAST(u2.cnt AS DOUBLE) / CAST(ut.utotal AS DOUBLE)) AS p
+       |  FROM bm
+       |  JOIN uni u1 ON string_split(bm.bg, ' ')[1] = u1.term
+       |  JOIN uni u2 ON string_split(bm.bg, ' ')[2] = u2.term
+       |  CROSS JOIN ut),
+       |s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams
+       |  FROM btf GROUP BY 1),
+       |l AS (SELECT t.doc_id,
+       |    list(struct_pack(tf := t.tf, p := m.p) ORDER BY t.bg) AS xs
+       |  FROM btf t JOIN model m USING (bg) GROUP BY 1),
+       |blp AS MATERIALIZED (SELECT l.doc_id, s.n_bigrams,
+       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(xs, x -> CAST(x.tf AS DOUBLE) * ln(x.p))),
+       |      (a, b) -> a + b)
+       |    / CAST(s.n_bigrams AS DOUBLE), 5) AS avg_logprob
+       |FROM l JOIN s USING (doc_id))""".stripMargin
 
   /** Shared BM25 CTEs (toks/tf/len/stats/dft/scored) — used by the
     * ta_bm25 oracle and reused as ranker A of the RRF fusion oracle. */
@@ -1576,37 +1637,17 @@ object AnalysisQueries extends graft.QueryModule {
         |FROM documents d JOIN r USING (source)
         |GROUP BY d.source, r.w, r.rate""".stripMargin,
     "ta_bigram_logprob" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
-         |  FROM documents),
-         |bigp AS (SELECT doc_id, w1 || ' ' || w2 AS bg FROM (
-         |  SELECT doc_id, unnest(ts[1:greatest(len(ts) - 1, 0)]) AS w1,
-         |         unnest(ts[2:len(ts)]) AS w2 FROM toks)),
-         |btf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
-         |  FROM bigp GROUP BY 1, 2),
-         |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY 1),
-         |ut AS (SELECT sum(cnt) AS utotal FROM uni),
-         |bm AS (SELECT bg, sum(tf) AS bcnt FROM btf GROUP BY 1),
-         |model AS (SELECT bm.bg,
-         |    CAST(0.75 AS DOUBLE)
-         |      * (CAST(bm.bcnt AS DOUBLE) / CAST(u1.cnt AS DOUBLE))
-         |    + CAST(0.25 AS DOUBLE)
-         |      * (CAST(u2.cnt AS DOUBLE) / CAST(ut.utotal AS DOUBLE)) AS p
-         |  FROM bm
-         |  JOIN uni u1 ON string_split(bm.bg, ' ')[1] = u1.term
-         |  JOIN uni u2 ON string_split(bm.bg, ' ')[2] = u2.term
-         |  CROSS JOIN ut),
-         |s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams
-         |  FROM btf GROUP BY 1),
-         |l AS (SELECT t.doc_id,
-         |    list(struct_pack(tf := t.tf, p := m.p) ORDER BY t.bg) AS xs
-         |  FROM btf t JOIN model m USING (bg) GROUP BY 1)
-         |SELECT l.doc_id, s.n_bigrams,
-         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(xs, x -> CAST(x.tf AS DOUBLE) * ln(x.p))),
-         |      (a, b) -> a + b)
-         |    / CAST(s.n_bigrams AS DOUBLE), 5) AS avg_logprob
-         |FROM l JOIN s USING (doc_id)""".stripMargin,
+      s"WITH $bigramLogprobCtes\nSELECT doc_id, n_bigrams, avg_logprob FROM blp",
+    "ta_perplexity_buckets" ->
+      s"""WITH $bigramLogprobCtes,
+         |q AS (SELECT b.doc_id, d.lang, b.avg_logprob
+         |  FROM blp b JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, avg_logprob,
+         |  CASE CAST(ntile(3) OVER
+         |      (PARTITION BY lang ORDER BY avg_logprob DESC, doc_id) AS INT)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         |  END AS bucket
+         |FROM q""".stripMargin,
     "ta_unigram_logprob" ->
       s"""WITH tf AS (
          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

@@ -181,6 +181,32 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0.0))
   }
 
+  test("perplexity buckets: balanced terciles per lang, head more fluent than tail") {
+    val rows = AnalysisQueries.perplexityBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, g) =>
+      val sizes = g.groupBy(_._4).view.mapValues(_.size)
+      assert(sizes.keySet.subsetOf(Set("head", "middle", "tail")))
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang tercile imbalance: $sizes")
+      val mean = (b: String) => {
+        val xs = g.filter(_._4 == b).map(_._3); xs.sum / xs.size
+      }
+      assert(mean("head") > mean("tail"),
+        s"$lang: head not more fluent than tail")
+    }
+    // the grouped ntile never funnels a window to one task (the tiny
+    // one-row LM-total aggregate is the only SinglePartition allowed)
+    val plan = AnalysisQueries.perplexityBuckets(spark, sf)
+      .queryExecution.executedPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"unpartitioned window in:\n$plan")
+  }
+
   test("kmeans: Lloyd objective is non-increasing over rounds") {
     val emb = graft.core.Tables.load(spark, sf, "embeddings")
     def objective(iters: Int): Double =
