@@ -73,6 +73,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hard negatives: queries broadcast; candidates never sort-merge or cartesian") {
+    val df = graft.queries.SimilarityQueries.hardNegatives(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // theta-join (label mismatch) on a broadcast query side
+    assert(plan.contains("BroadcastNestedLoopJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must not shuffle for the scorer:\n$plan")
+    // the per-query top-k is a partial aggregate, not a window sort
+    assert(!plan.contains("Window"), s"no window rank expected:\n$plan")
+  }
+
+  test("oov rate: vocabulary broadcasts; split-KS windows are all partitioned") {
+    val oov = graft.queries.AnalysisQueries.oovRate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(oov.contains("BroadcastHashJoin"),
+      s"vocab join should broadcast:\n$oov")
+    assert(!oov.contains("SortMergeJoin"), s"token stream must not shuffle:\n$oov")
+    val ks = graft.queries.AnalysisQueries.splitKs(spark, sf)
+      .queryExecution.executedPlan
+    val unpartitioned = ks.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"unpartitioned CDF window in:\n$ks")
+  }
+
   test("bpe encode: vocabulary join degrades to a key-partitioned shuffle at scale") {
     // the subword model (word -> symbol count) is vocabulary-sized; with
     // auto-broadcast off the attach must fall back to a shuffled
