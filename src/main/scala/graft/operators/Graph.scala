@@ -106,6 +106,41 @@ object Graph {
     tri
   }
 
+  /** Fixed-iteration SYNCHRONOUS label propagation (community
+    * detection) over an undirected pair table (`pa < pb`, deduplicated).
+    * Every round, each node adopts the most frequent label among its
+    * neighbors' current labels, ties to the SMALLEST label — integer
+    * counts plus a total tie order make the algorithm fully
+    * deterministic, so (unlike the async textbook variant) the result
+    * is exactly replayable in SQL.
+    *
+    * Scale shape (the [[pageRank]] discipline): the edge table persists
+    * once, dst-partitioned; each round broadcasts the |V|-row label
+    * vector onto it (set `broadcastLabels=false` for the
+    * billions-of-nodes layout — labels then shuffle by key instead) and
+    * runs two BOUNDED aggregations: (dst, lbl) counts, then the
+    * per-dst argmax as a map-side-combinable `max(struct)` — never a
+    * collect of a hub's full neighbor list into one row. */
+  def labelPropagation(pairs: DataFrame, iters: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
+    val edges = directedEdges(pairs)
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // pin the partitioning (the pageRank cache rule)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 0 until iters) {
+      val lv = if (broadcastLabels) broadcast(labels) else labels
+      labels = edges.join(lv, edges("src") === lv("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
+        .select(col("dst").as("node"), (-col("best.nl")).as("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Fixed-iteration PageRank (damping `d`) over an undirected pair table
     * (`pa < pb`, deduplicated). Returns (node, rank_norm) where
     * rank_norm = rank * n (relative to uniform; keeps the rounded value

@@ -61,6 +61,13 @@ object GraphQueries extends graft.QueryModule {
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     Graph.pageRank(pairTable(spark, dir).distinct(), Iters)
 
+  /** 3-round deterministic label propagation over the distinct
+    * co-purchase graph ([[Graph.labelPropagation]]) — the communities
+    * companion to [[pagerank]] (same cached edge layout, integer-exact
+    * rounds, full SQL replay). */
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(pairTable(spark, dir).distinct(), Iters)
+
   /** Association rules from the co-purchase pairs: for each directed
     * rule x -> y with pair support >= `MinSupport`,
     * confidence = P(y|x) = c_xy / c_x and lift = c_xy * N / (c_x c_y).
@@ -107,9 +114,35 @@ object GraphQueries extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_copurchase" -> copurchase,
     "rel_pagerank" -> pagerank,
+    "rel_label_prop" -> labelProp,
     "rel_assoc_rules" -> assocRules,
     "rel_triangles" -> triangles,
   )
+
+  /** DuckDB replay of [[Graph.labelPropagation]]: one generated CTE pair
+    * per round — (dst, lbl) counts, then the argmax via a (c DESC,
+    * lbl ASC) row_number, the exact Spark max(struct) tie order. */
+  private def labelPropOracle: String = {
+    def iterCte(i: Int, prev: String) =
+      s"""c$i AS (SELECT e.dst, l.lbl, count(*) AS c
+         |  FROM e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT dst AS node, lbl FROM (
+         |  SELECT dst, lbl, row_number() OVER
+         |    (PARTITION BY dst ORDER BY c DESC, lbl ASC) AS rn FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to Iters)
+      .map(i => iterCte(i, if (i == 1) "l0" else s"l${i - 1}"))
+      .mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+       |     UNION ALL SELECT pb, pa FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$rounds
+       |SELECT node, lbl AS community FROM l$Iters""".stripMargin
+  }
 
   /** DuckDB replay of [[Graph.pageRank]]: one generated CTE block per
     * round, every float fold in src order (the Spark side folds a
@@ -155,6 +188,7 @@ object GraphQueries extends graft.QueryModule {
          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          |GROUP BY 1, 2 HAVING count(*) >= $MinSupport""".stripMargin,
     "rel_pagerank" -> pagerankOracle,
+    "rel_label_prop" -> labelPropOracle,
     "rel_assoc_rules" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,

@@ -112,6 +112,52 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("label propagation matches a naive synchronous implementation") {
+    // star + triangle + an isolated edge: communities must separate
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (8L, 9L)).toDF("pa", "pb")
+    def naive(iters: Int): Map[Long, Long] = {
+      val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+        (5L, 6L), (5L, 7L), (6L, 7L), (8L, 9L))
+        .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val adj = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      var lbl = adj.keys.map(v => v -> v).toMap
+      for (_ <- 0 until iters) {
+        lbl = adj.map { case (v, ns) =>
+          val counts = ns.groupBy(lbl).view.mapValues(_.size)
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lbl
+    }
+    for (iters <- 1 to 3) {
+      val got = Graph.labelPropagation(pairs, iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive(iters), s"iters=$iters")
+    }
+    // the triangle converges to one community distinct from the star;
+    // the isolated 2-cycle oscillates under SYNCHRONOUS updates (the
+    // textbook bipartite swap — after an odd round 8 and 9 hold each
+    // other's label), which the naive parity above already pins
+    val fin = Graph.labelPropagation(pairs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(5L, 6L, 7L).map(fin).size == 1)
+    assert(fin(8L) == 9L && fin(9L) == 8L)
+    assert(fin(5L) != fin(0L))
+  }
+
+  test("label propagation on the co-purchase graph compresses to few communities") {
+    val comms = GraphQueries.labelProp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comms.nonEmpty)
+    val nComms = comms.map(_._2).distinct.length
+    assert(nComms < comms.length,
+      s"no community structure found: $nComms labels for ${comms.length} nodes")
+    // every community label is itself a node of the graph
+    val nodes = comms.map(_._1).toSet
+    assert(comms.forall(c => nodes.contains(c._2)))
+  }
+
   test("closed-form diversity equals the brute-force pairwise mean") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"label", $"embedding")
