@@ -146,6 +146,28 @@ class GraphSpec extends SparkSpec {
     assert(fin(5L) != fin(0L))
   }
 
+  test("label propagation matches the naive reference on seeded random graphs") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25
+      val pairSet = (0 until 70).map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val neigh = pairSet.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = neigh.keys.map(v => v -> v).toMap
+      for (_ <- 1 to 3)
+        lbl = neigh.map { case (v, ns) =>
+          val counts = ns.groupBy(lbl).view.mapValues(_.size)
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      val got = Graph.labelPropagation(pairSet.toDF("pa", "pb"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == lbl, s"seed $seed")
+    }
+  }
+
   test("label propagation on the co-purchase graph compresses to few communities") {
     val comms = GraphQueries.labelProp(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
