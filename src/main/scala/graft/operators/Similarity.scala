@@ -103,17 +103,21 @@ object Similarity {
     * and the argmax is `array_max` over per-centroid (csim, -id) structs
     * — the corpus is never shuffled, joined, or aggregated to get its
     * bucket assignment. Tiebreak (csim DESC, centroid_id ASC) encoded in
-    * the struct order. Every input column rides through unchanged, so a
-    * caller can keep side columns (e.g. a true label for nearest-centroid
-    * classification) without a re-join. */
+    * the struct order. Input columns ride through unchanged (so a caller
+    * can keep side columns — e.g. a true label for nearest-centroid
+    * classification — without a re-join), except the reserved internal
+    * names `__dv`/`__best`, which would be clobbered. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    require(!vectors.columns.contains("__dv")
+        && !vectors.columns.contains("__best"),
+      "ivfAssign: input must not carry the reserved columns __dv/__best")
     val cents = centroidsLit(centroids)
     vectors
       .withColumn("__dv", toDoubleArray(col("embedding")))
-      .withColumn("best", array_max(transform(cents, c =>
+      .withColumn("__best", array_max(transform(cents, c =>
         struct(cosine(col("__dv"), c("_2")).as("csim"), (-c("_1")).as("nid")))))
-      .withColumn("centroid_id", (-col("best.nid")).cast("long"))
-      .drop("__dv", "best")
+      .withColumn("centroid_id", (-col("__best.nid")).cast("long"))
+      .drop("__dv", "__best")
   }
 
   /** Hard-negative mining (contrastive-training data prep): for each

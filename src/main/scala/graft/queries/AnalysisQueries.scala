@@ -527,19 +527,13 @@ object AnalysisQueries extends graft.QueryModule {
     * doc's). Uniform hashing stratifies each language/source
     * automatically in expectation; exact within-stratum quantiles are
     * the [[curriculumShards]] dataflow if a pipeline needs them. */
-  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val h = substring(
-      md5(encode(concat(lit("split:"), col("doc_id").cast("string")), "UTF-8")),
-      1, 8)
-    val frac = conv(h, 16, 10).cast("long").cast("double") / lit(4294967296.0)
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
     // plain load, not loadSpread: at real scale the scan parallelizes by
     // file split, and a pure projection this cheap should not pay a
     // round-robin shuffle of the row stream (the dedup_simhash reasoning)
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
-          .as("split"))
-  }
+        graft.core.SplitHash.splitCol(col("doc_id")).as("split"))
 
   /** Split-drift audit: the exact two-sample Kolmogorov–Smirnov
     * statistic between the train and test quality-score distributions,
@@ -554,15 +548,11 @@ object AnalysisQueries extends graft.QueryModule {
     * engine-bit-exact. */
   def splitKs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = substring(
-      md5(encode(concat(lit("split:"), col("doc_id").cast("string")), "UTF-8")),
-      1, 8)
-    val frac = conv(h, 16, 10).cast("long").cast("double") / lit(4294967296.0)
-    val split = when(frac < 0.8, "train").when(frac < 0.9, "val")
-      .otherwise("test")
     val qcol = TextAnalysis.qualityFeatures(col("text")).toMap.apply("quality")
     val g = Tables.loadSpread(spark, dir, "documents")
-      .select(col("lang"), split.as("split"), qcol.as("q"))
+      .select(col("lang"),
+        graft.core.SplitHash.splitCol(col("doc_id")).as("split"),
+        qcol.as("q"))
       .filter(col("split") =!= "val")
     val counts = g.groupBy(col("lang"), col("q"))
       .agg(sum(when(col("split") === "train", 1).otherwise(0)).as("ct"),
@@ -571,9 +561,12 @@ object AnalysisQueries extends graft.QueryModule {
     val cum = counts
       .withColumn("cum_t", sum(col("ct")).over(w))
       .withColumn("cum_v", sum(col("cv")).over(w))
-    val totals = g.groupBy(col("lang"))
-      .agg(sum(when(col("split") === "train", 1).otherwise(0)).as("n_train"),
-        sum(when(col("split") === "test", 1).otherwise(0)).as("n_test"))
+    // totals derive from the tiny counts grid (one pass over the corpus
+    // total, not a second scan+rescore); a stratum missing either side
+    // has no defined KS — dropped on BOTH engines
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("ct")).as("n_train"), sum(col("cv")).as("n_test"))
+      .filter(col("n_train") > 0 && col("n_test") > 0)
     cum.join(broadcast(totals), "lang")
       .withColumn("diff",
         abs(col("cum_t") / col("n_train") - col("cum_v") / col("n_test")))
@@ -1268,6 +1261,16 @@ object AnalysisQueries extends graft.QueryModule {
   private val re = Tokenizer.DuckDbTokenRegex
   private val stopList = TextAnalysis.Stopwords.mkString("['", "','", "']")
 
+  /** Per-doc distinct 3-gram shingles unnested against `source`, over a
+    * CTE `t (source, ts)` — the one shingle definition shared by the
+    * diversity and overlap oracles (the DedupQueries.ShingleCte rule
+    * keyed by source instead of doc). */
+  private def srcGramSubquery: String =
+    """SELECT source, unnest(CASE WHEN len(ts) >= 3 THEN list_distinct(
+      |    [array_to_string(list_slice(ts, i, i + 2), ' ')
+      |     for i in range(1, len(ts) - 2 + 1)]) ELSE [] END) AS g
+      |  FROM t""".stripMargin
+
   /** Shared interpolated-bigram-LM CTEs ending in
     * `blp (doc_id, n_bigrams, avg_logprob)` — the [[bigramLogprob]]
     * replay, reused by the perplexity-bucket oracle. MATERIALIZED so a
@@ -1868,11 +1871,7 @@ object AnalysisQueries extends graft.QueryModule {
          |tot AS (SELECT source,
          |    CAST(sum(greatest(len(ts) - 2, 0)) AS BIGINT) AS total_grams
          |  FROM t GROUP BY 1),
-         |g AS (SELECT DISTINCT source, g FROM (
-         |  SELECT source, unnest(CASE WHEN len(ts) >= 3 THEN list_distinct(
-         |    [array_to_string(list_slice(ts, i, i + 2), ' ')
-         |     for i in range(1, len(ts) - 2 + 1)]) ELSE [] END) AS g
-         |  FROM t)),
+         |g AS (SELECT DISTINCT source, g FROM ($srcGramSubquery)),
          |ty AS (SELECT source, count(*) AS distinct_grams FROM g GROUP BY 1)
          |SELECT tot.source, tot.total_grams, ty.distinct_grams,
          |  round(ty.distinct_grams * 1.0 / tot.total_grams, 6) AS diversity
@@ -1880,11 +1879,8 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_source_overlap" ->
       s"""WITH t AS (SELECT source, regexp_extract_all(text, '$re') AS ts
          |  FROM documents),
-         |g AS MATERIALIZED (SELECT DISTINCT source, g FROM (
-         |  SELECT source, unnest(CASE WHEN len(ts) >= 3 THEN list_distinct(
-         |    [array_to_string(list_slice(ts, i, i + 2), ' ')
-         |     for i in range(1, len(ts) - 2 + 1)]) ELSE [] END) AS g
-         |  FROM t)),
+         |g AS MATERIALIZED (SELECT DISTINCT source, g
+         |  FROM ($srcGramSubquery)),
          |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
          |pr AS (SELECT a.source AS src_a, b.source AS src_b,
          |    count(*) AS inter
@@ -1967,44 +1963,28 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_rrf" -> rrfOracle,
     "ta_hybrid_related" -> hybridOracle,
     "ta_split" ->
-      """SELECT doc_id, lang,
-        |  CASE WHEN CAST(concat('0x',
-        |        substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
-        |        AS BIGINT) / 4294967296.0 < 0.8 THEN 'train'
-        |       WHEN CAST(concat('0x',
-        |        substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
-        |        AS BIGINT) / 4294967296.0 < 0.9 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id, lang,
+         |  ${graft.core.SplitHash.splitSql("doc_id")} AS split
+         |FROM documents""".stripMargin,
     "ta_split_ks" ->
       s"""WITH $qualityFeatureCtes,
          |q0 AS (SELECT d.lang, $qualityScoreSql AS q,
-         |  CASE WHEN CAST(concat('0x',
-         |        substr(md5('split:' || CAST(f.doc_id AS VARCHAR)), 1, 8))
-         |        AS BIGINT) / 4294967296.0 < 0.8 THEN 'train'
-         |       WHEN CAST(concat('0x',
-         |        substr(md5('split:' || CAST(f.doc_id AS VARCHAR)), 1, 8))
-         |        AS BIGINT) / 4294967296.0 < 0.9 THEN 'val'
-         |       ELSE 'test' END AS split
+         |  ${graft.core.SplitHash.splitSql("f.doc_id")} AS split
          |  FROM f JOIN documents d ON f.doc_id = d.doc_id),
-         |g AS MATERIALIZED (SELECT lang, split, q FROM q0
-         |                   WHERE split <> 'val'),
-         |c AS (SELECT lang, q,
+         |c AS MATERIALIZED (SELECT lang, q,
          |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
          |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cv
-         |  FROM g GROUP BY 1, 2),
+         |  FROM q0 WHERE split <> 'val' GROUP BY 1, 2),
          |cum AS (SELECT lang, q,
          |    CAST(sum(ct) OVER (PARTITION BY lang ORDER BY q) AS BIGINT)
          |      AS cum_t,
          |    CAST(sum(cv) OVER (PARTITION BY lang ORDER BY q) AS BIGINT)
          |      AS cum_v
          |  FROM c),
-         |tot AS (SELECT lang,
-         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_train,
-         |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_test
-         |  FROM g GROUP BY 1)
+         |tot AS (SELECT lang, CAST(sum(ct) AS BIGINT) AS n_train,
+         |    CAST(sum(cv) AS BIGINT) AS n_test
+         |  FROM c GROUP BY 1
+         |  HAVING sum(ct) > 0 AND sum(cv) > 0)
          |SELECT cum.lang, tot.n_train, tot.n_test,
          |  round(max(abs(cum.cum_t / tot.n_train
          |                - cum.cum_v / tot.n_test)), 6) AS ks

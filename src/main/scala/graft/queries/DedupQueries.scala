@@ -145,19 +145,11 @@ object DedupQueries extends graft.QueryModule {
     * split is a pure hash of doc_id (the ta_split rule), so labeling the
     * pair table is a zero-join projection on top of the inverted-index
     * pair plan. */
-  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    def splitOf(id: org.apache.spark.sql.Column) = {
-      val h = substring(
-        md5(encode(concat(lit("split:"), id.cast("string")), "UTF-8")), 1, 8)
-      val frac = conv(h, 16, 10).cast("long").cast("double") /
-        lit(4294967296.0)
-      when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
-    }
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(spark, dir)
-      .withColumn("split_a", splitOf(col("doc_a")))
-      .withColumn("split_b", splitOf(col("doc_b")))
+      .withColumn("split_a", graft.core.SplitHash.splitCol(col("doc_a")))
+      .withColumn("split_b", graft.core.SplitHash.splitCol(col("doc_b")))
       .filter(col("split_a") =!= col("split_b"))
-  }
 
   /** Stream-static incremental near-dups: streaming docs probed against
     * the static banded-MinHash corpus index; must equal the batch LSH
@@ -201,16 +193,8 @@ object DedupQueries extends graft.QueryModule {
   )
 
   private val re = Tokenizer.DuckDbTokenRegex
-
-  /** The ta_split hash rule as a SQL CASE over a doc-id column. */
   private def splitCase(idCol: String): String =
-    s"""CASE WHEN CAST(concat('0x',
-       |      substr(md5('split:' || CAST($idCol AS VARCHAR)), 1, 8))
-       |      AS BIGINT) / 4294967296.0 < 0.8 THEN 'train'
-       |     WHEN CAST(concat('0x',
-       |      substr(md5('split:' || CAST($idCol AS VARCHAR)), 1, 8))
-       |      AS BIGINT) / 4294967296.0 < 0.9 THEN 'val'
-       |     ELSE 'test' END""".stripMargin.replaceAll("\n", " ")
+    graft.core.SplitHash.splitSql(idCol)
 
   /** Shared shingle CTE body (3-gram distinct shingles per doc). */
   private lazy val ShingleCte =

@@ -156,7 +156,12 @@ object SimilarityQueries extends graft.QueryModule {
       .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
         (col("dist") - col("mu")) * (col("dist") - col("mu")),
         col("vec_id")) / count(lit(1))).as("sigma"))
+    // sigma = 0 (singleton label / all-equidistant members) has no
+    // defined z; the guard keeps the degenerate stratum out on BOTH
+    // engines (Spark's 0/0 is NULL while DuckDB's is NaN-sorts-high —
+    // without it the two would diverge)
     dm.join(broadcast(sg), "label")
+      .filter(col("sigma") > 0.0)
       .withColumn("z", round((col("dist") - col("mu")) / col("sigma"), 4))
       .filter(col("z") >= 2.0)
       .select(col("vec_id"), col("label"), col("dist"), col("z"))
@@ -704,7 +709,8 @@ object SimilarityQueries extends graft.QueryModule {
          |SELECT d.vec_id, d.label, d.dist,
          |  round((d.dist - m.mu) / s.sigma, 4) AS z
          |FROM dist d JOIN mu m USING (label) JOIN sg s ON d.label = s.label
-         |WHERE round((d.dist - m.mu) / s.sigma, 4) >= 2.0""".stripMargin,
+         |WHERE s.sigma > 0 AND round((d.dist - m.mu) / s.sigma, 4) >= 2.0"""
+        .stripMargin,
   )
 
   /** Shared per-label centroid CTEs — the [[labelCentroids]] replay

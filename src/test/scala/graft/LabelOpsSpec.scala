@@ -76,6 +76,27 @@ class LabelOpsSpec extends SparkSpec {
     }
   }
 
+  test("label outliers: a singleton label (sigma 0) is excluded, not NULL-dropped") {
+    val sess = SparkSpec.spark; import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lo").toString
+    val rnd = new scala.util.Random(5)
+    val rows =
+      // label 1: 30 spread-out vectors (real sigma, some outliers) ...
+      (0 until 30).map { i =>
+        (i.toLong, Array.fill(4)(rnd.nextFloat()
+          * (if (i == 0) 10f else 1f)), 1)
+      } :+
+      // ... label 99: ONE vector — sigma is exactly 0
+      ((99L, Array.fill(4)(1.0f), 99))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityQueries.labelOutliers(spark, dir).collect()
+    assert(got.forall(_.getInt(1) != 99),
+      "the sigma=0 singleton label must not emit an outlier row")
+    assert(got.forall(!_.isNullAt(3)), "no NULL z may survive")
+    assert(got.nonEmpty, "the planted far-out vector should be flagged")
+  }
+
   test("label outliers: z matches the naive two-pass stats; selection is exact") {
     val dists = SimilarityQueries.centroidDist(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))

@@ -157,6 +157,37 @@ class TrainingDataSpec extends SparkSpec {
     got.values.foreach { case (_, _, ks) => assert(ks >= 0.0 && ks <= 1.0) }
   }
 
+  test("split KS drops a stratum whose test split is empty instead of NULL ks") {
+    val sess = SparkSpec.spark; import sess.implicits._
+    // the same split-hash rule, evaluated in plain JVM code
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val frac = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      if (frac < 0.8) "train" else if (frac < 0.9) "val" else "test"
+    }
+    val trainIds = Iterator.from(0).map(_.toLong)
+      .filter(id => splitOf(id) == "train").take(6).toSeq
+    val testId = Iterator.from(0).map(_.toLong)
+      .find(id => splitOf(id) == "test").get
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    // lang zz: train-only docs; lang en: both sides present
+    val enTrainIds = Iterator.from(2000000).map(_.toLong)
+      .filter(id => splitOf(id) == "train").take(3).toSeq
+    val docs = trainIds.map(id => (id, s"alpha beta gamma delta $id", "zz",
+        "s0", 20L)) ++
+      Seq((testId, "alpha beta gamma", "en", "s0", 16L)) ++
+      enTrainIds.map(id => (id, "alpha beta", "en", "s0", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = AnalysisQueries.splitKs(spark, dir).collect()
+    assert(got.forall(_.getString(0) != "zz"),
+      "a stratum with no test docs has no KS row")
+    assert(got.exists(_.getString(0) == "en"))
+    assert(got.forall(!_.isNullAt(3)), "no NULL ks may survive")
+  }
+
   test("oov rate equals the naive top-16 vocabulary computation") {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
