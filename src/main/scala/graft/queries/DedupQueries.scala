@@ -151,6 +151,21 @@ object DedupQueries extends graft.QueryModule {
       .withColumn("split_b", graft.core.SplitHash.splitCol(col("doc_b")))
       .filter(col("split_a") =!= col("split_b"))
 
+  /** Leakage-safe split — [[splitLeakage]]'s constructive counterpart:
+    * every document inherits the train/val/test assignment of its
+    * near-dup CLUSTER label (the [[nearDupClusters]] min-id component)
+    * instead of its own id, so a paraphrase pair can never straddle
+    * splits — the leakage audit on this split is empty by construction.
+    * Group-wise splitting is the standard fix for eval contamination in
+    * corpus curation. Cost over the plain `ta_split` hash is exactly the
+    * cluster labeling, which a dedup pipeline has already computed; the
+    * assignment itself stays a pure hash projection over the cluster id
+    * (the shared [[graft.core.SplitHash]] rule, so the 80/10/10 fractions
+    * and salt cannot drift from the per-doc split). */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(spark, dir)
+      .withColumn("split", graft.core.SplitHash.splitCol(col("cluster")))
+
   /** Stream-static incremental near-dups: streaming docs probed against
     * the static banded-MinHash corpus index; must equal the batch LSH
     * pairs on a bounded stream (DedupSpec parity). Approximate family —
@@ -187,6 +202,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_clusters" -> nearDupClusters,
     "dedup_cluster_best" -> clusterBest,
     "dedup_split_leakage" -> splitLeakage,
+    "dedup_group_split" -> groupSplit,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
@@ -325,6 +341,10 @@ object DedupQueries extends graft.QueryModule {
          |WHERE ${splitCase("doc_a")} <> ${splitCase("doc_b")}""".stripMargin,
     "dedup_clusters" ->
       s"WITH RECURSIVE $ClusterCtes\nSELECT doc_id, cluster FROM cl",
+    "dedup_group_split" ->
+      s"""WITH RECURSIVE $ClusterCtes
+         |SELECT doc_id, cluster, ${splitCase("cluster")} AS split
+         |FROM cl""".stripMargin,
     "dedup_cluster_best" ->
       s"""WITH RECURSIVE $ClusterCtes,
          |j AS (SELECT c.cluster, c.doc_id, d.n_chars,

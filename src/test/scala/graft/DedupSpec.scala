@@ -324,6 +324,38 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("group split: cluster-keyed assignment, zero cross-split near-dup pairs") {
+    val rows = DedupQueries.groupSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val clusters = DedupQueries.nearDupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == clusters.size)
+    // assignment is exactly SplitHash of the cluster label
+    val bySplitOfCluster = {
+      val s = spark
+      import s.implicits._
+      clusters.values.toSeq.distinct.toDF("cluster")
+        .select(org.apache.spark.sql.functions.col("cluster"),
+          graft.core.SplitHash.splitCol(
+            org.apache.spark.sql.functions.col("cluster")).as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    rows.foreach { case (doc, cl, split) =>
+      assert(clusters(doc) == cl, s"doc $doc cluster")
+      assert(bySplitOfCluster(cl) == split, s"doc $doc split")
+    }
+    // the leakage audit on THIS split is empty by construction:
+    // every near-dup pair shares a cluster, hence a split
+    val splitOf = rows.map(r => r._1 -> r._3).toMap
+    val pairs = DedupQueries.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles splits")
+    }
+    // sanity: the split actually partitions (more than one label at sf)
+    assert(rows.map(_._3).distinct.length > 1)
+  }
+
   test("cluster survivorship keeps the longest member, ties to min id") {
     val clusters = DedupQueries.nearDupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
