@@ -16,12 +16,21 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-      // rejects natively. Read nanos as long, truncate to micros — the same
-      // precision DuckDB lands on (its TIMESTAMP is µs), so oracles agree.
+      // events.ts has shipped in two on-disk generations: INT64
+      // TIMESTAMP(NANOS) (rejected by Spark's reader unless read as long)
+      // and plain timestamp[us] (no tz -> TIMESTAMP_NTZ). Dispatch on the
+      // footer type so both load, and normalize to TimestampType (session
+      // tz is UTC everywhere, so NTZ -> LTZ preserves wall time) at µs
+      // precision — the same precision DuckDB lands on, so oracles agree.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Load + spread for compute-heavy downstream work (tokenization,

@@ -20,12 +20,29 @@ import graft.pipeline.{MapReduceConfig, MapReducePipeline}
   */
 object StreamingOps {
 
-  /** Raw parquet schema of events (ts kept as nanos long — the reader
-    * converts, same as Tables.load). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Streaming file sources need an explicit schema, and events.ts has two
+    * on-disk generations (INT64 TIMESTAMP(NANOS) vs plain timestamp[us] ->
+    * TIMESTAMP_NTZ — see Tables.load). Probe the parquet footer ONCE at
+    * plan time, declare the stream with that exact schema, and normalize
+    * `ts` to TimestampType at µs precision (session tz is UTC, so the
+    * NTZ cast preserves wall time). Reading the new µs data through a
+    * pinned LongType schema would *silently* yield timestamps 1000× too
+    * small — this probe is what makes that impossible. */
+  private def eventsSource(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val raw = withNanosAsLong(spark)(
+      spark.read.parquet(s"$dir/events.parquet").schema)
+    var reader = spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.toString))
+    val src = reader.parquet(dir)
+    raw("ts").dataType match {
+      case LongType         => src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => src.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => src
+    }
+  }
 
   /** Start `agg` as a complete-mode memory-sink stream with a scoped
     * state-store count, drain it synchronously, and return the sink
@@ -64,12 +81,8 @@ object StreamingOps {
     * synchronously. Returns the final result table. */
   def windowedEventAgg(spark: SparkSession, dir: String,
       windowLen: String = "45 minutes"): DataFrame = withNanosAsLong(spark) {
-    val src = spark.readStream
-      .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", 1) // source throttle (rate-limit analog)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // maxFilesPerTrigger = source throttle (rate-limit analog)
+    val src = eventsSource(spark, dir, maxFilesPerTrigger = Some(1))
     val agg = src
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
@@ -91,10 +104,7 @@ object StreamingOps {
     * `dropDuplicatesWithinWatermark` instead (bounded state, eviction
     * contract pinned in WatermarkSpec). */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
-    val src = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsSource(spark, dir)
       .select(col("user_id"), col("event_type"))
     val agg = src.dropDuplicates("user_id", "event_type")
       .groupBy(col("event_type"))
@@ -173,11 +183,7 @@ object StreamingOps {
     * by user_id, bounded per-key buffers, append output. */
   def clickAttribution(spark: SparkSession, dir: String,
       lagMinutes: Int = 10): DataFrame = withNanosAsLong(spark) {
-    def src = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src = eventsSource(spark, dir)
     val views = src.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("vts"))
