@@ -408,13 +408,13 @@ object Dedup {
   }
 
   /** Shared SimHash core: per-bit weighted vote of 64-bit token hashes.
-    * Token hash = two independent 32-bit murmur mixes (deterministic). */
-  private def simhashVote(tokens: Iterator[String]): Long = {
+    * Token hash = [[graft.core.TokenHash.hash64]] over the token's UTF-8
+    * bytes (two murmur3_x86_32 mixes) — byte-based so the `dedup_simhash`
+    * oracle replays it exactly in DuckDB SQL. */
+  private def simhashVote(tokens: Iterator[Array[Byte]]): Long = {
     val votes = new Array[Int](64)
-    tokens.foreach { s =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    tokens.foreach { b8 =>
+      val h = graft.core.TokenHash.hash64(b8, b8.length)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -430,10 +430,12 @@ object Dedup {
     out
   }
 
-  /** Static kernel for [[SimHash64]] (callable from generated code). */
+  /** Static kernel for [[SimHash64]] (callable from generated code).
+    * UTF8String.getBytes hands the UTF-8 bytes straight to the hash —
+    * no String round-trip. */
   def simhash64Kernel(arr: ArrayData): Long =
     simhashVote(
-      (0 until arr.numElements()).iterator.map(arr.getUTF8String(_).toString))
+      (0 until arr.numElements()).iterator.map(arr.getUTF8String(_).getBytes))
 
   /** 64-bit SimHash over a token array: per-bit weighted vote of 64-bit
     * token hashes. Custom expression — the 64-counter loop has no efficient
@@ -456,7 +458,8 @@ object Dedup {
     val s = v.toString
     val offs = Tokenizer.tokenize(s)
     simhashVote((0 until offs.length / 2).iterator.map(i =>
-      s.substring(offs(2 * i), offs(2 * i + 1))))
+      s.substring(offs(2 * i), offs(2 * i + 1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** Fused text->SimHash: the scanner tokenizer feeds the vote directly —

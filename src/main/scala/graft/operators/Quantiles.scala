@@ -28,7 +28,17 @@ object Quantiles {
     * under (`score` ASC, `tiebreak` ASC). `total` must be a 1-row frame
     * with a `n` column = df row count. Exactly SQL
     * `ntile(k) OVER (ORDER BY score, tiebreak)` for any n and k,
-    * including n < k (each row gets its own bucket i+1). */
+    * including n < k (each row gets its own bucket i+1).
+    *
+    * SCALE CONTRACT: the one unpartitioned window here runs over the
+    * score DISTRIBUTION, so it is bounded only because callers pass a
+    * score of bounded cardinality — every caller in this repo rounds to
+    * 4 dp first (<= 10^4 cells by construction). Pass an UNROUNDED
+    * double and the distribution degenerates to one cell per row: the
+    * result is still correct, but the window silently becomes an n-cell
+    * single-task sort — exactly the `ntile` plan this operator exists to
+    * avoid (QuantilesSpec pins this behavior). Round or bucket the score
+    * before calling. */
   def ntileBy(df: DataFrame, score: Column, tiebreak: Column, k: Int,
       total: DataFrame, out: String = "bucket"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -37,6 +37,22 @@ class QuantilesSpec extends SparkSpec {
     check((1L to 8L).map(i => (i, (9 - i).toDouble)), k = 4)
   }
 
+  test("high-cardinality scores: still correct, but the distribution " +
+      "degenerates to one cell per row (the documented scale contract)") {
+    // unrounded distinct doubles — the shape callers must NOT feed at
+    // scale: correctness holds, but the distribution the unpartitioned
+    // window sorts is as large as the input (n cells, single task)
+    val rows = (1L to 200L).map(i => (i, i * 0.0314159 + 1.0 / i))
+    check(rows, k = 7)
+    val df = spark.createDataFrame(rows).toDF("id", "s")
+    val cells = df.select(col("s")).distinct().count()
+    assert(cells == rows.size.toLong,
+      "expected fully distinct scores to degenerate to one cell per row")
+    // the rounded form callers use keeps the distribution bounded
+    val rounded = df.select(round(col("s"), 4).as("s")).distinct().count()
+    assert(rounded <= rows.size.toLong)
+  }
+
   test("ntileWithin matches SQL ntile PARTITION BY group, incl. uneven groups") {
     val rows = Seq(
       ("a", 1L, 2.0), ("a", 2L, 1.0), ("a", 3L, 1.0), ("a", 4L, 3.0),
