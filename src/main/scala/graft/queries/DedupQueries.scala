@@ -192,6 +192,47 @@ object DedupQueries extends graft.QueryModule {
     cachedClusters(spark, dir)
       .withColumn("split", graft.core.SplitHash.splitCol(col("cluster")))
 
+  /** Duplicate-aware sampling weights — the "down-weight instead of
+    * drop" curation rule: every near-dup cluster member is KEPT but
+    * trains at weight 1/|cluster|, so duplicated content contributes one
+    * document's worth of gradient signal in expectation regardless of
+    * how many copies the crawl picked up. Rides the shared cluster
+    * table ([[cachedClusters]]); the size attach is one bounded groupBy
+    * + a cluster-keyed join — both linear, both on the cluster shuffle
+    * the labels already carry. */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cl = cachedClusters(spark, dir)
+    val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    cl.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("n_members"),
+        round(lit(1.0) / col("n_members"), 9).as("weight"))
+  }
+
+  /** Corpus-health report: per source, the exact-duplicate rate
+    * (1 - distinct digests / docs) and the near-duplicate rate (docs in
+    * a cluster of size >= 2) — the per-crawl dashboard numbers a
+    * curation pipeline watches to catch a broken scraper or a
+    * boilerplate-heavy source before training on it. One digest
+    * aggregation + the shared cluster table; output is source-sized. */
+  def ratesBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+    val cl = cachedClusters(spark, dir)
+    val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    val flags = cl.join(sizes, "cluster")
+      .select(col("doc_id"), (col("n_members") > 1).cast("int").as("is_near"))
+    docs.join(flags, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("digest")).as("n_distinct"),
+        sum(col("is_near")).as("n_neardup"))
+      .select(col("source"), col("n_docs"),
+        round((col("n_docs") - col("n_distinct")).cast("double")
+          / col("n_docs"), 9).as("exact_dup_rate"),
+        round(col("n_neardup").cast("double") / col("n_docs"), 9)
+          .as("neardup_rate"))
+  }
+
   /** Stream-static incremental near-dups: streaming docs probed against
     * the static banded-MinHash corpus index; must equal the batch LSH
     * pairs on a bounded stream (DedupSpec parity). Approximate family —
@@ -232,6 +273,8 @@ object DedupQueries extends graft.QueryModule {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
+    "dedup_weights" -> dedupWeights,
+    "dedup_rates_by_source" -> ratesBySource,
   )
 
   private val re = Tokenizer.DuckDbTokenRegex
@@ -385,6 +428,26 @@ object DedupQueries extends graft.QueryModule {
     // approximate) — replayed bit-for-bit via the single-sourced
     // murmur3-over-UTF-8 SQL in TokenHash (generated CTE chain)
     "dedup_simhash" -> graft.core.TokenHash.simhashDocumentsSql(re),
+    "dedup_weights" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |nm AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1)
+         |SELECT cl.doc_id, cl.cluster, nm.n_members,
+         |  round(CAST(1 AS DOUBLE) / nm.n_members, 9) AS weight
+         |FROM cl JOIN nm USING (cluster)""".stripMargin,
+    "dedup_rates_by_source" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |nm AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1),
+         |fl AS (SELECT cl.doc_id,
+         |    CASE WHEN nm.n_members > 1 THEN 1 ELSE 0 END AS is_near
+         |  FROM cl JOIN nm USING (cluster)),
+         |d AS (SELECT doc_id, source, md5(text) AS digest FROM documents)
+         |SELECT d.source, count(*) AS n_docs,
+         |  round(CAST(count(*) - count(DISTINCT d.digest) AS DOUBLE)
+         |    / count(*), 9) AS exact_dup_rate,
+         |  round(CAST(sum(fl.is_near) AS DOUBLE) / count(*), 9)
+         |    AS neardup_rate
+         |FROM d JOIN fl USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
   )
 
   /** Shared transitive-closure CTEs for the cluster oracles: exact

@@ -374,6 +374,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup weights: every doc once, cluster weights sum to 1") {
+    val got = DedupQueries.dedupWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(got.length.toLong == nDocs, "one weight row per document")
+    assert(got.map(_._1).distinct.length == got.length)
+    // per cluster: n_members consistent and weights sum to ~1 (one
+    // document's worth of signal per cluster, the op's whole point)
+    got.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.forall(_._3 == rows.length.toLong), s"cluster $cl size")
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-6, s"cluster $cl weight sum $s")
+    }
+  }
+
+  test("dedup rates by source: rates in [0,1], doc counts partition the corpus") {
+    val got = DedupQueries.ratesBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(got.map(_._2).sum == nDocs)
+    got.foreach { case (src, _, ex, near) =>
+      assert(ex >= 0.0 && ex <= 1.0, s"$src exact rate $ex")
+      assert(near >= 0.0 && near <= 1.0, s"$src neardup rate $near")
+      // an exact duplicate is a fortiori a near-duplicate (jaccard 1),
+      // so the near rate can never undercut the exact rate
+      assert(near >= ex - 1e-9, s"$src near $near < exact $ex")
+    }
+  }
+
   test("int8 quantization: error bounded by scale/2, dequant cosine ~ 1") {
     val stats = SimilarityQueries.quantizeStats(spark, sf).collect()
     assert(stats.nonEmpty)
