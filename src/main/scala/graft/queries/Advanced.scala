@@ -340,6 +340,14 @@ object Advanced extends graft.QueryModule {
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
     StreamingOps.dedupCounts(spark, dir)
 
+  /** Custom-state sessionization (gap 30 min) run as a real
+    * flatMapGroupsWithState streaming query over events — the
+    * stateful-operator counterpart of [[sessionWindow]], oracled via
+    * gaps-and-islands SQL (integer-exact columns only; the running
+    * double sum is covered by the StatefulSessionsSpec batch parity). */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.eventSessions(spark, dir, gapSec = 1800L)
+
   /** JSON scalar extraction from the props column (§2.9 surface:
     * get_json_object / from_json family). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -373,6 +381,7 @@ object Advanced extends graft.QueryModule {
     "stream_window_agg" -> streamWindowAgg,
     "stream_dedup_count" -> streamDedup,
     "stream_join_attrib" -> streamJoinAttrib,
+    "stream_sessions" -> streamSessions,
     "adv_hopping_window" -> hoppingWindow,
   )
 
@@ -582,5 +591,27 @@ object Advanced extends graft.QueryModule {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // gaps-and-islands replay of the stateful sessionizer; both windows
+    // share the (sec, event_id) total order so the break flags and the
+    // running session ids bind to the same rows (ties at equal sec can
+    // carry at most one break, so tied rows always share a session —
+    // matching the fold's `diff 0 <= gap` merge)
+    "stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN lag(sec) OVER w IS NULL
+        |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |g AS (
+        |  SELECT user_id, sec,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(sec) AS session_start, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
   )
 }

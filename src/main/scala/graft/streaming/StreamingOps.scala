@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -37,12 +37,16 @@ object StreamingOps {
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n.toString))
     val src = reader.parquet(dir)
-    raw("ts").dataType match {
-      case LongType         => src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => src.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => src
-    }
+    normalizeTs(src, raw("ts").dataType)
   }
+
+  /** The two-generation `ts` normalization (see [[eventsSource]]). */
+  private def normalizeTs(df: DataFrame, tsType: DataType): DataFrame =
+    tsType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
 
   /** Start `agg` as a complete-mode memory-sink stream with a scoped
     * state-store count, drain it synchronously, and return the sink
@@ -208,6 +212,83 @@ object StreamingOps {
       finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(name).localCheckpoint(true)
+  }
+
+  /** Gap-based sessionization of the events table as a REAL streaming
+    * query through [[StatefulSessions.sessionize]] (file source ->
+    * groupByKey -> flatMapGroupsWithState -> memory sink). Bounded-input
+    * protocol: drain the staged copy of the data, then drop a single
+    * far-future SENTINEL file into the source dir and drain again — the
+    * sentinel advances the event-time watermark past every open
+    * session's timeout, the streaming analog of "the stream ended"
+    * (same flush the parity spec uses via MemoryStream). Output keeps
+    * the integer-exact columns (start sec, event count) so the DuckDB
+    * gaps-and-islands oracle hash-matches; the double running sum stays
+    * covered by the batch-parity spec. State is O(users), sharded by the
+    * group shuffle — the 100 TB shape is identical, minus the sentinel
+    * (a real stream never ends; the watermark does the closing). */
+  def eventSessions(spark: SparkSession, dir: String,
+      gapSec: Long = 1800): DataFrame = withNanosAsLong(spark) {
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory("graft_sessions_src")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val batch = spark.read.parquet(stage.toString)
+    val schema = batch.schema
+    val tsType = schema("ts").dataType
+    val maxMicros = normalizeTs(batch, tsType)
+      .agg(max(expr("unix_micros(ts)"))).collect()(0).getLong(0)
+    val src = normalizeTs(
+      spark.readStream.schema(schema).parquet(stage.toString), tsType)
+    val typed = {
+      import spark.implicits._
+      src.select(col("user_id"), expr("unix_micros(ts) div 1000000").as("sec"),
+        col("value")).as[(Long, Long, Double)]
+    }
+    val out = StatefulSessions.sessionize(typed, gapSec)
+    val name = "graft_stream_sessions"
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    try {
+      q.processAllAvailable()
+      // sentinel row: same on-disk schema, user_id -1, ts far past every
+      // open session's (last + gap) horizon
+      val sentinelMicros = maxMicros + 20L * gapSec * 1000000L
+      val sentinelTs: Column = tsType match {
+        case LongType => lit(sentinelMicros * 1000L) // nanos generation
+        case TimestampNTZType => lit(java.time.LocalDateTime.ofEpochSecond(
+          sentinelMicros / 1000000L, ((sentinelMicros % 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+        case _ => lit(java.time.Instant.ofEpochSecond(
+          sentinelMicros / 1000000L, (sentinelMicros % 1000000L) * 1000L))
+      }
+      val cols = schema.fields.map { f =>
+        (f.name match {
+          case "ts" => sentinelTs
+          case "user_id" | "event_id" => lit(-1L)
+          case _ => f.dataType match {
+            case StringType => lit("sentinel")
+            case DoubleType => lit(0.0)
+            case _ => lit(null)
+          }
+        }).cast(f.dataType).as(f.name)
+      }
+      val scratch = Files.createTempDirectory("graft_sessions_sentinel")
+      spark.range(1).select(cols.toIndexedSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.move(part, stage.resolve("zz_sentinel.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .localCheckpoint(true)
   }
 
   /** The QA MapReduce dataflow in streaming form: documents arrive as a
