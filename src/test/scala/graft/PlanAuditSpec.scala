@@ -162,4 +162,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.exists(l => !l.contains("event_type")),
       s"unused columns must prune from the scan: $scan")
   }
+
+  test("dedup weights: size attach degrades to a key-partitioned join at scale") {
+    // the cluster-size join must never force a broadcast or go cartesian
+    // — with auto-broadcast off it has to fall back to a shuffled
+    // equi-join on the cluster key (both sides already carry it)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.queries.DedupQueries.dedupWeights(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled cluster-size join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"no forced broadcast may survive the threshold=-1 config:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dedup rates by source: document text never crosses an exchange") {
+    // the digest projects at the scan; everything that shuffles is
+    // (doc_id, source, digest, flag)-sized
+    val plan = graft.queries.DedupQueries.ratesBySource(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    plan.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text"), s"text crosses an exchange: $l")
+    }
+  }
 }
