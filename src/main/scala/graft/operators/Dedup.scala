@@ -175,7 +175,40 @@ object Dedup {
     * Jaccard components) generalized to corpus self-join. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, k: Int = 3, threshold: Double = 0.3,
-      dfCap: Int = 1000, saltHot: Boolean = false): DataFrame = {
+      dfCap: Int = 1000, saltHot: Boolean = false): DataFrame =
+    sharedShingleCounts(docs, idCol, textCol, blockCol, k, dfCap, saltHot)
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Containment near-dups over the same inverted index: score
+    * c / min(|A|, |B|) instead of Jaccard. Catches EXCERPT duplication —
+    * a short doc quoted wholesale inside a long one has high containment
+    * but low Jaccard (the union is dominated by the long doc), so a
+    * Jaccard threshold never sees it (Lee et al. 2022 use both). Also
+    * emits which member is the contained (smaller-set) one — that's the
+    * candidate to drop. Identical plan and df-cap/salting behavior to
+    * [[ngramJaccardPairs]]: only the final scoring projection differs. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int = 3, threshold: Double = 0.5,
+      dfCap: Int = 1000, saltHot: Boolean = false): DataFrame =
+    sharedShingleCounts(docs, idCol, textCol, blockCol, k, dfCap, saltHot)
+      .withColumn("containment",
+        col("c").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"),
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_id"))
+
+  /** Shared core of the exact set-similarity family: per candidate pair
+    * (doc_a < doc_b, same block), the shingle-set sizes and the shared
+    * distinct-shingle count c. See [[ngramJaccardPairs]] for the plan
+    * and skew discussion. */
+  private def sharedShingleCounts(docs: DataFrame, idCol: String,
+      textCol: String, blockCol: String, k: Int,
+      dfCap: Int, saltHot: Boolean): DataFrame = {
     val sh = docs.select(col(blockCol), col(idCol),
       shingles(col(textCol), k).as("sh"))
     val ex = sh.select(col(blockCol),
@@ -235,10 +268,6 @@ object Dedup {
       .groupBy(col("p._1.id").as("doc_a"), col("p._2.id").as("doc_b"),
         col("p._1.n").as("n_a"), col("p._2.n").as("n_b"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** All ordered pairs (a<b) from a sorted id array, as array<struct>. */

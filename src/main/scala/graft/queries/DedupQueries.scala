@@ -46,6 +46,16 @@ object DedupQueries extends graft.QueryModule {
     Dedup.ngramJaccardPairs(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", "lang", k = 3, threshold = JaccardThreshold)
 
+  /** Containment near-dups (c / min(|A|, |B|) >= 0.5) — the excerpt/
+    * quote-duplication detector: a short doc reproduced inside a long
+    * one scores ~1.0 here while its Jaccard stays low (union dominated
+    * by the long doc), so [[ngramJaccard]]'s threshold never fires.
+    * Same inverted-index plan; emits the contained (smaller-set) member
+    * as the drop candidate. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(Tables.loadSpread(spark, dir, "documents"),
+      "doc_id", "text", "lang", k = 3, threshold = 0.5)
+
   /** Canonicalized ("fuzzy-exact") dedup — the standard web-corpus trick
     * that catches trivially-reformatted copies exact hashing misses:
     * lowercase, collapse every non-alphanumeric run to one space, trim,
@@ -275,6 +285,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_weights" -> dedupWeights,
     "dedup_rates_by_source" -> ratesBySource,
+    "dedup_containment" -> containment,
   )
 
   private val re = Tokenizer.DuckDbTokenRegex
@@ -434,6 +445,17 @@ object DedupQueries extends graft.QueryModule {
          |SELECT cl.doc_id, cl.cluster, nm.n_members,
          |  round(CAST(1 AS DOUBLE) / nm.n_members, 9) AS weight
          |FROM cl JOIN nm USING (cluster)""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $ShingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+         |    / least(len(a.sh), len(b.sh)), 6) AS containment,
+         |  CASE WHEN len(a.sh) <= len(b.sh) THEN a.doc_id
+         |       ELSE b.doc_id END AS contained_id
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
+         |      / least(len(a.sh), len(b.sh)) >= 0.5""".stripMargin,
     "dedup_rates_by_source" ->
       s"""WITH RECURSIVE $ClusterCtes,
          |nm AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1),

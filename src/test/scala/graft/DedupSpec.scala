@@ -374,6 +374,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment catches excerpt duplication that jaccard misses") {
+    val s = spark; import s.implicits._
+    val short = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val long = short + " " + (100 to 220).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("containment").toString
+    Seq((1L, short, "en", "a"), (2L, long, "en", "a"),
+        (3L, (300 to 360).map(i => s"z$i").mkString(" "), "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the excerpt pair: containment ~1.0, jaccard ~ |A|/|B| << 0.3
+    val cont = DedupQueries.containment(spark, dir).collect()
+    assert(cont.length == 1, s"expected exactly the excerpt pair, got ${cont.toSeq}")
+    assert((cont(0).getLong(0), cont(0).getLong(1), cont(0).getLong(3)) == (1L, 2L, 1L))
+    assert(cont(0).getDouble(2) >= 0.99)
+    val jac = DedupQueries.ngramJaccard(spark, dir).collect()
+    assert(jac.isEmpty, s"jaccard >= 0.3 should miss the excerpt pair: ${jac.toSeq}")
+  }
+
   test("dedup weights: every doc once, cluster weights sum to 1") {
     val got = DedupQueries.dedupWeights(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
