@@ -243,6 +243,38 @@ object DedupQueries extends graft.QueryModule {
           .as("neardup_rate"))
   }
 
+  /** Effective source mix AFTER duplicate down-weighting — what the
+    * training mix actually looks like once every near-dup cluster
+    * contributes one document's worth of signal ([[dedupWeights]]): per
+    * source, raw vs effective doc and token counts and the corpus-share
+    * drift. A source whose share collapses here is padding the corpus
+    * with copies (the complement of [[ratesBySource]]'s rate view).
+    * Token counts via the oracled C4 expression; one doc-keyed join
+    * rides the cluster shuffle, the final agg is source-sized. */
+  def dedupAwareMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.count_tokens(col("text"))
+          .cast("long").as("n_tokens"))
+    val w = dedupWeights(spark, dir).select(col("doc_id"), col("weight"))
+    // DECIMAL sums: exact and order-independent, so the oracle compare
+    // never flakes on double summation order (repo convention)
+    val wDec = col("weight").cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    val per = toks.join(w, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("raw_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        round(sum(wDec).cast("double"), 6).as("eff_docs"),
+        round(sum(wDec * col("n_tokens")).cast("double"), 6).as("eff_tokens"))
+    val tot = per.agg(sum(col("raw_tokens")).as("t_raw"),
+      sum(col("eff_tokens")).as("t_eff"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("raw_docs"), col("raw_tokens"),
+        col("eff_docs"), col("eff_tokens"),
+        round(col("raw_tokens") / col("t_raw"), 6).as("raw_share"),
+        round(col("eff_tokens") / col("t_eff"), 6).as("eff_share"))
+  }
+
   /** Stream-static incremental near-dups: streaming docs probed against
     * the static banded-MinHash corpus index; must equal the batch LSH
     * pairs on a bounded stream (DedupSpec parity). Approximate family —
@@ -286,6 +318,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_weights" -> dedupWeights,
     "dedup_rates_by_source" -> ratesBySource,
     "dedup_containment" -> containment,
+    "ta_dedup_aware_mix" -> dedupAwareMix,
   )
 
   private val re = Tokenizer.DuckDbTokenRegex
@@ -456,6 +489,28 @@ object DedupQueries extends graft.QueryModule {
          |WHERE len(a.sh) > 0 AND len(b.sh) > 0
          |  AND len(list_intersect(a.sh, b.sh)) * 1.0
          |      / least(len(a.sh), len(b.sh)) >= 0.5""".stripMargin,
+    "ta_dedup_aware_mix" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |nm AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1),
+         |w AS (SELECT cl.doc_id,
+         |    round(CAST(1 AS DOUBLE) / nm.n_members, 9) AS weight
+         |  FROM cl JOIN nm USING (cluster)),
+         |t AS (SELECT doc_id, source,
+         |    len(regexp_extract_all(text, '$re')) AS n_tokens
+         |  FROM documents),
+         |per AS (SELECT t.source, count(*) AS raw_docs,
+         |    CAST(sum(t.n_tokens) AS BIGINT) AS raw_tokens,
+         |    round(CAST(sum(CAST(w.weight AS DECIMAL(18,9))) AS DOUBLE), 6)
+         |      AS eff_docs,
+         |    round(CAST(sum(CAST(w.weight AS DECIMAL(18,9)) * t.n_tokens)
+         |      AS DOUBLE), 6) AS eff_tokens
+         |  FROM t JOIN w USING (doc_id) GROUP BY t.source),
+         |tot AS (SELECT sum(raw_tokens) AS t_raw, sum(eff_tokens) AS t_eff
+         |  FROM per)
+         |SELECT source, raw_docs, raw_tokens, eff_docs, eff_tokens,
+         |  round(raw_tokens / t_raw, 6) AS raw_share,
+         |  round(eff_tokens / t_eff, 6) AS eff_share
+         |FROM per, tot""".stripMargin,
     "dedup_rates_by_source" ->
       s"""WITH RECURSIVE $ClusterCtes,
          |nm AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1),
