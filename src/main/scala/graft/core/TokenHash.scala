@@ -102,14 +102,16 @@ object TokenHash {
        |$outCte AS (SELECT doc_id, h1 * 4294967296::UBIGINT + h2 AS h64 FROM tk8)""".stripMargin
   }
 
-  /** Full DuckDB replay of the SimHash signature over `documents`:
+  /** CTE chain replaying the SimHash signature over `documents`:
     * tokenize with `re` (the shared Tokenizer parity regex), hash each
     * token occurrence with [[hash64]], per-bit majority vote (bit set iff
     * strictly more ones than zeros — ties clear, matching the kernel's
-    * `votes(b) > 0`), pack to a signed BIGINT. Docs with no tokens
-    * signature to 0, same as the kernel's empty vote. */
-  def simhashDocumentsSql(re: String): String =
-    s"""WITH simtok AS (
+    * `votes(b) > 0`), pack to a signed BIGINT. Emits `sigs(doc_id,
+    * simhash)` covering EVERY document (no-token docs signature to 0,
+    * same as the kernel's empty vote). Reused by both the signature
+    * oracle and the band-blocked pairs oracle. */
+  def simhashSigCtes(re: String): String =
+    s"""simtok AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, '$re')) AS t
        |  FROM documents),
        |${hash64SqlCtes("simtok", "th")},
@@ -123,10 +125,36 @@ object TokenHash {
        |  SELECT doc_id,
        |    SUM(CASE WHEN bit = 1
        |        THEN CAST(1::UBIGINT << CAST(b AS INTEGER) AS HUGEINT) ELSE 0 END) AS u
-       |  FROM bits GROUP BY doc_id)
-       |SELECT d.doc_id,
-       |  CAST(CASE WHEN coalesce(s.u, 0) >= 9223372036854775808
-       |       THEN coalesce(s.u, 0) - 18446744073709551616
-       |       ELSE coalesce(s.u, 0) END AS BIGINT) AS simhash
-       |FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id""".stripMargin
+       |  FROM bits GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN coalesce(s.u, 0) >= 9223372036854775808
+       |         THEN coalesce(s.u, 0) - 18446744073709551616
+       |         ELSE coalesce(s.u, 0) END AS BIGINT) AS simhash
+       |  FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id)""".stripMargin
+
+  /** Full signature query: `(doc_id, simhash)` per document. */
+  def simhashDocumentsSql(re: String): String =
+    s"""WITH ${simhashSigCtes(re)}
+       |SELECT doc_id, simhash FROM sigs""".stripMargin
+
+  /** Band-blocked SimHash near-dup pairs — the full candidate+verify
+    * replay: 4x16-bit band keys (arithmetic shift + mask, same bits as
+    * the engine's `shiftright(sig, 16*i) & 0xffff` on the signed long),
+    * band-bucket self-join, hamming = bit_count(xor) verify, distinct.
+    * Deterministic end-to-end, so the "approximate" pairs query gets an
+    * exact oracle; only its RECALL (vs all true near-dups) is
+    * approximate, which the DedupSpec bound covers. */
+  def simhashPairsSql(re: String, maxHamming: Int): String =
+    s"""WITH ${simhashSigCtes(re)},
+       |bands AS (
+       |  SELECT doc_id, simhash, r.b AS band_idx,
+       |    (simhash >> (16 * CAST(r.b AS INTEGER))) & 65535 AS band_key
+       |  FROM sigs CROSS JOIN range(4) r(b))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
 }

@@ -472,6 +472,10 @@ object DedupQueries extends graft.QueryModule {
     // approximate) — replayed bit-for-bit via the single-sourced
     // murmur3-over-UTF-8 SQL in TokenHash (generated CTE chain)
     "dedup_simhash" -> graft.core.TokenHash.simhashDocumentsSql(re),
+    // candidate generation + verify are deterministic given the
+    // signatures, so the pairs query gets an exact oracle too; only its
+    // recall vs ALL true near-dups is approximate (DedupSpec bound)
+    "dedup_simhash_pairs" -> graft.core.TokenHash.simhashPairsSql(re, 8),
     "dedup_weights" ->
       s"""WITH RECURSIVE $ClusterCtes,
          |nm AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1)
