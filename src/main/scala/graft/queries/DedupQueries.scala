@@ -95,7 +95,9 @@ object DedupQueries extends graft.QueryModule {
   }
 
   /** MinHash+LSH near-dups: 32 hashes, 16 bands x 2 — candidates from band
-    * buckets, verified by exact Jaccard >= 0.3. Approximate (no oracle). */
+    * buckets, verified by exact Jaccard >= 0.3. Only RECALL vs the full
+    * pair set is approximate; the query itself is deterministic and
+    * exactly oracled via [[graft.core.XxHashSql]]'s XXH64+fmix64 replay. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", shingleK = 3, numHashes = 32, bands = 16,
@@ -476,6 +478,18 @@ object DedupQueries extends graft.QueryModule {
     // signatures, so the pairs query gets an exact oracle too; only its
     // recall vs ALL true near-dups is approximate (DedupSpec bound)
     "dedup_simhash_pairs" -> graft.core.TokenHash.simhashPairsSql(re, 8),
+    // same status as the simhash pairs: the banded-MinHash candidate set
+    // and the exact-Jaccard verify are both deterministic given the hash,
+    // and XxHashSql replays XXH64 + fmix64 bit-for-bit in DuckDB. The
+    // kernel's 1000-doc hot-bucket cap is part of the replayed contract.
+    "dedup_minhash_lsh" -> graft.core.XxHashSql.minhashPairsSql(
+      re, shingleK = 3, numHashes = 32, bands = 16,
+      threshold = JaccardThreshold, bucketCap = Some(1000)),
+    // the streaming variant joins band collisions directly (no bucket
+    // cap); batch-replaying it is exact for the same reason
+    "stream_neardup_join" -> graft.core.XxHashSql.minhashPairsSql(
+      re, shingleK = 3, numHashes = 32, bands = 16,
+      threshold = JaccardThreshold, bucketCap = None),
     "dedup_weights" ->
       s"""WITH RECURSIVE $ClusterCtes,
          |nm AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1)
