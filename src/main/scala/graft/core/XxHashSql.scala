@@ -193,6 +193,36 @@ object XxHashSql {
        |  FROM mband JOIN mbinit ON mband.b = mbinit.b)""".stripMargin
   }
 
+  /** CTE chain replaying the RP-LSH signature kernel
+    * ([[graft.operators.Similarity.rpLshSigKernel]]): the Rademacher
+    * hyperplane component for (table t, bit b, dim i) is the low bit of
+    * fmix64(t*1048573 + b*8191 + i) — replayed with the staged fmix over
+    * a tables x bits x dim range product — and each signature bit is the
+    * sign of the left-to-right dot fold of the double-cast embedding
+    * against that +-1 vector (float -> double casts are exact on both
+    * engines, and both fold in ascending dimension order, so the FP sum
+    * is bit-identical). Emits `sigs(vec_id, tbl INT, sig BIGINT)` over
+    * `embeddings` — the exact rows `posexplode(rp_lsh_sig(...))`
+    * produces. */
+  def rpLshSigCtes(tables: Int, bits: Int, dim: Int): String =
+    s"""hy0 AS (
+       |  SELECT t, b, i, CAST(t*1048573 + b*8191 + i AS UBIGINT) AS h
+       |  FROM range($tables) r1(t), range($bits) r2(b), range($dim) r3(i)),
+       |${fmixCtes("hyf", "hy0", "hyf", Seq("t", "b", "i"))},
+       |hyp AS (
+       |  SELECT t, b, list(CASE WHEN (h & 1::UBIGINT) = 0::UBIGINT THEN 1.0 ELSE -1.0 END ORDER BY i) AS sl
+       |  FROM hyf GROUP BY t, b),
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dots AS (
+       |  SELECT ev.vec_id, hyp.t, hyp.b,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(ev.v, hyp.sl),
+       |      p -> p[1] * p[2])), (acc, x) -> acc + x) AS dot
+       |  FROM ev CROSS JOIN hyp),
+       |sigs AS (
+       |  SELECT vec_id, CAST(t AS INTEGER) AS tbl,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots GROUP BY vec_id, t)""".stripMargin
+
   /** Full MinHash-LSH near-dup oracle: band-bucket candidates (optionally
     * capping runaway buckets like [[graft.operators.Dedup.lshCandidates]])
     * verified by exact shingle Jaccard >= `threshold`. Matches

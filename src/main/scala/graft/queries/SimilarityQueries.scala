@@ -38,9 +38,10 @@ object SimilarityQueries extends graft.QueryModule {
       Tables.loadSpread(spark, dir, "embeddings"), NearDupThreshold)
 
   /** RP-LSH-blocked near-dups — the 100 TB path (no quadratic block,
-    * only bucket collisions scored). Approximate family: rows-only
-    * driver check + DedupSpec recall/precision contract vs the exact
-    * query. */
+    * only bucket collisions scored). Exactly oracled (the fmix64-seeded
+    * hyperplanes and ordered dot folds replay in DuckDB — see
+    * [[graft.core.XxHashSql.rpLshSigCtes]]); only RECALL vs the exact
+    * pair set is approximate (DedupSpec contract). */
   def rpLshNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.rpLshNearDups(
       Tables.loadSpread(spark, dir, "embeddings"), NearDupThreshold)
@@ -590,6 +591,38 @@ object SimilarityQueries extends graft.QueryModule {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCosine("a.embedding", "b.embedding")} > $NearDupThreshold"""
         .stripMargin,
+    // the RP-LSH pair/top-k queries are deterministic end-to-end: the
+    // hyperplanes are fmix64-derived (replayed by XxHashSql's staged
+    // mix), the sign dots fold left-to-right in both engines, and the
+    // verify is the exact shared-contract cosine — only RECALL vs the
+    // full pair set is approximate (SimilaritySpec bound)
+    "sim_neardups_rplsh" ->
+      s"""WITH ${graft.core.XxHashSql.rpLshSigCtes(tables = 32, bits = 8, dim = 64)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_a, c.vec_b, ${duckCosine("ea.embedding", "eb.embedding")} AS sim
+         |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, round(sim, 6) AS sim FROM scored
+         |WHERE sim > $NearDupThreshold""".stripMargin,
+    "sim_topk_rplsh" ->
+      s"""WITH ${graft.core.XxHashSql.rpLshSigCtes(tables = 32, bits = 8, dim = 64)},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+         |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.cand_id, ${duckCosine("ea.embedding", "eb.embedding")} AS sim
+         |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.query_id
+         |  JOIN embeddings eb ON eb.vec_id = c.cand_id)
+         |SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
     "sim_quantize_stats" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
