@@ -496,7 +496,16 @@ object AnalysisQueries extends graft.QueryModule {
     * unlike the global variant there is no single-partition exchange
     * anywhere in the plan. Exactly SQL
     * `percent_rank() OVER (PARTITION BY lang ORDER BY quality)`. */
-  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityPct(spark, dir)
+      .filter(col("pct") >= 0.25)
+      .select(col("doc_id"), col("lang"), col("quality"), col("pct"))
+
+  /** The unfiltered per-doc quality percentile behind [[qualityGate]]
+    * (and the quality stage of `dedup_curation_manifest`): exact
+    * per-language percent_rank via distribution cells — no
+    * single-partition exchange anywhere. */
+  private[queries] def qualityPct(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val feats = TextAnalysis.qualityFeatures(col("text")).toMap
     val scored = Tables.loadSpread(spark, dir, "documents")
@@ -517,7 +526,6 @@ object AnalysisQueries extends graft.QueryModule {
         // would be 0/0 there
         when(col("n") === 1, lit(0.0)).otherwise(
           round(col("below").cast("double") / (col("n") - lit(1)), 6)))
-      .filter(col("pct") >= 0.25)
       .select(col("doc_id"), col("lang"), col("quality"), col("pct"))
   }
 
@@ -1519,7 +1527,7 @@ object AnalysisQueries extends graft.QueryModule {
   /** Shared DuckDB CTEs computing the per-doc quality features (`f`) —
     * replayed by ta_quality and as the difficulty signal of
     * ta_curriculum_shards. */
-  private def qualityFeatureCtes: String =
+  private[queries] def qualityFeatureCtes: String =
     s"""t AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
        |           FROM documents),
        |f AS (SELECT doc_id,
@@ -1535,7 +1543,7 @@ object AnalysisQueries extends graft.QueryModule {
 
   /** The composite quality score over the `f` feature columns (same
     * weights as [[TextAnalysis.qualityFeatures]]). */
-  private def qualityScoreSql: String =
+  private[queries] def qualityScoreSql: String =
     """least(round(
       |    least(n_tokens / 500.0, 1.0) * 0.3
       |    + stop_ratio * 10.0 * 0.3

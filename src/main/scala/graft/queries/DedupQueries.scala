@@ -301,8 +301,61 @@ object DedupQueries extends graft.QueryModule {
     Dedup.spanCoverage(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", k = SpanK)
 
+  /** End-to-end curation manifest — the whole dedup+quality pipeline as
+    * ONE declarative plan, one row per document with its fate and why:
+    *
+    *  1. `drop_exact_dup` — not the min-id keeper of its md5(text) group
+    *     (hash groupBy on a 16-byte digest; the text never shuffles);
+    *  2. `drop_near_dup` — its near-dup cluster (shared audit-tier
+    *     cluster cache) keeps a richer member (longest text, ties to
+    *     min id, computed among exact-keepers only via map-side-combined
+    *     `max(struct)` — every cluster retains >= 1 exact keeper because
+    *     identical texts always share a cluster);
+    *  3. `drop_quality` — below its own language's 25th quality
+    *     percentile (the [[AnalysisQueries.qualityPct]] distribution-
+    *     cell rank — no global window);
+    *  4. `keep` — with the leakage-safe split: keepers inherit
+    *     [[graft.core.SplitHash]] of their CLUSTER id (the
+    *     `dedup_group_split` rule), so a kept doc can never land in a
+    *     different split than a near-dup of itself kept by a later
+    *     incremental run.
+    *
+    * Every stage is keyed-shuffle or broadcast — the composition adds no
+    * new shuffle shape beyond its parts, so the 100 TB posture is the
+    * min of its parts'. First match wins on status. */
+  def curationManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("ch"))
+    val ex = hashed.join(
+      hashed.groupBy(col("ch")).agg(min(col("doc_id")).as("ex_keep")), "ch")
+      .select(col("doc_id"), col("ex_keep"))
+    val cl = cachedClusters(spark, dir)
+    val best = cl
+      .join(ex.filter(col("doc_id") === col("ex_keep")).select("doc_id"), "doc_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster"), (-col("b.neg_id")).as("cl_keep"))
+    val pct = AnalysisQueries.qualityPct(spark, dir)
+      .select(col("doc_id"), col("pct"))
+    val status = when(col("doc_id") =!= col("ex_keep"), "drop_exact_dup")
+      .when(col("doc_id") =!= col("cl_keep"), "drop_near_dup")
+      .when(col("pct") < 0.25, "drop_quality")
+      .otherwise("keep")
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(ex, "doc_id")
+      .join(cl, "doc_id")
+      .join(best, "cluster")
+      .join(pct, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("cluster"), status.as("status"),
+        when(status === "keep",
+          graft.core.SplitHash.splitCol(col("cluster"))).as("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_neardup_join" -> streamingNearDups,
+    "dedup_curation_manifest" -> curationManifest,
     "dedup_spans" -> duplicatedSpans,
     "dedup_span_coverage" -> spanCoverage,
     "dedup_exact" -> exact,
@@ -490,6 +543,36 @@ object DedupQueries extends graft.QueryModule {
     "stream_neardup_join" -> graft.core.XxHashSql.minhashPairsSql(
       re, shingleK = 3, numHashes = 32, bands = 16,
       threshold = JaccardThreshold, bucketCap = None),
+    "dedup_curation_manifest" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |${graft.queries.AnalysisQueries.qualityFeatureCtes},
+         |qq AS (SELECT f.doc_id, d.lang,
+         |  ${graft.queries.AnalysisQueries.qualityScoreSql} AS quality
+         |  FROM f JOIN documents d ON f.doc_id = d.doc_id),
+         |rr AS (SELECT doc_id, round(percent_rank() OVER
+         |    (PARTITION BY lang ORDER BY quality), 6) AS pct FROM qq),
+         |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS ex_keep
+         |       FROM documents),
+         |bst AS (SELECT cluster, doc_id AS cl_keep FROM (
+         |  SELECT cl.cluster, cl.doc_id, row_number() OVER
+         |    (PARTITION BY cl.cluster ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+         |  JOIN ex ON ex.doc_id = cl.doc_id
+         |  WHERE ex.doc_id = ex.ex_keep) WHERE rn = 1),
+         |st AS (
+         |  SELECT d.doc_id, d.lang, d.source, cl.cluster,
+         |    CASE WHEN e.doc_id <> e.ex_keep THEN 'drop_exact_dup'
+         |         WHEN cl.doc_id <> b.cl_keep THEN 'drop_near_dup'
+         |         WHEN r.pct < 0.25 THEN 'drop_quality'
+         |         ELSE 'keep' END AS status
+         |  FROM documents d
+         |  JOIN ex e ON e.doc_id = d.doc_id
+         |  JOIN cl ON cl.doc_id = d.doc_id
+         |  JOIN bst b ON b.cluster = cl.cluster
+         |  JOIN rr r ON r.doc_id = d.doc_id)
+         |SELECT doc_id, lang, source, cluster, status,
+         |  CASE WHEN status = 'keep' THEN ${splitCase("cluster")} END AS split
+         |FROM st""".stripMargin,
     "dedup_weights" ->
       s"""WITH RECURSIVE $ClusterCtes,
          |nm AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1)

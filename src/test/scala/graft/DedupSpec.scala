@@ -528,4 +528,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(sims(0) - 1.0) < 1e-12)
     assert(math.abs(sims(1)) < 1e-12)
   }
+
+  test("curation manifest: one fate per doc, stages consistent, split cluster-keyed") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = DedupQueries.curationManifest(spark, sf).collect()
+    // total coverage: exactly one manifest row per document
+    assert(rows.length == docs.count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+    // exact stage agrees with dedup_exact: drops = docs minus digest groups
+    val nGroups = DedupQueries.exact(spark, sf).count()
+    assert(byStatus.getOrElse("drop_exact_dup", Array.empty).length ==
+      rows.length - nGroups)
+    // split present iff kept, and constant within a cluster's keeps
+    rows.foreach { r =>
+      val kept = r.getAs[String]("status") == "keep"
+      assert((r.getAs[String]("split") != null) == kept, s"split/status: $r")
+    }
+    val keeps = rows.filter(_.getAs[String]("status") == "keep")
+    assert(keeps.nonEmpty)
+    assert(keeps.groupBy(_.getAs[Long]("cluster"))
+      .forall { case (_, rs) => rs.map(_.getAs[String]("split")).distinct.length == 1 })
+    // near-dup drops really have a surviving richer clustermate
+    val keepSet = keeps.map(_.getAs[Long]("doc_id")).toSet
+    val clusterOf = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    byStatus.getOrElse("drop_near_dup", Array.empty).foreach { r =>
+      val cl = r.getAs[Long]("cluster")
+      assert(rows.exists(o => o.getAs[Long]("cluster") == cl &&
+        o.getAs[String]("status") != "drop_exact_dup" &&
+        o.getAs[Long]("doc_id") != r.getAs[Long]("doc_id")),
+        s"near-dup drop with no surviving clustermate: $r; cluster $cl of ${clusterOf.size}")
+    }
+  }
 }
