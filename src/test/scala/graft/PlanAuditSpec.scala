@@ -190,4 +190,23 @@ class PlanAuditSpec extends SparkSpec {
       assert(!l.contains("text"), s"text crosses an exchange: $l")
     }
   }
+
+  test("curation manifest: keyed joins only; text never crosses an exchange") {
+    // the composition contract: exact stage shuffles digests, cluster
+    // stages shuffle (doc_id, cluster)-sized rows, quality stage
+    // broadcasts distribution cells — no cartesian, no global sort, and
+    // no exchange carries document text
+    val plan = graft.queries.DedupQueries.curationManifest(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    plan.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text"), s"text crosses an exchange: $l")
+    }
+    // the only sorts allowed are inside sort-merge joins / partitioned
+    // windows, never a global (singlePartition) ordering
+    assert(!plan.contains("Sort [") ||
+      !plan.split("\n").exists(l => l.contains("Sort [") && l.contains("global=true")
+        && !l.contains("SortMergeJoin")),
+      s"unexpected global sort:\n$plan")
+  }
 }
