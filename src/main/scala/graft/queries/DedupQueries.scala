@@ -345,7 +345,14 @@ object DedupQueries extends graft.QueryModule {
     docs.select(col("doc_id"), col("lang"), col("source"))
       .join(ex, "doc_id")
       .join(cl, "doc_id")
-      .join(best, "cluster")
+      // LEFT: a cluster can lack a best when ALL its members are exact
+      // drops — possible because the near-dup pair table is lang-blocked,
+      // so a doc whose identical text also ships under another lang label
+      // keeps its own cluster while losing the md5 race. The status CASE
+      // classifies such docs as drop_exact_dup before touching cl_keep,
+      // and genuine keeps always have a best (their own cluster keeps
+      // them), so the null never reaches a decision.
+      .join(best, Seq("cluster"), "left")
       .join(pct, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"),
         col("cluster"), status.as("status"),
@@ -568,7 +575,7 @@ object DedupQueries extends graft.QueryModule {
          |  FROM documents d
          |  JOIN ex e ON e.doc_id = d.doc_id
          |  JOIN cl ON cl.doc_id = d.doc_id
-         |  JOIN bst b ON b.cluster = cl.cluster
+         |  LEFT JOIN bst b ON b.cluster = cl.cluster
          |  JOIN rr r ON r.doc_id = d.doc_id)
          |SELECT doc_id, lang, source, cluster, status,
          |  CASE WHEN status = 'keep' THEN ${splitCase("cluster")} END AS split
