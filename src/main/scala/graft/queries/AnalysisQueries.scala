@@ -505,10 +505,15 @@ object AnalysisQueries extends graft.QueryModule {
     * (and the quality stage of `dedup_curation_manifest`): exact
     * per-language percent_rank via distribution cells — no
     * single-partition exchange anywhere. */
-  private[queries] def qualityPct(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def qualityPct(spark: SparkSession, dir: String): DataFrame =
+    qualityPctOf(Tables.loadSpread(spark, dir, "documents"))
+
+  /** Same rank over an arbitrary documents-shaped frame (the corpus side
+    * of `stream_curation` gates on a SUBSET's percentiles). */
+  private[queries] def qualityPctOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val feats = TextAnalysis.qualityFeatures(col("text")).toMap
-    val scored = Tables.loadSpread(spark, dir, "documents")
+    val scored = docs
       .select(col("doc_id"), col("lang"), feats("quality").as("quality"))
     val dist = scored.groupBy(col("lang"), col("quality"))
       .agg(count(lit(1)).as("c"))

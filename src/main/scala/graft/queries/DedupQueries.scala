@@ -285,6 +285,25 @@ object DedupQueries extends graft.QueryModule {
     graft.streaming.StreamingOps.streamingNearDups(spark, dir,
       shingleK = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold)
 
+  /** Ingestion-time curation gate (streaming): arriving docs (the
+    * `dedup_incremental` batch convention, doc_id % 5 == 4) classified
+    * against static corpus state — digest dup probe + per-language
+    * 25th-percentile quality threshold; admits carry the hash split.
+    * Stateless stream-static plan; see
+    * [[graft.streaming.StreamingOps.streamingCuration]]. */
+  def streamingCuration(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 5 =!= 4)
+    val corpusDigests = corpus
+      .select(md5(encode(col("text"), "UTF-8")).as("digest"))
+      .distinct().withColumn("in_corpus", lit(true))
+    val thresholds = AnalysisQueries.qualityPctOf(corpus)
+      .filter(col("pct") >= 0.25)
+      .groupBy(col("lang")).agg(min(col("quality")).as("thr"))
+    graft.streaming.StreamingOps.streamingCuration(
+      spark, dir, corpusDigests, thresholds)
+  }
+
   /** Substring-level dedup: maximal per-doc runs of 5-grams that occur
     * in more than one document ([[Dedup.duplicatedSpans]] — the
     * exact-substring-dedup span report). Linear end-to-end; the islands
@@ -362,6 +381,7 @@ object DedupQueries extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_neardup_join" -> streamingNearDups,
+    "stream_curation" -> streamingCuration,
     "dedup_curation_manifest" -> curationManifest,
     "dedup_spans" -> duplicatedSpans,
     "dedup_span_coverage" -> spanCoverage,
@@ -550,6 +570,32 @@ object DedupQueries extends graft.QueryModule {
     "stream_neardup_join" -> graft.core.XxHashSql.minhashPairsSql(
       re, shingleK = 3, numHashes = 32, bands = 16,
       threshold = JaccardThreshold, bucketCap = None),
+    // batch replay of the stateless stream-static gate: statuses depend
+    // only on static corpus state, so micro-batching cannot reorder them
+    "stream_curation" ->
+      s"""WITH ${graft.queries.AnalysisQueries.qualityFeatureCtes},
+         |q2 AS (SELECT f.doc_id, d.lang, d.source,
+         |  ${graft.queries.AnalysisQueries.qualityScoreSql} AS quality
+         |  FROM f JOIN documents d ON f.doc_id = d.doc_id),
+         |cthr AS (SELECT lang, min(quality) AS thr FROM (
+         |  SELECT lang, quality, round(percent_rank() OVER
+         |    (PARTITION BY lang ORDER BY quality), 6) AS pct
+         |  FROM q2 WHERE doc_id % 5 <> 4) WHERE pct >= 0.25 GROUP BY lang),
+         |cd AS (SELECT DISTINCT md5(text) AS digest FROM documents
+         |       WHERE doc_id % 5 <> 4),
+         |bq AS (SELECT q2.doc_id, q2.lang, q2.source, q2.quality,
+         |  md5(d.text) AS digest
+         |  FROM q2 JOIN documents d ON d.doc_id = q2.doc_id
+         |  WHERE q2.doc_id % 5 = 4),
+         |st2 AS (SELECT bq.doc_id, bq.lang, bq.source, bq.quality,
+         |  CASE WHEN cd.digest IS NOT NULL THEN 'dup_of_corpus'
+         |       WHEN bq.quality < t.thr THEN 'low_quality'
+         |       ELSE 'admit' END AS status
+         |  FROM bq LEFT JOIN cd ON cd.digest = bq.digest
+         |  LEFT JOIN cthr t ON t.lang = bq.lang)
+         |SELECT doc_id, lang, source, quality, status,
+         |  CASE WHEN status = 'admit' THEN ${splitCase("doc_id")} END AS split
+         |FROM st2""".stripMargin,
     "dedup_curation_manifest" ->
       s"""WITH RECURSIVE $ClusterCtes,
          |${graft.queries.AnalysisQueries.qualityFeatureCtes},

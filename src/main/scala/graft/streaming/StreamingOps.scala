@@ -175,6 +175,59 @@ object StreamingOps {
     spark.table(name).localCheckpoint(true)
   }
 
+  /** Ingestion-time curation gate — the streaming half of the
+    * `dedup_curation_manifest` split of responsibilities: every arriving
+    * document is classified against STATIC corpus state only
+    * (`dup_of_corpus` on a digest probe, `low_quality` against the
+    * corpus's per-language quality threshold, else `admit` with the
+    * hash-split label). In-stream duplicate resolution is deliberately
+    * NOT done here: first-wins ordering inside a micro-batch is
+    * nondeterministic under parallel reads, so the stream stays
+    * stateless (the only joins are stream-static) and the periodic batch
+    * manifest owns cross-document decisions — the standard
+    * cheap-gate-at-ingest / full-dedup-at-compaction split. Statuses are
+    * therefore deterministic, and the whole query is exactly oracled by
+    * a batch SQL replay.
+    *
+    * At 100 TB: the digest set is a broadcast-or-bucketed semi-join
+    * against a (16-byte, id) table, the threshold table is
+    * languages-sized, quality features are a pure projection — per-event
+    * cost is O(tokens), state is zero. */
+  def streamingCuration(spark: SparkSession, dir: String,
+      corpusDigests: DataFrame, thresholds: DataFrame): DataFrame = {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val feats = graft.operators.TextAnalysis.qualityFeatures(col("text")).toMap
+    val classified = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 5 === 4) // the arriving batch (incremental-dedup convention)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(encode(col("text"), "UTF-8")).as("digest"),
+        feats("quality").as("quality"))
+      .join(corpusDigests, Seq("digest"), "left")
+      .join(broadcast(thresholds), Seq("lang"), "left")
+      .withColumn("status",
+        when(col("in_corpus"), "dup_of_corpus")
+          .when(col("quality") < col("thr"), "low_quality")
+          .otherwise("admit"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        col("status"),
+        when(col("status") === "admit",
+          graft.core.SplitHash.splitCol(col("doc_id"))).as("split"))
+    val name = "graft_stream_curation"
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try classified.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name).localCheckpoint(true)
+  }
+
   /** Stream-STREAM interval join (click attribution): views and clicks
     * run as two independent watermarked streams; a click joins every
     * same-user view it follows within `lagMinutes`. The time-bound join

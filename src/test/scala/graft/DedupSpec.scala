@@ -95,6 +95,34 @@ class DedupSpec extends SparkSpec {
     assert(streamed.nonEmpty) // planted near-dups must be found
   }
 
+  test("stream curation gate: dup probe exact, threshold separates, admits split") {
+    val rows = DedupQueries.streamingCuration(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batchDocs = docs.filter(col("doc_id") % 5 === 4)
+    assert(rows.length == batchDocs.count())
+    // dup_of_corpus iff the digest exists in the corpus partition
+    val corpusDigests = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(md5(encode(col("text"), "UTF-8"))).collect().map(_.getString(0)).toSet
+    val batchDigest = batchDocs
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val isDup = corpusDigests.contains(batchDigest(r.getAs[Long]("doc_id")))
+      assert((r.getAs[String]("status") == "dup_of_corpus") == isDup, s"dup probe: $r")
+      // split present iff admitted
+      assert((r.getAs[String]("split") != null) == (r.getAs[String]("status") == "admit"))
+    }
+    // the per-lang threshold is a clean separator: every low_quality doc
+    // scores strictly below every admit of its language
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val lows = rs.filter(_.getAs[String]("status") == "low_quality").map(_.getAs[Double]("quality"))
+      val admits = rs.filter(_.getAs[String]("status") == "admit").map(_.getAs[Double]("quality"))
+      if (lows.nonEmpty && admits.nonEmpty)
+        assert(lows.max < admits.min, s"$lang: low ${lows.max} !< admit ${admits.min}")
+    }
+    assert(rows.exists(_.getAs[String]("status") == "admit"))
+  }
+
   test("RP-LSH top-k recall vs brute force, and candidate pruning") {
     val brute = SimilarityQueries.topkBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
