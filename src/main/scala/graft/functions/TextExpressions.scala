@@ -397,6 +397,31 @@ case class BigramCounts(child: Expression)
   override def prettyName: String = "bigram_counts"
 }
 
+/** `hash64(text)` — XXH64 (seed 0) of the UTF-8 bytes: the SAME base hash
+  * the MinHash signature kernel uses, exposed as a scalar so hashed
+  * feature spaces (DSIR-style bucketed n-gram LMs) share one hash
+  * definition with the DuckDB replay in [[graft.core.XxHashSql]]. Spark's
+  * builtin `xxhash64` seeds with 42 and tags the type — deliberately NOT
+  * that. */
+case class Hash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashKernel.xxh64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernel.xxh64($c)")
+  override protected def withNewChildInternal(c: Expression): Hash64 = copy(c)
+  override def prettyName: String = "hash64"
+}
+
+/** Static forwarder for [[Hash64]] codegen (the [[TextKernels]]
+  * discipline: one kernel shared by interpreted eval and Janino code). */
+object HashKernel {
+  def xxh64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+}
+
 object TextFunctions {
   private def col(e: Expression): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -453,6 +478,7 @@ object TextFunctions {
   }
   def minhash_bands(c: Column, numHashes: Column, bands: Column): Column =
     col(MinHashBands(ex(c), ex(numHashes), ex(bands)))
+  def hash64(c: Column): Column = col(Hash64(ex(c)))
 
   /** The engine's token rule as a (codegen'd) regexp extraction — THE one
     * place the regex-token form lives; semantically equal to the scanner
@@ -481,5 +507,7 @@ object TextFunctions {
       es => MinHashBands(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("term_counts",
       es => TermCounts(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hash64",
+      es => Hash64(es.head), "scala_udf")
   }
 }

@@ -19,6 +19,96 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Gopher-style quality RULE GATE (Rae et al. 2021 §A1.1) — the
+    * published web-corpus filter expressed as named boolean rules per
+    * document, distinct from [[quality]]'s weighted composite: word-count
+    * bounds [50, 100k], mean word length in [3, 10], >= 80% of words
+    * containing a letter, and >= 2 stopword hits. (The bullet/ellipsis
+    * line rules need line structure this corpus doesn't have; the
+    * symbol-ratio rule is subsumed by the alpha-word rule here.) A pure
+    * projection over one tokenization — scan-bound at any scale, no
+    * shuffle at all. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(TextAnalysis.Stopwords.map(lit): _*)
+    val withTs = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokensOf(col("text")).as("ts"))
+    val n = size(col("ts"))
+    val nd = n.cast("double")
+    val meanLen = when(n > 0,
+      aggregate(col("ts"), lit(0L), (a, t) => a + length(t)).cast("double") / nd)
+      .otherwise(lit(0.0))
+    val alphaFrac = when(n > 0,
+      size(filter(col("ts"), t => t.rlike("\\p{L}"))).cast("double") / nd)
+      .otherwise(lit(0.0))
+    val nStop = size(filter(col("ts"), t => array_contains(stopArr, t)))
+    val passWords = n.between(50, 100000)
+    val passLen = meanLen.between(3.0, 10.0)
+    val passAlpha = alphaFrac >= 0.8
+    val passStop = nStop >= 2
+    withTs.select(col("doc_id"), n.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaFrac, 4).as("alpha_word_frac"),
+      nStop.as("n_stopwords"),
+      passWords.as("pass_word_count"),
+      passLen.as("pass_word_len"),
+      passAlpha.as("pass_alpha"),
+      passStop.as("pass_stopwords"),
+      (passWords && passLen && passAlpha && passStop).as("pass"))
+  }
+
+  private val DsirBuckets = 1024
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-likelihood ratio between a TARGET unigram LM (here lang = 'en')
+    * and the RAW corpus LM, both over a HASHED feature space of
+    * [[DsirBuckets]] buckets (hashing is what bounds the vocabulary on an
+    * open-domain corpus) with add-one smoothing. The bucket hash is the
+    * engine's seed-0 XXH64 ([[graft.functions.Hash64]]), replayed exactly
+    * by [[graft.core.XxHashSql.hash64Ctes]] in the oracle; the per-doc sum
+    * is an [[graft.functions.TextFunctions.ordered_sum]] keyed by bucket
+    * id, so the double fold order is fixed cross-engine.
+    *
+    * Scale shape: one tokenization feeds per-(doc, bucket) counts
+    * (persisted — both LMs and the scoring pass derive from it, and
+    * Catalyst doesn't CSE self-references); both LMs are bucket-bounded
+    * (<= [[DsirBuckets]] rows) and broadcast; scoring is a map-side
+    * broadcast join + per-doc aggregate with partial combine. Nothing
+    * scales with vocabulary. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val db = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokensOf(col("text"))).as("t"))
+      .withColumn("b", graft.functions.TextFunctions.hash64(col("t"))
+        .bitwiseAND(lit((DsirBuckets - 1).toLong)).cast("int"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tc = db.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("c")).as("tc"))
+    val rc = db.groupBy(col("b")).agg(sum(col("c")).as("rc"))
+    val tTot = tc.agg(sum(col("tc")).as("tt"))
+    val rTot = rc.agg(sum(col("rc")).as("tr"))
+    val lm = rc.join(tc, Seq("b"), "left_outer")
+      .crossJoin(tTot).crossJoin(rTot)
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(1.0))
+            / (col("tt") + lit(DsirBuckets)).cast("double"))
+          - log((col("rc") + lit(1.0))
+            / (col("tr") + lit(DsirBuckets)).cast("double"))).as("lr"))
+    val out = db.join(broadcast(lm), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        graft.functions.TextFunctions
+          .ordered_sum(col("c").cast("double") * col("lr"), col("b")).as("w"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("w"), 5).as("log_weight"))
+      .localCheckpoint(true)
+    db.unpersist(blocking = false)
+    out
+  }
+
   /** Per-source n-gram diversity (corpus redundancy audit): distinct
     * 3-gram types vs total 3-gram occurrences — the type-token ratio
     * that flags template-heavy or boilerplate sources before training.
@@ -385,6 +475,33 @@ object AnalysisQueries extends graft.QueryModule {
         sum(col("n_syms")).as("n_subwords"))
       .withColumn("subwords_per_token",
         round(col("n_subwords").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Tokenizer fertility per language — the standard tokenizer-equity
+    * audit (how many subword pieces the learned BPE spends per word, and
+    * how many characters each piece carries, by language). High fertility
+    * for a language means the tokenizer under-serves it — the metric
+    * multilingual-corpus pipelines track when sizing vocabularies. Same
+    * dataflow as [[bpeEncode]] (vocabulary join, never a broadcast
+    * assumption on vocab) aggregated per lang instead of per doc — output
+    * is language-cardinality. */
+  def fertility(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.loadSpread(spark, dir, "documents")
+      .select(col("lang"), explode(
+        graft.functions.TextFunctions.regex_tokens(col("text"))).as("word"))
+    val words = toks.groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val (_, vocab) = graft.operators.Bpe.learn(spark, words, BpeRounds)
+    toks
+      .join(vocab.select(col("word"), size(col("syms")).as("n_syms")), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_subwords"),
+        sum(length(col("word"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_subwords"), col("n_chars"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords"), 6)
+          .as("chars_per_subword"))
   }
 
   /** Deterministic epoch shuffle — the training-order randomization step:
@@ -1236,6 +1353,9 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_repetition" -> repetition,
     "ta_pii_scrub" -> piiScrub,
     "ta_quality" -> quality,
+    "ta_gopher_rules" -> gopherRules,
+    "ta_dsir_weights" -> dsirWeights,
+    "ta_fertility" -> fertility,
     "ta_langid" -> langid,
     "ta_langid_ngram" -> langidNgram,
     "ta_langid_confusion" -> langidConfusion,
@@ -1728,6 +1848,67 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM (SELECT *, row_number() OVER
          |        (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
          |      FROM c) WHERE rn = 1""".stripMargin,
+    "ta_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+         |           FROM documents),
+         |f AS (SELECT doc_id, len(ts) AS n_words,
+         |  CASE WHEN len(ts) > 0 THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(ts, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)
+         |      * 1.0 / len(ts) ELSE 0.0 END AS mean_len,
+         |  CASE WHEN len(ts) > 0 THEN len(list_filter(ts,
+         |    t -> regexp_matches(t, '\\p{L}'))) * 1.0 / len(ts)
+         |  ELSE 0.0 END AS alpha_frac,
+         |  len(list_filter(ts, t -> list_contains($stopList, t))) AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  round(mean_len, 4) AS mean_word_len,
+         |  round(alpha_frac, 4) AS alpha_word_frac,
+         |  n_stop AS n_stopwords,
+         |  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+         |  mean_len BETWEEN 3.0 AND 10.0 AS pass_word_len,
+         |  alpha_frac >= 0.8 AS pass_alpha,
+         |  n_stop >= 2 AS pass_stopwords,
+         |  (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+         |    AND alpha_frac >= 0.8 AND n_stop >= 2 AS pass
+         |FROM f""".stripMargin,
+    "ta_dsir_weights" -> {
+      val b = DsirBuckets
+      s"""WITH d0 AS (SELECT doc_id, lang,
+         |    unnest(regexp_extract_all(text, '$re')) AS t FROM documents),
+         |terms AS (SELECT DISTINCT CAST(0 AS BIGINT) AS doc_id, t FROM d0),
+         |${graft.core.XxHashSql.hash64Ctes("terms", "th", "dx")},
+         |tb AS (SELECT t, CAST(h64 & ${b - 1}::UBIGINT AS INTEGER) AS b
+         |  FROM th),
+         |db AS MATERIALIZED (SELECT d0.doc_id, any_value(d0.lang) AS lang,
+         |    tb.b, CAST(count(*) AS BIGINT) AS c
+         |  FROM d0 JOIN tb USING (t) GROUP BY d0.doc_id, tb.b),
+         |tc AS (SELECT b, CAST(sum(c) AS BIGINT) AS tc FROM db
+         |  WHERE lang = 'en' GROUP BY 1),
+         |rc AS (SELECT b, CAST(sum(c) AS BIGINT) AS rc FROM db GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(tc) AS BIGINT) FROM tc) AS tt,
+         |               (SELECT CAST(sum(rc) AS BIGINT) FROM rc) AS tr),
+         |lm AS (SELECT rc.b,
+         |    ln((coalesce(tc.tc, 0) + 1.0) / CAST(tot.tt + $b AS DOUBLE))
+         |      - ln((rc.rc + 1.0) / CAST(tot.tr + $b AS DOUBLE)) AS lr
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot)
+         |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_tokens,
+         |  round(list_reduce(list_prepend(0.0,
+         |      list(CAST(db.c AS DOUBLE) * lm.lr ORDER BY db.b)),
+         |    (a, x) -> a + x), 5) AS log_weight
+         |FROM db JOIN lm USING (b) GROUP BY db.doc_id""".stripMargin
+    },
+    "ta_fertility" ->
+      s"""WITH $bpeCtes,
+         |fd AS (SELECT lang, unnest(regexp_extract_all(text, '$re')) AS word
+         |  FROM documents)
+         |SELECT fd.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(v.syms)) AS BIGINT) AS n_subwords,
+         |  CAST(sum(length(fd.word)) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(len(v.syms)) AS DOUBLE) / count(*), 6) AS fertility,
+         |  round(CAST(sum(length(fd.word)) AS DOUBLE)
+         |    / CAST(sum(len(v.syms)) AS DOUBLE), 6) AS chars_per_subword
+         |FROM fd JOIN v$BpeRounds v USING (word)
+         |GROUP BY fd.lang""".stripMargin,
     "ta_quality" ->
       s"""WITH $qualityFeatureCtes
          |SELECT doc_id, n_tokens,

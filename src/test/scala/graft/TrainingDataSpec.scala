@@ -306,4 +306,87 @@ class TrainingDataSpec extends SparkSpec {
     assert(engine == naive,
       s"mismatch: ${(engine -- naive).take(3)} vs ${(naive -- engine).take(3)}")
   }
+
+  test("hash64: known vector, codegen path equals kernel") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // public xxh64 test vector: XXH64("", seed=0) = 0xEF46DB3751D8E999
+    assert(graft.functions.HashKernel.xxh64(UTF8String.fromString("")) ==
+      java.lang.Long.parseUnsignedLong("EF46DB3751D8E999", 16))
+    val samples = Seq("a", "the", "Ünïcødé — 多字节", "x" * 100, "")
+    val s2 = spark
+    import s2.implicits._
+    val viaCol = samples.toDF("s")
+      .select(graft.functions.TextFunctions.hash64(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    val direct = samples.map(s =>
+      graft.functions.HashKernel.xxh64(UTF8String.fromString(s)))
+    assert(viaCol == direct)
+  }
+
+  test("gopher rules: flags consistent, one doc recomputed naively") {
+    val rows = AnalysisQueries.gopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(9) == (r.getBoolean(5) && r.getBoolean(6)
+        && r.getBoolean(7) && r.getBoolean(8)))
+    }
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy(col("doc_id")).limit(1).collect()(0)
+    val ts = graft.functions.Tokenizer.tokens(doc.getString(1))
+    val r = rows.find(_.getLong(0) == doc.getLong(0)).get
+    assert(r.getInt(1) == ts.length)
+    assert(r.getInt(4) == ts.count(
+      graft.operators.TextAnalysis.Stopwords.contains))
+    assert(r.getBoolean(5) == (ts.length >= 50 && ts.length <= 100000))
+  }
+
+  test("dsir weights match a driver-side naive recomputation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = 1024
+    def buckets(t: String): Seq[Int] = graft.functions.Tokenizer.tokens(t)
+      .map(w => (graft.functions.HashKernel.xxh64(
+        UTF8String.fromString(w)) & (B - 1)).toInt)
+    val perDoc = docs.map { case (id, lang, t) =>
+      (id, lang, buckets(t).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val rcM = perDoc.flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val tcM = perDoc.filter(_._2 == "en").flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val tt = tcM.values.sum; val tr = rcM.values.sum
+    def lr(b: Int): Double =
+      math.log((tcM.getOrElse(b, 0L) + 1.0) / (tt + B).toDouble) -
+        math.log((rcM(b) + 1.0) / (tr + B).toDouble)
+    val naive = perDoc.map { case (id, _, cnt) =>
+      // bucket-ordered fold — the ordered_sum contract
+      var w = 0.0
+      cnt.toSeq.sortBy(_._1).foreach { case (b, c) => w += c * lr(b) }
+      (id, cnt.values.sum,
+        BigDecimal(w).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val engine = AnalysisQueries.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(engine == naive,
+      s"mismatch: ${(engine -- naive).take(3)} vs ${(naive -- engine).take(3)}")
+  }
+
+  test("fertility: per-lang ratios internally consistent and cover corpus") {
+    val rows = AnalysisQueries.fertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var totWords = 0L
+    rows.foreach { r =>
+      val (w, sub, ch) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sub >= w && ch >= sub) // a word is >= 1 piece, a piece >= 1 char
+      assert(r.getDouble(4) == BigDecimal(sub.toDouble / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      totWords += w
+    }
+    val allToks = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => graft.functions.Tokenizer
+        .tokens(r.getAs[String]("text")).length.toLong).sum
+    assert(totWords == allToks)
+  }
 }
