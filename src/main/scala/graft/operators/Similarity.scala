@@ -82,6 +82,77 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** MMR (maximal-marginal-relevance) diversified top-k rerank
+    * (Carbonell & Goldstein 1998): from one query vector, retrieve the
+    * `kCand` most-relevant candidates by cosine, then greedily select
+    * `k` of them maximizing `lambdaRel*rel - lambdaDiv*maxSimToSelected`
+    * — the diversity-aware sampling step a training-data pipeline runs
+    * after ANN retrieval. The RETRIEVAL stage is the scale path
+    * (broadcast 1-row query, partial top-k — only kCand structs per
+    * partition cross the shuffle); the GREEDY stage is a bounded driver
+    * computation over kCand vectors (kCand x dim doubles — a query
+    * parameter, never corpus-scale, same budget class as
+    * [[centroidsLit]]). Deterministic cross-engine: unrounded-double
+    * argmax with cand_id ASC tiebreaks at both stages, cosine in the
+    * engine-wide fold order ([[CosineKernel]]). */
+  def mmrRerank(query: DataFrame, candidates: DataFrame, kCand: Int, k: Int,
+      lambdaRel: Double, lambdaDiv: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    val q = query.select(toDoubleArray(col("embedding")).as("qv"))
+    val scored = candidates
+      .select(col("vec_id").as("cand_id"),
+        toDoubleArray(col("embedding")).as("cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosine(col("qv"), col("cv")))
+    // rel then neg_id decide the order before cv is ever compared, and
+    // neg_id is unique — cv just rides along so the pool needs no re-join
+    val pool = scored
+      .groupBy()
+      .agg(graft.functions.TextFunctions.top_k_structs(
+        struct(col("rel"), (-col("cand_id")).as("neg_id"), col("cv")),
+        kCand).as("top"))
+      .select(explode(col("top")).as("p"))
+      .select((-col("p.neg_id")).cast("long").as("cand_id"),
+        col("p.rel").as("rel"), col("p.cv").as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val remaining =
+      scala.collection.mutable.LinkedHashMap(pool.map(p => p._1 -> p): _*)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val sel = Seq.newBuilder[(Int, Long, Double, Double)]
+    var r = 1
+    while (r <= math.min(k, pool.length)) {
+      var bestId = Long.MinValue
+      var bestScore = Double.NegativeInfinity
+      var bestRel = 0.0
+      // ascending-id iteration + strict > keeps the LOWEST id on exact
+      // score ties — the ORDER BY score DESC, cand_id LIMIT 1 contract
+      remaining.valuesIterator.foreach { case (id, rel, v) =>
+        val pen = if (chosen.isEmpty) 0.0
+          else chosen.iterator.map(s => cos(v, s)).max
+        val score = lambdaRel * rel - lambdaDiv * pen
+        if (score > bestScore) { bestScore = score; bestId = id; bestRel = rel }
+      }
+      sel += ((r, bestId, bestRel, bestScore))
+      chosen += remaining(bestId)._3
+      remaining.remove(bestId)
+      r += 1
+    }
+    import spark.implicits._
+    sel.result().toDF("sel_rank", "vec_id", "rel", "mmr_score")
+      .select(col("sel_rank"), col("vec_id"), round(col("rel"), 6).as("rel"),
+        round(col("mmr_score"), 6).as("mmr_score"))
+  }
+
   /** Centroid table collected to a single array literal — the dim-table
     * broadcast pattern taken to its limit: |centroids| ~ sqrt(n) rows of
     * a few hundred bytes, well inside driver/task budgets, and every

@@ -455,6 +455,37 @@ object Relational extends graft.QueryModule {
         max($"gap_sec").as("max_gap"))
   }
 
+  /** Gaps-and-islands interval merge: collapse each user's event stream
+    * into maximal activity intervals — consecutive events <= 300 s apart
+    * merge; a longer gap opens a new interval. The island id is the
+    * running count of gap-breaks (one lag + one running sum, both over
+    * the SAME user-partitioned window, so one shuffle serves both), and
+    * the interval is then a plain per-(user, island) aggregate with
+    * partial combine. Nothing is ever globally ordered. */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.load(spark, dir, "events")
+      .withColumn("gap",
+        unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)))
+      .withColumn("isl",
+        sum(when($"gap".isNull || $"gap" > 300, 1).otherwise(0)).over(w))
+      .groupBy($"user_id", $"isl")
+      .agg(min($"ts").as("interval_start"), max($"ts").as("interval_end"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id",
+        // formatted with full µs precision — the repo's cross-engine
+        // timestamp-output convention (see scd2), fraction included so
+        // distinct interval bounds stay distinct
+        date_format($"interval_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("interval_start"),
+        date_format($"interval_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("interval_end"),
+        $"n_events",
+        (unix_timestamp($"interval_end") - unix_timestamp($"interval_start"))
+          .as("duration_sec"))
+  }
+
   /** TPC-H Q5 shape — the deep multi-join: lineitem ⋈ orders ⋈ customer
     * ⋈ supplier ⋈ nation ⋈ region, revenue per nation for one region +
     * year, customer and supplier in the SAME nation. Only the
@@ -831,6 +862,7 @@ object Relational extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_event_gaps" -> eventGaps,
+    "rel_interval_merge" -> intervalMerge,
     "rel_set_ops" -> setOps,
     "rel_pivot" -> pivotCounts,
     "rel_approx_distinct" -> approxDistinct,
@@ -955,6 +987,23 @@ object Relational extends graft.QueryModule {
         |  round(CAST(median(gap_sec) AS DOUBLE), 4) AS median_gap,
         |  max(gap_sec) AS max_gap
         |FROM g WHERE gap_sec IS NOT NULL GROUP BY user_id""".stripMargin,
+    "rel_interval_merge" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    date_diff('second', lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), ts) AS gap
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS isl
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS interval_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS interval_end,
+        |  count(*) AS n_events,
+        |  date_diff('second', min(ts), max(ts)) AS duration_sec
+        |FROM i GROUP BY user_id, isl""".stripMargin,
     "rel_set_ops" ->
       """SELECT
         |  (SELECT count(*) FROM (

@@ -61,6 +61,21 @@ object SimilarityQueries extends graft.QueryModule {
     Similarity.rpLshTopK(emb.filter(col("vec_id") < NQueries), emb, K)
   }
 
+  private val MmrKCand = 32
+  private val MmrK = 10
+  private val MmrLambdaRel = 0.7
+  private val MmrLambdaDiv = 0.3
+
+  /** MMR diversified top-k ([[Similarity.mmrRerank]]): query = vec 0,
+    * pool = top-[[MmrKCand]] by cosine, greedy-select [[MmrK]] balancing
+    * relevance against redundancy with the already-selected set. */
+  def mmrDiverse(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    Similarity.mmrRerank(emb.filter(col("vec_id") === 0),
+      emb.filter(col("vec_id") =!= 0), MmrKCand, MmrK,
+      MmrLambdaRel, MmrLambdaDiv)
+  }
+
   private val PqM = 8
 
   /** PQ codes + exact reconstruction error per vector
@@ -334,6 +349,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_cluster_sample" -> clusterSample,
     "sim_semantic_dedup" -> semanticDedup,
     "sim_topk_brute" -> topkBrute,
+    "sim_mmr" -> mmrDiverse,
     "sim_neardups_exact_oracle" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
     "sim_topk_ivf" -> topkIvf,
@@ -569,7 +585,50 @@ object SimilarityQueries extends graft.QueryModule {
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))))"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** DuckDB replay of [[mmrDiverse]] with one generated CTE per greedy
+    * round (the BPE/kmeans oracle discipline): `cand` is the top-kCand
+    * pool (ORDER BY rel DESC, cand_id), `pairs` the full in-pool cosine
+    * matrix, and each `sel_r` picks the argmax of
+    * lambdaRel*rel - lambdaDiv*max(sim to sel_1..sel_{r-1}) among the
+    * not-yet-selected — unrounded doubles, cand_id tiebreak, exactly the
+    * driver greedy. */
+  private def mmrOracle: String = {
+    def selu(r: Int): String =
+      (1 to r).map(i => s"SELECT cand_id FROM sel$i").mkString(" UNION ALL ")
+    val steps = (2 to MmrK).map { r =>
+      s"""sel$r AS MATERIALIZED (SELECT c.cand_id, c.rel,
+         |    $MmrLambdaRel * c.rel - $MmrLambdaDiv * max(p.s) AS score,
+         |    $r AS r
+         |  FROM cand c JOIN pairs p ON p.ia = c.cand_id
+         |  WHERE p.ib IN (${selu(r - 1)})
+         |    AND c.cand_id NOT IN (${selu(r - 1)})
+         |  GROUP BY c.cand_id, c.rel
+         |  ORDER BY score DESC, c.cand_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |    AS qv FROM embeddings WHERE vec_id = 0),
+       |c0 AS (SELECT vec_id AS cand_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id <> 0),
+       |scored AS (SELECT cand_id, cv, ${duckCosine("qv", "cv")} AS rel
+       |  FROM c0 CROSS JOIN q),
+       |cand AS MATERIALIZED (SELECT cand_id, cv, rel FROM scored
+       |  ORDER BY rel DESC, cand_id LIMIT $MmrKCand),
+       |pairs AS MATERIALIZED (SELECT a.cand_id AS ia, b.cand_id AS ib,
+       |    ${duckCosine("a.cv", "b.cv")} AS s
+       |  FROM cand a JOIN cand b ON a.cand_id <> b.cand_id),
+       |sel1 AS MATERIALIZED (SELECT cand_id, rel,
+       |    $MmrLambdaRel * rel AS score, 1 AS r
+       |  FROM cand ORDER BY score DESC, cand_id LIMIT 1),
+       |$steps
+       |SELECT r AS sel_rank, cand_id AS vec_id, round(rel, 6) AS rel,
+       |  round(score, 6) AS mmr_score
+       |FROM (${(1 to MmrK).map(i => s"SELECT * FROM sel$i")
+          .mkString(" UNION ALL ")})""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sim_mmr" -> mmrOracle,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < $NQueries),

@@ -588,4 +588,43 @@ class DedupSpec extends SparkSpec {
         s"near-dup drop with no surviving clustermate: $r; cluster $cl of ${clusterOf.size}")
     }
   }
+
+  test("MMR rerank: naive greedy parity, diversity beats pure relevance") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val got = graft.operators.Similarity
+      .mmrRerank(emb.filter(col("vec_id") === 0), emb.filter(col("vec_id") =!= 0),
+        kCand = 16, k = 5, lambdaRel = 0.7, lambdaDiv = 0.3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 5 && got.map(_._2).distinct.length == 5)
+    // naive recompute from raw vectors
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(0L)
+    val pool = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v), v) }
+      .sortBy(t => (-t._2, t._1)).take(16)
+    var chosen = List.empty[(Long, Array[Double])]
+    val picks = (1 to 5).map { r =>
+      val rem = pool.filterNot(p => chosen.exists(_._1 == p._1))
+      val best = rem.map { case (id, rel, v) =>
+        val pen = if (chosen.isEmpty) 0.0 else chosen.map(c => cos(v, c._2)).max
+        (id, rel, 0.7 * rel - 0.3 * pen)
+      }.minBy(t => (-t._3, t._1))
+      chosen = chosen :+ (best._1, pool.find(_._1 == best._1).get._3)
+      (r, best._1, best._2, best._3)
+    }
+    got.zip(picks).foreach { case ((gr, gid, grel, gs), (nr, nid, nrel, ns)) =>
+      assert(gr == nr && gid == nid, s"pick $nr: got $gid want $nid")
+      assert(math.abs(grel - nrel) < 1e-6 && math.abs(gs - ns) < 1e-6)
+    }
+    // rank-1 is the most relevant candidate; later MMR scores never exceed it
+    assert(got.head._2 == pool.head._1)
+    assert(got.tail.forall(_._4 <= got.head._4 + 1e-12))
+  }
 }

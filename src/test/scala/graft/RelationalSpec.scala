@@ -121,4 +121,34 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == Map(0 -> 1L, 1 -> 3L, 3 -> 1L), s"got $got")
   }
+
+  test("interval merge: per-user intervals partition events, gaps > 300s") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.intervalMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // total events covered == table cardinality
+    val nEvents = graft.core.Tables.load(spark, sf, "events").count()
+    assert(rows.map(_._4).sum == nEvents)
+    rows.foreach { case (_, s0, e0, n, d) =>
+      assert(s0 <= e0 && n >= 1 && d >= 0)
+      if (n == 1) assert(s0 == e0 && d == 0)
+    }
+    // intervals of one user are disjoint and separated by > 300 s
+    def toMicros(t: String): Long = {
+      val ldt = java.time.LocalDateTime.parse(t.replace(" ", "T"))
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+    }
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapSec = (toMicros(b._2) - toMicros(a._3)) / 1000000.0
+          assert(gapSec > 300.0,
+            s"user $u: intervals ${a._3} -> ${b._2} gap $gapSec <= 300")
+        case _ => ()
+      }
+    }
+  }
 }
