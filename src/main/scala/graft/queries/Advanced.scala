@@ -348,6 +348,14 @@ object Advanced extends graft.QueryModule {
   def streamSessions(spark: SparkSession, dir: String): DataFrame =
     StreamingOps.eventSessions(spark, dir, gapSec = 1800L)
 
+  /** Stateful streaming admission quota (at most 5 events per user per
+    * hour window, event-time order) — the rate-limit surface as a REAL
+    * flatMapGroupsWithState query; oracle = batch
+    * row_number() <= 5 per (user, window). */
+  def streamRateLimit(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.rateLimitedEvents(spark, dir, windowSec = 3600,
+      maxPerWindow = 5)
+
   /** JSON scalar extraction from the props column (§2.9 surface:
     * get_json_object / from_json family). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -382,6 +390,7 @@ object Advanced extends graft.QueryModule {
     "stream_dedup_count" -> streamDedup,
     "stream_join_attrib" -> streamJoinAttrib,
     "stream_sessions" -> streamSessions,
+    "stream_rate_limit" -> streamRateLimit,
     "adv_hopping_window" -> hoppingWindow,
   )
 
@@ -596,6 +605,18 @@ object Advanced extends graft.QueryModule {
     // running session ids bind to the same rows (ties at equal sec can
     // carry at most one break, so tied rows always share a session —
     // matching the fold's `diff 0 <= gap` merge)
+    "stream_rate_limit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, window_start, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id, window_start
+        |      ORDER BY ts, event_id) AS INT) AS admit_rank
+        |  FROM e)
+        |SELECT user_id, window_start, event_id, admit_rank
+        |FROM r WHERE admit_rank <= 5""".stripMargin,
     "stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec

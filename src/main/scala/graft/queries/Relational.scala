@@ -907,6 +907,7 @@ object Relational extends graft.QueryModule {
     "rel_above_group_avg" -> aboveGroupAvg,
     "rel_distinct_counts" -> distinctCounts,
     "rel_zorder_key" -> zorderKey,
+    "rel_hilbert_key" -> hilbertKey,
   )
 
   /** Morton key per event over (user bucket, value bucket) — the
@@ -924,7 +925,33 @@ object Relational extends graft.QueryModule {
         graft.operators.ZOrder.zorder2($"xb", $"yb").as("zkey"))
   }
 
+  /** Hilbert-curve layout key over the same 1024x1024 bucket grid as
+    * [[zorderKey]] — the tighter-locality space-filling curve (every
+    * consecutive index pair is grid-adjacent, so key ranges are connected
+    * regions and min-max pruning boxes beat Morton's quadrant jumps).
+    * Pure integer kernel ([[graft.operators.ZOrder.xy2d]]), codegen'd,
+    * replayed in DuckDB as a struct fold. */
+  def hilbertKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_id",
+        pmod($"user_id", lit(1024L)).as("xb"),
+        pmod(floor($"value").cast("long"), lit(1024L)).as("yb"))
+      .select($"event_id", $"xb", $"yb",
+        graft.operators.ZOrder.hilbert2(10, $"xb", $"yb").as("hkey"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "rel_hilbert_key" -> {
+      val xb = "((user_id % 1024 + 1024) % 1024)"
+      val yb = "((CAST(floor(value) AS BIGINT) % 1024 + 1024) % 1024)"
+      s"""WITH hb AS (SELECT event_id, $xb AS xb, $yb AS yb FROM events),
+         |hin AS (SELECT event_id, xb, yb, xb AS hx, yb AS hy,
+         |  0::BIGINT AS hd FROM hb),
+         |${graft.operators.ZOrder.duckHilbertCtes(10, "hin", "hout",
+            Seq("event_id", "xb", "yb"))}
+         |SELECT event_id, xb, yb, hkey FROM hout""".stripMargin
+    },
     "rel_zorder_key" -> {
       // DuckDB % is a sign-following remainder while the Spark side uses
       // pmod; double-mod keeps the two aligned if a negative user_id or a

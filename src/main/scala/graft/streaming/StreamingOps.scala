@@ -267,6 +267,30 @@ object StreamingOps {
     spark.table(name).localCheckpoint(true)
   }
 
+  /** Per-(user, hour) admission quota run as a REAL streaming query
+    * ([[RateLimit.rateLimit]]: file source -> groupByKey ->
+    * flatMapGroupsWithState -> append memory sink). No sentinel needed:
+    * admitted rows emit immediately; the state timeout only does
+    * cleanup, which a bounded drain never depends on. */
+  def rateLimitedEvents(spark: SparkSession, dir: String,
+      windowSec: Long = 3600, maxPerWindow: Int = 5): DataFrame =
+    withNanosAsLong(spark) {
+      import spark.implicits._
+      val typed = eventsSource(spark, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id")).as[(Long, Long, Long)]
+      val out = RateLimit.rateLimit(typed, windowSec, maxPerWindow)
+      val name = "graft_stream_rate_limit"
+      val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try out.toDF().writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      try { q.processAllAvailable() } finally { q.stop() }
+      spark.table(name).localCheckpoint(true)
+    }
+
   /** Gap-based sessionization of the events table as a REAL streaming
     * query through [[StatefulSessions.sessionize]] (file source ->
     * groupByKey -> flatMapGroupsWithState -> memory sink). Bounded-input

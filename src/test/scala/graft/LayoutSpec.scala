@@ -101,4 +101,36 @@ class LayoutSpec extends SparkSpec {
         r.getDecimal(2).toPlainString)).toSet
     assert(merged == direct, s"merged $merged\ndirect $direct")
   }
+
+  test("hilbert index: bijective on sampled grid, consecutive d are adjacent") {
+    import graft.operators.ZOrder
+    val bits = 10
+    // inverse round-trip on a deterministic sample of the grid
+    val pts = for (x <- 0L until 1024L by 37; y <- 0L until 1024L by 41)
+      yield (x, y)
+    pts.foreach { case (x, y) =>
+      val d = ZOrder.xy2d(bits, x, y)
+      assert(d >= 0 && d < (1L << 20))
+      assert(ZOrder.d2xy(bits, d) == ((x, y)), s"round-trip failed at ($x,$y)")
+    }
+    assert(pts.map { case (x, y) => ZOrder.xy2d(bits, x, y) }.distinct.size
+      == pts.size)
+    // the Hilbert property: consecutive indices are grid-adjacent —
+    // this is what makes key RANGES connected regions (tighter min-max
+    // pruning boxes than Morton's quadrant jumps)
+    (0L until 5000L).foreach { d =>
+      val (x1, y1) = ZOrder.d2xy(bits, d)
+      val (x2, y2) = ZOrder.d2xy(bits, d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"d=$d: (${x1},${y1}) -> (${x2},${y2}) not adjacent")
+    }
+    // codegen'd column path equals the kernel
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((3L, 5L), (8L, 6L), (1023L, 1023L), (0L, 0L)).toDF("x", "y")
+      .select(ZOrder.hilbert2(bits, org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"))).collect().map(_.getLong(0))
+    assert(df.toSeq == Seq(ZOrder.xy2d(bits, 3, 5), ZOrder.xy2d(bits, 8, 6),
+      ZOrder.xy2d(bits, 1023, 1023), ZOrder.xy2d(bits, 0, 0)))
+  }
 }

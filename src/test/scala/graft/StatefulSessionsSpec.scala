@@ -54,4 +54,23 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(streaming == batch,
       s"streaming $streaming\nvs batch $batch")
   }
+
+  test("streaming rate limit: quota respected, earliest events admitted") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.StreamingOps
+      .rateLimitedEvents(spark, sf, windowSec = 3600, maxPerWindow = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    // naive: per (user, hour window) the first 5 events by (ts, event_id)
+    val ev = graft.core.Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(e => (e._1, e._2 / 1000000 / 3600 * 3600)).toSeq
+      .flatMap { case ((u, w), g) =>
+        g.sortBy(e => (e._2, e._3)).take(5).zipWithIndex
+          .map { case (e, i) => (u, w, e._3, i + 1) }
+      }.toSet
+    assert(got.toSet == want,
+      s"mismatch: ${(got.toSet -- want).take(3)} vs ${(want -- got.toSet).take(3)}")
+  }
 }
