@@ -260,8 +260,10 @@ object SimilarityQueries extends graft.QueryModule {
     * production scale the folds become plain map-side-combined `sum`s
     * (order tolerance acceptable there) and the shuffle carries n·d²/2
     * moment contributions aggregated down to d² cells. */
-  def covariance(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.loadSpread(spark, dir, "embeddings")
+  /** Shared covariance plumbing: (sij upper-triangle sums, si per-dim
+    * sums, n) with order-stable folds — the parts both [[covariance]]
+    * and [[pcaProjection]] derive from. */
+  private def covParts(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val p = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).as("i"),
@@ -275,16 +277,83 @@ object SimilarityQueries extends graft.QueryModule {
     val si = p.groupBy(col("i"))
       .agg(graft.functions.TextFunctions.ordered_sum(
         col("x"), col("vec_id")).as("s"))
-    val n = emb.agg(count(lit(1)).as("n"))
+    (sij, si, emb.agg(count(lit(1)).as("n")))
+  }
+
+  /** Unrounded sample covariance (i <= j): the exact doubles both the
+    * rounded catalog output and the PCA iteration consume. */
+  private def covUpper(emb: DataFrame): DataFrame = {
+    val (sij, si, n) = covParts(emb)
     sij
       .join(broadcast(si.select(col("i"), col("s").as("si"))), "i")
       .join(broadcast(si.select(col("i").as("j"), col("s").as("sj"))), "j")
       .crossJoin(broadcast(n))
       .select(col("i"), col("j"),
+        ((col("s_ij") - col("si") * col("sj") / col("n"))
+          / (col("n") - lit(1))).as("cov"))
+  }
+
+  def covariance(spark: SparkSession, dir: String): DataFrame =
+    covUpper(Tables.loadSpread(spark, dir, "embeddings"))
+      .select(col("i"), col("j"),
         // + 0.0 canonicalizes IEEE -0.0 (a round() output for tiny
         // negative covariances) so both engines print the same zero
-        (round((col("s_ij") - col("si") * col("sj") / col("n"))
-          / (col("n") - lit(1)), 6) + lit(0.0)).as("cov"))
+        (round(col("cov"), 6) + lit(0.0)).as("cov"))
+
+  private val PcaRounds = 8
+
+  /** Leading principal component by POWER ITERATION, then the
+    * per-vector projection onto it — the embedding-audit op (dominant
+    * axis of variation / whitening input). The iteration itself is a
+    * DIMENSION-bounded computation: the covariance matrix is dim^2
+    * doubles (64^2 here, 1024^2 = 8 MB for big embeddings — still a
+    * driver literal, the [[Similarity]] centroid-budget class), so it
+    * runs on the driver from the distributed matrix, deterministically
+    * (v0 = all-ones, fixed [[PcaRounds]], ascending-index folds — the
+    * DuckDB oracle replays every round bit-for-bit). The corpus-sized
+    * work — covariance sums and the final projection — stays fully
+    * distributed; the projection is a pure map (mean and component ride
+    * along as array literals). */
+  def pcaProjection(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val (_, si, nDf) = covParts(emb)
+    val n = nDf.collect()(0).getLong(0)
+    val siRows = si.collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val d = siRows.map(_._1).max
+    val mu = {
+      val m = new Array[Double](d)
+      siRows.foreach { case (i, s) => m(i - 1) = s / n }
+      m
+    }
+    val cm = Array.ofDim[Double](d, d)
+    covUpper(emb).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cm(i - 1)(j - 1) = c
+      cm(j - 1)(i - 1) = c
+    }
+    var v = Array.fill(d)(1.0)
+    var k = 0
+    while (k < PcaRounds) {
+      val w = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += cm(i)(j) * v(j); j += 1 }
+        s
+      }
+      var n2 = 0.0; var i = 0
+      while (i < d) { n2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      v = w.map(_ / nrm)
+      k += 1
+    }
+    val muLit = typedLit(mu.toSeq)
+    val vLit = typedLit(v.toSeq)
+    emb.select(col("vec_id"),
+      (round(aggregate(
+        zip_with(
+          zip_with(transform(col("embedding"), _.cast("double")), muLit,
+            (x, m) => x - m),
+          vLit, (dd, vi) => dd * vi),
+        lit(0.0), (acc, x) => acc + x), 6) + lit(0.0)).as("proj"))
   }
 
   /** Deterministic Lloyd k-means (k=8, 2 update rounds) — see
@@ -363,6 +432,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_pq" -> topkPq,
     "sim_topk_ivfpq" -> topkIvfPq,
     "sim_covariance" -> covariance,
+    "sim_pca_proj" -> pcaProjection,
     "sim_diversity" -> diversity,
   )
 
@@ -627,7 +697,53 @@ object SimilarityQueries extends graft.QueryModule {
           .mkString(" UNION ALL ")})""".stripMargin
   }
 
+  /** DuckDB replay of [[pcaProjection]]: unrounded covariance CTEs, the
+    * mirrored full matrix, one generated (w, norm, v) CTE triple per
+    * power-iteration round (ascending-index folds matching the driver
+    * loops bit-for-bit), then the grouped projection fold. */
+  private def pcaOracle: String = {
+    val rounds = (1 to PcaRounds).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT c.i,
+         |    list_reduce(list_prepend(0.0, list(c.cov * p.v ORDER BY c.j)),
+         |      (a, b) -> a + b) AS w
+         |  FROM cv c JOIN v${k - 1} p ON c.j = p.i GROUP BY c.i),
+         |n$k AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+         |    list(w * w ORDER BY i)), (a, b) -> a + b)) AS nrm FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, w / nrm AS v
+         |  FROM w$k CROSS JOIN n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |pr AS (SELECT a.vec_id, a.i, b.i AS j, a.x * b.x AS xy
+       |  FROM p a JOIN p b ON a.vec_id = b.vec_id AND a.i <= b.i),
+       |sij AS MATERIALIZED (SELECT i, j,
+       |    list_reduce(list_prepend(0.0, list(xy ORDER BY vec_id)),
+       |      (u, v) -> u + v) AS s_ij
+       |  FROM pr GROUP BY 1, 2),
+       |si AS MATERIALIZED (SELECT i,
+       |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+       |      (u, v) -> u + v) AS s
+       |  FROM p GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |cvu AS (SELECT s.i, s.j, (s.s_ij - a.s * b.s / n.n) / (n.n - 1) AS cov
+       |  FROM sij s JOIN si a ON s.i = a.i JOIN si b ON s.j = b.i
+       |  CROSS JOIN nn n),
+       |cv AS MATERIALIZED (SELECT i, j, cov FROM cvu
+       |  UNION ALL SELECT j AS i, i AS j, cov FROM cvu WHERE i <> j),
+       |v0 AS (SELECT i, 1.0 AS v FROM range(1, 65) t(i)),
+       |$rounds,
+       |mu AS (SELECT si.i, si.s / nn.n AS m FROM si CROSS JOIN nn)
+       |SELECT p.vec_id,
+       |  round(list_reduce(list_prepend(0.0,
+       |      list((p.x - mu.m) * vv.v ORDER BY p.i)), (a, b) -> a + b), 6)
+       |    + 0.0 AS proj
+       |FROM p JOIN mu ON p.i = mu.i JOIN v$PcaRounds vv ON p.i = vv.i
+       |GROUP BY p.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sim_pca_proj" -> pcaOracle,
     "sim_mmr" -> mmrOracle,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

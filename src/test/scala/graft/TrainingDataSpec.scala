@@ -389,4 +389,50 @@ class TrainingDataSpec extends SparkSpec {
         .tokens(r.getAs[String]("text")).length.toLong).sum
     assert(totWords == allToks)
   }
+
+  test("pca projection matches an independent driver-side power iteration") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val n = emb.length
+    val d = emb.head._2.length
+    // ordered folds by vec_id — the ordered_sum contract
+    def foldSum(xs: Seq[Double]): Double = xs.foldLeft(0.0)(_ + _)
+    val si = Array.tabulate(d)(i => foldSum(emb.map(_._2(i)).toSeq))
+    val mu = si.map(_ / n)
+    val cm = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      val sij = foldSum(emb.map(e => e._2(a) * e._2(b)).toSeq)
+      (sij - si(a) * si(b) / n) / (n - 1)
+    }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(d) { i =>
+        var s0 = 0.0; var j = 0
+        while (j < d) { s0 += cm(i)(j) * v(j); j += 1 }
+        s0
+      }
+      val nrm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+      v = w.map(_ / nrm)
+    }
+    val naive = emb.map { case (id, x) =>
+      var s0 = 0.0; var i = 0
+      while (i < d) { s0 += (x(i) - mu(i)) * v(i); i += 1 }
+      (id, BigDecimal(s0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0)
+    }.toSet
+    val engine = graft.queries.SimilarityQueries.pcaProjection(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(engine == naive,
+      s"mismatch: ${(engine -- naive).take(3)} vs ${(naive -- engine).take(3)}")
+    // the leading component explains more variance than any raw axis
+    val projVar = {
+      val ps = naive.toSeq.sortBy(_._1).map(_._2)
+      val m = ps.sum / n
+      ps.map(x => (x - m) * (x - m)).sum / (n - 1)
+    }
+    val maxAxisVar = (0 until d).map(i => cm(i)(i)).max
+    assert(projVar >= maxAxisVar * 0.99,
+      s"projVar $projVar < max axis var $maxAxisVar")
+  }
 }
