@@ -90,6 +90,91 @@ object Multimodal {
       .withColumn("downscaled", col("scale") < 1.0)
   }
 
+  /** STUB perceptual hash (aHash): 64 bits, one per blob segment, set
+    * when the segment's mean byte value exceeds the whole-blob mean —
+    * the average-hash family over the stand-in payload (a real pipeline
+    * computes it over the decoded 8x8 luma grid; the banding, pairing
+    * and Hamming verification downstream are codec-independent).
+    * Integer sums + double division only, so the DuckDB replay is
+    * bit-exact. Empty blobs hash to 0 (no distribution to threshold). */
+  private[graft] def aHashBytes(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val s = (i.toLong * 64 / n).toInt
+      val v = bytes(i) & 0xff
+      sums(s) += v; cnts(s) += 1; tot += v; i += 1
+    }
+    val m = tot.toDouble / n
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      if (cnts(k) > 0 && sums(k).toDouble / cnts(k) > m) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  /** Partition-local perceptual hashing (the [[decodeMeta]] iterator
+    * contract): STUB "decode + resize" shrinks each blob to a FIXED
+    * 64-cell thumbnail (cell = seed-0-XXH64 token slot of the decoded
+    * payload, value = clamped scaled count — a real pipeline puts the
+    * 8x8 luma grid here), then [[aHashBytes]] thresholds the cells.
+    * Hashed slots, not a vocabulary: nothing here needs a broadcast or
+    * grows with the corpus, and near-identical payloads land within a
+    * few bits. Blobs never shuffle; 8 bytes per media flow downstream. */
+  def perceptualHashes(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("media_type"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mt, b) =>
+        val cells = new Array[Long](64)
+        graft.functions.Tokenizer.tokens(new String(b, "UTF-8")).foreach { t =>
+          val slot = (graft.functions.HashKernel.xxh64(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t)) & 63L).toInt
+          cells(slot) += 1
+        }
+        val thumb = cells.map(c => math.min(255L, c * 16L).toByte)
+        (id, mt, aHashBytes(thumb))
+      })
+      .toDF("doc_id", "media_type", "phash")
+  }
+
+  /** Perceptual near-duplicate pairs within a media type: 4x16-bit BAND
+    * blocking on the hash (two media sharing any intact band become a
+    * candidate), then exact popcount verification. For maxHamming <= 3
+    * the blocking is EXACT by pigeonhole — <= 3 differing bits cannot
+    * touch all 4 bands — so the banded plan equals the quadratic
+    * all-pairs definition while only bucket collisions are ever joined
+    * (the MinHash-LSH shape, at any corpus size). */
+  def phashNearDups(spark: SparkSession, blobs: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding is only exact (pigeonhole) for hamming <= 3")
+    val bands = perceptualHashes(spark, blobs)
+      .select(col("doc_id"), col("media_type"), col("phash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), 16 * b)
+            .bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("media_type"), col("phash"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.media_type") === col("b.media_type") &&
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   case class MediaFeatures(
       doc_id: Long,
       media_type: String,

@@ -232,6 +232,17 @@ object AnalysisQueries extends graft.QueryModule {
         round(col("entropy"), 6).as("entropy"))
   }
 
+  /** Perceptual-hash near-duplicate pairs within a media type
+    * ([[Multimodal.phashNearDups]]): banded Hamming blocking over the
+    * partition-local aHash, exact popcount verify at <= 3 bits — image
+    * dedup for the multimodal tier, oracled via a byte-level SQL replay
+    * of the hash plus the quadratic pair definition (equal by pigeonhole
+    * at this threshold). */
+  def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.asBlobs(Tables.loadSpread(spark, dir, "documents"))
+    Multimodal.phashNearDups(spark, blobs, maxHamming = 3)
+  }
+
   /** BM25 keyword scoring (Okapi, k1=1.2 b=0.75) for a fixed query-term
     * set — the retrieval shape behind corpus search and RAG candidate
     * generation. One tf pass feeds document lengths, per-term df, and
@@ -1389,6 +1400,7 @@ object AnalysisQueries extends graft.QueryModule {
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_stats" -> mmResizeStats,
     "mm_features" -> mmFeatures,
+    "mm_phash_pairs" -> mmPhashPairs,
   )
 
   private val re = Tokenizer.DuckDbTokenRegex
@@ -2286,5 +2298,39 @@ object AnalysisQueries extends graft.QueryModule {
         |  round(coalesce(agg.f3, 0.0), 6) AS f3,
         |  round(coalesce(agg.entropy, 0.0), 6) AS entropy
         |FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin,
+    // thumbnail + aHash replay (token slots via the shared XXH64 replay),
+    // then the quadratic same-type pair definition — equal to the
+    // engine's banded plan by pigeonhole at hamming <= 3
+    "mm_phash_pairs" ->
+      s"""WITH t0 AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '$re')) AS t FROM documents),
+         |terms AS (SELECT DISTINCT CAST(0 AS BIGINT) AS doc_id, t FROM t0),
+         |${graft.core.XxHashSql.hash64Ctes("terms", "pth", "px")},
+         |slotmap AS (SELECT t, CAST(h64 & 63::UBIGINT AS INTEGER) AS slot
+         |  FROM pth),
+         |cnt AS (SELECT t0.doc_id, s.slot, CAST(count(*) AS BIGINT) AS c
+         |  FROM t0 JOIN slotmap s USING (t) GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, g.slot,
+         |    least(255, coalesce(cnt.c, 0) * 16) AS v
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(range(64)) AS slot) g
+         |  LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.slot = g.slot),
+         |m AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 64 AS m
+         |  FROM grid GROUP BY doc_id),
+         |ph AS (SELECT grid.doc_id,
+         |    CAST(sum(CASE WHEN grid.v > m.m
+         |      THEN (1::UBIGINT << CAST(grid.slot AS INTEGER))
+         |      ELSE 0::UBIGINT END) AS UBIGINT) AS h
+         |  FROM grid JOIN m ON grid.doc_id = m.doc_id GROUP BY grid.doc_id),
+         |phm AS (SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+         |         WHEN d.doc_id % 3 = 1 THEN 'audio'
+         |         ELSE 'video' END AS media_type, ph.h
+         |  FROM documents d JOIN ph ON d.doc_id = ph.doc_id)
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.h, c.h)) AS INT) AS hamming
+         |FROM phm a JOIN phm c ON a.media_type = c.media_type
+         |  AND a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.h, c.h)) <= 3""".stripMargin,
   )
 }

@@ -627,4 +627,25 @@ class DedupSpec extends SparkSpec {
     assert(got.head._2 == pool.head._1)
     assert(got.tail.forall(_._4 <= got.head._4 + 1e-12))
   }
+
+  test("phash banding equals the quadratic hamming definition; guard rails") {
+    import org.apache.spark.sql.functions._
+    val blobs = graft.operators.Multimodal.asBlobs(
+      graft.core.Tables.load(spark, sf, "documents"))
+    val got = graft.operators.Multimodal.phashNearDups(spark, blobs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = graft.operators.Multimodal.perceptualHashes(spark, blobs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val naive = (for {
+      (a, ta, ha) <- hs; (b, tb, hb) <- hs
+      if a < b && ta == tb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == naive,
+      s"mismatch: ${(got -- naive).take(3)} vs ${(naive -- got).take(3)}")
+    // the banding is only exact for hamming <= 3 — wider must be refused
+    intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.phashNearDups(spark, blobs, 4)
+    }
+  }
 }
