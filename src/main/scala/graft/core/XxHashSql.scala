@@ -182,7 +182,15 @@ object XxHashSql {
        |  SELECT doc_id, ${xor("h64", jk)} AS h, j
        |  FROM mbase CROSS JOIN (SELECT unnest(range($numHashes)) AS j)),
        |${fmixCtes("mhf", "mhj", "mhf", Seq("doc_id", "j"))},
-       |mmin AS (SELECT doc_id, j, min(h) AS mh FROM mhf GROUP BY doc_id, j),
+       |-- the kernel's min is over SIGNED longs; replaying it on UBIGINT
+       |-- bits = unsigned min of (h xor 2^63), xored back (sign-bit flip
+       |-- maps signed order onto unsigned order). A plain min(h) picks a
+       |-- different element whenever a (doc, j) family spans the sign
+       |-- bit — caught by the dedup_minhash_est component-agreement gate
+       |mmin AS (SELECT doc_id, j,
+       |  xor(min(xor(h, 9223372036854775808::UBIGINT)),
+       |      9223372036854775808::UBIGINT) AS mh
+       |  FROM mhf GROUP BY doc_id, j),
        |mband AS (
        |  SELECT doc_id, CAST(j // $r AS INTEGER) AS b, list(mh ORDER BY j) AS ms
        |  FROM mmin GROUP BY doc_id, j // $r),

@@ -185,6 +185,33 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** The RAW MinHash signature (per-j minima, before band folding) —
+    * same base hash + family derivation as [[minhashBands]], exposed so
+    * sketch-quality audits can measure component agreement between two
+    * signatures. Empty shingle array -> empty signature. */
+  def minhashSig(arr: ArrayData, nh: Int): ArrayData = {
+    import Mix.fmix64
+    if (nh < 1) throw new IllegalArgumentException(
+      s"minhash_sig: numHashes ($nh) must be >= 1")
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(nh)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+      var j = 0
+      while (j < nh) {
+        val h = fmix64(base ^ (j * 0x9E3779B97F4A7C15L))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
 }
 
 /** `truncate_tokens(text, maxTokens, mode)` — token-budget truncation with
@@ -366,6 +393,26 @@ case class MinHashBands(shingles: Expression, numHashes: Expression, bands: Expr
   override def prettyName: String = "minhash_bands"
 }
 
+/** `minhash_sig(shingles, numHashes)` — the raw per-j minima signature
+  * ([[TextKernels.minhashSig]]); the audit-surface companion of
+  * [[MinHashBands]]. */
+case class MinHashSig(shingles: Expression, numHashes: Expression)
+    extends BinaryExpression {
+  override def left: Expression = shingles
+  override def right: Expression = numHashes
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(shv: Any, nhv: Any): Any =
+    TextKernels.minhashSig(
+      shv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nhv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sh, nh) =>
+      s"graft.functions.TextKernels.minhashSig($sh, $nh)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MinHashSig = copy(l, r)
+  override def prettyName: String = "minhash_sig"
+}
+
 /** Column-level API for the text kernel. */
 /** `term_counts(text)` — map<term, count> per row under the engine
   * tokenizer; the map-side tf kernel for TF-IDF-family queries (equal to
@@ -479,6 +526,8 @@ object TextFunctions {
   def minhash_bands(c: Column, numHashes: Column, bands: Column): Column =
     col(MinHashBands(ex(c), ex(numHashes), ex(bands)))
   def hash64(c: Column): Column = col(Hash64(ex(c)))
+  def minhash_sig(c: Column, numHashes: Column): Column =
+    col(MinHashSig(ex(c), ex(numHashes)))
 
   /** The engine's token rule as a (codegen'd) regexp extraction — THE one
     * place the regex-token form lives; semantically equal to the scanner

@@ -103,6 +103,42 @@ object DedupQueries extends graft.QueryModule {
       "doc_id", "text", shingleK = 3, numHashes = 32, bands = 16,
       threshold = JaccardThreshold)
 
+  /** MinHash sketch-quality audit: for every LSH candidate pair, the
+    * Jaccard ESTIMATE from raw-signature component agreement
+    * (matching minima / numHashes) next to the exact shingle Jaccard
+    * and their absolute error — the report that sizes numHashes before
+    * a full-corpus dedup run. Everything is deterministic given the
+    * hash (the signature replays in DuckDB), so unlike a recall bound
+    * this audit is hash-gated, not spec-bounded. Same shape as
+    * [[minhashLsh]]: shingles persisted once, candidates from capped
+    * band buckets, per-pair work bounded by the signature width. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val withSh = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = withSh
+      .withColumn("bands", Dedup.minhashBands(col("sh"), 32, 16))
+      .withColumn("sig",
+        graft.functions.TextFunctions.minhash_sig(col("sh"), lit(32)))
+    val cands = Dedup.lshCandidates(withSig, "doc_id", "bands")
+    val a = withSig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("sh").as("sh_a"))
+    val b = withSig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("sh").as("sh_b"))
+    val nEq = aggregate(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    val est = nEq.cast("double") / lit(32.0)
+    val jac = Dedup.jaccard(col("sh_a"), col("sh_b"))
+    val out = cands.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(est, 6).as("est_jaccard"),
+        round(jac, 6).as("jaccard"),
+        round(abs(est - jac), 6).as("abs_err"))
+      .localCheckpoint(true)
+    withSh.unpersist(blocking = false)
+    out
+  }
+
   /** SimHash signatures per document (deterministic; pair query below).
     * Plain load, not loadSpread: at real scale the scan parallelizes by
     * file split, and here the forced round-robin would shuffle the full
@@ -395,6 +431,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_split_leakage" -> splitLeakage,
     "dedup_group_split" -> groupSplit,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_minhash_est" -> minhashEstimate,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_weights" -> dedupWeights,
@@ -565,6 +602,43 @@ object DedupQueries extends graft.QueryModule {
     "dedup_minhash_lsh" -> graft.core.XxHashSql.minhashPairsSql(
       re, shingleK = 3, numHashes = 32, bands = 16,
       threshold = JaccardThreshold, bucketCap = Some(1000)),
+    // sketch-error audit: the same replayed signature, compared
+    // component-wise (mmin) against the exact shingle Jaccard per
+    // candidate pair
+    "dedup_minhash_est" ->
+      s"""WITH ${graft.core.XxHashSql.minhashBandCtes(re, 3, 32, 16)},
+         |mbuck AS (
+         |  SELECT b, bh, list(doc_id) AS ids FROM mbh GROUP BY b, bh
+         |  HAVING count(*) > 1 AND count(*) <= 1000),
+         |mcand AS (
+         |  SELECT DISTINCT ia.a AS doc_a, ib.a AS doc_b
+         |  FROM mbuck, unnest(ids) AS ia(a), unnest(ids) AS ib(a)
+         |  WHERE ia.a < ib.a),
+         |magree AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_eq
+         |  FROM mcand c
+         |  JOIN mmin a ON a.doc_id = c.doc_a
+         |  JOIN mmin b ON b.doc_id = c.doc_b AND a.j = b.j
+         |  GROUP BY 1, 2),
+         |mcnt AS (SELECT doc_id, count(*) AS n FROM msh GROUP BY doc_id),
+         |mint AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM mcand c
+         |  JOIN msh a ON a.doc_id = c.doc_a
+         |  JOIN msh b ON b.doc_id = c.doc_b AND a.t = b.t
+         |  GROUP BY 1, 2)
+         |SELECT g.doc_a, g.doc_b,
+         |  round(g.n_eq / 32.0, 6) AS est_jaccard,
+         |  round(coalesce(m.inter, 0) * 1.0
+         |    / (ca.n + cb.n - coalesce(m.inter, 0)), 6) AS jaccard,
+         |  round(abs(g.n_eq / 32.0 - coalesce(m.inter, 0) * 1.0
+         |    / (ca.n + cb.n - coalesce(m.inter, 0))), 6) AS abs_err
+         |FROM magree g
+         |LEFT JOIN mint m ON m.doc_a = g.doc_a AND m.doc_b = g.doc_b
+         |JOIN mcnt ca ON ca.doc_id = g.doc_a
+         |JOIN mcnt cb ON cb.doc_id = g.doc_b""".stripMargin,
     // the streaming variant joins band collisions directly (no bucket
     // cap); batch-replaying it is exact for the same reason
     "stream_neardup_join" -> graft.core.XxHashSql.minhashPairsSql(

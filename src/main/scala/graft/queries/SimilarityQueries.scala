@@ -76,6 +76,23 @@ object SimilarityQueries extends graft.QueryModule {
       MmrLambdaRel, MmrLambdaDiv)
   }
 
+  /** ANN recall report: IVF top-k hits against the exact top-k per
+    * query, promoted from spec assertion to catalog query — both sides
+    * are deterministic, so the INDEX-QUALITY audit itself hash-matches
+    * (recall per query, not just a suite-level bound). */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val br = topkBrute(spark, dir).select(col("query_id"), col("cand_id"))
+    val iv = topkIvf(spark, dir).select(col("query_id"), col("cand_id"))
+    val hits = br.join(iv, Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    br.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(K.toDouble), 6)
+          .as("recall"))
+  }
+
   private val PqM = 8
 
   /** PQ codes + exact reconstruction error per vector
@@ -419,6 +436,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_semantic_dedup" -> semanticDedup,
     "sim_topk_brute" -> topkBrute,
     "sim_mmr" -> mmrDiverse,
+    "sim_ivf_recall" -> ivfRecall,
     "sim_neardups_exact_oracle" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
     "sim_topk_ivf" -> topkIvf,
@@ -742,23 +760,38 @@ object SimilarityQueries extends graft.QueryModule {
        |GROUP BY p.vec_id""".stripMargin
   }
 
+  private def bruteOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, cand_id,
+       |    ${duckCosine("qv", "cv")} AS sim
+       |  FROM q JOIN c ON query_id <> cand_id
+       |)
+       |SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM (
+       |  SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "sim_pca_proj" -> pcaOracle,
     "sim_mmr" -> mmrOracle,
-    "sim_topk_brute" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-         |           FROM embeddings WHERE vec_id < $NQueries),
-         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
-         |scored AS (
-         |  SELECT query_id, cand_id,
-         |    ${duckCosine("qv", "cv")} AS sim
-         |  FROM q JOIN c ON query_id <> cand_id
-         |)
-         |SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM (
-         |  SELECT *, CAST(row_number() OVER
-         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
-         |  FROM scored)
-         |WHERE rank <= $K""".stripMargin,
+    "sim_topk_brute" -> bruteOracle,
+    // both sides of the recall report are themselves oracled queries, so
+    // the report composes their replays — an index-quality audit that is
+    // hash-gated rather than spec-bounded
+    "sim_ivf_recall" ->
+      s"""WITH br AS (SELECT query_id, cand_id FROM ($bruteOracle)),
+         |iv AS (SELECT query_id, cand_id FROM ($ivfOracle)),
+         |hits AS (SELECT br.query_id,
+         |    CAST(count(iv.query_id) AS BIGINT) AS n_hit
+         |  FROM br LEFT JOIN iv
+         |    ON br.query_id = iv.query_id AND br.cand_id = iv.cand_id
+         |  GROUP BY br.query_id)
+         |SELECT query_id, n_hit, round(n_hit / $K.0, 6) AS recall
+         |FROM hits""".stripMargin,
     "sim_neardups_exact_oracle" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${duckCosine("a.embedding", "b.embedding")}, 6) AS sim

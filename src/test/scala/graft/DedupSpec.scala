@@ -648,4 +648,32 @@ class DedupSpec extends SparkSpec {
       graft.operators.Multimodal.phashNearDups(spark, blobs, 4)
     }
   }
+
+  test("minhash_sig: band fold of the raw signature equals minhash_bands") {
+    import org.apache.spark.sql.functions._
+    val sess = SparkSpec.spark; import sess.implicits._
+    val df = graft.core.Tables.load(spark, sf, "documents")
+      .select(graft.operators.Dedup.shingles(col("text"), 3).as("sh"))
+      .select(
+        graft.functions.TextFunctions.minhash_sig(col("sh"), lit(32)).as("sig"),
+        graft.functions.TextFunctions
+          .minhash_bands(col("sh"), lit(32), lit(8)).as("bands"))
+      .collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val sig = r.getSeq[Long](0)
+      val bands = r.getSeq[Long](1)
+      if (sig.isEmpty) assert(bands.isEmpty)
+      else {
+        val r0 = 32 / 8
+        val folded = (0 until 8).map { b =>
+          var acc = graft.functions.Mix.fmix64(b + 0x165667B19E3779F9L)
+          (0 until r0).foreach(k =>
+            acc = graft.functions.Mix.fmix64(acc ^ sig(b * r0 + k)))
+          acc
+        }
+        assert(bands == folded, "band fold mismatch")
+      }
+    }
+  }
 }
