@@ -202,4 +202,45 @@ object Graph {
     prN.select(col("node"),
       round(col("pr") * lit(n.toDouble), 6).as("rank_norm"))
   }
+
+  /** Fixed-round k-core peeling over an undirected pair table (`pa < pb`,
+    * deduplicated): each round recomputes every surviving node's degree
+    * within the surviving subgraph and drops nodes below `k`. Peeling is
+    * monotone, so once a round removes nothing every later round is an
+    * exact no-op — running a FIXED `rounds` count (rather than testing
+    * convergence) keeps both engines bit-identical on any data while
+    * converged inputs still yield the true k-core. Returns the
+    * round-`rounds` survivors with their in-core degrees.
+    *
+    * Scale shape (the [[pageRank]] discipline): the edge table persists
+    * once, src-partitioned; each round broadcasts the surviving node set
+    * onto both endpoints (`broadcastAlive = false` flips to shuffle
+    * joins for the billions-of-nodes layout) and aggregates on the
+    * partitioning key — integer counts only, no edge bytes move after
+    * the initial partition. Each round's degree table is eagerly
+    * localCheckpoint-ed: the alive set feeds TWO joins in the next
+    * round, so without lineage truncation the plan would expand
+    * 2^rounds subtrees. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int,
+      broadcastAlive: Boolean = true): DataFrame = {
+    require(rounds >= 1, "kCore needs at least one peel round")
+    val edges = directedEdges(pairs)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // pin the partitioning (the pageRank cache rule)
+    var alive = edges.select(col("src").as("node")).distinct()
+    var deg: DataFrame = null
+    for (_ <- 0 until rounds) {
+      val av = if (broadcastAlive) broadcast(alive) else alive
+      deg = edges
+        .join(av.select(col("node").as("src")), "src")
+        .join(av.select(col("node").as("dst")), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      alive = deg.filter(col("deg") >= k).select(col("src").as("node"))
+    }
+    edges.unpersist(blocking = false)
+    deg.filter(col("deg") >= k)
+      .select(col("src").as("node"), col("deg").cast("int").as("core_deg"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.Tokenizer
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, LinearModel, Multimodal, TextAnalysis}
 
 /** Text-analysis + multimodal-plumbing query coverage (north-star ops:
   * quality scoring, language-ID, fingerprinting [in DedupQueries],
@@ -17,6 +17,47 @@ object AnalysisQueries extends graft.QueryModule {
     val feats = TextAnalysis.qualityFeatures(col("text"))
     Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  private[queries] val LrIters = 20
+  private[queries] val LrRate = 2.0
+  private[queries] val LrLabelThreshold = 0.6
+
+  /** Model-based quality classifier (the CCNet / LLaMA-pretraining
+    * filtering move): train a linear scorer by full-batch GD
+    * ([[LinearModel.trainSoftsignGd]], [[LrIters]] rounds at rate
+    * [[LrRate]]) on per-doc features — capped length score, stopword
+    * ratio, mean token length — against a rule-derived label (composite
+    * quality >= [[LrLabelThreshold]], i.e. the heuristic gate distilled
+    * into a learned scorer), then score EVERY document with the trained
+    * weights. Output: (doc_id, p, pred, label).
+    *
+    * Every feature is a ROUNDED double (the 4-dp convention), the link
+    * is exp-free, and gradient folds run in a fixed two-level order, so
+    * all 20 training rounds and the final scores replay bit-for-bit in
+    * the DuckDB oracle (generated per-round CTEs, the BPE/kmeans
+    * discipline). Scale shape: one cached 5-column projection; each
+    * round is a bounded two-level aggregation (no global sort, no
+    * per-row UDF), and the weight vector — the only driver state — is
+    * 4 doubles. */
+  def qualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val fmap = TextAnalysis.qualityFeatures(col("text")).toMap
+    val feats = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(least(fmap("n_tokens") / lit(500.0), lit(1.0)), 4).as("x1"),
+        (fmap("stopword_ratio") * lit(10.0)).as("x2"),
+        (fmap("mean_token_len") / lit(8.0)).as("x3"),
+        when(fmap("quality") >= lit(LrLabelThreshold), lit(1.0))
+          .otherwise(lit(0.0)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = LinearModel.trainSoftsignGd(feats, "doc_id",
+      Seq("x1", "x2", "x3"), "y", LrRate, LrIters)
+    val p = LinearModel.softsign(LinearModel.response(w, Seq("x1", "x2", "x3")))
+    // cache intentionally retained for the result's lineage (the kmeans
+    // note); callers running many engines can clearCache()
+    feats.select(col("doc_id"), round(p, 4).as("p"),
+      when(p > lit(0.5), 1).otherwise(0).as("pred"),
+      col("y").cast("int").as("label"))
   }
 
   /** Gopher-style quality RULE GATE (Rae et al. 2021 §A1.1) — the
@@ -513,6 +554,60 @@ object AnalysisQueries extends graft.QueryModule {
           .as("fertility"),
         round(col("n_chars").cast("double") / col("n_subwords"), 6)
           .as("chars_per_subword"))
+  }
+
+  private val StratifiedN = 100
+
+  /** Proportional stratified sample with exact largest-remainder
+    * (Hamilton) allocation: a [[StratifiedN]]-document budget is split
+    * across language strata proportionally to stratum size — integer
+    * base quota `floor(N*c/C)` per stratum, leftover seats to the
+    * largest remainders (lang ASC tiebreak) — then each stratum
+    * contributes its first `alloc` documents in deterministic
+    * content-hash order (the md5-seed convention of [[shuffleOrder]]).
+    * The companion to `adv_balanced_sample` (equal per class): this is
+    * the allocation a corpus-survey pipeline uses when strata must keep
+    * their population shares.
+    *
+    * Scale shape: the allocation runs on the STRATUM table (|langs|
+    * rows — the only unpartitioned window in the plan); per-stratum
+    * selection is a bounded `bottom_k_structs` partial aggregate (each
+    * map task keeps at most N structs per stratum, no per-stratum
+    * window sort), with the tiny allocation table broadcast back. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy()))
+    // integer-exact Hamilton: base = N*c div C, remainder seats by
+    // (N*c mod C) DESC, lang ASC — every quantity is a bigint, so the
+    // allocation is identical in any engine.
+    // bigint div/mod via expr — N*c stays far inside long range
+    val base = expr(s"($StratifiedN * c) div total")
+    val rem = expr(s"($StratifiedN * c) % total")
+    val alloc = cnt
+      .select(col("lang"), col("c"), base.as("base"), rem.as("rem"))
+      .withColumn("leftover",
+        lit(StratifiedN) - sum(col("base")).over(Window.partitionBy()))
+      .withColumn("seat", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("lang").asc)))
+      .select(col("lang"),
+        (col("base") + when(col("seat") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+    docs
+      .select(col("lang"),
+        md5(encode(concat(lit("42:"), col("doc_id").cast("string")), "UTF-8"))
+          .as("skey"),
+        col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TextFunctions.bottom_k_structs(
+        struct(col("skey"), col("doc_id")), StratifiedN).as("sel"))
+      .select(col("lang"), posexplode(col("sel")).as(Seq("pos", "p")))
+      .select(col("lang"), col("p.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .join(broadcast(alloc), "lang")
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("lang"), col("rn"))
   }
 
   /** Deterministic epoch shuffle — the training-order randomization step:
@@ -1364,6 +1459,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_repetition" -> repetition,
     "ta_pii_scrub" -> piiScrub,
     "ta_quality" -> quality,
+    "ta_quality_lr" -> qualityLr,
     "ta_gopher_rules" -> gopherRules,
     "ta_dsir_weights" -> dsirWeights,
     "ta_fertility" -> fertility,
@@ -1387,6 +1483,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_bpe_merges" -> bpeMerges,
     "ta_bpe_encode" -> bpeEncode,
     "ta_shuffle_order" -> shuffleOrder,
+    "ta_stratified_sample" -> stratifiedSample,
     "ta_split" -> trainSplit,
     "ta_split_ks" -> splitKs,
     "ta_oov_rate" -> oovRate,
@@ -1678,6 +1775,55 @@ object AnalysisQueries extends graft.QueryModule {
        |  ELSE 0.0 END AS mean_len
        |  FROM t)""".stripMargin
 
+  /** DuckDB replay of [[qualityLr]] — one CTE triple per GD round
+    * (errors, two-level gradient folds, weight update), the BPE/kmeans
+    * generated-CTE discipline. Every operation is IEEE-exact (softsign
+    * link, fixed fold orders), so all [[LrIters]] rounds and the final
+    * scores are bit-identical to the Spark run. */
+  private def qualityLrOracle: String = {
+    val z = "w.b + w.w1 * d.x1 + w.w2 * d.x2 + w.w3 * d.x3"
+    def docFold(e: String) =
+      s"list_reduce(list_prepend(0.0, list($e ORDER BY doc_id)), (a, x) -> a + x)"
+    def blkFold(c: String) =
+      s"list_reduce(list_prepend(0.0, list($c ORDER BY blk)), (a, x) -> a + x)"
+    val gs = Seq("err", "err * x1", "err * x2", "err * x3")
+    val rounds = (1 to LrIters).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      val bfolds = gs.zipWithIndex
+        .map { case (g, j) => s"${docFold(g)} AS g$j" }.mkString(",\n    ")
+      val upd = Seq("b", "w1", "w2", "w3").zipWithIndex.map { case (wn, j) =>
+        s"w.$wn - $LrRate * ((SELECT ${blkFold(s"g$j")} FROM b$i) / n.n) AS $wn"
+      }.mkString(",\n    ")
+      s"""e$i AS (SELECT d.doc_id, d.x1, d.x2, d.x3,
+         |    0.5 * (1.0 + ($z) / (1.0 + abs($z))) - d.y AS err
+         |  FROM d CROSS JOIN $prev w),
+         |b$i AS MATERIALIZED (SELECT doc_id // ${LinearModel.BlockSize} AS blk,
+         |    $bfolds
+         |  FROM e$i GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT
+         |    $upd
+         |  FROM $prev w CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $qualityFeatureCtes,
+       |d AS MATERIALIZED (SELECT doc_id,
+       |    round(least(n_tokens / 500.0, 1.0), 4) AS x1,
+       |    round(stop_ratio, 4) * 10.0 AS x2,
+       |    round(mean_len, 4) / 8.0 AS x3,
+       |    CASE WHEN $qualityScoreSql >= $LrLabelThreshold
+       |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM f),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+       |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+       |       CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+       |$rounds
+       |SELECT doc_id, round(p, 4) AS p,
+       |  CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS pred,
+       |  CAST(y AS INT) AS label
+       |FROM (SELECT d.doc_id, d.y,
+       |    0.5 * (1.0 + ($z) / (1.0 + abs($z))) AS p
+       |  FROM d CROSS JOIN w$LrIters w)""".stripMargin
+  }
+
   /** The composite quality score over the `f` feature columns (same
     * weights as [[TextAnalysis.qualityFeatures]]). */
   private[queries] def qualityScoreSql: String =
@@ -1921,6 +2067,7 @@ object AnalysisQueries extends graft.QueryModule {
          |    / CAST(sum(len(v.syms)) AS DOUBLE), 6) AS chars_per_subword
          |FROM fd JOIN v$BpeRounds v USING (word)
          |GROUP BY fd.lang""".stripMargin,
+    "ta_quality_lr" -> qualityLrOracle,
     "ta_quality" ->
       s"""WITH $qualityFeatureCtes
          |SELECT doc_id, n_tokens,
@@ -1973,6 +2120,25 @@ object AnalysisQueries extends graft.QueryModule {
         |    (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |    AS BIGINT) AS shuffle_pos
         |FROM documents""".stripMargin,
+    "ta_stratified_sample" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(c) AS total FROM cnt),
+         |alloc AS (SELECT lang,
+         |    base + CASE WHEN seat <= leftover THEN 1 ELSE 0 END AS alloc
+         |  FROM (SELECT lang,
+         |      ($StratifiedN * c) // total AS base,
+         |      row_number() OVER
+         |        (ORDER BY ($StratifiedN * c) % total DESC, lang ASC) AS seat,
+         |      $StratifiedN - sum(($StratifiedN * c) // total) OVER () AS leftover
+         |    FROM cnt CROSS JOIN tot)),
+         |sel AS (SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS INT) AS rn
+         |  FROM documents)
+         |SELECT doc_id, sel.lang AS lang, rn
+         |FROM sel JOIN alloc ON sel.lang = alloc.lang
+         |WHERE rn <= alloc""".stripMargin,
     "ta_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '$re') AS ts
          |           FROM documents),

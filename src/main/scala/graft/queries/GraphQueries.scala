@@ -111,12 +111,29 @@ object GraphQueries extends graft.QueryModule {
       copurchase(spark, dir)
         .select(col("part_a").as("pa"), col("part_b").as("pb")))
 
+  private val KCoreK = 2
+  private val KCoreRounds = 12
+
+  /** [[KCoreK]]-core of the thresholded co-purchase graph
+    * ([[Graph.kCore]], fixed [[KCoreRounds]] peel rounds) — the
+    * dense-substructure filter of link analysis (keep nodes embedded in
+    * a mutually-connected region, drop tendrils). Fixed-round peeling
+    * is bit-identical across engines whether or not it has converged;
+    * at the test scales it converges well inside the budget (11 rounds
+    * worst-case observed). */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    Graph.kCore(
+      copurchase(spark, dir)
+        .select(col("part_a").as("pa"), col("part_b").as("pb")),
+      KCoreK, KCoreRounds)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_copurchase" -> copurchase,
     "rel_pagerank" -> pagerank,
     "rel_label_prop" -> labelProp,
     "rel_assoc_rules" -> assocRules,
     "rel_triangles" -> triangles,
+    "rel_kcore" -> kcore,
   )
 
   /** DuckDB replay of [[Graph.labelPropagation]]: one generated CTE pair
@@ -179,7 +196,33 @@ object GraphQueries extends graft.QueryModule {
        |FROM it$Iters""".stripMargin
   }
 
+  /** DuckDB replay of [[Graph.kCore]]: one (degree, survivors) CTE pair
+    * per peel round over the thresholded co-purchase edges — integer
+    * counts only, so the replay is exact by construction. */
+  private def kcoreOracle: String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      val prev = s"a${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT e.src, count(*) AS deg FROM e
+         |  JOIN $prev s ON e.src = s.node JOIN $prev t ON e.dst = t.node
+         |  GROUP BY e.src),
+         |a$i AS MATERIALIZED (SELECT src AS node FROM d$i
+         |  WHERE deg >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+       |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+       |     UNION ALL SELECT pb, pa FROM pairs),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |$rounds
+       |SELECT src AS node, CAST(deg AS INT) AS core_deg
+       |FROM d$KCoreRounds WHERE deg >= $KCoreK""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "rel_kcore" -> kcoreOracle,
     "rel_copurchase" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
          |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -93,6 +93,34 @@ object SimilarityQueries extends graft.QueryModule {
           .as("recall"))
   }
 
+  private val MatryoshkaDims = 16
+
+  /** Matryoshka-truncation recall (Kusupati et al. 2022): rerun the exact
+    * cosine top-k with every embedding truncated to its FIRST
+    * [[MatryoshkaDims]] of 64 dimensions and report per-query overlap
+    * with the full-dimension top-k — the retrieval-quality audit run
+    * before shipping truncated vectors to a cheaper index. Both sides
+    * are exact brute-force searches (deterministic folds), so the audit
+    * itself hash-matches; at corpus scale the truncated search is the
+    * same broadcast-queries + partial-top-k shape at 1/4 the bytes. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val tr = emb.withColumn("embedding",
+      slice(col("embedding"), 1, MatryoshkaDims))
+    val full = topkBrute(spark, dir).select(col("query_id"), col("cand_id"))
+    val trunc = Similarity.bruteForceTopK(
+      tr.filter(col("vec_id") < NQueries), tr, K)
+      .select(col("query_id"), col("cand_id"))
+    val hits = full.join(trunc, Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    full.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(K.toDouble), 6)
+          .as("recall"))
+  }
+
   private val PqM = 8
 
   /** PQ codes + exact reconstruction error per vector
@@ -437,6 +465,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_brute" -> topkBrute,
     "sim_mmr" -> mmrDiverse,
     "sim_ivf_recall" -> ivfRecall,
+    "sim_matryoshka_recall" -> matryoshkaRecall,
     "sim_neardups_exact_oracle" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
     "sim_topk_ivf" -> topkIvf,
@@ -782,6 +811,26 @@ object SimilarityQueries extends graft.QueryModule {
     // both sides of the recall report are themselves oracled queries, so
     // the report composes their replays — an index-quality audit that is
     // hash-gated rather than spec-bounded
+    "sim_matryoshka_recall" ->
+      s"""WITH br AS (SELECT query_id, cand_id FROM ($bruteOracle)),
+         |qt AS (SELECT vec_id AS query_id, embedding[1:$MatryoshkaDims] AS qv
+         |       FROM embeddings WHERE vec_id < $NQueries),
+         |ct AS (SELECT vec_id AS cand_id, embedding[1:$MatryoshkaDims] AS cv
+         |       FROM embeddings),
+         |ts AS (SELECT query_id, cand_id, ${duckCosine("qv", "cv")} AS sim
+         |       FROM qt JOIN ct ON query_id <> cand_id),
+         |tr AS (SELECT query_id, cand_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+         |    FROM ts)
+         |  WHERE rank <= $K),
+         |hits AS (SELECT br.query_id,
+         |    CAST(count(tr.query_id) AS BIGINT) AS n_hit
+         |  FROM br LEFT JOIN tr
+         |    ON br.query_id = tr.query_id AND br.cand_id = tr.cand_id
+         |  GROUP BY br.query_id)
+         |SELECT query_id, n_hit, round(n_hit / $K.0, 6) AS recall
+         |FROM hits""".stripMargin,
     "sim_ivf_recall" ->
       s"""WITH br AS (SELECT query_id, cand_id FROM ($bruteOracle)),
          |iv AS (SELECT query_id, cand_id FROM ($ivfOracle)),

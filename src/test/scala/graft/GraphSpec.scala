@@ -200,4 +200,41 @@ class GraphSpec extends SparkSpec {
         s"label $label: closed $v vs brute ${brute(label)}")
     }
   }
+
+  test("k-core keeps the planted dense core, drops tendrils; extra rounds are no-ops") {
+    // triangle 1-2-3 (the 2-core) + chain 3-4-5 (peels) + isolated edge 6-7
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L)).toDF("pa", "pb")
+    val core = Graph.kCore(pairs, k = 2, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(core == Map(1L -> 2, 2L -> 2, 3L -> 2), core.toString)
+    // converged peeling is a fixpoint: doubling the round budget changes nothing
+    val more = Graph.kCore(pairs, k = 2, rounds = 12).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(more == core)
+  }
+
+  test("k-core matches a naive driver-side fixpoint peel on seeded random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 2) {
+      val n = 40L
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.12
+      } yield (a, b)).toSeq
+      var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      var deg = Map.empty[Long, Int]
+      var changed = true
+      while (changed) {
+        deg = alive.iterator.map(v => v -> edges.count { case (a, b) =>
+          (a == v && alive(b)) || (b == v && alive(a)) }).toMap
+        val next = alive.filter(deg(_) >= 3)
+        changed = next != alive
+        alive = next
+      }
+      val expected = alive.map(v => v -> deg(v)).toMap
+      val got = Graph.kCore(edges.toDF("pa", "pb"), k = 3, rounds = 20)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
 }

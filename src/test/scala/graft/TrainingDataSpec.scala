@@ -435,4 +435,42 @@ class TrainingDataSpec extends SparkSpec {
     assert(projVar >= maxAxisVar * 0.99,
       s"projVar $projVar < max axis var $maxAxisVar")
   }
+
+  test("stratified sample matches a naive Hamilton allocation + md5-order pick") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = 100L
+    val counts = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val total = counts.values.sum
+    val base = counts.map { case (l, c) => l -> (n * c) / total }
+    val leftover = (n - base.values.sum).toInt
+    val seats = counts.toSeq
+      .sortBy { case (l, c) => (-((n * c) % total), l) }
+      .take(leftover).map(_._1).toSet
+    val alloc = base.map { case (l, b) => l -> (b + (if (seats(l)) 1L else 0L)) }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (l, xs) =>
+      xs.toSeq.sortBy { case (id, _) => (md5hex(s"42:$id"), id) }
+        .take(math.min(alloc(l), xs.length.toLong).toInt)
+        .zipWithIndex.map { case ((id, _), i) => (id, l, i + 1) }
+    }.toSet
+    val got = graft.queries.AnalysisQueries.stratifiedSample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+  }
+
+  test("matryoshka recall: one row per query, n_hit bounded by k, recall = n_hit/k") {
+    val rows = graft.queries.SimilarityQueries.matryoshkaRecall(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == rows.map(_._1).distinct.length)
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, nHit, recall) =>
+      assert(nHit >= 0 && nHit <= 5, s"query $q n_hit $nHit")
+      assert(math.abs(recall - nHit / 5.0) < 1e-9)
+    }
+  }
 }
