@@ -157,6 +157,55 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Corpus REWRITE with cross-document duplicated spans removed, keeping
+    * the global first occurrence (the Lee et al. 2022 "Deduplicating
+    * Training Data" transformation — not just the span report, the actual
+    * cleaned text): a token position is dropped iff some duplicated
+    * k-gram covers it AND this document is not the gram's minimum-id
+    * holder. The min-id holder keeps its text, every later copy loses
+    * the shared span; within-document repeats are untouched (the
+    * cross-doc `min != max` rule of [[duplicatedSpans]]).
+    *
+    * Scale shape: the gram pass is [[dupGramPositions]]'s (hash leaves
+    * the map side, 8 bytes/occurrence); the drop set anti-joins back on
+    * (doc, position); reconstruction is a per-doc sorted fold bounded by
+    * document length. Returns every input doc:
+    * (idCol, n_tokens, kept_tokens, text_dedup). */
+  def spanRewrite(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), tokensOf(col(textCol)).as("ts"))
+    val occ = toks.filter(size(col("ts")) >= k)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("ts")) - (k - 1)),
+          i => struct(i.as("pos"),
+            xxhash64(concat_ws(" ", slice(col("ts"), i, lit(k)))).as("g"))))
+          .as("e"))
+      .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
+    val byGram = Window.partitionBy(col("g"))
+    val dropPos = occ
+      .withColumn("own", min(col(idCol)).over(byGram))
+      .withColumn("mx", max(col(idCol)).over(byGram))
+      .filter(col("own") =!= col("mx") && col(idCol) =!= col("own"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("ts")).as(Seq("p0", "tok")))
+      .withColumn("tpos", col("p0") + 1)
+      .join(dropPos, Seq(idCol, "tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok"))).as("text_dedup"))
+    toks.select(col(idCol), size(col("ts")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .na.fill(0L, Seq("kept_tokens")).na.fill("", Seq("text_dedup"))
+      .select(col(idCol), col("n_tokens"), col("kept_tokens"),
+        col("text_dedup"))
+  }
+
   /** Exact blocked n-gram-Jaccard pairs via a grouped inverted index:
     * explode (block, shingle, doc), group once on (block, shingle) into
     * postings lists, enumerate in-bucket pairs, count shared shingles per

@@ -60,6 +60,51 @@ object AnalysisQueries extends graft.QueryModule {
       col("y").cast("int").as("label"))
   }
 
+  /** Closed-form per-language OLS fit of the composite quality score
+    * against document length (n_chars) — the descriptive-statistics move
+    * behind scaling-law / calibration plots ("does quality drift with
+    * length, per language, and how tightly?"). Slope, intercept and r^2
+    * come from the five classic sufficient statistics (Sx, Sy, Sxx,
+    * Syy, Sxy), each accumulated with the [[LinearModel]] two-level
+    * ordered fold (per doc-id block, then across blocks), so the
+    * whole fit replays bit-for-bit in SQL. One aggregation pass; the
+    * per-lang algebra afterwards is scalar. Degenerate strata (zero
+    * variance on either axis) yield NULL slope/intercept/r2 in both
+    * engines rather than an engine-specific infinity. */
+  def lengthQualityFit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.ordered_sum
+    val fmap = TextAnalysis.qualityFeatures(col("text")).toMap
+    val d = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr(s"doc_id div ${LinearModel.BlockSize}").as("blk"),
+        col("n_chars").cast("double").as("x"),
+        fmap("quality").as("y"))
+    val lvl1 = d.groupBy(col("lang"), col("blk")).agg(
+      count(lit(1)).as("c"),
+      ordered_sum(col("x"), col("doc_id")).as("sx"),
+      ordered_sum(col("y"), col("doc_id")).as("sy"),
+      ordered_sum(col("x") * col("x"), col("doc_id")).as("sxx"),
+      ordered_sum(col("y") * col("y"), col("doc_id")).as("syy"),
+      ordered_sum(col("x") * col("y"), col("doc_id")).as("sxy"))
+    val s = lvl1.groupBy(col("lang")).agg(
+      sum(col("c")).as("n"),
+      ordered_sum(col("sx"), col("blk")).as("sx"),
+      ordered_sum(col("sy"), col("blk")).as("sy"),
+      ordered_sum(col("sxx"), col("blk")).as("sxx"),
+      ordered_sum(col("syy"), col("blk")).as("syy"),
+      ordered_sum(col("sxy"), col("blk")).as("sxy"))
+    val nd = col("n").cast("double")
+    val varx = nd * col("sxx") - col("sx") * col("sx")
+    val vary = nd * col("syy") - col("sy") * col("sy")
+    val cov = nd * col("sxy") - col("sx") * col("sy")
+    val ok = varx > 0.0 && vary > 0.0
+    s.select(col("lang"), col("n"),
+      when(ok, round(cov / varx, 6)).as("slope"),
+      when(ok, round((col("sy") - (cov / varx) * col("sx")) / nd, 6))
+        .as("intercept"),
+      when(ok, round(cov * cov / (varx * vary), 6)).as("r2"))
+  }
+
   /** Gopher-style quality RULE GATE (Rae et al. 2021 §A1.1) — the
     * published web-corpus filter expressed as named boolean rules per
     * document, distinct from [[quality]]'s weighted composite: word-count
@@ -1460,6 +1505,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_pii_scrub" -> piiScrub,
     "ta_quality" -> quality,
     "ta_quality_lr" -> qualityLr,
+    "ta_length_quality_fit" -> lengthQualityFit,
     "ta_gopher_rules" -> gopherRules,
     "ta_dsir_weights" -> dsirWeights,
     "ta_fertility" -> fertility,
@@ -2068,6 +2114,38 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM fd JOIN v$BpeRounds v USING (word)
          |GROUP BY fd.lang""".stripMargin,
     "ta_quality_lr" -> qualityLrOracle,
+    "ta_length_quality_fit" -> {
+      def dFold(e: String) =
+        s"list_reduce(list_prepend(0.0, list($e ORDER BY doc_id)), (a, v) -> a + v)"
+      def bFold(c: String) =
+        s"list_reduce(list_prepend(0.0, list($c ORDER BY blk)), (a, v) -> a + v)"
+      val varx = "(n * sxx - sx * sx)"
+      val vary = "(n * syy - sy * sy)"
+      val cov = "(n * sxy - sx * sy)"
+      s"""WITH $qualityFeatureCtes,
+         |d AS (SELECT f.doc_id, doc.lang,
+         |    f.doc_id // ${LinearModel.BlockSize} AS blk,
+         |    CAST(doc.n_chars AS DOUBLE) AS x, $qualityScoreSql AS y
+         |  FROM f JOIN documents doc ON f.doc_id = doc.doc_id),
+         |b AS (SELECT lang, blk, count(*) AS c,
+         |    ${dFold("x")} AS sx, ${dFold("y")} AS sy,
+         |    ${dFold("x * x")} AS sxx, ${dFold("y * y")} AS syy,
+         |    ${dFold("x * y")} AS sxy
+         |  FROM d GROUP BY 1, 2),
+         |s AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+         |    ${bFold("sx")} AS sx, ${bFold("sy")} AS sy,
+         |    ${bFold("sxx")} AS sxx, ${bFold("syy")} AS syy,
+         |    ${bFold("sxy")} AS sxy
+         |  FROM b GROUP BY lang)
+         |SELECT lang, n,
+         |  CASE WHEN $varx > 0.0 AND $vary > 0.0
+         |    THEN round($cov / $varx, 6) END AS slope,
+         |  CASE WHEN $varx > 0.0 AND $vary > 0.0
+         |    THEN round((sy - ($cov / $varx) * sx) / n, 6) END AS intercept,
+         |  CASE WHEN $varx > 0.0 AND $vary > 0.0
+         |    THEN round($cov * $cov / ($varx * $vary), 6) END AS r2
+         |FROM s""".stripMargin
+    },
     "ta_quality" ->
       s"""WITH $qualityFeatureCtes
          |SELECT doc_id, n_tokens,

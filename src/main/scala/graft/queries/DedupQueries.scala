@@ -371,6 +371,14 @@ object DedupQueries extends graft.QueryModule {
     Dedup.spanCoverage(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", k = SpanK)
 
+  /** The actual substring-dedup TRANSFORMATION ([[Dedup.spanRewrite]]):
+    * every document rewritten with cross-doc duplicated 5-gram spans
+    * removed, global first occurrence kept — the cleaned corpus the span
+    * report above is the audit for. */
+  def spanRewrite(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanRewrite(Tables.loadSpread(spark, dir, "documents"),
+      "doc_id", "text", k = SpanK)
+
   /** End-to-end curation manifest — the whole dedup+quality pipeline as
     * ONE declarative plan, one row per document with its fate and why:
     *
@@ -436,6 +444,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_curation_manifest" -> curationManifest,
     "dedup_spans" -> duplicatedSpans,
     "dedup_span_coverage" -> spanCoverage,
+    "dedup_span_rewrite" -> spanRewrite,
     "dedup_exact" -> exact,
     "dedup_canonical" -> canonical,
     "dedup_incremental" -> incremental,
@@ -503,6 +512,45 @@ object DedupQueries extends graft.QueryModule {
          |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
          |  min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM nums GROUP BY 1""".stripMargin,
+    "dedup_span_rewrite" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+         |  FROM documents
+         |),
+         |grams AS (
+         |  SELECT doc_id, unnest(range(1, len(ts) - $SpanK + 2)) AS pos, ts
+         |  FROM toks WHERE len(ts) >= $SpanK
+         |),
+         |g2 AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(list_slice(ts, pos, pos + ${SpanK - 1}), ' ') AS g
+         |  FROM grams
+         |),
+         |dposn AS (
+         |  SELECT DISTINCT doc_id, unnest(range(pos, pos + $SpanK)) AS tpos
+         |  FROM (
+         |    SELECT doc_id, pos,
+         |      min(doc_id) OVER (PARTITION BY g) AS own,
+         |      max(doc_id) OVER (PARTITION BY g) AS mx
+         |    FROM g2) WHERE own <> mx AND doc_id <> own
+         |),
+         |tok AS (
+         |  SELECT doc_id, generate_subscripts(ts, 1) AS tpos,
+         |    unnest(ts) AS tok
+         |  FROM toks
+         |),
+         |kept AS (
+         |  SELECT t.doc_id, count(*) AS kept_tokens,
+         |    array_to_string(list(t.tok ORDER BY t.tpos), ' ') AS text_dedup
+         |  FROM tok t LEFT JOIN dposn d
+         |    ON t.doc_id = d.doc_id AND t.tpos = d.tpos
+         |  WHERE d.doc_id IS NULL
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT toks.doc_id, CAST(len(toks.ts) AS BIGINT) AS n_tokens,
+         |  coalesce(kept.kept_tokens, 0) AS kept_tokens,
+         |  coalesce(kept.text_dedup, '') AS text_dedup
+         |FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id""".stripMargin,
     "dedup_spans" ->
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts

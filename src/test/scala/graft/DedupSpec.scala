@@ -676,4 +676,30 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("span rewrite: later copy loses the shared span, first owner keeps it") {
+    val sess = SparkSpec.spark
+    import sess.implicits._
+    // doc 0 owns "v w x y z"; doc 1 embeds that 5-gram between unique
+    // words; doc 2 shares nothing; doc 3 is a verbatim copy of doc 1's
+    // unique prefix only (too short for a 5-gram, so untouched)
+    val docs = Seq(
+      (0L, "v w x y z taila tailb"),
+      (1L, "p q v w x y z r s"),
+      (2L, "a b c d e f g"),
+      (3L, "p q")).toDF("doc_id", "text")
+    val out = Dedup.spanRewrite(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((7L, 7L, "v w x y z taila tailb")), out(0L).toString)
+    // doc 1: positions 3..7 covered by the duplicated gram -> dropped
+    assert(out(1L) == ((9L, 4L, "p q r s")), out(1L).toString)
+    assert(out(2L) == ((7L, 7L, "a b c d e f g")))
+    assert(out(3L) == ((2L, 2L, "p q")))
+    // kept_tokens always equals the rewritten text's token count
+    out.values.foreach { case (_, kept, txt) =>
+      val n = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(kept == n, s"$kept vs '$txt'")
+    }
+  }
 }

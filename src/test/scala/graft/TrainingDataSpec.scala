@@ -463,6 +463,34 @@ class TrainingDataSpec extends SparkSpec {
       s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
   }
 
+  test("length-quality OLS matches a naive driver-side fit per lang") {
+    val qual = AnalysisQueries.quality(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val naive = docs.groupBy(_._2).map { case (lang, xs) =>
+      val pts = xs.map { case (id, _, nc) => (nc.toDouble, qual(id)) }
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val varx = n * sxx - sx * sx; val vary = n * syy - sy * sy
+      val cov = n * sxy - sx * sy
+      lang -> (cov / varx, cov * cov / (varx * vary))
+    }
+    val got = AnalysisQueries.lengthQualityFit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    assert(got.keySet == naive.keySet)
+    got.foreach { case (lang, (slope, r2)) =>
+      assert(math.abs(slope - naive(lang)._1) < 1e-6, s"$lang slope")
+      assert(math.abs(r2 - naive(lang)._2) < 1e-6, s"$lang r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+    }
+  }
+
   test("matryoshka recall: one row per query, n_hit bounded by k, recall = n_hit/k") {
     val rows = graft.queries.SimilarityQueries.matryoshkaRecall(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
