@@ -655,6 +655,31 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("doc_id"), col("lang"), col("rn"))
   }
 
+  private val UniMaxPiece = 4
+  private val UniTopV = 40
+  private val UniRounds = 2
+  private val UniMaxWordLen = 12
+
+  /** Unigram-LM subword tokenizer training
+    * ([[graft.operators.UnigramLm]], [[UniRounds]] hard-EM rounds,
+    * top-[[UniTopV]] multi-char seed pieces + all single chars, pieces
+    * up to [[UniMaxPiece]] chars) — the SentencePiece-style companion
+    * to `ta_bpe_merges`. Output: each vocabulary word (up to
+    * [[UniMaxWordLen]] chars — the generated-CTE replay bound, enforced
+    * identically on both engines) with its final maximum-likelihood
+    * segmentation and piece count. Exp-free Viterbi (IEEE products with
+    * a longer-piece tie-break) keeps every round bit-replayable. */
+  def unigramSegment(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.operators.UnigramLm
+      .vocab(Tables.loadSpread(spark, dir, "documents"), "text")
+      .filter(length(col("word")) <= UniMaxWordLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.UnigramLm.train(v, UniMaxPiece, UniTopV, UniRounds)
+      .select(col("word"), col("wc"),
+        concat_ws(" ", col("pieces")).as("segmentation"),
+        size(col("pieces")).cast("int").as("n_pieces"))
+  }
+
   /** Deterministic epoch shuffle — the training-order randomization step:
     * every document gets a dense 1-based shuffle position keyed by
     * md5(seed ':' doc_id), reproducible across engines and runs (a new
@@ -1528,6 +1553,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_curriculum_by_lang" -> curriculumByLang,
     "ta_bpe_merges" -> bpeMerges,
     "ta_bpe_encode" -> bpeEncode,
+    "ta_unigram_segment" -> unigramSegment,
     "ta_shuffle_order" -> shuffleOrder,
     "ta_stratified_sample" -> stratifiedSample,
     "ta_split" -> trainSplit,
@@ -1870,6 +1896,102 @@ object AnalysisQueries extends graft.QueryModule {
        |  FROM d CROSS JOIN w$LrIters w)""".stripMargin
   }
 
+  /** DuckDB replay of [[unigramSegment]] — the deepest generated-CTE
+    * oracle in the catalog: per EM round, a [[UniMaxWordLen]]-step
+    * Viterbi DP chain (each position's best (score, length) via a
+    * row_number over `prev.dp * pr.p DESC, l DESC` — exactly the
+    * kernel's tie order) followed by a backtrace chain re-emitting the
+    * chosen pieces, then the integer usage aggregate and the
+    * probability re-division. All arithmetic is +,*,/ on doubles
+    * produced by integer divisions, so every round is bit-identical to
+    * the Spark run. */
+  private def unigramOracle: String = {
+    // the generated text hardcodes the two-round chain (r1 -> usage -> r2)
+    require(UniRounds == 2, "unigramOracle is generated for exactly 2 rounds")
+    // DP chain for one EM round: d<tag><i> holds position i's best
+    // (dp, l) per word; predecessors looked up from the last
+    // UniMaxPiece position tables (or the pos-0 base when l == i).
+    def dpChain(tag: String, prTable: String): String = {
+      val base = s"""b$tag AS (SELECT word, 0 AS pos,
+                    |  CAST(1.0 AS DOUBLE) AS dp FROM w)""".stripMargin
+      val ds = (1 to UniMaxWordLen).map { i =>
+        val lMax = math.min(UniMaxPiece, i)
+        val prevSources = ((i - lMax) to (i - 1)).map { p =>
+          if (p == 0) s"SELECT word, pos, dp FROM b$tag"
+          else s"SELECT word, pos, dp FROM d$tag$p"
+        }.mkString(" UNION ALL ")
+        s"""d$tag$i AS MATERIALIZED (
+           |  SELECT word, $i AS pos, dp, l FROM (
+           |    SELECT c.word, prev.dp * pr.p AS dp, c.l,
+           |      row_number() OVER (PARTITION BY c.word
+           |        ORDER BY prev.dp * pr.p DESC, c.l DESC) AS rk
+           |    FROM (SELECT word, unnest(range(1, $lMax + 1)) AS l FROM w
+           |          WHERE length(word) >= $i) c
+           |    JOIN ($prevSources) prev
+           |      ON prev.word = c.word AND prev.pos = $i - c.l
+           |    JOIN $prTable pr
+           |      ON pr.piece = substr(c.word, $i - c.l + 1, c.l)
+           |  ) WHERE rk = 1)""".stripMargin
+      }
+      (base +: ds).mkString(",\n")
+    }
+    // backtrace: from pos = length(word), repeatedly pop the chosen
+    // piece length; each step emits one piece with its start position
+    def btChain(tag: String): String = {
+      val all = (1 to UniMaxWordLen)
+        .map(i => s"SELECT word, pos, l FROM d$tag$i")
+        .mkString(" UNION ALL ")
+      val steps = (1 to UniMaxWordLen).map { j =>
+        s"""s$tag$j AS MATERIALIZED (SELECT s.word, s.pos - a.l AS pos,
+           |    substr(s.word, s.pos - a.l + 1, a.l) AS piece,
+           |    s.pos - a.l + 1 AS startpos
+           |  FROM s$tag${j - 1} s JOIN dall$tag a
+           |    ON a.word = s.word AND a.pos = s.pos
+           |  WHERE s.pos > 0)""".stripMargin
+      }
+      val union = (1 to UniMaxWordLen)
+        .map(j => s"SELECT word, startpos, piece FROM s$tag$j")
+        .mkString(" UNION ALL ")
+      (s"dall$tag AS MATERIALIZED ($all)" +:
+        s"s${tag}0 AS (SELECT word, length(word) AS pos FROM w)" +:
+        steps :+ s"pieces$tag AS MATERIALIZED ($union)").mkString(",\n")
+    }
+    s"""WITH t AS (SELECT regexp_extract_all(text, '$re') AS ts
+       |           FROM documents),
+       |w AS MATERIALIZED (SELECT word, count(*) AS wc
+       |  FROM (SELECT unnest(ts) AS word FROM t) GROUP BY 1
+       |  HAVING length(word) <= $UniMaxWordLen),
+       |occ AS (SELECT wc, unnest(flatten(list_transform(
+       |    range(1, length(word) + 1), i -> list_transform(
+       |      range(1, least($UniMaxPiece, length(word) - i + 1) + 1),
+       |      l -> substr(word, i, l))))) AS piece
+       |  FROM w),
+       |seedf AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS freq
+       |  FROM occ GROUP BY 1),
+       |sel AS MATERIALIZED (
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq, row_number() OVER
+       |      (ORDER BY freq DESC, piece ASC) AS rk
+       |    FROM seedf WHERE length(piece) >= 2) WHERE rk <= $UniTopV
+       |  UNION ALL
+       |  SELECT piece, freq FROM seedf WHERE length(piece) = 1),
+       |p0 AS MATERIALIZED (SELECT piece, CAST(freq AS DOUBLE)
+       |    / (SELECT CAST(sum(freq) AS DOUBLE) FROM sel) AS p FROM sel),
+       |${dpChain("r1", "p0")},
+       |${btChain("r1")},
+       |u1 AS MATERIALIZED (SELECT piece, CAST(sum(w.wc) AS BIGINT) AS u
+       |  FROM piecesr1 JOIN w USING (word) GROUP BY 1),
+       |p1 AS MATERIALIZED (SELECT piece, CAST(u AS DOUBLE)
+       |    / (SELECT CAST(sum(u) AS DOUBLE) FROM u1) AS p FROM u1),
+       |${dpChain("r2", "p1")},
+       |${btChain("r2")}
+       |SELECT w.word AS word, w.wc AS wc,
+       |  array_to_string(list(piece ORDER BY startpos), ' ') AS segmentation,
+       |  CAST(count(*) AS INT) AS n_pieces
+       |FROM piecesr2 JOIN w USING (word)
+       |GROUP BY w.word, w.wc""".stripMargin
+  }
+
   /** The composite quality score over the `f` feature columns (same
     * weights as [[TextAnalysis.qualityFeatures]]). */
   private[queries] def qualityScoreSql: String =
@@ -2171,6 +2293,7 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM q""".stripMargin,
     "ta_bpe_merges" -> bpeMergesOracle,
     "ta_bpe_encode" -> bpeEncodeOracle,
+    "ta_unigram_segment" -> unigramOracle,
     "ta_token_budget" ->
       s"""WITH $qualityFeatureCtes,
          |q AS (SELECT f.doc_id, d.n_chars, $qualityScoreSql AS quality
