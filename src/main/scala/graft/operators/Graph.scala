@@ -230,7 +230,14 @@ object Graph {
     edges.count() // pin the partitioning (the pageRank cache rule)
     var alive = edges.select(col("src").as("node")).distinct()
     var deg: DataFrame = null
-    for (_ <- 0 until rounds) {
+    // alive can only SHRINK, so an unchanged count is a fixpoint and
+    // every remaining round is an exact no-op — early exit returns the
+    // same rows the full fixed-round run (and the fixed-round SQL
+    // replay) would. The count is free: deg was just checkpointed.
+    var prevAlive = -1L
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val av = if (broadcastAlive) broadcast(alive) else alive
       deg = edges
         .join(av.select(col("node").as("src")), "src")
@@ -238,6 +245,10 @@ object Graph {
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
       alive = deg.filter(col("deg") >= k).select(col("src").as("node"))
+      val n = alive.count()
+      converged = n == prevAlive
+      prevAlive = n
+      r += 1
     }
     edges.unpersist(blocking = false)
     deg.filter(col("deg") >= k)

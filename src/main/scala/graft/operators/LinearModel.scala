@@ -56,15 +56,22 @@ object LinearModel {
   def trainSoftsignGd(feats: DataFrame, idCol: String, xCols: Seq[String],
       yCol: String, learnRate: Double, iters: Int): Array[Double] = {
     val d = xCols.length + 1
+    // a pre-materialized `blk` column means the caller partitioned the
+    // cache by it — the level-1 groupBy then aggregates partition-local
+    // with NO per-round exchange (the pageRank partitioning-reuse move;
+    // 20 GD rounds each saving a shuffle is the difference between a
+    // round costing a task wave and costing a stage pair)
+    val hasBlk = feats.columns.contains("blk")
     val n = feats.count().toDouble
     require(n > 0, "trainSoftsignGd needs a non-empty feature table")
     val w = Array.fill(d)(0.0)
     var it = 0
     while (it < iters) {
       val err = (softsign(response(w, xCols)) - col(yCol)).as("err")
+      val blkCol =
+        if (hasBlk) col("blk") else expr(s"$idCol div $BlockSize").as("blk")
       val projected = feats.select(
-        col(idCol) +: expr(s"$idCol div $BlockSize").as("blk") +: err +:
-          xCols.map(col): _*)
+        col(idCol) +: blkCol +: err +: xCols.map(col): _*)
       val lvl1 = (0 until d).map { j =>
         val v = if (j == 0) col("err") else col("err") * col(xCols(j - 1))
         graft.functions.TextFunctions.ordered_sum(v, col(idCol)).as(s"g$j")
