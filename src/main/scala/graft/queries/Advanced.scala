@@ -242,6 +242,12 @@ object Advanced extends graft.QueryModule {
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
     StreamingOps.windowedEventAgg(spark, dir)
 
+  /** Streaming distribution-drift monitor
+    * ([[StreamingOps.driftProfile]]): per-window event-type shares vs
+    * the frozen reference profile, scored as L1 distance. */
+  def streamDrift(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.driftProfile(spark, dir)
+
   /** Hopping (sliding) windows: 60-minute windows every 30 minutes, so
     * each event lands in exactly two — `window(ts, len, slide)` in batch
     * mode (identical semantics to its streaming use behind a watermark).
@@ -387,6 +393,7 @@ object Advanced extends graft.QueryModule {
     "adv_range_join" -> rangeJoin,
     "adv_salted_agg" -> saltedAgg,
     "stream_window_agg" -> streamWindowAgg,
+    "stream_drift" -> streamDrift,
     "stream_dedup_count" -> streamDedup,
     "stream_join_attrib" -> streamJoinAttrib,
     "stream_sessions" -> streamSessions,
@@ -600,6 +607,31 @@ object Advanced extends graft.QueryModule {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_drift" ->
+      """WITH wt AS (
+        |  SELECT strftime(time_bucket(INTERVAL '45 minutes', ts),
+        |      '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ref AS (SELECT event_type, count(*) AS rn FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS tn FROM events),
+        |wtot AS (SELECT window_start, CAST(sum(n) AS BIGINT) AS wn
+        |  FROM wt GROUP BY 1),
+        |grid AS (SELECT w.window_start, r.event_type, r.rn
+        |  FROM (SELECT DISTINCT window_start FROM wt) w CROSS JOIN ref r),
+        |j AS (SELECT g.window_start, g.event_type, g.rn,
+        |    coalesce(wt.n, 0) AS n
+        |  FROM grid g LEFT JOIN wt
+        |    ON g.window_start = wt.window_start
+        |    AND g.event_type = wt.event_type)
+        |SELECT j.window_start, max(wtot.wn) AS n_events,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list(abs(CAST(j.n AS DOUBLE) / wtot.wn
+        |      - CAST(j.rn AS DOUBLE) / tot.tn) ORDER BY j.event_type)),
+        |    (a, x) -> a + x), 6) AS l1_drift
+        |FROM j JOIN wtot ON j.window_start = wtot.window_start
+        |CROSS JOIN tot
+        |GROUP BY j.window_start""".stripMargin,
     // gaps-and-islands replay of the stateful sessionizer; both windows
     // share the (sec, event_id) total order so the break flags and the
     // running session ids bind to the same rows (ties at equal sec can

@@ -97,6 +97,51 @@ object StreamingOps {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming distribution-drift monitor: the per-window event-type
+    * profile is computed as a REAL streaming windowed aggregation, then
+    * scored against a FROZEN reference profile (here: the batch table's
+    * global distribution; in production a precomputed profile from a
+    * trusted period, broadcast to the stream) as the per-window L1
+    * distance between type shares — the data-quality alarm a corpus
+    * ingestion pipeline runs ("did today's crawl change shape?").
+    *
+    * The drift join runs on the DRAINED profile (windows x types —
+    * dimension-sized whatever the event volume); shares are single
+    * bigint-ratio double divisions and the L1 fold is keyed by
+    * event_type, so the score is engine-exact. Returns
+    * (window_start, n_events, l1_drift). */
+  def driftProfile(spark: SparkSession, dir: String,
+      windowLen: String = "45 minutes"): DataFrame = withNanosAsLong(spark) {
+    import graft.functions.TextFunctions.ordered_sum
+    val src = eventsSource(spark, dir, maxFilesPerTrigger = Some(1))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val prof = drainToMemorySink(spark, agg, "graft_stream_drift")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"), col("n"))
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("rn"))
+    val tot = ev.agg(count(lit(1)).as("tn"))
+    val wtot = prof.groupBy(col("window_start"))
+      .agg(sum(col("n")).as("wn"))
+    // full window x type grid so absent types still contribute their
+    // reference share to the distance
+    val grid = prof.select(col("window_start")).distinct()
+      .crossJoin(broadcast(ref))
+    grid.join(prof, Seq("window_start", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .join(broadcast(wtot), "window_start")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("window_start"))
+      .agg(max(col("wn")).as("n_events"),
+        round(ordered_sum(
+          abs(col("n").cast("double") / col("wn")
+            - col("rn").cast("double") / col("tn")),
+          col("event_type")), 6).as("l1_drift"))
+  }
+
   /** Streaming stateful dedup chained into a streaming aggregation:
     * dropDuplicates keeps first-seen (user_id, event_type) in state, the
     * downstream count aggregates the deduped stream — two stateful

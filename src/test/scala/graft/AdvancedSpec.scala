@@ -99,4 +99,19 @@ class AdvancedSpec extends SparkSpec {
     // ~10-year span, and the year branch floors the score at 0.3 + 0.6*y
     assert(rows.exists(_.getAs[Double]("sim") >= 0.9))
   }
+
+  test("stream drift: L1 in [0,2], streaming profile matches the batch windows") {
+    val rows = graft.queries.Advanced.streamDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val drift = r.getDouble(2)
+      assert(drift >= 0.0 && drift <= 2.0, s"${r.getString(0)}: $drift")
+      assert(r.getLong(1) > 0)
+    }
+    // the streamed windows must be exactly the batch tumbling windows
+    val batchWindows = spark.read.parquet(s"$sf/events.parquet").count()
+    val streamed = rows.map(_.getLong(1)).sum
+    assert(streamed == batchWindows,
+      s"windowed event total $streamed vs table $batchWindows")
+  }
 }
