@@ -66,6 +66,10 @@ object Bench {
     // JSON. With 70+ queries the full per-query map (~4 KB) can start beyond
     // the captured window, so: emit the long per-query line FIRST (and to a
     // file, for humans), then a SHORT final line that always fits and parses.
+    // NB the process exit code reflects HARNESS completion only — a
+    // query that fails at runtime lands in `failed` but does not flip
+    // rc. Anything gating on bench health must parse `failed` (empty =
+    // green), not the exit code.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),

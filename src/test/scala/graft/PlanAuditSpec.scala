@@ -209,4 +209,52 @@ class PlanAuditSpec extends SparkSpec {
         && !l.contains("SortMergeJoin")),
       s"unexpected global sort:\n$plan")
   }
+
+  test("stratified sample: selection is a partial top-k aggregate, no per-doc window") {
+    val df = graft.queries.AnalysisQueries.stratifiedSample(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bounded bottom-k aggregate replaces any per-stratum window
+    // sort over documents; the only Window node allowed is the |langs|-row
+    // allocation (its child is an aggregate output, never the doc scan)
+    assert(plan.contains("top_k_structs") || plan.contains("TopKStructs")
+      || plan.contains("bottom_k"), s"expected the partial top-k agg:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the allocation table comes back as a broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"), s"alloc should broadcast:\n$plan")
+  }
+
+  test("span rewrite: linear plan — no cartesian, text never crosses an exchange") {
+    val df = graft.queries.DedupQueries.spanRewrite(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    plan.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"doc text crosses an exchange: $l")
+    }
+  }
+
+  test("GD trainer round: gradient aggregation is partition-local on the blk cache") {
+    import org.apache.spark.sql.functions._
+    val sess = SparkSpec.spark
+    import sess.implicits._
+    // same shape the trainer builds: blk-partitioned cached projection,
+    // two-level grouped fold — the per-round plan must contain NO
+    // exchange between the cache scan and the level-1 aggregate
+    val feats = (0L until 3000L).map(i => (i, i / 1024L, (i % 97) / 97.0))
+      .toDF("id", "blk", "x1").repartition(8, col("blk"))
+      .persist()
+    try {
+      feats.count()
+      val lvl1 = feats.groupBy(col("blk")).agg(
+        graft.functions.TextFunctions.ordered_sum(col("x1"), col("id")).as("g"))
+      val plan = lvl1.queryExecution.executedPlan.toString
+      // between the aggregate and the cache SCAN there must be no
+      // exchange (the one inside the InMemoryRelation description is
+      // the one-time cache build, not a per-round cost)
+      val betweenAggAndScan = plan.split("\n")
+        .dropWhile(!_.contains("ObjectHashAggregate"))
+        .takeWhile(!_.contains("InMemoryTableScan"))
+      assert(!betweenAggAndScan.exists(_.contains("Exchange")),
+        s"level-1 gradient agg must reuse the cache partitioning:\n$plan")
+    } finally feats.unpersist()
+  }
 }
