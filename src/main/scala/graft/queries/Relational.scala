@@ -379,6 +379,22 @@ object Relational extends graft.QueryModule {
 
   /** Running total per customer (cumulative window — ROWS frame over a
     * deterministic order; shuffles once on the partition key). */
+  /** 2D skyline of orders (maximize price AND recency) via
+    * [[graft.operators.Skyline.frontier2D]] — the multi-criteria
+    * "best offers" operator with the range-partitioned strict
+    * suffix-max plan (no single-partition window, no O(n^2)
+    * self-join; see the operator doc). Exact column comparisons only,
+    * so the frontier is engine-exact. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Skyline.frontier2D(
+      Tables.load(spark, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderdate"),
+      "o_totalprice", "o_orderdate")
+      .select($"o_orderkey", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_orderdate"))
+  }
+
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey")
@@ -871,6 +887,7 @@ object Relational extends graft.QueryModule {
     "rel_cube_agg" -> cubeAgg,
     "rel_percentiles" -> percentiles,
     "rel_running_total" -> runningTotal,
+    "rel_skyline" -> skyline,
     "rel_scan_project" -> scanProject,
     "rel_ordered_limit" -> orderedLimit,
     "rel_score_filter" -> scoreFilter,
@@ -1282,6 +1299,17 @@ object Relational extends graft.QueryModule {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
         |FROM orders""".stripMargin,
+    "rel_skyline" ->
+      """WITH pd AS (SELECT o_totalprice AS p, max(o_orderdate) AS maxd
+        |  FROM orders GROUP BY 1),
+        |sfx AS (SELECT p, maxd, max(maxd) OVER (ORDER BY p DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gt
+        |  FROM pd)
+        |SELECT o.o_orderkey, o.o_totalprice,
+        |  strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+        |FROM orders o JOIN sfx ON o.o_totalprice = sfx.p
+        |WHERE NOT ((sfx.gt IS NOT NULL AND sfx.gt >= o.o_orderdate)
+        |  OR sfx.maxd > o.o_orderdate)""".stripMargin,
     "rel_histogram" ->
       """SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -151,4 +151,34 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("skyline equals the naive O(n^2) dominance filter; no single-partition window") {
+    val sess = SparkSpec.spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    // seeded points with deliberate x-ties and duplicate points
+    val rnd = new scala.util.Random(11)
+    val pts = (0L until 300L).map(i =>
+      (i, (rnd.nextInt(40) * 10).toDouble, rnd.nextInt(50).toLong)) ++
+      Seq((300L, 390.0, 49L), (301L, 390.0, 49L)) // duplicate frontier point
+    val df = pts.toDF("id", "x", "y")
+    val got = graft.operators.Skyline.frontier2D(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val naive = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    assert(got == naive,
+      s"extra=${(got -- naive).take(5)} missing=${(naive -- got).take(5)}")
+    // equal points dominate nothing: both duplicates survive together or
+    // not at all
+    assert(got.contains(300L) == got.contains(301L))
+    val plan = graft.queries.Relational.skyline(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition") ||
+      !plan.split("\n").exists(l =>
+        l.contains("Window") && l.contains("SinglePartition")),
+      s"skyline must not use a single-partition window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
