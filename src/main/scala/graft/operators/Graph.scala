@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -201,6 +201,48 @@ object Graph {
     val prN = (1 to iters).foldLeft(pr0)((pr, _) => round1(pr))
     prN.select(col("node"),
       round(col("pr") * lit(n.toDouble), 6).as("rank_norm"))
+  }
+
+  /** Personalized PageRank (fixed iterations, damping `d`): teleport
+    * mass is confined to a SEED set — the `nSeeds` highest-degree nodes
+    * (degree DESC, id ASC; a deterministic stand-in for the "trusted
+    * documents" a similarity-based data-selection pipeline seeds with).
+    * Ranks then measure proximity to the seeds, the classic
+    * select-data-near-the-good-data signal. Same scale shape as
+    * [[pageRank]] (one dst-partitioned edge cache, broadcast rank
+    * vector, zero-shuffle rounds, src-ordered contribution folds);
+    * the seed list is nSeeds ids on the driver (TakeOrdered, never a
+    * global sort). Returns (node, ppr) with the raw probability
+    * rounded to 8 dp. */
+  def personalizedPageRank(pairs: DataFrame, iters: Int, nSeeds: Int,
+      damping: Double = 0.85, broadcastRanks: Boolean = true): DataFrame = {
+    val degC = degrees(pairs).select(col("v").as("src"), col("deg").as("d"))
+    val partKey = if (broadcastRanks) "dst" else "src"
+    val degSide = if (broadcastRanks) broadcast(degC) else degC
+    val edges = directedEdges(pairs).join(degSide, "src")
+      .repartition(col(partKey))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // pin the partitioning (the pageRank cache rule)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seeds = degC.orderBy(col("d").desc, col("src").asc).limit(nSeeds)
+      .select(col("src")).collect().map(_.getLong(0)).toSeq.sorted
+    val seedMass = (lit(1.0) - lit(damping)) / lit(nSeeds.toDouble)
+    def isSeed(c: Column): Column = c.isin(seeds: _*)
+    def round1(pr: DataFrame): DataFrame = {
+      val ranks = if (broadcastRanks) broadcast(pr) else pr
+      edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), col("src"), (col("pr") / col("d")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg((when(isSeed(col("dst")), seedMass).otherwise(lit(0.0))
+          + lit(damping) * graft.functions.TextFunctions.ordered_sum(
+            col("contrib"), col("src"))).as("pr"))
+        .withColumnRenamed("dst", "node")
+    }
+    val pr0 = nodes.withColumn("pr",
+      when(isSeed(col("node")), lit(1.0) / lit(nSeeds.toDouble))
+        .otherwise(lit(0.0)))
+    val prN = (1 to iters).foldLeft(pr0)((pr, _) => round1(pr))
+    prN.select(col("node"), round(col("pr"), 8).as("ppr"))
   }
 
   /** Fixed-round k-core peeling over an undirected pair table (`pa < pb`,

@@ -111,6 +111,16 @@ object GraphQueries extends graft.QueryModule {
       copurchase(spark, dir)
         .select(col("part_a").as("pa"), col("part_b").as("pb")))
 
+  private val PprSeeds = 3
+
+  /** Personalized PageRank from the [[PprSeeds]] highest-degree parts
+    * ([[Graph.personalizedPageRank]]) — proximity-to-seeds ranking, the
+    * similarity-based data-selection signal. Same cached zero-shuffle
+    * rounds as [[pagerank]]. */
+  def ppr(spark: SparkSession, dir: String): DataFrame =
+    Graph.personalizedPageRank(pairTable(spark, dir).distinct(), Iters,
+      PprSeeds)
+
   private val KCoreK = 2
   private val KCoreRounds = 12
 
@@ -134,6 +144,7 @@ object GraphQueries extends graft.QueryModule {
     "rel_assoc_rules" -> assocRules,
     "rel_triangles" -> triangles,
     "rel_kcore" -> kcore,
+    "rel_ppr" -> ppr,
   )
 
   /** DuckDB replay of [[Graph.labelPropagation]]: one generated CTE pair
@@ -196,6 +207,45 @@ object GraphQueries extends graft.QueryModule {
        |FROM it$Iters""".stripMargin
   }
 
+  /** DuckDB replay of [[Graph.personalizedPageRank]] — the
+    * [[pagerankOracle]] chain with seed-confined teleport (seed set =
+    * top-[[PprSeeds]] by (degree DESC, id ASC), the same TakeOrdered
+    * rule; every float in the engine-wide cast/fold discipline). */
+  private def pprOracle: String = {
+    val seedTele =
+      s"""CASE WHEN e.dst IN (SELECT src FROM seeds)
+         |  THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |       / CAST($PprSeeds.0 AS DOUBLE)
+         |  ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    def iterCte(alias: String, prev: String) =
+      s"""$alias AS (SELECT e.dst AS node,
+         |  $seedTele
+         |  + CAST(0.85 AS DOUBLE) * list_reduce(
+         |    list_prepend(0.0, list(p.pr / e.d ORDER BY e.src)),
+         |    (a, b) -> a + b) AS pr
+         |  FROM edges e JOIN $prev p ON e.src = p.node
+         |  GROUP BY e.dst)""".stripMargin
+    val rounds = (1 to Iters)
+      .map(i => iterCte(s"it$i", if (i == 1) "pr0" else s"it${i - 1}"))
+      .mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e0 AS (SELECT pa AS src, pb AS dst FROM pairs
+       |       UNION SELECT pb, pa FROM pairs),
+       |deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+       |edges AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg USING (src)),
+       |seeds AS MATERIALIZED (SELECT src FROM deg
+       |  ORDER BY d DESC, src ASC LIMIT $PprSeeds),
+       |pr0 AS (SELECT src AS node,
+       |  CASE WHEN src IN (SELECT src FROM seeds)
+       |    THEN CAST(1.0 AS DOUBLE) / CAST($PprSeeds.0 AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS pr FROM deg),
+       |$rounds
+       |SELECT node, round(pr, 8) AS ppr FROM it$Iters""".stripMargin
+  }
+
   /** DuckDB replay of [[Graph.kCore]]: one (degree, survivors) CTE pair
     * per peel round over the thresholded co-purchase edges — integer
     * counts only, so the replay is exact by construction. */
@@ -223,6 +273,7 @@ object GraphQueries extends graft.QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "rel_kcore" -> kcoreOracle,
+    "rel_ppr" -> pprOracle,
     "rel_copurchase" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
          |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -201,6 +201,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalized pagerank: mass conserved, confined to the seed component") {
+    // component A: hub 0 with leaves 1..4 (hub = top degree -> seed);
+    // component B: triangle 10-11-12, unreachable from any seed
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("pa", "pb")
+    val ppr = Graph.personalizedPageRank(pairs, iters = 8, nSeeds = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr.size == 8)
+    // no dangling nodes and teleport sums to (1-d): total mass stays 1
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-6, ppr.toString)
+    // the seed (hub, degree 4) dominates; the seedless component gets 0
+    assert(ppr(0L) > ppr(1L))
+    Seq(10L, 11L, 12L).foreach(v => assert(ppr(v) == 0.0, s"$v: ${ppr(v)}"))
+    // proximity ordering: leaves adjacent to the seed outrank nothing in
+    // their own tier (symmetry) but are strictly positive
+    assert(ppr(1L) > 0.0 && ppr(1L) == ppr(2L))
+  }
+
   test("k-core keeps the planted dense core, drops tendrils; extra rounds are no-ops") {
     // triangle 1-2-3 (the 2-core) + chain 3-4-5 (peels) + isolated edge 6-7
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
