@@ -690,6 +690,29 @@ object AnalysisQueries extends graft.QueryModule {
         size(col("pieces")).cast("int").as("n_pieces"))
   }
 
+  /** Unigram-tokenizer fertility per language — the [[fertility]] (BPE)
+    * report recomputed under the [[unigramSegment]] model, giving the
+    * side-by-side compression comparison that drives tokenizer choice
+    * per language (pieces/word and chars/piece under each scheme).
+    * Words beyond [[UniMaxWordLen]] drop via the vocabulary join, the
+    * same bound as the segment query. */
+  def unigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.loadSpread(spark, dir, "documents")
+      .select(col("lang"), explode(
+        graft.functions.TextFunctions.regex_tokens(col("text"))).as("word"))
+    val seg = unigramSegment(spark, dir).select(col("word"), col("n_pieces"))
+    toks.join(seg, "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(length(col("word"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"))
+  }
+
   /** Deterministic epoch shuffle — the training-order randomization step:
     * every document gets a dense 1-based shuffle position keyed by
     * md5(seed ':' doc_id), reproducible across engines and runs (a new
@@ -1564,6 +1587,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_bpe_merges" -> bpeMerges,
     "ta_bpe_encode" -> bpeEncode,
     "ta_unigram_segment" -> unigramSegment,
+    "ta_unigram_fertility" -> unigramFertility,
     "ta_shuffle_order" -> shuffleOrder,
     "ta_stratified_sample" -> stratifiedSample,
     "ta_split" -> trainSplit,
@@ -1916,8 +1940,19 @@ object AnalysisQueries extends graft.QueryModule {
     * produced by integer divisions, so every round is bit-identical to
     * the Spark run. */
   private def unigramOracle: String = {
+    s"""WITH $unigramChainCtes
+       |SELECT w.word AS word, w.wc AS wc,
+       |  array_to_string(list(piece ORDER BY startpos), ' ') AS segmentation,
+       |  CAST(count(*) AS INT) AS n_pieces
+       |FROM piecesr2 JOIN w USING (word)
+       |GROUP BY w.word, w.wc""".stripMargin
+  }
+
+  /** The per-round CTE generators of the unigram replay. */
+  private def unigramChainBuilders
+      : ((String, String) => String, String => String) = {
     // the generated text hardcodes the two-round chain (r1 -> usage -> r2)
-    require(UniRounds == 2, "unigramOracle is generated for exactly 2 rounds")
+    require(UniRounds == 2, "unigram oracle is generated for exactly 2 rounds")
     // DP chain for one EM round: d<tag><i> holds position i's best
     // (dp, l) per word; predecessors looked up from the last
     // UniMaxPiece position tables (or the pos-0 base when l == i).
@@ -1966,7 +2001,15 @@ object AnalysisQueries extends graft.QueryModule {
         s"s${tag}0 AS (SELECT word, length(word) AS pos FROM w)" +:
         steps :+ s"pieces$tag AS MATERIALIZED ($union)").mkString(",\n")
     }
-    s"""WITH t AS (SELECT regexp_extract_all(text, '$re') AS ts
+    (dpChain _, btChain _)
+  }
+
+  /** Shared CTE body of the unigram-EM replay (seed inventory, two DP +
+    * backtrace chains, the usage re-estimation) — composed by
+    * [[unigramOracle]] and the fertility replay. */
+  private lazy val unigramChainCtes: String = {
+    val (dpChain, btChain) = unigramChainBuilders
+    s"""t AS (SELECT regexp_extract_all(text, '$re') AS ts
        |           FROM documents),
        |w AS MATERIALIZED (SELECT word, count(*) AS wc
        |  FROM (SELECT unnest(ts) AS word FROM t) GROUP BY 1
@@ -1994,12 +2037,7 @@ object AnalysisQueries extends graft.QueryModule {
        |p1 AS MATERIALIZED (SELECT piece, CAST(u AS DOUBLE)
        |    / (SELECT CAST(sum(u) AS DOUBLE) FROM u1) AS p FROM u1),
        |${dpChain("r2", "p1")},
-       |${btChain("r2")}
-       |SELECT w.word AS word, w.wc AS wc,
-       |  array_to_string(list(piece ORDER BY startpos), ' ') AS segmentation,
-       |  CAST(count(*) AS INT) AS n_pieces
-       |FROM piecesr2 JOIN w USING (word)
-       |GROUP BY w.word, w.wc""".stripMargin
+       |${btChain("r2")}""".stripMargin
   }
 
   /** The composite quality score over the `f` feature columns (same
@@ -2304,6 +2342,22 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_bpe_merges" -> bpeMergesOracle,
     "ta_bpe_encode" -> bpeEncodeOracle,
     "ta_unigram_segment" -> unigramOracle,
+    "ta_unigram_fertility" ->
+      s"""WITH $unigramChainCtes,
+         |seg AS (SELECT word, count(*) AS n_pieces
+         |  FROM piecesr2 GROUP BY 1),
+         |tok AS (SELECT lang, unnest(ts) AS word FROM (
+         |  SELECT lang, regexp_extract_all(text, '$re') AS ts
+         |  FROM documents))
+         |SELECT tok.lang, count(*) AS n_words,
+         |  CAST(sum(seg.n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(length(tok.word)) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(seg.n_pieces) AS DOUBLE) / count(*), 6)
+         |    AS fertility,
+         |  round(CAST(sum(length(tok.word)) AS DOUBLE)
+         |    / CAST(sum(seg.n_pieces) AS DOUBLE), 6) AS chars_per_piece
+         |FROM tok JOIN seg USING (word)
+         |GROUP BY tok.lang""".stripMargin,
     "ta_token_budget" ->
       s"""WITH $qualityFeatureCtes,
          |q AS (SELECT f.doc_id, d.n_chars, $qualityScoreSql AS quality

@@ -94,4 +94,21 @@ class UnigramLmSpec extends SparkSpec {
     val segs2 = seg.map(s => s._1 -> s._3).toMap
     assert(ll(segs2, probHist(1)) >= ll(segs1, probHist(0)) - 1e-9)
   }
+
+  test("unigram fertility: internally consistent and bounded by word structure") {
+    val rows = graft.queries.AnalysisQueries.unigramFertility(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nPieces, nChars) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      val fert = r.getDouble(4); val cpp = r.getDouble(5)
+      // at least one piece per word, at most one per character
+      assert(nPieces >= nWords && nPieces <= nChars,
+        s"${r.getString(0)}: $nWords words, $nPieces pieces, $nChars chars")
+      assert(math.abs(fert - nPieces.toDouble / nWords) < 1e-6)
+      assert(math.abs(cpp - nChars.toDouble / nPieces) < 1e-6)
+      assert(fert >= 1.0 && cpp >= 1.0)
+    }
+  }
 }
