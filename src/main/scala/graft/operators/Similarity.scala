@@ -70,6 +70,23 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"),
         round(col("p.sim"), 6).as("sim"))
 
+  /** Exact L2 brute-force top-k (sim = -squared distance, the
+    * [[pqTopK]] ranking convention) — the ground truth the
+    * compressed-domain searches are recalled against. Same broadcast
+    * queries + partial top-k shape as [[bruteForceTopK]]; the distance
+    * folds dims left-to-right from 0.0, the engine-wide SQL-replayable
+    * order. */
+  def l2TopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDoubleArray(col("embedding")).as("qv"))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      toDoubleArray(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", -aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+    rankTopK(scored, k)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * candidates (excluding itself). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {

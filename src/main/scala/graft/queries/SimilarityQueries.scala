@@ -93,6 +93,26 @@ object SimilarityQueries extends graft.QueryModule {
           .as("recall"))
   }
 
+  /** PQ recall report: ADC top-k hits against the EXACT L2 top-k per
+    * query — the [[ivfRecall]] discipline applied to the
+    * compressed-domain search. Both sides deterministic (fixed anchor
+    * codebooks, SQL-replayable folds), so the index-quality audit
+    * itself is hash-gated. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val exact = Similarity.l2TopK(emb.filter(col("vec_id") < NQueries),
+      emb, K).select(col("query_id"), col("cand_id"))
+    val adc = topkPq(spark, dir).select(col("query_id"), col("cand_id"))
+    val hits = exact.join(adc, Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(K.toDouble), 6)
+          .as("recall"))
+  }
+
   private val MatryoshkaDims = 16
 
   /** Matryoshka-truncation recall (Kusupati et al. 2022): rerun the exact
@@ -465,6 +485,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_brute" -> topkBrute,
     "sim_mmr" -> mmrDiverse,
     "sim_ivf_recall" -> ivfRecall,
+    "sim_pq_recall" -> pqRecall,
     "sim_matryoshka_recall" -> matryoshkaRecall,
     "sim_neardups_exact_oracle" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
@@ -811,6 +832,33 @@ object SimilarityQueries extends graft.QueryModule {
     // both sides of the recall report are themselves oracled queries, so
     // the report composes their replays — an index-quality audit that is
     // hash-gated rather than spec-bounded
+    "sim_pq_recall" -> {
+      val l2 =
+        s"""-(list_reduce(list_prepend(0.0, list_transform(
+           |  list_zip(q.qv, c.cv),
+           |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+           |    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+           |  (a, x) -> a + x))""".stripMargin.replaceAll("\n", " ")
+      s"""WITH ex AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+         |    FROM (SELECT q.query_id, c.cand_id, $l2 AS sim
+         |      FROM (SELECT vec_id AS query_id, embedding AS qv
+         |            FROM embeddings WHERE vec_id < $NQueries) q
+         |      JOIN (SELECT vec_id AS cand_id, embedding AS cv
+         |            FROM embeddings) c
+         |        ON query_id <> cand_id))
+         |  WHERE rank <= $K),
+         |pqt AS (SELECT query_id, cand_id FROM ($pqTopkOracle)),
+         |hits AS (SELECT ex.query_id,
+         |    CAST(count(pqt.query_id) AS BIGINT) AS n_hit
+         |  FROM ex LEFT JOIN pqt
+         |    ON ex.query_id = pqt.query_id AND ex.cand_id = pqt.cand_id
+         |  GROUP BY ex.query_id)
+         |SELECT query_id, n_hit, round(n_hit / $K.0, 6) AS recall
+         |FROM hits""".stripMargin
+    },
     "sim_matryoshka_recall" ->
       s"""WITH br AS (SELECT query_id, cand_id FROM ($bruteOracle)),
          |qt AS (SELECT vec_id AS query_id, embedding[1:$MatryoshkaDims] AS qv

@@ -677,6 +677,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pq recall report: bounded per query and consistent with its parents") {
+    val rows = SimilarityQueries.pqRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (q, nHit, recall) =>
+      assert(nHit >= 0 && nHit <= 5, s"query $q n_hit $nHit")
+      assert(math.abs(recall - nHit / 5.0) < 1e-9)
+    }
+  }
+
   test("span rewrite: later copy loses the shared span, first owner keeps it") {
     val sess = SparkSpec.spark
     import sess.implicits._
