@@ -224,9 +224,13 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // pin the partitioning (the pageRank cache rule)
     val nodes = edges.select(col("src").as("node")).distinct()
+    require(nSeeds >= 1, "personalizedPageRank needs at least one seed")
     val seeds = degC.orderBy(col("d").desc, col("src").asc).limit(nSeeds)
       .select(col("src")).collect().map(_.getLong(0)).toSeq.sorted
-    val seedMass = (lit(1.0) - lit(damping)) / lit(nSeeds.toDouble)
+    // normalize by the ACTUAL seed count (a graph smaller than nSeeds
+    // would otherwise leak teleport mass and break conservation)
+    val nS = seeds.length.toDouble
+    val seedMass = (lit(1.0) - lit(damping)) / lit(nS)
     def isSeed(c: Column): Column = c.isin(seeds: _*)
     def round1(pr: DataFrame): DataFrame = {
       val ranks = if (broadcastRanks) broadcast(pr) else pr
@@ -239,7 +243,7 @@ object Graph {
         .withColumnRenamed("dst", "node")
     }
     val pr0 = nodes.withColumn("pr",
-      when(isSeed(col("node")), lit(1.0) / lit(nSeeds.toDouble))
+      when(isSeed(col("node")), lit(1.0) / lit(nS))
         .otherwise(lit(0.0)))
     val prN = (1 to iters).foldLeft(pr0)((pr, _) => round1(pr))
     prN.select(col("node"), round(col("pr"), 8).as("ppr"))
@@ -249,10 +253,13 @@ object Graph {
     * deduplicated): each round recomputes every surviving node's degree
     * within the surviving subgraph and drops nodes below `k`. Peeling is
     * monotone, so once a round removes nothing every later round is an
-    * exact no-op — running a FIXED `rounds` count (rather than testing
-    * convergence) keeps both engines bit-identical on any data while
-    * converged inputs still yield the true k-core. Returns the
-    * round-`rounds` survivors with their in-core degrees.
+    * exact no-op — the loop therefore early-exits at the fixpoint
+    * (detected by an unchanged survivor count) and the result is
+    * bit-identical to running the full fixed `rounds` budget, which is
+    * exactly what the generated-CTE oracle does. Converged inputs yield
+    * the true k-core; an unconverged budget yields the same partial
+    * peel on both engines. Returns the survivors with their in-core
+    * degrees.
     *
     * Scale shape (the [[pageRank]] discipline): the edge table persists
     * once, src-partitioned; each round broadcasts the surviving node set

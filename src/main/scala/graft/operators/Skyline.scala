@@ -27,7 +27,11 @@ import org.apache.spark.storage.StorageLevel
   *     max reaches their y, or an equal-x row has strictly larger y.
   *
   * All comparisons are on exact column values (no float arithmetic), so
-  * the frontier is engine-exact. */
+  * the frontier is engine-exact. Rows with a null in either dimension
+  * are incomparable and never appear on the frontier (SQL null
+  * comparison semantics drop them in the dominance filter; the prefix
+  * fold skips null partition maxima the same way the window max
+  * does). */
 object Skyline {
 
   /** Pareto-max frontier of `df` over (`xCol`, `yCol`); returns the
@@ -53,10 +57,13 @@ object Skyline {
       var run: Any = null
       parts.map { case (pid, pm) =>
         val row = Row(pid, run)
-        // exact ordering compare via Spark's own row ordering is
-        // overkill for a monotone prefix: track max with the column's
-        // natural ordering
+        // track the prefix max with the column's natural ordering; a
+        // null pm (partition whose y values are all null) contributes
+        // nothing — matching the window max's null-skipping semantics.
+        // Rows with null y can never dominate and are themselves
+        // dropped by the final dominance filter (null comparisons).
         run = (run, pm) match {
+          case (r, null) => r
           case (null, v) => v
           case (a: Comparable[Any] @unchecked, v) =>
             if (a.compareTo(v) >= 0) a else v

@@ -679,15 +679,34 @@ object AnalysisQueries extends graft.QueryModule {
     * identically on both engines) with its final maximum-likelihood
     * segmentation and piece count. Exp-free Viterbi (IEEE products with
     * a longer-piece tie-break) keeps every round bit-replayable. */
-  def unigramSegment(spark: SparkSession, dir: String): DataFrame = {
-    val v = graft.operators.UnigramLm
-      .vocab(Tables.loadSpread(spark, dir, "documents"), "text")
-      .filter(length(col("word")) <= UniMaxWordLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.operators.UnigramLm.train(v, UniMaxPiece, UniTopV, UniRounds)
+  def unigramSegment(spark: SparkSession, dir: String): DataFrame =
+    unigramSegTable(spark, dir)
       .select(col("word"), col("wc"),
         concat_ws(" ", col("pieces")).as("segmentation"),
         size(col("pieces")).cast("int").as("n_pieces"))
+
+  // Trained-segmentation table shared by the segment + fertility entries
+  // (the DedupQueries audit-cache discipline: build outside the map,
+  // putIfAbsent; localCheckpoint breaks lineage so the training-time
+  // vocab cache can be released immediately).
+  private val uniCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def unigramSegTable(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    val existing = uniCache.get(key)
+    if (existing != null) existing
+    else {
+      val v = graft.operators.UnigramLm
+        .vocab(Tables.loadSpread(spark, dir, "documents"), "text")
+        .filter(length(col("word")) <= UniMaxWordLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val built = graft.operators.UnigramLm
+        .train(v, UniMaxPiece, UniTopV, UniRounds)
+        .localCheckpoint(true)
+      v.unpersist(blocking = false)
+      val prev = uniCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Unigram-tokenizer fertility per language — the [[fertility]] (BPE)
@@ -700,7 +719,8 @@ object AnalysisQueries extends graft.QueryModule {
     val toks = Tables.loadSpread(spark, dir, "documents")
       .select(col("lang"), explode(
         graft.functions.TextFunctions.regex_tokens(col("text"))).as("word"))
-    val seg = unigramSegment(spark, dir).select(col("word"), col("n_pieces"))
+    val seg = unigramSegTable(spark, dir)
+      .select(col("word"), size(col("pieces")).as("n_pieces"))
     toks.join(seg, "word")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"),

@@ -212,10 +212,12 @@ object GraphQueries extends graft.QueryModule {
     * top-[[PprSeeds]] by (degree DESC, id ASC), the same TakeOrdered
     * rule; every float in the engine-wide cast/fold discipline). */
   private def pprOracle: String = {
+    // divide by the ACTUAL seed count like the operator (identical when
+    // the graph has >= PprSeeds nodes, exact even when it doesn't)
     val seedTele =
       s"""CASE WHEN e.dst IN (SELECT src FROM seeds)
          |  THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-         |       / CAST($PprSeeds.0 AS DOUBLE)
+         |       / CAST((SELECT count(*) FROM seeds) AS DOUBLE)
          |  ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
     def iterCte(alias: String, prev: String) =
       s"""$alias AS (SELECT e.dst AS node,
@@ -240,7 +242,8 @@ object GraphQueries extends graft.QueryModule {
        |  ORDER BY d DESC, src ASC LIMIT $PprSeeds),
        |pr0 AS (SELECT src AS node,
        |  CASE WHEN src IN (SELECT src FROM seeds)
-       |    THEN CAST(1.0 AS DOUBLE) / CAST($PprSeeds.0 AS DOUBLE)
+       |    THEN CAST(1.0 AS DOUBLE)
+       |         / CAST((SELECT count(*) FROM seeds) AS DOUBLE)
        |    ELSE CAST(0.0 AS DOUBLE) END AS pr FROM deg),
        |$rounds
        |SELECT node, round(pr, 8) AS ppr FROM it$Iters""".stripMargin

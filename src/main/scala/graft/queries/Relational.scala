@@ -377,8 +377,6 @@ object Relational extends graft.QueryModule {
         r4(percentile($"value", lit(0.99))).as("p99"))
   }
 
-  /** Running total per customer (cumulative window — ROWS frame over a
-    * deterministic order; shuffles once on the partition key). */
   /** 2D skyline of orders (maximize price AND recency) via
     * [[graft.operators.Skyline.frontier2D]] — the multi-criteria
     * "best offers" operator with the range-partitioned strict
@@ -395,6 +393,8 @@ object Relational extends graft.QueryModule {
         date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_orderdate"))
   }
 
+  /** Running total per customer (cumulative window — ROWS frame over a
+    * deterministic order; shuffles once on the partition key). */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey")
