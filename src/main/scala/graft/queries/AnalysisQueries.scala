@@ -733,6 +733,36 @@ object AnalysisQueries extends graft.QueryModule {
           .as("chars_per_piece"))
   }
 
+  /** N-gram novelty curve over the training order — per shuffle-order
+    * decile, the fraction of (doc, 3-gram) observations whose gram was
+    * never seen in an earlier-ordered document. The standard "is the
+    * tail of my epoch still teaching anything new" memorization/
+    * saturation diagnostic, composed from the [[shuffleOrder]]
+    * permutation and the dedup tier's distinct shingles.
+    *
+    * Scale shape: grams explode map-side (distinct per doc); the first
+    * occurrence is a keyed `min(pos)` aggregate; deciles are integer
+    * arithmetic on the dense position ((pos-1)*10 div n); the output is
+    * 10 rows. Positions are unique, so the minimum picks exactly one
+    * novel observation per gram on both engines. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ord = shuffleOrder(spark, dir)
+      .select(col("doc_id"), col("shuffle_pos").as("pos"))
+    val grams = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
+    val gp = grams.join(ord, "doc_id")
+    val firsts = gp.groupBy(col("gram")).agg(min(col("pos")).as("fpos"))
+    val n = ord.count()
+    gp.join(firsts, "gram")
+      .select(expr(s"((pos - 1) * 10) div $n").as("decile0"),
+        when(col("pos") === col("fpos"), 1L).otherwise(0L).as("novel"))
+      .groupBy((col("decile0") + 1L).cast("int").as("decile"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("novel")).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
   /** Deterministic epoch shuffle — the training-order randomization step:
     * every document gets a dense 1-based shuffle position keyed by
     * md5(seed ':' doc_id), reproducible across engines and runs (a new
@@ -1608,6 +1638,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_bpe_encode" -> bpeEncode,
     "ta_unigram_segment" -> unigramSegment,
     "ta_unigram_fertility" -> unigramFertility,
+    "ta_ngram_novelty" -> ngramNovelty,
     "ta_shuffle_order" -> shuffleOrder,
     "ta_stratified_sample" -> stratifiedSample,
     "ta_split" -> trainSplit,
@@ -2405,6 +2436,30 @@ object AnalysisQueries extends graft.QueryModule {
         |    (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |    AS BIGINT) AS shuffle_pos
         |FROM documents""".stripMargin,
+    "ta_ngram_novelty" ->
+      s"""WITH ord AS (SELECT doc_id,
+         |    CAST(row_number() OVER
+         |      (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS BIGINT) AS pos
+         |  FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+         |    THEN list_distinct(
+         |      [array_to_string(list_slice(ts, i, i + 2), ' ')
+         |       for i in range(1, len(ts) - 2 + 1)])
+         |    ELSE [] END) AS gram
+         |  FROM (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+         |        FROM documents)),
+         |gp AS (SELECT sh.gram, ord.pos FROM sh JOIN ord USING (doc_id)),
+         |firsts AS (SELECT gram, min(pos) AS fpos FROM gp GROUP BY 1),
+         |per AS (SELECT
+         |    CAST(((gp.pos - 1) * 10) // n.n + 1 AS INT) AS decile,
+         |    CASE WHEN gp.pos = f.fpos THEN 1 ELSE 0 END AS novel
+         |  FROM gp JOIN firsts f USING (gram) CROSS JOIN n)
+         |SELECT decile, count(*) AS n_grams,
+         |  CAST(sum(novel) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(novel) AS DOUBLE) / count(*), 6) AS novelty
+         |FROM per GROUP BY decile""".stripMargin,
     "ta_stratified_sample" ->
       s"""WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
          |tot AS (SELECT sum(c) AS total FROM cnt),

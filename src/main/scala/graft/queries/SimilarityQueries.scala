@@ -93,6 +93,29 @@ object SimilarityQueries extends graft.QueryModule {
           .as("recall"))
   }
 
+  /** Cluster-quality audit: k-means clusters scored against the
+    * ground-truth labels — per-cluster size, majority label and purity
+    * (the standard external clustering evaluation a curation pipeline
+    * runs before trusting cluster-balanced sampling). Integer counts
+    * plus one ratio, over the already-oracled deterministic k-means
+    * assignment, so the audit itself hash-gates. Majority ties break to
+    * the smallest label via the map-side-combinable `max(struct)`
+    * argmax — no window over members. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(spark, dir).select(col("vec_id"), col("cluster"))
+    val lbl = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    asg.join(lbl, "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cluster"))
+      .agg(sum(col("c")).as("n_members"),
+        max(struct(col("c"), (-col("label")).as("nl"))).as("b"))
+      .select(col("cluster"), col("n_members"),
+        (-col("b.nl")).cast("int").as("majority_label"),
+        round(col("b.c").cast("double") / col("n_members"), 6).as("purity"))
+  }
+
   /** PQ recall report: ADC top-k hits against the EXACT L2 top-k per
     * query — the [[ivfRecall]] discipline applied to the
     * compressed-domain search. Both sides deterministic (fixed anchor
@@ -480,6 +503,7 @@ object SimilarityQueries extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans" -> kmeansAssign,
+    "sim_cluster_purity" -> clusterPurity,
     "sim_cluster_sample" -> clusterSample,
     "sim_semantic_dedup" -> semanticDedup,
     "sim_topk_brute" -> topkBrute,
@@ -944,6 +968,19 @@ object SimilarityQueries extends graft.QueryModule {
         |    p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 6) AS max_abs_err
         |FROM q""".stripMargin,
     "sim_kmeans" -> kmeansOracle,
+    "sim_cluster_purity" ->
+      s"""WITH km AS ($kmeansOracle),
+         |ct AS (SELECT km.cluster, e.label, count(*) AS c
+         |  FROM km JOIN embeddings e ON km.vec_id = e.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT cluster, label, c,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY c DESC, label ASC) AS rk,
+         |    CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+         |  FROM ct)
+         |SELECT cluster, n_members, CAST(label AS INT) AS majority_label,
+         |  round(CAST(c AS DOUBLE) / n_members, 6) AS purity
+         |FROM r WHERE rk = 1""".stripMargin,
     "sim_topk_ivf" -> ivfOracle,
     "sim_pq_stats" -> pqOracle,
     "sim_topk_pq" -> pqTopkOracle,

@@ -491,6 +491,43 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("cluster purity: members partition the corpus, purity valid, labels real") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val labels = emb.select("label").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val n = emb.count()
+    val rows = graft.queries.SimilarityQueries.clusterPurity(spark, sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == n, "cluster sizes must partition the corpus")
+    rows.foreach { case (cl, size, maj, purity) =>
+      assert(size > 0 && labels.contains(maj), s"cluster $cl")
+      assert(purity > 0.0 && purity <= 1.0 + 1e-9, s"cluster $cl: $purity")
+      // majority label's share can't be below the uniform floor
+      assert(purity >= 1.0 / labels.size - 1e-9)
+    }
+  }
+
+  test("ngram novelty: rates valid, first-decile novelty dominates the tail") {
+    val rows = graft.queries.AnalysisQueries.ngramNovelty(spark, sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (d, nGrams, nNovel, rate) =>
+      assert(nNovel >= 0 && nNovel <= nGrams, s"decile $d")
+      assert(math.abs(rate - nNovel.toDouble / nGrams) < 1e-6)
+    }
+    // every distinct gram is novel exactly once
+    val distinctGrams = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.operators.Dedup.shingles(col("text"), 3))
+        .as("g")).distinct().count()
+    assert(rows.map(_._3).sum == distinctGrams)
+    // saturation: the earliest decile must be more novel than the last
+    assert(rows.head._4 > rows.last._4,
+      s"expected decreasing novelty: ${rows.map(_._4).toSeq}")
+  }
+
   test("matryoshka recall: one row per query, n_hit bounded by k, recall = n_hit/k") {
     val rows = graft.queries.SimilarityQueries.matryoshkaRecall(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
