@@ -303,4 +303,51 @@ object Graph {
     deg.filter(col("deg") >= k)
       .select(col("src").as("node"), col("deg").cast("int").as("core_deg"))
   }
+
+  /** Common-neighbor / Adamic-Adar link prediction: score every
+    * NON-adjacent pair (a, b) sharing >= `minCn` neighbors by
+    * `aa = sum_z 1/ln(deg(z))` over the shared middles z (Adamic & Adar
+    * 2003). `pairs` is the canonical undirected edge table (pa < pb,
+    * deduplicated).
+    *
+    * Scale shape: wedges fan out from each MIDDLE node's sorted
+    * neighbor array (one groupBy, per-middle O(deg^2) expansion), so
+    * the hub guard is explicit: middles with degree > `maxMiddleDeg`
+    * are skipped, bounding per-node wedge work at cap^2/2 — the dfCap
+    * discipline from the n-gram Jaccard dedup, and for Adamic-Adar
+    * also *principled*: a skipped hub contributes at most
+    * 1/ln(cap+1) per pair, the signal's own down-weighting of
+    * promiscuous middles. The aa float fold is mid-id-ordered
+    * ([[graft.functions.TextFunctions.ordered_sum]] — middles are
+    * unique per candidate pair since neighbor sets are deduplicated)
+    * for cross-engine bit equality; existing edges leave via a
+    * canonical-pair anti-join. Output: (node_a, node_b, cn, aa_score)
+    * with node_a < node_b. */
+  def adamicAdar(pairs: DataFrame, maxMiddleDeg: Int,
+      minCn: Int): DataFrame = {
+    val e = pairs.select(col("pa"), col("pb"))
+    val nbrs = directedEdges(e).groupBy(col("src").as("mid"))
+      .agg(array_sort(collect_set(col("dst"))).as("ns"))
+      .filter(size(col("ns")) <= maxMiddleDeg)
+    val wedges = nbrs
+      .select(col("mid"), size(col("ns")).cast("double").as("d"),
+        explode(expr(
+          """flatten(transform(ns, (x, i) ->
+            |  transform(slice(ns, i + 2, size(ns)),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin))
+          .as("p"))
+      .select(col("p.a").as("node_a"), col("p.b").as("node_b"),
+        col("mid"), col("d"))
+    val scored = wedges
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).cast("int").as("cn"),
+        graft.functions.TextFunctions.ordered_sum(
+          lit(1.0) / log(col("d")), col("mid")).as("aa"))
+      .filter(col("cn") >= minCn)
+    scored
+      .join(e, scored("node_a") === e("pa") && scored("node_b") === e("pb"),
+        "left_anti")
+      .select(col("node_a"), col("node_b"), col("cn"),
+        round(col("aa"), 6).as("aa_score"))
+  }
 }

@@ -137,8 +137,28 @@ object GraphQueries extends graft.QueryModule {
         .select(col("part_a").as("pa"), col("part_b").as("pb")),
       KCoreK, KCoreRounds)
 
+  private val LinkPredMaxDeg = 8
+  // >= 1: score ALL distance-2 non-adjacent pairs (the standard AA
+  // candidate set) — at sf0.1 the thresholded graph is sparse enough
+  // (max degree 6) that a >=2 cut leaves zero candidates, a degenerate
+  // hash gate
+  private val LinkPredMinCn = 1
+
+  /** Common-neighbor / Adamic-Adar link prediction over the thresholded
+    * co-purchase graph ([[Graph.adamicAdar]]) — the "parts likely to be
+    * bought together next" / related-document suggestion signal. The
+    * [[LinkPredMaxDeg]] hub guard triggers at test scale (max
+    * co-purchase degree 13 at sf0.01), so the guarded path is what the
+    * oracle gates. */
+  def linkPred(spark: SparkSession, dir: String): DataFrame =
+    Graph.adamicAdar(
+      copurchase(spark, dir)
+        .select(col("part_a").as("pa"), col("part_b").as("pb")),
+      LinkPredMaxDeg, LinkPredMinCn)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_copurchase" -> copurchase,
+    "rel_linkpred" -> linkPred,
     "rel_pagerank" -> pagerank,
     "rel_label_prop" -> labelProp,
     "rel_assoc_rules" -> assocRules,
@@ -275,6 +295,30 @@ object GraphQueries extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "rel_linkpred" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+         |     UNION ALL SELECT pb, pa FROM pairs),
+         |deg AS (SELECT src AS mid, count(*) AS d FROM e GROUP BY 1),
+         |w AS (SELECT e1.src AS mid, CAST(dg.d AS DOUBLE) AS d,
+         |    e1.dst AS a, e2.dst AS b
+         |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  JOIN deg dg ON dg.mid = e1.src
+         |  WHERE dg.d <= $LinkPredMaxDeg),
+         |sc AS (SELECT a AS node_a, b AS node_b,
+         |    CAST(count(*) AS INT) AS cn,
+         |    list_reduce(
+         |      list_prepend(0.0, list(CAST(1.0 AS DOUBLE) / ln(d)
+         |                             ORDER BY mid)),
+         |      (acc, x) -> acc + x) AS aa
+         |  FROM w GROUP BY 1, 2 HAVING count(*) >= $LinkPredMinCn)
+         |SELECT node_a, node_b, cn, round(aa, 6) AS aa_score
+         |FROM sc ANTI JOIN pairs
+         |  ON sc.node_a = pairs.pa AND sc.node_b = pairs.pb""".stripMargin,
     "rel_kcore" -> kcoreOracle,
     "rel_ppr" -> pprOracle,
     "rel_copurchase" ->

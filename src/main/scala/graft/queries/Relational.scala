@@ -874,9 +874,101 @@ object Relational extends graft.QueryModule {
       .na.fill(0L)
   }
 
+  private val SnapCut1 = "2024-01-11 00:00:00"
+  private val SnapCut2 = "2024-01-21 00:00:00"
+
+  /** CDC-shaped snapshot diff: per user, the LATEST event state
+    * (event_type, value; argmax by (ts, event_id)) inside two adjacent
+    * activity windows (< [[SnapCut1]] vs [[SnapCut1]]..[[SnapCut2]]),
+    * full-outer-joined on the key and classified the way a
+    * change-data-capture compare classifies table versions — `insert`
+    * (key only in the newer window), `delete` (only in the older),
+    * `update` (state differs), `same`. The "what changed between the
+    * last two crawl snapshots" primitive of an incremental pipeline.
+    *
+    * Scale shape: each side is ONE map-side-combinable `max(struct)`
+    * argmax (the dedup_cluster_best discipline — no per-user window or
+    * sort), and the diff is a single key-partitioned full outer join.
+    * The struct compares (ts, event_id, ...) and event_id is unique, so
+    * the trailing payload fields never decide an ordering. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def stateIn(lo: Option[String], hi: String): DataFrame =
+      Tables.load(spark, dir, "events")
+        .filter(lo.map(v => $"ts" >= lit(v).cast("timestamp"))
+          .getOrElse(lit(true)) && $"ts" < lit(hi).cast("timestamp"))
+        .groupBy($"user_id")
+        .agg(max(struct($"ts", $"event_id", $"event_type", $"value"))
+          .as("s"))
+        .select($"user_id", $"s.event_type".as("etype"),
+          round($"s.value", 4).as("value"))
+    val a = stateIn(None, SnapCut1).toDF("user_id", "a_type", "a_value")
+    val b = stateIn(Some(SnapCut1), SnapCut2)
+      .toDF("user_id", "b_type", "b_value")
+    a.join(b, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        when($"a_type".isNull, lit("insert"))
+          .when($"b_type".isNull, lit("delete"))
+          .when($"a_type" === $"b_type" && $"a_value" === $"b_value",
+            lit("same"))
+          .otherwise(lit("update")).as("change"),
+        $"a_type", $"a_value", $"b_type", $"b_value")
+  }
+
+  /** Per-user EWMA anomaly fold (alpha = 0.2): one ordered pass over
+    * each user's value stream tracking the exponential moving average
+    * and mean absolute deviation, counting points where
+    * `|x - ewma| > 3 * ewmad` after a 5-event warmup — the streaming-
+    * style drift/anomaly monitor run as a batch audit. Recursive state
+    * that no built-in window expresses (lag/avg can't carry a decayed
+    * accumulator), so the state rides through `functions.aggregate` — a
+    * codegen'd higher-order fold over the (ts, event_id)-sorted value
+    * array, NOT a UDF and NOT a driver loop.
+    *
+    * Scale shape: one user-keyed shuffle; per-user state is the event
+    * list (bounded by per-user activity — ~70 events/user in the
+    * synthetic stream; a production variant would fold per
+    * session/day). Double arithmetic folds in one fixed order, so the
+    * DuckDB replay (a recursive CTE stepping the same state in the same
+    * order — see the oracle's note on why not `list_reduce`) is
+    * bit-identical. */
+  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xs = transform(
+      array_sort(collect_list(struct($"ts", $"event_id", $"value"))),
+      s => s.getField("value"))
+    val init = struct(lit(0.0).as("ewma"), lit(0.0).as("ewmad"),
+      lit(0L).as("i"), lit(0L).as("anom"))
+    val al = lit(0.2)
+    val st = aggregate(xs, init, (a, x) => {
+      val first = a.getField("i") === 0L
+      val dev = abs(x - a.getField("ewma"))
+      struct(
+        when(first, x)
+          .otherwise(al * x + (lit(1.0) - al) * a.getField("ewma"))
+          .as("ewma"),
+        when(first, lit(0.0))
+          .otherwise(al * dev + (lit(1.0) - al) * a.getField("ewmad"))
+          .as("ewmad"),
+        (a.getField("i") + 1L).as("i"),
+        (a.getField("anom") +
+          when(a.getField("i") >= 5L && dev > lit(3.0) * a.getField("ewmad"),
+            1L).otherwise(0L)).as("anom"))
+    })
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(st.as("st"), count(lit(1)).as("n_events"))
+      .select($"user_id", $"n_events",
+        round($"st.ewma", 6).as("ewma"),
+        round($"st.ewmad", 6).as("ewmad"),
+        $"st.anom".as("n_anomalies"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_snapshot_diff" -> snapshotDiff,
+    "rel_ewma" -> ewmaAnomaly,
     "rel_event_gaps" -> eventGaps,
     "rel_interval_merge" -> intervalMerge,
     "rel_set_ops" -> setOps,
@@ -959,6 +1051,59 @@ object Relational extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "rel_snapshot_diff" ->
+      s"""WITH a AS (SELECT user_id, event_type AS a_type,
+         |    round(value, 4) AS a_value
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE ts < TIMESTAMP '$SnapCut1')
+         |  WHERE rn = 1),
+         |b AS (SELECT user_id, event_type AS b_type,
+         |    round(value, 4) AS b_value
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE ts >= TIMESTAMP '$SnapCut1'
+         |      AND ts < TIMESTAMP '$SnapCut2')
+         |  WHERE rn = 1)
+         |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+         |  CASE WHEN a.a_type IS NULL THEN 'insert'
+         |       WHEN b.b_type IS NULL THEN 'delete'
+         |       WHEN a.a_type = b.b_type AND a.a_value = b.b_value
+         |         THEN 'same'
+         |       ELSE 'update' END AS change,
+         |  a_type, a_value, b_type, b_value
+         |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""".stripMargin,
+    // NOTE: replayed as a RECURSIVE CTE (one row of state per user per
+    // step), not a struct-state list_reduce — DuckDB evaluates the
+    // lambda's struct fields against a partially-updated accumulator
+    // (observed: the ewmad field read the already-updated ewma,
+    // yielding exactly 0.8x the true deviation), so the fold form is
+    // not a trustworthy replay.
+    "rel_ewma" ->
+      """WITH RECURSIVE ord AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |n AS (SELECT user_id, max(i) AS n FROM ord GROUP BY 1),
+        |st AS (
+        |  SELECT user_id, 1 AS i, CAST(value AS DOUBLE) AS ewma,
+        |    CAST(0.0 AS DOUBLE) AS ewmad, CAST(0 AS BIGINT) AS anom
+        |  FROM ord WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.i + 1,
+        |    CAST(0.2 AS DOUBLE) * o.value
+        |      + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * s.ewma,
+        |    CAST(0.2 AS DOUBLE) * abs(o.value - s.ewma)
+        |      + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * s.ewmad,
+        |    s.anom + CASE WHEN s.i >= 5
+        |        AND abs(o.value - s.ewma) > CAST(3.0 AS DOUBLE) * s.ewmad
+        |      THEN 1 ELSE 0 END
+        |  FROM st s JOIN ord o
+        |    ON o.user_id = s.user_id AND o.i = s.i + 1)
+        |SELECT st.user_id, CAST(n.n AS BIGINT) AS n_events,
+        |  round(st.ewma, 6) AS ewma, round(st.ewmad, 6) AS ewmad,
+        |  st.anom AS n_anomalies
+        |FROM st JOIN n ON st.user_id = n.user_id AND st.i = n.n""".stripMargin,
     "rel_hilbert_key" -> {
       val xb = "((user_id % 1024 + 1024) % 1024)"
       val yb = "((CAST(floor(value) AS BIGINT) % 1024 + 1024) % 1024)"

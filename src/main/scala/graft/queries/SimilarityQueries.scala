@@ -164,6 +164,34 @@ object SimilarityQueries extends graft.QueryModule {
           .as("recall"))
   }
 
+  /** Int8 scalar-quantization recall: rerun the exact cosine top-k with
+    * every vector round-tripped through per-vector symmetric int8
+    * compression ([[Similarity.quantizeInt8]], searched on the
+    * reconstructed `q * scale` doubles) and report per-query overlap
+    * with the full-precision top-k — the [[matryoshkaRecall]] audit for
+    * the 4x-smaller SQ8 index a pipeline ships when PQ's accuracy loss
+    * is too big. Quantize is a pure projection and both searches are
+    * deterministic broadcast-queries + partial-top-k folds, so the
+    * report itself hash-matches the DuckDB replay. */
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val (scale, qs, _) = Similarity.quantizeInt8(col("embedding"))
+    val recon = emb.select(col("vec_id"),
+      transform(qs, q => q.cast("double") * scale).as("embedding"))
+    val full = topkBrute(spark, dir).select(col("query_id"), col("cand_id"))
+    val sq = Similarity.bruteForceTopK(
+      recon.filter(col("vec_id") < NQueries), recon, K)
+      .select(col("query_id"), col("cand_id"))
+    val hits = full.join(sq, Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    full.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(K.toDouble), 6)
+          .as("recall"))
+  }
+
   private val PqM = 8
 
   /** PQ codes + exact reconstruction error per vector
@@ -511,6 +539,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_ivf_recall" -> ivfRecall,
     "sim_pq_recall" -> pqRecall,
     "sim_matryoshka_recall" -> matryoshkaRecall,
+    "sim_sq8_recall" -> sq8Recall,
     "sim_neardups_exact_oracle" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
     "sim_topk_ivf" -> topkIvf,
@@ -900,6 +929,36 @@ object SimilarityQueries extends graft.QueryModule {
          |    CAST(count(tr.query_id) AS BIGINT) AS n_hit
          |  FROM br LEFT JOIN tr
          |    ON br.query_id = tr.query_id AND br.cand_id = tr.cand_id
+         |  GROUP BY br.query_id)
+         |SELECT query_id, n_hit, round(n_hit / $K.0, 6) AS recall
+         |FROM hits""".stripMargin,
+    "sim_sq8_recall" ->
+      s"""WITH br AS (SELECT query_id, cand_id FROM ($bruteOracle)),
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, dv,
+         |  list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+         |  FROM e),
+         |r AS MATERIALIZED (SELECT vec_id,
+         |  list_transform(dv, x -> CASE WHEN scale <> 0
+         |    THEN CAST(CAST(least(127.0, greatest(-127.0,
+         |           round(x / scale, 0))) AS INT) AS DOUBLE) * scale
+         |    ELSE 0.0 END) AS rv
+         |  FROM s),
+         |ts AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${duckCosine("q.rv", "c.rv")} AS sim
+         |  FROM (SELECT * FROM r WHERE vec_id < $NQueries) q
+         |  JOIN r c ON q.vec_id <> c.vec_id),
+         |sq AS (SELECT query_id, cand_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+         |    FROM ts)
+         |  WHERE rank <= $K),
+         |hits AS (SELECT br.query_id,
+         |    CAST(count(sq.query_id) AS BIGINT) AS n_hit
+         |  FROM br LEFT JOIN sq
+         |    ON br.query_id = sq.query_id AND br.cand_id = sq.cand_id
          |  GROUP BY br.query_id)
          |SELECT query_id, n_hit, round(n_hit / $K.0, 6) AS recall
          |FROM hits""".stripMargin,

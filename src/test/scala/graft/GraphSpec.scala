@@ -43,6 +43,25 @@ class GraphSpec extends SparkSpec {
     assert(outDeg.values.max <= 2, s"out-degree must stay bounded: $outDeg")
   }
 
+  test("adamic-adar: exact on a planted graph, edges excluded, hub middle skipped") {
+    // triangle 0-1-2 (all pairs adjacent -> nothing survives the
+    // anti-join), square 3-4-5-6 (diagonals (3,5)/(4,6) each reachable
+    // through two degree-2 middles), star center 10 with 9 leaves
+    // (degree 9 > cap 8 -> skipped as middle, so no leaf-pair floods)
+    val pairs = (Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (3L, 6L)) ++
+      (11L to 19L).map(i => (10L, i))).toDF("pa", "pb")
+    val got = Graph.adamicAdar(pairs, maxMiddleDeg = 8, minCn = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3))))
+      .toMap
+    val twoOverLn2 = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      (3L, 5L) -> ((2, twoOverLn2)),
+      (4L, 6L) -> ((2, twoOverLn2))), got.toString)
+  }
+
   test("copurchase equals the brute-force self-join on the same data") {
     val brute = {
       val li = spark.read.parquet(s"$sf/lineitem.parquet")
