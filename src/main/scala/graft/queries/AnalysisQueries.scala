@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -1599,7 +1599,94 @@ object AnalysisQueries extends graft.QueryModule {
       .toDF("term", "est")
   }
 
+  private val ZipfTopR = 100
+
+  /** Zipf-law fit per language: OLS of ln(freq) on ln(rank) over the
+    * top-[[ZipfTopR]] unigrams — slope (the Zipf exponent, ~-1 for
+    * natural language), intercept, and r^2. A corpus whose exponent
+    * drifts far from -1 (or fits poorly) is boilerplate-heavy or
+    * template-generated — the distributional cousin of the Gopher
+    * repetition rules.
+    *
+    * Scale shape: term counts aggregate with map-side combine, then the
+    * per-lang top-R comes from the partial-top-k aggregate
+    * ([[graft.functions.TextFunctions.top_k_structs]]) — only R structs
+    * per (lang, input partition) cross the shuffle; NO window sorts the
+    * vocabulary. The tie order is (n DESC, term DESC) — struct-descending
+    * order — so rank assignment is deterministic and SQL-replayable. The
+    * OLS sums fold rank-ordered ([[graft.functions.TextFunctions
+    * .ordered_sum]]) for cross-engine bit equality; degenerate variance
+    * denominators null out via the same guard on both sides. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.loadSpread(spark, dir, "documents")
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.regex_tokens(col("text")))
+          .as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+    val ranked = counts.groupBy(col("lang"))
+      .agg(graft.functions.TextFunctions.top_k_structs(
+        struct(col("n"), col("term")), ZipfTopR).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("lang"), (col("pos") + 1).as("r"),
+        log((col("pos") + 1).cast("double")).as("lx"),
+        log(col("p.n").cast("double")).as("ly"))
+    def os(v: Column) =
+      graft.functions.TextFunctions.ordered_sum(v, col("r"))
+    val agg = ranked.groupBy(col("lang")).agg(
+      count(lit(1)).cast("double").as("m"),
+      os(col("lx")).as("sx"),
+      os(col("ly")).as("sy"),
+      os(col("lx") * col("lx")).as("sxx"),
+      os(col("ly") * col("ly")).as("syy"),
+      os(col("lx") * col("ly")).as("sxy"))
+    val covN = col("m") * col("sxy") - col("sx") * col("sy")
+    val varX = col("m") * col("sxx") - col("sx") * col("sx")
+    val varY = col("m") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varX
+    agg.select(col("lang"), col("m").cast("long").as("n_terms"),
+      round(when(varX =!= 0.0, slope), 6).as("slope"),
+      round(when(varX =!= 0.0, (col("sy") - slope * col("sx")) / col("m")),
+        6).as("intercept"),
+      round(when(varX =!= 0.0 && varY =!= 0.0,
+        covN * covN / (varX * varY)), 6).as("r2"))
+  }
+
+  /** Byte-level charset / encoding-quality signals per (source, lang):
+    * multibyte overhead (UTF-8 bytes beyond one per char — the
+    * mojibake / wrong-charset tell when it spikes for a nominally-ASCII
+    * source), digit and whitespace character ratios, and document
+    * counts. The cheap first-pass curation screen that runs BEFORE
+    * tokenization — pure per-row projections (octet_length / length /
+    * one regexp class strip), one partial-combinable aggregate, no
+    * joins. Ratio sums fold doc_id-ordered for cross-engine bit
+    * equality. */
+  def charsetQuality(spark: SparkSession, dir: String): DataFrame = {
+    val bytes = octet_length(col("text")).cast("double")
+    val chars = length(col("text")).cast("double")
+    def classRatio(cls: String): Column =
+      when(chars > 0,
+        (chars - length(regexp_replace(col("text"), cls, "")).cast("double"))
+          / chars).otherwise(lit(0.0))
+    val perDoc = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(bytes > 0, (bytes - chars) / bytes).otherwise(lit(0.0))
+          .as("mb_ratio"),
+        classRatio("[0-9]").as("digit_ratio"),
+        classRatio("[ \\t\\n\\r]").as("ws_ratio"))
+    def os(v: Column) =
+      graft.functions.TextFunctions.ordered_sum(v, col("doc_id"))
+    perDoc.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(os(col("mb_ratio")) / count(lit(1)), 6).as("avg_mb_ratio"),
+        round(max(col("mb_ratio")), 6).as("max_mb_ratio"),
+        round(os(col("digit_ratio")) / count(lit(1)), 6)
+          .as("avg_digit_ratio"),
+        round(os(col("ws_ratio")) / count(lit(1)), 6).as("avg_ws_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_zipf_fit" -> zipfFit,
+    "ta_charset_quality" -> charsetQuality,
     "ta_source_mix" -> sourceMix,
     "ta_k_anonymity" -> kAnonymity,
     "ta_cms_counts" -> cmsCounts,
@@ -2114,6 +2201,70 @@ object AnalysisQueries extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ta_zipf_fit" ->
+      s"""WITH toks AS (SELECT lang,
+         |    unnest(regexp_extract_all(text, '${Tokenizer.DuckDbTokenRegex}'))
+         |      AS term
+         |  FROM documents),
+         |cnt AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY 1, 2),
+         |rk AS (SELECT lang, n, row_number() OVER (PARTITION BY lang
+         |    ORDER BY n DESC, term DESC) AS r
+         |  FROM cnt QUALIFY r <= $ZipfTopR),
+         |pt AS (SELECT lang, r, ln(CAST(r AS DOUBLE)) AS lx,
+         |    ln(CAST(n AS DOUBLE)) AS ly
+         |  FROM rk),
+         |ag AS (SELECT lang, CAST(count(*) AS DOUBLE) AS m,
+         |  list_reduce(list_prepend(0.0, list(lx ORDER BY r)),
+         |    (a, x) -> a + x) AS sx,
+         |  list_reduce(list_prepend(0.0, list(ly ORDER BY r)),
+         |    (a, x) -> a + x) AS sy,
+         |  list_reduce(list_prepend(0.0, list(lx * lx ORDER BY r)),
+         |    (a, x) -> a + x) AS sxx,
+         |  list_reduce(list_prepend(0.0, list(ly * ly ORDER BY r)),
+         |    (a, x) -> a + x) AS syy,
+         |  list_reduce(list_prepend(0.0, list(lx * ly ORDER BY r)),
+         |    (a, x) -> a + x) AS sxy
+         |  FROM pt GROUP BY 1)
+         |SELECT lang, CAST(m AS BIGINT) AS n_terms,
+         |  round(CASE WHEN m * sxx - sx * sx <> 0
+         |    THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END, 6)
+         |    AS slope,
+         |  round(CASE WHEN m * sxx - sx * sx <> 0
+         |    THEN (sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m
+         |    END, 6) AS intercept,
+         |  round(CASE WHEN m * sxx - sx * sx <> 0 AND m * syy - sy * sy <> 0
+         |    THEN (m * sxy - sx * sy) * (m * sxy - sx * sy)
+         |      / ((m * sxx - sx * sx) * (m * syy - sy * sy)) END, 6) AS r2
+         |FROM ag""".stripMargin,
+    "ta_charset_quality" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+        |    CAST(strlen(text) AS DOUBLE) AS bytes,
+        |    CAST(length(text) AS DOUBLE) AS chars,
+        |    CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      AS nd,
+        |    CAST(length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+        |      AS DOUBLE) AS nw
+        |  FROM documents),
+        |pd AS (SELECT doc_id, source, lang,
+        |    CASE WHEN bytes > 0 THEN (bytes - chars) / bytes
+        |      ELSE 0.0 END AS mb_ratio,
+        |    CASE WHEN chars > 0 THEN (chars - nd) / chars
+        |      ELSE 0.0 END AS digit_ratio,
+        |    CASE WHEN chars > 0 THEN (chars - nw) / chars
+        |      ELSE 0.0 END AS ws_ratio
+        |  FROM d)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  round(list_reduce(list_prepend(0.0,
+        |      list(mb_ratio ORDER BY doc_id)), (a, x) -> a + x)
+        |    / count(*), 6) AS avg_mb_ratio,
+        |  round(max(mb_ratio), 6) AS max_mb_ratio,
+        |  round(list_reduce(list_prepend(0.0,
+        |      list(digit_ratio ORDER BY doc_id)), (a, x) -> a + x)
+        |    / count(*), 6) AS avg_digit_ratio,
+        |  round(list_reduce(list_prepend(0.0,
+        |      list(ws_ratio ORDER BY doc_id)), (a, x) -> a + x)
+        |    / count(*), 6) AS avg_ws_ratio
+        |FROM pd GROUP BY 1, 2""".stripMargin,
     "ta_source_mix" ->
       s"""WITH t AS (SELECT source,
          |    CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 AS tier,
