@@ -362,6 +362,12 @@ object Advanced extends graft.QueryModule {
     StreamingOps.rateLimitedEvents(spark, dir, windowSec = 3600,
       maxPerWindow = 5)
 
+  /** Per-user EWMA anomaly state as a REAL mapGroupsWithState streaming
+    * query ([[StreamingOps.ewmaStates]]); final states replay the batch
+    * `rel_ewma` recursive-CTE oracle exactly (single-batch drain). */
+  def streamEwma(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.ewmaStates(spark, dir)
+
   /** JSON scalar extraction from the props column (§2.9 surface:
     * get_json_object / from_json family). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -398,10 +404,12 @@ object Advanced extends graft.QueryModule {
     "stream_join_attrib" -> streamJoinAttrib,
     "stream_sessions" -> streamSessions,
     "stream_rate_limit" -> streamRateLimit,
+    "stream_ewma" -> streamEwma,
     "adv_hopping_window" -> hoppingWindow,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_ewma" -> Relational.ewmaOracleSql,
     "adv_session_window" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

@@ -1050,6 +1050,42 @@ object Relational extends graft.QueryModule {
         graft.operators.ZOrder.hilbert2(10, $"xb", $"yb").as("hkey"))
   }
 
+  /** DuckDB replay of the EWMA/EWMAD state (shared by `rel_ewma` and
+    * the streaming `stream_ewma`, whose final states are identical on
+    * the bounded single-batch drain).
+    *
+    * NOTE: a RECURSIVE CTE (one row of state per user per step), not a
+    * struct-state list_reduce — DuckDB evaluates the fold lambda's
+    * struct fields against a partially-updated accumulator (observed:
+    * the ewmad field read the already-updated ewma, yielding exactly
+    * 0.8x the true deviation), so the fold form is not a trustworthy
+    * replay. */
+  private[queries] def ewmaOracleSql: String =
+    """WITH RECURSIVE ord AS (SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS i
+      |  FROM events),
+      |n AS (SELECT user_id, max(i) AS n FROM ord GROUP BY 1),
+      |st AS (
+      |  SELECT user_id, 1 AS i, CAST(value AS DOUBLE) AS ewma,
+      |    CAST(0.0 AS DOUBLE) AS ewmad, CAST(0 AS BIGINT) AS anom
+      |  FROM ord WHERE i = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.i + 1,
+      |    CAST(0.2 AS DOUBLE) * o.value
+      |      + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * s.ewma,
+      |    CAST(0.2 AS DOUBLE) * abs(o.value - s.ewma)
+      |      + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * s.ewmad,
+      |    s.anom + CASE WHEN s.i >= 5
+      |        AND abs(o.value - s.ewma) > CAST(3.0 AS DOUBLE) * s.ewmad
+      |      THEN 1 ELSE 0 END
+      |  FROM st s JOIN ord o
+      |    ON o.user_id = s.user_id AND o.i = s.i + 1)
+      |SELECT st.user_id, CAST(n.n AS BIGINT) AS n_events,
+      |  round(st.ewma, 6) AS ewma, round(st.ewmad, 6) AS ewmad,
+      |  st.anom AS n_anomalies
+      |FROM st JOIN n ON st.user_id = n.user_id AND st.i = n.n""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "rel_snapshot_diff" ->
       s"""WITH a AS (SELECT user_id, event_type AS a_type,
@@ -1073,37 +1109,7 @@ object Relational extends graft.QueryModule {
          |       ELSE 'update' END AS change,
          |  a_type, a_value, b_type, b_value
          |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""".stripMargin,
-    // NOTE: replayed as a RECURSIVE CTE (one row of state per user per
-    // step), not a struct-state list_reduce — DuckDB evaluates the
-    // lambda's struct fields against a partially-updated accumulator
-    // (observed: the ewmad field read the already-updated ewma,
-    // yielding exactly 0.8x the true deviation), so the fold form is
-    // not a trustworthy replay.
-    "rel_ewma" ->
-      """WITH RECURSIVE ord AS (SELECT user_id, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS i
-        |  FROM events),
-        |n AS (SELECT user_id, max(i) AS n FROM ord GROUP BY 1),
-        |st AS (
-        |  SELECT user_id, 1 AS i, CAST(value AS DOUBLE) AS ewma,
-        |    CAST(0.0 AS DOUBLE) AS ewmad, CAST(0 AS BIGINT) AS anom
-        |  FROM ord WHERE i = 1
-        |  UNION ALL
-        |  SELECT s.user_id, s.i + 1,
-        |    CAST(0.2 AS DOUBLE) * o.value
-        |      + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * s.ewma,
-        |    CAST(0.2 AS DOUBLE) * abs(o.value - s.ewma)
-        |      + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * s.ewmad,
-        |    s.anom + CASE WHEN s.i >= 5
-        |        AND abs(o.value - s.ewma) > CAST(3.0 AS DOUBLE) * s.ewmad
-        |      THEN 1 ELSE 0 END
-        |  FROM st s JOIN ord o
-        |    ON o.user_id = s.user_id AND o.i = s.i + 1)
-        |SELECT st.user_id, CAST(n.n AS BIGINT) AS n_events,
-        |  round(st.ewma, 6) AS ewma, round(st.ewmad, 6) AS ewmad,
-        |  st.anom AS n_anomalies
-        |FROM st JOIN n ON st.user_id = n.user_id AND st.i = n.n""".stripMargin,
+    "rel_ewma" -> ewmaOracleSql,
     "rel_hilbert_key" -> {
       val xb = "((user_id % 1024 + 1024) % 1024)"
       val yb = "((CAST(floor(value) AS BIGINT) % 1024 + 1024) % 1024)"

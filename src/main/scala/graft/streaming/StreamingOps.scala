@@ -336,6 +336,31 @@ object StreamingOps {
       spark.table(name).localCheckpoint(true)
     }
 
+  /** Per-user EWMA anomaly state as a REAL streaming query
+    * ([[EwmaState.ewma]]: file source -> groupByKey ->
+    * mapGroupsWithState -> update-mode memory sink). The single events
+    * file drains as one micro-batch, so the sink holds exactly the
+    * final per-user states and hash-matches the batch oracle; the last
+    * row per user would be taken in a multi-batch deployment. */
+  def ewmaStates(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
+      import spark.implicits._
+      val typed = eventsSource(spark, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val out = EwmaState.ewma(typed)
+      val name = "graft_stream_ewma"
+      val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try out.toDF().writeStream.outputMode("update")
+          .format("memory").queryName(name).start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      try { q.processAllAvailable() } finally { q.stop() }
+      spark.table(name).localCheckpoint(true)
+    }
+
   /** Gap-based sessionization of the events table as a REAL streaming
     * query through [[StatefulSessions.sessionize]] (file source ->
     * groupByKey -> flatMapGroupsWithState -> memory sink). Bounded-input

@@ -257,4 +257,58 @@ class PlanAuditSpec extends SparkSpec {
         s"level-1 gradient agg must reuse the cache partitioning:\n$plan")
     } finally feats.unpersist()
   }
+
+  test("ewma fold: one user-keyed exchange, no window, no per-user sort operator") {
+    val plan = graft.queries.Relational.ewmaAnomaly(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the recursive state rides an expression-level fold over a sorted
+    // ARRAY — the plan must contain no Window and no Sort operator, and
+    // exactly one data exchange (the user_id aggregation)
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert(!plan.contains("\nSort ") && !plan.contains("+- Sort "),
+      s"no sort operator expected (array_sort is an expression):\n$plan")
+    val nEx = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(nEx == 1, s"expected exactly one hash exchange, got $nEx:\n$plan")
+  }
+
+  test("snapshot diff: argmax aggregates, no window, key-partitioned outer join") {
+    val plan = graft.queries.Relational.snapshotDiff(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmax must be max(struct):\n$plan")
+    assert(plan.contains("FullOuter"), s"expected a full outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("zipf fit: vocabulary is never window-sorted; text never crosses an exchange") {
+    val plan = graft.queries.AnalysisQueries.zipfFit(spark, sf)
+      .queryExecution.executedPlan.toString
+    // top-R per lang comes from the partial-top-k aggregate, NOT a
+    // row_number window over the vocabulary
+    assert(!plan.contains("Window"), s"no vocab window expected:\n$plan")
+    assert(!plan.matches("(?s).*Sort \\[[^\\]]*\\] true.*"),
+      s"no global sort expected:\n$plan")
+    plan.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"doc text crosses an exchange: $l")
+    }
+  }
+
+  test("charset quality: pure projection + one aggregate, no join, no text exchange") {
+    val plan = graft.queries.AnalysisQueries.charsetQuality(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+    val nEx = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(nEx == 1, s"expected exactly one hash exchange, got $nEx:\n$plan")
+    plan.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"doc text crosses an exchange: $l")
+    }
+  }
+
+  test("link prediction: wedge expansion is explode-based — no cartesian, no window") {
+    val plan = graft.queries.GraphQueries.linkPred(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Generate"),
+      s"wedges must come from the adjacency-array explode:\n$plan")
+  }
 }
