@@ -685,31 +685,72 @@ object Relational extends graft.QueryModule {
   def scd2(spark: SparkSession, dir: String): DataFrame =
     scd2Of(Tables.load(spark, dir, "events"))
 
+  /** Point-in-time-correct dimension lookup (the feature-store join that
+    * prevents label leakage): each purchase event is joined to the SCD2
+    * status segment PREVAILING at its timestamp — the segment with the
+    * greatest valid_from <= ts, never a later one. Composed from the
+    * engine's own operators: [[scd2Of]]'s segment table (micro-exact
+    * valid_from, with a per-user `seg_rank` making same-instant segments
+    * a total order) flows into [[graft.operators.AsOfJoin.backward]],
+    * so the lookup is the O(|L|+|R|) merge formulation — one
+    * hash-partition-by-user + per-partition sort, zero row expansion —
+    * not an interval join that would expand purchases x segments before
+    * an argmax. */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val wSeg = Window.partitionBy($"user_id")
+      .orderBy($"valid_from", $"status", $"grp")
+    val dim = scd2Segments(ev)
+      .withColumn("seg_rank", row_number().over(wSeg))
+      .select($"user_id", $"valid_from".as("ts"), $"status", $"seg_rank")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    graft.operators.AsOfJoin.backward(purchases, dim,
+        key = "user_id", ts = "ts", tiebreak = "seg_rank",
+        rightPrefix = "s_")
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts"),
+        $"s_status".as("status_at_event"),
+        date_format($"s_ts", "yyyy-MM-dd HH:mm:ss").as("status_since"))
+  }
+
   /** Core of [[scd2]] over any (user_id, ts, event_id, event_type)
     * DataFrame — separated so Scd2Spec can drive it with synthetic
     * collision-heavy input. */
   def scd2Of(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val byUserType = Window.partitionBy($"user_id", $"event_type")
-      .orderBy($"ts", $"event_id")
-    val seg = events
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("grp",
-        row_number().over(byUser) - row_number().over(byUserType))
-    // (valid_from, event_type, grp) is a TOTAL order: same-ts events of
-    // different types tie on valid_from, and two same-type segments of
-    // one user can even tie on both — grp (identical arithmetic in both
-    // engines) breaks the remaining tie
+    // (valid_from, event_type/status, grp) is a TOTAL order: same-ts
+    // events of different types tie on valid_from, and two same-type
+    // segments of one user can even tie on both — grp (identical
+    // arithmetic in both engines) breaks the remaining tie
     val byUserFrom = Window.partitionBy($"user_id")
-      .orderBy($"valid_from", $"event_type", $"grp")
-    seg.groupBy($"user_id", $"event_type", $"grp")
-      .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+      .orderBy($"valid_from", $"status", $"grp")
+    scd2Segments(events)
       .withColumn("valid_to", lead($"valid_from", 1).over(byUserFrom))
-      .select($"user_id", $"event_type".as("status"),
+      .select($"user_id", $"status",
         date_format($"valid_from", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
         date_format($"valid_to", "yyyy-MM-dd HH:mm:ss").as("valid_to"),
         $"n_events")
+  }
+
+  /** SCD2 segment table with micro-exact timestamps:
+    * (user_id, status, grp, valid_from, n_events) — the shared core of
+    * [[scd2Of]] (which formats + attaches valid_to) and [[scd2Lookup]]
+    * (which as-of joins against it). */
+  private[queries] def scd2Segments(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val byUserType = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("grp",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy($"user_id", $"event_type", $"grp")
+      .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+      .select($"user_id", $"event_type".as("status"), $"grp",
+        $"valid_from", $"n_events")
   }
 
   /** Z-score outlier detection: per-type mean/stddev from EXACT decimal
@@ -998,6 +1039,7 @@ object Relational extends graft.QueryModule {
     "rel_gap_fill" -> gapFill,
     "rel_winsorized" -> winsorized,
     "rel_scd2" -> scd2,
+    "rel_scd2_lookup" -> scd2Lookup,
     "rel_outliers" -> outliers,
     "rel_dense_top" -> denseTopParts,
     "rel_unpivot" -> unpivotCounts,
@@ -1370,6 +1412,32 @@ object Relational extends graft.QueryModule {
         |    dense_rank() OVER (PARTITION BY p_brand
         |      ORDER BY p_retailprice DESC) AS rk
         |  FROM part) WHERE rk <= 3""".stripMargin,
+    "rel_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS grp
+        |  FROM events),
+        |seg AS (SELECT user_id, event_type AS status, grp,
+        |    min(ts) AS valid_from
+        |  FROM e GROUP BY 1, 2, 3),
+        |sr AS (SELECT user_id, status, valid_from,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, status, grp) AS seg_rank
+        |  FROM seg),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |m AS (SELECT p.event_id, s.status, s.valid_from,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY s.valid_from DESC, s.seg_rank DESC) AS rn
+        |  FROM p JOIN sr s
+        |    ON s.user_id = p.user_id AND s.valid_from <= p.ts)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  m.status AS status_at_event,
+        |  strftime(m.valid_from, '%Y-%m-%d %H:%M:%S') AS status_since
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        |  ON p.event_id = m.event_id""".stripMargin,
     "rel_scd2" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)

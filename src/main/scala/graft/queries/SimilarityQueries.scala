@@ -192,6 +192,40 @@ object SimilarityQueries extends graft.QueryModule {
           .as("recall"))
   }
 
+  private val KnnSample = 100
+  private val KnnK = 5
+
+  /** k-NN label audit: predict each sampled vector's label by majority
+    * vote of its [[KnnK]] nearest cosine neighbors (self excluded) and
+    * report the confusion matrix against the stored labels — the
+    * neighborhood-consistency check that catches mislabeled clusters
+    * the nearest-centroid audit smooths over (a point deep inside the
+    * wrong cluster still votes with its true neighbors). Runs over a
+    * [[KnnSample]]-vector audit sample (the recall-report convention);
+    * at corpus scale the neighbor stage swaps to the IVF/PQ index —
+    * the vote and confusion stages are index-agnostic.
+    *
+    * Determinism: exact search with the engine-wide cosine fold, vote
+    * argmax is `max(struct(n, -label))` — count DESC, label ASC — a
+    * partial-combinable aggregation, no window. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val nbrs = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < KnnSample), emb, KnnK)
+      .select(col("query_id"), col("cand_id"))
+      .join(broadcast(labels.toDF("cand_id", "nbr_label")), "cand_id")
+    val votes = nbrs.groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("n"), (-col("nbr_label")).as("neg"))).as("m"))
+      .select(col("query_id"), (-col("m.neg")).cast("int").as("pred_label"))
+    votes
+      .join(broadcast(labels.toDF("query_id", "label")), "query_id")
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   private val PqM = 8
 
   /** PQ codes + exact reconstruction error per vector
@@ -540,6 +574,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_pq_recall" -> pqRecall,
     "sim_matryoshka_recall" -> matryoshkaRecall,
     "sim_sq8_recall" -> sq8Recall,
+    "sim_knn_classify" -> knnClassify,
     "sim_neardups_exact_oracle" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
     "sim_topk_ivf" -> topkIvf,
@@ -932,6 +967,30 @@ object SimilarityQueries extends graft.QueryModule {
          |  GROUP BY br.query_id)
          |SELECT query_id, n_hit, round(n_hit / $K.0, 6) AS recall
          |FROM hits""".stripMargin,
+    "sim_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id < $KnnSample),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv,
+         |  label AS nbr_label FROM embeddings),
+         |scored AS (SELECT query_id, cand_id, nbr_label,
+         |    ${duckCosine("qv", "cv")} AS sim
+         |  FROM q JOIN c ON query_id <> cand_id),
+         |tk AS (SELECT query_id, nbr_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $KnnK),
+         |v AS (SELECT query_id, nbr_label, count(*) AS n
+         |  FROM tk GROUP BY 1, 2),
+         |pred AS (SELECT query_id, nbr_label AS pred_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY n DESC, nbr_label ASC) AS rn
+         |    FROM v)
+         |  WHERE rn = 1)
+         |SELECT e.label, CAST(pred.pred_label AS INT) AS pred_label,
+         |  count(*) AS n
+         |FROM pred JOIN embeddings e ON pred.query_id = e.vec_id
+         |GROUP BY 1, 2""".stripMargin,
     "sim_sq8_recall" ->
       s"""WITH br AS (SELECT query_id, cand_id FROM ($bruteOracle)),
          |e AS (SELECT vec_id,
