@@ -46,6 +46,33 @@ object DedupQueries extends graft.QueryModule {
     Dedup.ngramJaccardPairs(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", "lang", k = 3, threshold = JaccardThreshold)
 
+  private val HistMinSim = 0.05
+
+  /** Near-dup similarity histogram — the threshold-tuning curve: bucket
+    * every candidate pair's exact 3-gram Jaccard into 0.05 bins and
+    * report per-bin pair counts plus the cumulative count at-or-above
+    * each bin (= how many pairs a given dedup threshold would merge).
+    * Run BEFORE committing to a threshold on a new corpus; the curve's
+    * knee is where near-dup structure separates from chance overlap.
+    * Same inverted-index plan as [[ngramJaccard]] at a lower floor
+    * ([[HistMinSim]]); the cumulative window runs over <= 21 bucket
+    * rows — bounded by the binning, never by the corpus. */
+  def simHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.ngramJaccardPairs(
+      Tables.loadSpread(spark, dir, "documents"),
+      "doc_id", "text", "lang", k = 3, threshold = HistMinSim)
+    val hist = pairs
+      .select(floor(col("jaccard") * 20).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_pairs_ge", sum(col("n_pairs")).over(w))
+      .select(col("bucket"), round(col("bucket") / 20.0, 2).as("sim_lo"),
+        col("n_pairs"), col("n_pairs_ge"))
+  }
+
   /** Containment near-dups (c / min(|A|, |B|) >= 0.5) — the excerpt/
     * quote-duplication detector: a short doc reproduced inside a long
     * one scores ~1.0 here while its Jaccard stays low (union dominated
@@ -450,6 +477,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_incremental" -> incremental,
     "dedup_fingerprint" -> fingerprint,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_sim_histogram" -> simHistogram,
     "dedup_clusters" -> nearDupClusters,
     "dedup_cluster_best" -> clusterBest,
     "dedup_split_leakage" -> splitLeakage,
@@ -612,6 +640,22 @@ object DedupQueries extends graft.QueryModule {
          |    ELSE round(coalesce(c.dup_tokens, 0) * 1.0 / len(t.ts), 6)
          |  END AS dup_frac
          |FROM toks t LEFT JOIN cov c USING (doc_id)""".stripMargin,
+    "dedup_sim_histogram" ->
+      s"""WITH $ShingleCte,
+         |p AS (SELECT round(c * 1.0 / u, 6) AS jaccard FROM (
+         |    SELECT len(list_intersect(a.sh, b.sh)) AS c,
+         |      len(list_distinct(a.sh || b.sh)) AS u
+         |    FROM sh a JOIN sh b
+         |      ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |  WHERE c > 0 AND c * 1.0 / u >= $HistMinSim),
+         |h AS (SELECT CAST(floor(jaccard * 20) AS INT) AS bucket,
+         |    count(*) AS n_pairs
+         |  FROM p GROUP BY 1)
+         |SELECT bucket, round(bucket / 20.0, 2) AS sim_lo, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_pairs_ge
+         |FROM h""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

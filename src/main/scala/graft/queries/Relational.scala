@@ -1005,11 +1005,55 @@ object Relational extends graft.QueryModule {
         $"st.anom".as("n_anomalies"))
   }
 
+  /** Key-skew report over the events stream — the operational audit a
+    * pipeline runs BEFORE choosing a partitioning/salting strategy:
+    * key and row counts, the heaviest key's share, the top-10 share,
+    * and the exact Gini coefficient of the per-key load distribution
+    * (0 = uniform, ->1 = one hot key). Skew decisions (AQE skew join,
+    * salting, bucket count) should be driven by this, not guessed.
+    *
+    * Scale shape: per-key counts are one map-side-combined aggregate;
+    * the Gini reduces over COUNT-OF-COUNT cells (bounded by distinct
+    * load values, the Quantiles discipline — never a window over keys):
+    * keys sharing a load value occupy a contiguous rank range, so
+    * sum(rank*load) folds per cell with exact integer arithmetic
+    * ((a+b)(b-a+1) div 2 — always even). Top-10 via the partial-top-k
+    * aggregate; a boundary tie never changes the top-10 SUM, so the
+    * report is tie-insensitive. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cnts = Tables.load(spark, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val cells = cnts.groupBy($"cnt").agg(count(lit(1)).as("f"))
+    val w = Window.orderBy($"cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("cumf", sum($"f").over(w))
+      .withColumn("s_cell",
+        expr("cnt * (((cumf - f + 1) + cumf) * (cumf - (cumf - f + 1) + 1) div 2)"))
+    val base = ranked.agg(
+      sum($"f").as("n_keys"), sum($"cnt" * $"f").as("n_rows"),
+      max($"cnt").as("max_cnt"), sum($"s_cell").as("s"))
+    val top10 = cnts
+      .agg(graft.functions.TextFunctions.top_k_structs(
+        struct($"cnt", (-$"user_id").as("neg")), 10).as("t"))
+      .select(aggregate(transform($"t", s => s.getField("cnt")),
+        lit(0L), (a, x) => a + x).as("top10"))
+    base.crossJoin(top10).select(
+      $"n_keys", $"n_rows", $"max_cnt",
+      round($"max_cnt" * lit(1.0) / $"n_rows", 6).as("top1_share"),
+      round($"top10" * lit(1.0) / $"n_rows", 6).as("top10_share"),
+      round(lit(2.0) * $"s" / $"n_keys" / $"n_rows"
+        - ($"n_keys" + lit(1.0)) / $"n_keys", 6).as("gini"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_snapshot_diff" -> snapshotDiff,
     "rel_ewma" -> ewmaAnomaly,
+    "rel_skew_report" -> skewReport,
     "rel_event_gaps" -> eventGaps,
     "rel_interval_merge" -> intervalMerge,
     "rel_set_ops" -> setOps,
@@ -1152,6 +1196,28 @@ object Relational extends graft.QueryModule {
          |  a_type, a_value, b_type, b_value
          |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""".stripMargin,
     "rel_ewma" -> ewmaOracleSql,
+    "rel_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+        |  GROUP BY 1),
+        |cells AS (SELECT cnt, count(*) AS f FROM c GROUP BY 1),
+        |rk AS (SELECT cnt, f,
+        |    CAST(sum(f) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf
+        |  FROM cells),
+        |s AS (SELECT CAST(sum(f) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt * f) AS BIGINT) AS n_rows,
+        |    max(cnt) AS max_cnt,
+        |    CAST(sum(cnt * (((cumf - f + 1) + cumf)
+        |      * (cumf - (cumf - f + 1) + 1) // 2)) AS BIGINT) AS sv
+        |  FROM rk),
+        |t10 AS (SELECT CAST(sum(cnt) AS BIGINT) AS top10 FROM (
+        |  SELECT cnt FROM c ORDER BY cnt DESC, user_id ASC LIMIT 10))
+        |SELECT n_keys, n_rows, max_cnt,
+        |  round(max_cnt * 1.0 / n_rows, 6) AS top1_share,
+        |  round(top10 * 1.0 / n_rows, 6) AS top10_share,
+        |  round(2.0 * sv / n_keys / n_rows - (n_keys + 1.0) / n_keys, 6)
+        |    AS gini
+        |FROM s CROSS JOIN t10""".stripMargin,
     "rel_hilbert_key" -> {
       val xb = "((user_id % 1024 + 1024) % 1024)"
       val yb = "((CAST(floor(value) AS BIGINT) % 1024 + 1024) % 1024)"

@@ -62,6 +62,40 @@ class GraphSpec extends SparkSpec {
       (4L, 6L) -> ((2, twoOverLn2))), got.toString)
   }
 
+  test("adamic-adar matches a naive reference on seeded random graphs") {
+    val cap = 6
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25
+      val pairs = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.12
+      } yield (a.toLong, b.toLong)).toVector
+      val adj = pairs.foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(
+        Set.empty[Long])) { case (m, (a, b)) =>
+        m.updated(a, m(a) + b).updated(b, m(b) + a)
+      }
+      // naive: for every non-adjacent (a < b), the capped shared middles
+      val expect = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if !adj(a).contains(b)
+        mids = (adj(a) & adj(b)).filter(z => adj(z).size <= cap)
+        if mids.nonEmpty
+      } yield {
+        val aa = mids.toSeq.sorted
+          .foldLeft(0.0)((acc, z) => acc + 1.0 / math.log(adj(z).size))
+        (a, b) -> ((mids.size,
+          BigDecimal(aa).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+      }).toMap
+      val got = Graph.adamicAdar(pairs.toDF("pa", "pb"), cap, minCn = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getInt(2), r.getDouble(3)))).toMap
+      assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
+    }
+  }
+
   test("copurchase equals the brute-force self-join on the same data") {
     val brute = {
       val li = spark.read.parquet(s"$sf/lineitem.parquet")
