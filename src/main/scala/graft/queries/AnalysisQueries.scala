@@ -70,6 +70,51 @@ object AnalysisQueries extends graft.QueryModule {
       col("y").cast("int").as("label"))
   }
 
+  /** Per-(session, dir) cache of the trained quality-classifier scores
+    * (the cache discipline; PRIMARY `ta_quality_lr` stays uncached and
+    * honest — calibration would otherwise re-run the 20-round GD
+    * training to reproduce the identical score table). */
+  private val lrCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def cachedQualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    val existing = lrCache.get(key)
+    if (existing != null) existing
+    else {
+      val built = qualityLr(spark, dir).localCheckpoint(true)
+      val prev = lrCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Calibration (reliability-curve) audit of the trained quality
+    * classifier: bucket predicted probabilities into deciles and report
+    * per-bin count, mean predicted p, empirical positive rate, and the
+    * |gap| — the "can I trust 0.8 to mean 80%" check run before using
+    * model scores as sampling weights or quality gates. A model whose
+    * curve hugs the diagonal can drive proportional sampling; one that
+    * doesn't should only be thresholded.
+    *
+    * One decile aggregate over the (already-oracled, cached) score
+    * table; mean-p folds doc_id-ordered for cross-engine bit equality;
+    * p = 1.0 joins the top bin (`least(floor(10p), 9)`), the standard
+    * right-closed convention. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = cachedQualityLr(spark, dir)
+    scored
+      .withColumn("bin",
+        least(floor(col("p") * 10), lit(9.0)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.TextFunctions.ordered_sum(
+          col("p"), col("doc_id")) / count(lit(1)), 6).as("mean_p"),
+        round(sum(col("label")) * lit(1.0) / count(lit(1)), 6)
+          .as("frac_pos"))
+      .select(col("bin"), round(col("bin") / 10.0, 1).as("p_lo"),
+        col("n"), col("mean_p"), col("frac_pos"),
+        round(abs(col("mean_p") - col("frac_pos")), 6).as("gap"))
+  }
+
   /** Closed-form per-language OLS fit of the composite quality score
     * against document length (n_chars) — the descriptive-statistics move
     * behind scaling-law / calibration plots ("does quality drift with
@@ -1719,6 +1764,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_pii_scrub" -> piiScrub,
     "ta_quality" -> quality,
     "ta_quality_lr" -> qualityLr,
+    "ta_quality_calibration" -> qualityCalibration,
     "ta_length_quality_fit" -> lengthQualityFit,
     "ta_gopher_rules" -> gopherRules,
     "ta_dsir_weights" -> dsirWeights,
@@ -2505,6 +2551,20 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM fd JOIN v$BpeRounds v USING (word)
          |GROUP BY fd.lang""".stripMargin,
     "ta_quality_lr" -> qualityLrOracle,
+    "ta_quality_calibration" ->
+      s"""WITH lr AS ($qualityLrOracle),
+         |b AS (SELECT CAST(least(floor(p * 10), 9.0) AS INT) AS bin,
+         |    doc_id, p, label
+         |  FROM lr),
+         |g AS (SELECT bin, count(*) AS n,
+         |    round(list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
+         |      (a, x) -> a + x) / count(*), 6) AS mean_p,
+         |    round(CAST(sum(label) AS BIGINT) * 1.0 / count(*), 6)
+         |      AS frac_pos
+         |  FROM b GROUP BY 1)
+         |SELECT bin, round(bin / 10.0, 1) AS p_lo, n, mean_p, frac_pos,
+         |  round(abs(mean_p - frac_pos), 6) AS gap
+         |FROM g""".stripMargin,
     "ta_length_quality_fit" -> {
       def dFold(e: String) =
         s"list_reduce(list_prepend(0.0, list($e ORDER BY doc_id)), (a, v) -> a + v)"
