@@ -696,9 +696,14 @@ object Relational extends graft.QueryModule {
     * hash-partition-by-user + per-partition sort, zero row expansion —
     * not an interval join that would expand purchases x segments before
     * an argmax. */
-  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ev = Tables.load(spark, dir, "events")
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame =
+    scd2LookupOf(Tables.load(spark, dir, "events"))
+
+  /** Core of [[scd2Lookup]] over any (user_id, ts, event_id, event_type)
+    * DataFrame — separated so Scd2Spec can drive it with synthetic
+    * collision-heavy input (the [[scd2Of]] convention). */
+  def scd2LookupOf(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val wSeg = Window.partitionBy($"user_id")
       .orderBy($"valid_from", $"status", $"grp")
     val dim = scd2Segments(ev)

@@ -70,4 +70,34 @@ class Scd2Spec extends SparkSpec {
         assert(froms.contains(to), s"user $user dangling valid_to $to"))
     }
   }
+
+  test("point-in-time lookup picks the prevailing segment under same-ts collisions") {
+    // user 1: a view and a purchase at the SAME second t=100 — two
+    // segments share valid_from=100, so the lookup must resolve by the
+    // documented (valid_from, seg_rank) argmax, where seg_rank orders
+    // (valid_from, status, grp): purchase@100 ranks before view@100, so
+    // the purchase at t=100 sees the VIEW segment (highest rank at ts).
+    val rows = Seq(
+      (1L, 100L, 1L, "view"), (1L, 100L, 2L, "purchase"),
+      (1L, 200L, 3L, "view"), (1L, 250L, 4L, "purchase"),
+      (2L, 50L, 5L, "purchase"))
+    val df = rows.toDF("user_id", "sec", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .select("user_id", "ts", "event_id", "event_type")
+    val got = Relational.scd2LookupOf(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getString(4)))).toMap
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    def f(s: Long) = fmt.format(java.time.Instant.ofEpochSecond(s))
+    assert(got == Map(
+      // same-ts tie at t=100: view@100 outranks purchase@100 in the
+      // (valid_from, seg_rank) argmax (seg_rank orders status ASC, so
+      // view is the later rank) -> the purchase sees "view"
+      2L -> (("view", f(100L))),
+      // a purchase OPENS its own segment at its own ts, and the
+      // inclusive as-of (valid_from <= ts) picks it up (self-lookup)
+      4L -> (("purchase", f(250L))),
+      5L -> (("purchase", f(50L)))),
+      got.toString)
+  }
 }
