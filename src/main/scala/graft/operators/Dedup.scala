@@ -320,7 +320,12 @@ object Dedup {
   }
 
   /** All ordered pairs (a<b) from a sorted id array, as array<struct>. */
-  private def pairsOf(ids: Column): Column =
+  /** Ordered pair expansion over a sorted array: every (x, y) with x
+    * before y, as `struct(_1, _2)` — THE one place the subtle
+    * 0-based-transform-index into 1-based-slice enumeration lives
+    * (`i + 2` skips x itself). Shared by the postings pair join here,
+    * the co-purchase pair table, and the Adamic-Adar wedge expansion. */
+  def pairsOf(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y =>
         struct(x.as("_1"), y.as("_2")))))

@@ -35,6 +35,9 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** [[Dedup.pairsOf]] re-exported for the pair-mining call sites. */
+  def pairsOfItems(ids: Column): Column = Dedup.pairsOf(ids)
+
   /** Undirected pairs (`pa < pb`, deduplicated) -> both-direction edge
     * list. Both legs are disjoint and duplicate-free by construction, so
     * no distinct pass. */
@@ -331,12 +334,8 @@ object Graph {
       .filter(size(col("ns")) <= maxMiddleDeg)
     val wedges = nbrs
       .select(col("mid"), size(col("ns")).cast("double").as("d"),
-        explode(expr(
-          """flatten(transform(ns, (x, i) ->
-            |  transform(slice(ns, i + 2, size(ns)),
-            |            y -> struct(x AS a, y AS b))))""".stripMargin))
-          .as("p"))
-      .select(col("p.a").as("node_a"), col("p.b").as("node_b"),
+        explode(Dedup.pairsOf(col("ns"))).as("p"))
+      .select(col("p._1").as("node_a"), col("p._2").as("node_b"),
         col("mid"), col("d"))
     val scored = wedges
       .groupBy(col("node_a"), col("node_b"))

@@ -70,22 +70,13 @@ object AnalysisQueries extends graft.QueryModule {
       col("y").cast("int").as("label"))
   }
 
-  /** Per-(session, dir) cache of the trained quality-classifier scores
-    * (the cache discipline; PRIMARY `ta_quality_lr` stays uncached and
-    * honest — calibration would otherwise re-run the 20-round GD
-    * training to reproduce the identical score table). */
-  private val lrCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-  private def cachedQualityLr(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val existing = lrCache.get(key)
-    if (existing != null) existing
-    else {
-      val built = qualityLr(spark, dir).localCheckpoint(true)
-      val prev = lrCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+  /** Trained quality-classifier scores via [[graft.core.DfCache]]
+    * (PRIMARY `ta_quality_lr` stays uncached and honest — calibration
+    * would otherwise re-run the 20-round GD training to reproduce the
+    * identical score table). */
+  private def cachedQualityLr(spark: SparkSession, dir: String): DataFrame =
+    graft.core.DfCache.cached(spark, dir, "ta:quality_lr")(
+      qualityLr(spark, dir))
 
   /** Calibration (reliability-curve) audit of the trained quality
     * classifier: bucket predicted probabilities into deciles and report
@@ -730,17 +721,13 @@ object AnalysisQueries extends graft.QueryModule {
         concat_ws(" ", col("pieces")).as("segmentation"),
         size(col("pieces")).cast("int").as("n_pieces"))
 
-  // Trained-segmentation table shared by the segment + fertility entries
-  // (the DedupQueries audit-cache discipline: build outside the map,
-  // putIfAbsent; localCheckpoint breaks lineage so the training-time
-  // vocab cache can be released immediately).
-  private val uniCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-  private def unigramSegTable(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val existing = uniCache.get(key)
-    if (existing != null) existing
-    else {
+  // Trained-segmentation table shared by the segment + fertility
+  // entries (DfCache with checkpoint=false: the builder checkpoints
+  // itself so the training-time vocab cache can be released
+  // immediately after materialization).
+  private def unigramSegTable(spark: SparkSession, dir: String): DataFrame =
+    graft.core.DfCache.cached(spark, dir, "ta:unigram_seg",
+      checkpoint = false) {
       val v = graft.operators.UnigramLm
         .vocab(Tables.loadSpread(spark, dir, "documents"), "text")
         .filter(length(col("word")) <= UniMaxWordLen)
@@ -749,10 +736,8 @@ object AnalysisQueries extends graft.QueryModule {
         .train(v, UniMaxPiece, UniTopV, UniRounds)
         .localCheckpoint(true)
       v.unpersist(blocking = false)
-      val prev = uniCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
+      built
     }
-  }
 
   /** Unigram-tokenizer fertility per language — the [[fertility]] (BPE)
     * report recomputed under the [[unigramSegment]] model, giving the
@@ -1576,6 +1561,14 @@ object AnalysisQueries extends graft.QueryModule {
           / sum(col("tf")).cast("double"), 5).as("avg_logprob"))
   }
 
+  /** Bigram-LM document scores via [[graft.core.DfCache]]: the
+    * perplexity buckets previously re-trained the full bigram LM that
+    * `ta_bigram_logprob` (the PRIMARY, still uncached and honest)
+    * already builds. */
+  private def cachedLogprob(spark: SparkSession, dir: String): DataFrame =
+    graft.core.DfCache.cached(spark, dir, "ta:bigram_logprob")(
+      bigramLogprob(spark, dir))
+
   /** CCNet-style perplexity buckets: each document labeled head /
     * middle / tail by its within-language tercile of bigram-LM fluency
     * (higher [[bigramLogprob]] = lower perplexity = head) — the
@@ -1584,25 +1577,6 @@ object AnalysisQueries extends graft.QueryModule {
     * .ntileWithin]] (grouped distribution windows, no SinglePartition),
     * scored on the NEGATED rounded logprob so bucket 1 is the most
     * fluent; the lang attach is an id-keyed join. */
-  /** Per-(session, dir) cache of the bigram-LM document scores — the
-    * GraphQueries/SimilarityQueries cache discipline: the perplexity
-    * buckets previously re-trained the full bigram LM that
-    * `ta_bigram_logprob` (the PRIMARY, still uncached and honest)
-    * already builds. Bit-identical: the score table is the oracled
-    * exact output. */
-  private val logprobCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-  private def cachedLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val existing = logprobCache.get(key)
-    if (existing != null) existing
-    else {
-      val built = bigramLogprob(spark, dir).localCheckpoint(true)
-      val prev = logprobCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
-
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
     val lp = cachedLogprob(spark, dir)
       .select(col("doc_id"), col("avg_logprob"))

@@ -208,31 +208,14 @@ object DedupQueries extends graft.QueryModule {
     * blocks. The PRIMARY entries (`dedup_ngram_jaccard`,
     * `dedup_clusters`) stay uncached so their bench timings keep
     * measuring the real pipeline. */
-  private val auditCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
-  // NOT computeIfAbsent: the clusters entry's builder calls cachedPairs,
-  // and a computeIfAbsent mapping function that touches the same map
-  // throws IllegalStateException("Recursive update") whenever the two
-  // keys happen to share a bin — which is JVM-layout-dependent, i.e. a
-  // some-runs-only failure (observed: one full-bench run failed exactly
-  // the four cache consumers until the pairs key existed standalone).
-  // Build outside the map, then putIfAbsent; the benign double-compute
-  // race doesn't exist on the sequential bench/verify paths.
-  private def cachedAudit(spark: SparkSession, dir: String, what: String)(
-      f: => DataFrame): DataFrame = {
-    val key = (spark, dir, what)
-    val existing = auditCache.get(key)
-    if (existing != null) existing
-    else {
-      val built = f.localCheckpoint(true)
-      val prev = auditCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+  // Shared via graft.core.DfCache (one home for the putIfAbsent /
+  // recursive-update discipline — the clusters builder calls
+  // cachedPairs, the exact hazard case).
   private def cachedPairs(spark: SparkSession, dir: String): DataFrame =
-    cachedAudit(spark, dir, "pairs")(ngramJaccard(spark, dir))
+    graft.core.DfCache.cached(spark, dir, "dedup:pairs")(
+      ngramJaccard(spark, dir))
   private def cachedClusters(spark: SparkSession, dir: String): DataFrame =
-    cachedAudit(spark, dir, "clusters")(
+    graft.core.DfCache.cached(spark, dir, "dedup:clusters")(
       Dedup.connectedComponents(cachedPairs(spark, dir),
         Tables.load(spark, dir, "documents"), "doc_id"))
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{DfCache, Tables}
 import graft.operators.Graph
 
 /** Graph-shaped coverage over the synthetic star schema: co-occurrence
@@ -41,12 +41,8 @@ object GraphQueries extends graft.QueryModule {
     * (order, pair) — the input both queries below share. */
   private def pairTable(spark: SparkSession, dir: String): DataFrame =
     orderItems(spark, dir)
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, size(items)),
-          |            y -> struct(x AS pa, y AS pb))))""".stripMargin))
-        .as("p"))
-      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .select(explode(Graph.pairsOfItems(col("items"))).as("p"))
+      .select(col("p._1").as("pa"), col("p._2").as("pb"))
 
   /** Market-basket co-occurrence: part pairs bought together in at least
     * `MinSupport` orders. */
@@ -56,35 +52,20 @@ object GraphQueries extends graft.QueryModule {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= MinSupport)
 
-  /** Per-(session, dir) cache of the two shared graph bases — the
-    * DedupQueries audit-cache discipline applied to the graph family:
-    * every downstream entry (pagerank/label-prop/ppr on the distinct
-    * pair graph; triangles/k-core/link-pred/assoc-rules on the
-    * thresholded co-purchase graph) previously re-derived the base from
-    * lineitem (~1.8 s each at sf0.1 — pure recompute, same rows). The
-    * PRIMARY `rel_copurchase` entry stays uncached so its bench timing
-    * keeps measuring the real derivation. localCheckpoint materializes
-    * once; results are bit-identical (the bases are exact integer
-    * tables; all float folds happen downstream in ordered form).
-    * putIfAbsent, not computeIfAbsent — see DedupQueries on the
-    * recursive-update hazard. */
-  private val graphCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
-  private def cachedGraph(spark: SparkSession, dir: String, what: String)(
-      f: => DataFrame): DataFrame = {
-    val key = (spark, dir, what)
-    val existing = graphCache.get(key)
-    if (existing != null) existing
-    else {
-      val built = f.localCheckpoint(true)
-      val prev = graphCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+  /** Shared graph bases ([[graft.core.DfCache]]): every downstream
+    * entry (pagerank/label-prop/ppr on the distinct pair graph;
+    * triangles/k-core/link-pred/assoc-rules on the thresholded
+    * co-purchase graph) previously re-derived the base from lineitem
+    * (~1.8 s each at sf0.1 — pure recompute, same rows). The PRIMARY
+    * `rel_copurchase` entry stays uncached so its bench timing keeps
+    * measuring the real derivation; results are bit-identical (the
+    * bases are exact integer tables; all float folds happen downstream
+    * in ordered form). */
   private def cachedPairs(spark: SparkSession, dir: String): DataFrame =
-    cachedGraph(spark, dir, "pairs")(pairTable(spark, dir).distinct())
+    DfCache.cached(spark, dir, "graph:pairs")(
+      pairTable(spark, dir).distinct())
   private def cachedCopurchase(spark: SparkSession, dir: String): DataFrame =
-    cachedGraph(spark, dir, "copurchase")(copurchase(spark, dir))
+    DfCache.cached(spark, dir, "graph:copurchase")(copurchase(spark, dir))
 
   /** 3-round PageRank (d=0.85) over the distinct co-purchase graph;
     * rank_norm = rank x |V| (1.0 = uniform). */

@@ -1027,7 +1027,6 @@ object Relational extends graft.QueryModule {
     * report is tie-insensitive. */
   def skewReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val cnts = Tables.load(spark, dir, "events")
       .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
     val cells = cnts.groupBy($"cnt").agg(count(lit(1)).as("f"))

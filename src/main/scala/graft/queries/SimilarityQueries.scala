@@ -512,28 +512,15 @@ object SimilarityQueries extends graft.QueryModule {
     Similarity.kmeans(Tables.loadSpread(spark, dir, "embeddings"),
       k = 8, iters = 2)
 
-  /** Per-(session, dir) cache of the k-means assignment shared by the
-    * three audit consumers (purity, semantic dedup, cluster sample) —
-    * the GraphQueries/DedupQueries cache discipline: each consumer
+  /** K-means assignment shared by the three audit consumers (purity,
+    * semantic dedup, cluster sample) via [[graft.core.DfCache]]: each
     * previously re-ran the full 2-round Lloyd training (~1.3 s at
     * sf0.1, driver centroid round-trips included) to reproduce the
     * identical assignment table. The PRIMARY `sim_kmeans` entry stays
-    * uncached so the training keeps an honest standalone timing;
-    * results are bit-identical (the assignment is the oracled exact
-    * table). putIfAbsent, not computeIfAbsent — the DedupQueries
-    * recursive-update note. */
-  private val assignCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-  private def cachedAssign(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val existing = assignCache.get(key)
-    if (existing != null) existing
-    else {
-      val built = kmeansAssign(spark, dir).localCheckpoint(true)
-      val prev = assignCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+    * uncached and honest. */
+  private def cachedAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.core.DfCache.cached(spark, dir, "sim:kmeans")(
+      kmeansAssign(spark, dir))
 
   /** Semantic dedup (SemDeDup shape): cluster the embedding space, then
     * keep only each cluster's most-central half — the "drop semantically
