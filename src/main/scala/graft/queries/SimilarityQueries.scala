@@ -192,6 +192,36 @@ object SimilarityQueries extends graft.QueryModule {
           .as("recall"))
   }
 
+  private val ProbeCurve = Seq(1, 2, 4, 8)
+
+  /** IVF nprobe tuning curve — the [[graft.queries.DedupQueries
+    * .simHistogram]] move applied to the ANN index: mean recall@[[K]]
+    * against the exact top-k for probe counts 1/2/4/8. Run when sizing
+    * an index: the knee says how many buckets buy how much recall, and
+    * scored-candidate volume scales linearly with nprobe. One bucket
+    * assignment and one exact ground truth are materialized and shared
+    * across the four searches (each is the same broadcast-queries +
+    * partial-top-k shape, scanning ~nprobe/|C| of the corpus). Exact
+    * deterministic searches on both sides, so the curve hash-gates. */
+  def ivfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(emb, centroids)
+      .localCheckpoint(true)
+    val full = topkBrute(spark, dir)
+      .select(col("query_id"), col("cand_id")).localCheckpoint(true)
+    ProbeCurve.map { np =>
+      val iv = Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries),
+          assigned, centroids, K, np)
+        .select(col("query_id"), col("cand_id"))
+      full.join(iv, Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(np).as("nprobe"), col("n_hit"),
+          round(col("n_hit") / lit((NQueries * K).toDouble), 6)
+            .as("recall"))
+    }.reduce(_.unionAll(_))
+  }
+
   private val KnnSample = 100
   private val KnnK = 5
 
@@ -585,6 +615,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_matryoshka_recall" -> matryoshkaRecall,
     "sim_sq8_recall" -> sq8Recall,
     "sim_knn_classify" -> knnClassify,
+    "sim_ivf_probe_curve" -> ivfProbeCurve,
     "sim_neardups_exact_oracle" -> cosineNearDups,
     "sim_neardups_rplsh" -> rpLshNearDups,
     "sim_topk_ivf" -> topkIvf,
@@ -739,33 +770,47 @@ object SimilarityQueries extends graft.QueryModule {
     * head of the same ordering per query, then the brute-force top-k
     * restricted to probed buckets. Same [[duckCosine]] fold as the Spark
     * kernel, rank on the unrounded sim like `sim_topk_brute`. */
-  private def ivfOracle: String =
-    s"""WITH e AS (SELECT vec_id,
+  /** Shared IVF CTE prefix (double vectors, centroid table, bucket
+    * assignment, query set) + a per-nprobe probes/scored/topk chain
+    * generator — written once so [[ivfOracle]] (nprobe = 3) and the
+    * probe-curve oracle stay one implementation. */
+  private def ivfPrefix: String =
+    s"""e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
-       |asgn AS (SELECT vec_id, centroid_id FROM (
+       |asgn AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
        |  SELECT e.vec_id, c.centroid_id, row_number() OVER
        |    (PARTITION BY e.vec_id
        |     ORDER BY ${duckCosine("e.v", "c.cv")} DESC, c.centroid_id ASC) AS rn
        |  FROM e, c) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
-       |probes AS (SELECT query_id, qv, centroid_id FROM (
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries)"""
+      .stripMargin
+
+  /** probes/scored/topk CTEs for one probe count; topk CTE is named
+    * `tk$np` with columns (query_id, cand_id, rank, sim). */
+  private def ivfChain(np: Int): String =
+    s"""p$np AS (SELECT query_id, qv, centroid_id FROM (
        |  SELECT q.query_id, q.qv, c.centroid_id, row_number() OVER
        |    (PARTITION BY q.query_id
        |     ORDER BY ${duckCosine("q.qv", "c.cv")} DESC, c.centroid_id ASC) AS rn
-       |  FROM q, c) WHERE rn <= 3),
-       |scored AS (
+       |  FROM q, c) WHERE rn <= $np),
+       |s$np AS (
        |  SELECT p.query_id, a.vec_id AS cand_id,
        |    ${duckCosine("p.qv", "e.v")} AS sim
-       |  FROM probes p JOIN asgn a USING (centroid_id)
+       |  FROM p$np p JOIN asgn a USING (centroid_id)
        |  JOIN e ON e.vec_id = a.vec_id
-       |  WHERE a.vec_id <> p.query_id)
-       |SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM (
+       |  WHERE a.vec_id <> p.query_id),
+       |tk$np AS (SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM (
        |  SELECT *, CAST(row_number() OVER
        |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
-       |  FROM scored)
-       |WHERE rank <= $K""".stripMargin
+       |  FROM s$np)
+       |WHERE rank <= $K)""".stripMargin
+
+  private def ivfOracle: String =
+    s"""WITH $ivfPrefix,
+       |${ivfChain(3)}
+       |SELECT query_id, cand_id, rank, sim FROM tk3""".stripMargin
 
   /** DuckDB replay of [[Similarity.kmeans]] (k=8, 2 rounds), generated
     * so the assign/update blocks are written once: every float fold runs
@@ -977,6 +1022,19 @@ object SimilarityQueries extends graft.QueryModule {
          |  GROUP BY br.query_id)
          |SELECT query_id, n_hit, round(n_hit / $K.0, 6) AS recall
          |FROM hits""".stripMargin,
+    "sim_ivf_probe_curve" -> {
+      val chains = ProbeCurve.map(ivfChain).mkString(",\n")
+      val unions = ProbeCurve.map(np =>
+        s"""SELECT $np AS nprobe, (SELECT count(*) FROM br
+           |  JOIN tk$np USING (query_id, cand_id)) AS n_hit""".stripMargin)
+        .mkString(" UNION ALL ")
+      s"""WITH $ivfPrefix,
+         |br AS (SELECT query_id, cand_id FROM ($bruteOracle)),
+         |$chains
+         |SELECT nprobe, CAST(n_hit AS BIGINT) AS n_hit,
+         |  round(n_hit * 1.0 / ${NQueries * K}, 6) AS recall
+         |FROM ($unions)""".stripMargin
+    },
     "sim_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
          |  FROM embeddings WHERE vec_id < $KnnSample),
