@@ -155,6 +155,16 @@ object Multimodal {
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "4x16-bit banding is only exact (pigeonhole) for hamming <= 3")
+    phashCandidates(spark, blobs).filter(col("hamming") <= maxHamming)
+  }
+
+  /** All band-colliding candidate pairs with their exact Hamming
+    * distance, UNfiltered — the [[phashNearDups]] candidate stage
+    * exposed for the distance histogram. Complete (pigeonhole) only at
+    * hamming <= 3 with the 4x16-bit banding; rows beyond that are
+    * as-observed collisions, which is exactly what a banded pipeline
+    * sees at scale. */
+  def phashCandidates(spark: SparkSession, blobs: DataFrame): DataFrame = {
     val bands = perceptualHashes(spark, blobs)
       .select(col("doc_id"), col("media_type"), col("phash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
@@ -170,8 +180,8 @@ object Multimodal {
         col("a.phash").as("ha"), col("b.phash").as("hb"))
       .distinct()
     cand
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= maxHamming)
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 

@@ -375,6 +375,26 @@ object AnalysisQueries extends graft.QueryModule {
     Multimodal.phashNearDups(spark, blobs, maxHamming = 3)
   }
 
+  /** Perceptual-hash Hamming-distance histogram over the banded
+    * candidate pairs — the multimodal member of the threshold-tuning
+    * family (text: dedup_sim_histogram; embeddings:
+    * sim_ivf_probe_curve): per distance, the pair count and the
+    * cumulative at-or-below count a given dedup cutoff would merge.
+    * Complete by pigeonhole at hamming <= 3 (the 4x16-bit banding);
+    * larger distances are as-observed band collisions — exactly the
+    * candidate stream a banded pipeline sees at scale. The cumulative
+    * window runs over <= 65 distance rows, bounded by the hash width. */
+  def mmPhashHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blobs = Multimodal.asBlobs(Tables.loadSpread(spark, dir, "documents"))
+    val hist = Multimodal.phashCandidates(spark, blobs)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("hamming").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("n_pairs_le", sum(col("n_pairs")).over(w))
+      .select(col("hamming"), col("n_pairs"), col("n_pairs_le"))
+  }
+
   /** BM25 keyword scoring (Okapi, k1=1.2 b=0.75) for a fixed query-term
     * set — the retrieval shape behind corpus search and RAG candidate
     * generation. One tf pass feeds document lengths, per-term df, and
@@ -1781,6 +1801,7 @@ object AnalysisQueries extends graft.QueryModule {
     "mm_resize_stats" -> mmResizeStats,
     "mm_features" -> mmFeatures,
     "mm_phash_pairs" -> mmPhashPairs,
+    "mm_phash_histogram" -> mmPhashHistogram,
   )
 
   private val re = Tokenizer.DuckDbTokenRegex
@@ -3012,35 +3033,61 @@ object AnalysisQueries extends graft.QueryModule {
     // then the quadratic same-type pair definition — equal to the
     // engine's banded plan by pigeonhole at hamming <= 3
     "mm_phash_pairs" ->
-      s"""WITH t0 AS (SELECT doc_id,
-         |    unnest(regexp_extract_all(text, '$re')) AS t FROM documents),
-         |terms AS (SELECT DISTINCT CAST(0 AS BIGINT) AS doc_id, t FROM t0),
-         |${graft.core.XxHashSql.hash64Ctes("terms", "pth", "px")},
-         |slotmap AS (SELECT t, CAST(h64 & 63::UBIGINT AS INTEGER) AS slot
-         |  FROM pth),
-         |cnt AS (SELECT t0.doc_id, s.slot, CAST(count(*) AS BIGINT) AS c
-         |  FROM t0 JOIN slotmap s USING (t) GROUP BY 1, 2),
-         |grid AS (SELECT d.doc_id, g.slot,
-         |    least(255, coalesce(cnt.c, 0) * 16) AS v
-         |  FROM documents d
-         |  CROSS JOIN (SELECT unnest(range(64)) AS slot) g
-         |  LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.slot = g.slot),
-         |m AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 64 AS m
-         |  FROM grid GROUP BY doc_id),
-         |ph AS (SELECT grid.doc_id,
-         |    CAST(sum(CASE WHEN grid.v > m.m
-         |      THEN (1::UBIGINT << CAST(grid.slot AS INTEGER))
-         |      ELSE 0::UBIGINT END) AS UBIGINT) AS h
-         |  FROM grid JOIN m ON grid.doc_id = m.doc_id GROUP BY grid.doc_id),
-         |phm AS (SELECT d.doc_id,
-         |    CASE WHEN d.doc_id % 3 = 0 THEN 'image'
-         |         WHEN d.doc_id % 3 = 1 THEN 'audio'
-         |         ELSE 'video' END AS media_type, ph.h
-         |  FROM documents d JOIN ph ON d.doc_id = ph.doc_id)
+      s"""WITH $phashPhmCtes
          |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.h, c.h)) AS INT) AS hamming
          |FROM phm a JOIN phm c ON a.media_type = c.media_type
          |  AND a.doc_id < c.doc_id
          |WHERE bit_count(xor(a.h, c.h)) <= 3""".stripMargin,
+    // same hash replay, then the engine's ACTUAL banding (16-bit band
+    // collisions) rather than the quadratic definition — the histogram
+    // reports the candidate stream, complete only at hamming <= 3
+    "mm_phash_histogram" ->
+      s"""WITH $phashPhmCtes,
+         |bnd AS (SELECT doc_id, media_type, h, band,
+         |    (h >> CAST(16 * band AS INTEGER)) & 65535::UBIGINT AS bv
+         |  FROM phm CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |    a.h AS ha, c.h AS hb
+         |  FROM bnd a JOIN bnd c ON a.media_type = c.media_type
+         |    AND a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id),
+         |hist AS (SELECT CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+         |    count(*) AS n_pairs
+         |  FROM cand GROUP BY 1)
+         |SELECT hamming, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY hamming ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_pairs_le
+         |FROM hist""".stripMargin,
   )
+
+  /** Shared CTE prefix of the perceptual-hash oracles: thumbnail + aHash
+    * replay ending in `phm (doc_id, media_type, h)`. */
+  private def phashPhmCtes: String =
+    s"""t0 AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(text, '$re')) AS t FROM documents),
+       |terms AS (SELECT DISTINCT CAST(0 AS BIGINT) AS doc_id, t FROM t0),
+       |${graft.core.XxHashSql.hash64Ctes("terms", "pth", "px")},
+       |slotmap AS (SELECT t, CAST(h64 & 63::UBIGINT AS INTEGER) AS slot
+       |  FROM pth),
+       |cnt AS (SELECT t0.doc_id, s.slot, CAST(count(*) AS BIGINT) AS c
+       |  FROM t0 JOIN slotmap s USING (t) GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, g.slot,
+       |    least(255, coalesce(cnt.c, 0) * 16) AS v
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(64)) AS slot) g
+       |  LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.slot = g.slot),
+       |m AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 64 AS m
+       |  FROM grid GROUP BY doc_id),
+       |ph AS (SELECT grid.doc_id,
+       |    CAST(sum(CASE WHEN grid.v > m.m
+       |      THEN (1::UBIGINT << CAST(grid.slot AS INTEGER))
+       |      ELSE 0::UBIGINT END) AS UBIGINT) AS h
+       |  FROM grid JOIN m ON grid.doc_id = m.doc_id GROUP BY grid.doc_id),
+       |phm AS MATERIALIZED (SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+       |         WHEN d.doc_id % 3 = 1 THEN 'audio'
+       |         ELSE 'video' END AS media_type, ph.h
+       |  FROM documents d JOIN ph ON d.doc_id = ph.doc_id)"""
+      .stripMargin
 }
