@@ -38,7 +38,11 @@ object DfCache {
     else {
       val built = if (checkpoint) f.localCheckpoint(true) else f
       val prev = cache.putIfAbsent(key, built)
-      if (prev != null) prev else built
+      if (prev != null) {
+        // double-compute race loser: release the orphaned blocks
+        built.unpersist(blocking = false)
+        prev
+      } else built
     }
   }
 }

@@ -319,7 +319,6 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
   }
 
-  /** All ordered pairs (a<b) from a sorted id array, as array<struct>. */
   /** Ordered pair expansion over a sorted array: every (x, y) with x
     * before y, as `struct(_1, _2)` — THE one place the subtle
     * 0-based-transform-index into 1-based-slice enumeration lives

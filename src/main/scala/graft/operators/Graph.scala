@@ -35,9 +35,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** [[Dedup.pairsOf]] re-exported for the pair-mining call sites. */
-  def pairsOfItems(ids: Column): Column = Dedup.pairsOf(ids)
-
   /** Undirected pairs (`pa < pb`, deduplicated) -> both-direction edge
     * list. Both legs are disjoint and duplicate-free by construction, so
     * no distinct pass. */

@@ -41,7 +41,7 @@ object GraphQueries extends graft.QueryModule {
     * (order, pair) — the input both queries below share. */
   private def pairTable(spark: SparkSession, dir: String): DataFrame =
     orderItems(spark, dir)
-      .select(explode(Graph.pairsOfItems(col("items"))).as("p"))
+      .select(explode(graft.operators.Dedup.pairsOf(col("items"))).as("p"))
       .select(col("p._1").as("pa"), col("p._2").as("pb"))
 
   /** Market-basket co-occurrence: part pairs bought together in at least

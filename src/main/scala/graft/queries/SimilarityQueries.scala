@@ -210,7 +210,7 @@ object SimilarityQueries extends graft.QueryModule {
       .localCheckpoint(true)
     val full = topkBrute(spark, dir)
       .select(col("query_id"), col("cand_id")).localCheckpoint(true)
-    ProbeCurve.map { np =>
+    val out = ProbeCurve.map { np =>
       val iv = Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries),
           assigned, centroids, K, np)
         .select(col("query_id"), col("cand_id"))
@@ -220,6 +220,12 @@ object SimilarityQueries extends graft.QueryModule {
           round(col("n_hit") / lit((NQueries * K).toDouble), 6)
             .as("recall"))
     }.reduce(_.unionAll(_))
+      // the curve is 4 rows: materialize it, then release the per-call
+      // transients (the tfidfTop persist-lifecycle discipline)
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    full.unpersist(blocking = false)
+    out
   }
 
   private val KnnSample = 100
