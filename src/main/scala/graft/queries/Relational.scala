@@ -873,14 +873,95 @@ object Relational extends graft.QueryModule {
   /** Edit-distance similarity join: near-identical part names within a
     * p_size block (`levenshtein` is codegen'd in both engines and the
     * integer distance is engine-independent — no float discipline
-    * needed). Blocking bounds the pair space the same way the fuzzy /
-    * composite joins block on year. */
+    * needed).
+    *
+    * Blocking is partition-signature based (the PassJoin scheme, Li et
+    * al. VLDB'12), NOT the raw p_size self-join: a p_size block grows
+    * linearly with the table, so its candidate pairs grow
+    * quadratically — a scale-killer at the 100 TB design point. Here
+    * every indexed name of length `ls` is split into τ+1 = 3 contiguous
+    * segments (even-split rule); a pair at edit distance ≤ τ = 2 must,
+    * by pigeonhole, agree EXACTLY on at least one whole segment (at
+    * most τ of the 3 segments can be touched by τ edits), and the
+    * untouched segment's start position in the other string is shifted
+    * by at most τ (each preceding edit shifts it by ≤ 1). So joining on
+    * `(p_size, ls, segment_index, segment_text)` — the probe side
+    * enumerating the ≤ 5·3·5 (length band × segment × shift window)
+    * substrings that could match — is EXACT for the ≤ 2 threshold and
+    * turns the block key from a ~50-value size code into a
+    * high-selectivity text signature. Same pigeonhole discipline as the
+    * pHash Hamming family ([[graft.operators.Multimodal]]).
+    *
+    * Names shorter than 9 chars could have an empty segment (pigeonhole
+    * breaks if the untouched segment is empty), so they take a separate
+    * exact branch keyed on `(p_size, exact length band)` — block size
+    * bounded by the short-name population per (size, length) cell, and
+    * empty at TPC-H scale (min p_name ≈ 15 chars). */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.load(spark, dir, "part")
       .select(col("p_partkey"), col("p_name"), col("p_size"))
-    val a = p.toDF("part_a", "name_a", "p_size")
-    val b = p.toDF("part_b", "name_b", "p_size")
-    a.join(b, Seq("p_size")).filter(col("part_a") < col("part_b"))
+      .withColumn("l", length(col("p_name")))
+    val long = p.filter(col("l") >= 9)
+    // index side: the 3 even-split segments of each name
+    val idx = long.select(col("p_partkey").as("part_a"),
+        col("p_name").as("name_a"), col("p_size"), col("l").as("ls"),
+        explode(expr(
+          """transform(sequence(0, 2), i -> named_struct(
+            |  'i', CAST(i AS INT),
+            |  'seg', substring(p_name,
+            |    CAST(i * (l div 3) + greatest(0, i - (3 - l % 3)) + 1 AS INT),
+            |    CAST((l div 3) + IF(i >= 3 - l % 3, 1, 0) AS INT))))""".stripMargin))
+          .as("sg"))
+      .select(col("part_a"), col("name_a"), col("p_size"), col("ls"),
+        col("sg.i").as("i"), col("sg.seg").as("seg"))
+    // probe side: for every indexed length within ±τ and every segment
+    // slot, the substrings at start positions within ±τ of that
+    // segment's position — ≤ 75 keys/row before dedup, each a
+    // high-selectivity (length, slot, text) signature
+    val probe = long.select(col("p_partkey").as("part_b"),
+        col("p_name").as("name_b"), col("p_size"), col("l"),
+        explode(expr(
+          """array_distinct(transform(
+            |  filter(
+            |    flatten(transform(sequence(-2, 2), dl ->
+            |      flatten(transform(sequence(0, 2), i ->
+            |        transform(sequence(-2, 2), sh -> named_struct(
+            |          'ls', CAST(l + dl AS INT),
+            |          'i', CAST(i AS INT),
+            |          'st', CAST(i * ((l + dl) div 3)
+            |            + greatest(0, i - (3 - (l + dl) % 3)) + sh AS INT),
+            |          'ln', CAST(((l + dl) div 3)
+            |            + IF(i >= 3 - (l + dl) % 3, 1, 0) AS INT))))))),
+            |    s -> s.st >= 0 AND s.ln >= 1 AND s.st + s.ln <= l
+            |         AND s.ls >= 9),
+            |  s -> named_struct('ls', s.ls, 'i', s.i,
+            |    'seg', substring(p_name, s.st + 1, s.ln))))""".stripMargin))
+          .as("sg"))
+      .select(col("part_b"), col("name_b"), col("p_size"),
+        col("sg.ls").as("ls"), col("sg.i").as("i"), col("sg.seg").as("seg"))
+    // both orientations of a qualifying pair are guaranteed a match, so
+    // keeping only (indexed key < probe key) loses nothing
+    val longPairs = idx.join(probe, Seq("p_size", "ls", "i", "seg"))
+      .filter(col("part_a") < col("part_b"))
+      .select(col("part_a"), col("part_b"), col("name_a"), col("name_b"))
+      .dropDuplicates("part_a", "part_b")
+    // short-name branch: exact length-band block (probe explodes its
+    // length into the ±2 band) — population-bounded, empty on TPC-H
+    val shortA = p.filter(col("l") < 9).select(col("p_partkey").as("part_a"),
+      col("p_name").as("name_a"), col("p_size"), col("l").as("lb"))
+    val shortB = p.filter(col("l") < 9 + 2).select(
+        col("p_partkey").as("part_b"), col("p_name").as("name_b"),
+        col("p_size"), explode(expr("sequence(l - 2, l + 2)")).as("lb"))
+    val shortPairs = shortA.join(shortB, Seq("p_size", "lb"))
+      .filter(col("part_a") =!= col("part_b"))
+      .select(least(col("part_a"), col("part_b")).as("part_a"),
+        greatest(col("part_a"), col("part_b")).as("part_b"),
+        when(col("part_a") < col("part_b"), col("name_a"))
+          .otherwise(col("name_b")).as("name_a"),
+        when(col("part_a") < col("part_b"), col("name_b"))
+          .otherwise(col("name_a")).as("name_b"))
+      .dropDuplicates("part_a", "part_b")
+    longPairs.unionByName(shortPairs)
       // thresholded variant: banded O(n*k) DP with early exit, returns
       // -1 beyond the bound — exact distances for every surviving row,
       // so the oracle's plain levenshtein(...) <= 2 is unchanged
