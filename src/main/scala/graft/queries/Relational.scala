@@ -886,21 +886,81 @@ object Relational extends graft.QueryModule {
     * untouched segment's start position in the other string is shifted
     * by at most τ (each preceding edit shifts it by ≤ 1). So joining on
     * `(p_size, ls, segment_index, segment_text)` — the probe side
-    * enumerating the ≤ 5·3·5 (length band × segment × shift window)
-    * substrings that could match — is EXACT for the ≤ 2 threshold and
-    * turns the block key from a ~50-value size code into a
-    * high-selectivity text signature. Same pigeonhole discipline as the
-    * pHash Hamming family ([[graft.operators.Multimodal]]).
+    * enumerating only the FEASIBLE (length delta, shift) combinations —
+    * is EXACT for the ≤ 2 threshold and turns the block key from a
+    * ~50-value size code into a high-selectivity text signature. Same
+    * pigeonhole discipline as the pHash Hamming family
+    * ([[graft.operators.Multimodal]]).
+    *
+    * Feasibility (the shift-window tightening of Li et al. §4): for an
+    * indexed length ls = l + dl and a match shifted by sh, the edits
+    * BEFORE the untouched segment must produce net shift sh (cost ≥
+    * |sh|) and the edits AFTER it must absorb the remaining length
+    * delta (cost ≥ |dl + sh|), so |sh| + |dl + sh| ≤ τ. That cuts the
+    * enumeration from 5·3·5 = 75 to 13·3 = 39 signatures per probe row
+    * — roughly halving the pre-shuffle row amplification, at identical
+    * recall (the constraint is implied by any witness edit script). The
+    * banded-DP verification (`levenshtein(a, b, 2)`) runs BEFORE the
+    * pair dedup, so the dedup exchange carries only true matches, never
+    * the candidate stream's name payloads — the "text never shuffles
+    * more than it must" discipline PlanAuditSpec pins elsewhere.
     *
     * Names shorter than 9 chars could have an empty segment (pigeonhole
     * breaks if the untouched segment is empty), so they take a separate
     * exact branch keyed on `(p_size, exact length band)` — block size
     * bounded by the short-name population per (size, length) cell, and
-    * empty at TPC-H scale (min p_name ≈ 15 chars). */
-  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.load(spark, dir, "part")
-      .select(col("p_partkey"), col("p_name"), col("p_size"))
-      .withColumn("l", length(col("p_name")))
+    * empty at TPC-H scale (min p_name ≈ 15 chars). Exactness of BOTH
+    * branches (incl. the l ≈ 9 boundary and cross-branch pairs) is
+    * fuzz-pinned against a naive cross-join oracle in
+    * EditDistanceFuzzSpec; the candidate bound in PlanAuditSpec. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairsOver(Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_size")))
+
+  /** Probe-side signature enumeration for [[editDistancePairsOver]],
+    * exposed for the PlanAuditSpec candidate-amplification bound: one
+    * row per (probe row, signature), ≤ 39 before `array_distinct`. */
+  private[graft] def editProbe(long: DataFrame): DataFrame =
+    long.select(col("p_partkey").as("part_b"),
+        col("p_name").as("name_b"), col("p_size"), col("l"),
+        explode(expr(
+          """array_distinct(transform(
+            |  filter(
+            |    flatten(transform(
+            |      array(named_struct('dl', -2, 'sh', 0),
+            |            named_struct('dl', -2, 'sh', 1),
+            |            named_struct('dl', -2, 'sh', 2),
+            |            named_struct('dl', -1, 'sh', 0),
+            |            named_struct('dl', -1, 'sh', 1),
+            |            named_struct('dl',  0, 'sh', -1),
+            |            named_struct('dl',  0, 'sh', 0),
+            |            named_struct('dl',  0, 'sh', 1),
+            |            named_struct('dl',  1, 'sh', -1),
+            |            named_struct('dl',  1, 'sh', 0),
+            |            named_struct('dl',  2, 'sh', -2),
+            |            named_struct('dl',  2, 'sh', -1),
+            |            named_struct('dl',  2, 'sh', 0)), ds ->
+            |      transform(sequence(0, 2), i -> named_struct(
+            |        'ls', CAST(l + ds.dl AS INT),
+            |        'i', CAST(i AS INT),
+            |        'st', CAST(i * ((l + ds.dl) div 3)
+            |          + greatest(0, i - (3 - (l + ds.dl) % 3)) + ds.sh AS INT),
+            |        'ln', CAST(((l + ds.dl) div 3)
+            |          + IF(i >= 3 - (l + ds.dl) % 3, 1, 0) AS INT))))),
+            |    s -> s.st >= 0 AND s.ln >= 1 AND s.st + s.ln <= l
+            |         AND s.ls >= 9),
+            |  s -> named_struct('ls', s.ls, 'i', s.i,
+            |    'seg', substring(p_name, s.st + 1, s.ln))))""".stripMargin))
+          .as("sg"))
+      .select(col("part_b"), col("name_b"), col("p_size"),
+        col("sg.ls").as("ls"), col("sg.i").as("i"), col("sg.seg").as("seg"))
+
+  /** [[editDistancePairs]] over an explicit `(p_partkey, p_name,
+    * p_size)` frame — the testable core (EditDistanceFuzzSpec drives it
+    * with adversarial synthetic names that TPC-H data never exercises:
+    * short names, the l = 9 boundary, segment-straddling edits). */
+  private[graft] def editDistancePairsOver(parts: DataFrame): DataFrame = {
+    val p = parts.withColumn("l", length(col("p_name")))
     val long = p.filter(col("l") >= 9)
     // index side: the 3 even-split segments of each name
     val idx = long.select(col("p_partkey").as("part_a"),
@@ -914,44 +974,31 @@ object Relational extends graft.QueryModule {
           .as("sg"))
       .select(col("part_a"), col("name_a"), col("p_size"), col("ls"),
         col("sg.i").as("i"), col("sg.seg").as("seg"))
-    // probe side: for every indexed length within ±τ and every segment
-    // slot, the substrings at start positions within ±τ of that
-    // segment's position — ≤ 75 keys/row before dedup, each a
-    // high-selectivity (length, slot, text) signature
-    val probe = long.select(col("p_partkey").as("part_b"),
-        col("p_name").as("name_b"), col("p_size"), col("l"),
-        explode(expr(
-          """array_distinct(transform(
-            |  filter(
-            |    flatten(transform(sequence(-2, 2), dl ->
-            |      flatten(transform(sequence(0, 2), i ->
-            |        transform(sequence(-2, 2), sh -> named_struct(
-            |          'ls', CAST(l + dl AS INT),
-            |          'i', CAST(i AS INT),
-            |          'st', CAST(i * ((l + dl) div 3)
-            |            + greatest(0, i - (3 - (l + dl) % 3)) + sh AS INT),
-            |          'ln', CAST(((l + dl) div 3)
-            |            + IF(i >= 3 - (l + dl) % 3, 1, 0) AS INT))))))),
-            |    s -> s.st >= 0 AND s.ln >= 1 AND s.st + s.ln <= l
-            |         AND s.ls >= 9),
-            |  s -> named_struct('ls', s.ls, 'i', s.i,
-            |    'seg', substring(p_name, s.st + 1, s.ln))))""".stripMargin))
-          .as("sg"))
-      .select(col("part_b"), col("name_b"), col("p_size"),
-        col("sg.ls").as("ls"), col("sg.i").as("i"), col("sg.seg").as("seg"))
     // both orientations of a qualifying pair are guaranteed a match, so
-    // keeping only (indexed key < probe key) loses nothing
-    val longPairs = idx.join(probe, Seq("p_size", "ls", "i", "seg"))
+    // keeping only (indexed key < probe key) loses nothing. The banded
+    // DP (O(n·k), early exit, -1 beyond the bound) runs per CANDIDATE —
+    // a true pair can be verified up to 3× (once per agreeing slot),
+    // but the dedup exchange then carries only verified matches instead
+    // of every candidate's name payload: ~3× a cheap kernel for a
+    // shuffle that shrinks by the candidate:match ratio.
+    val longPairs = idx.join(editProbe(long), Seq("p_size", "ls", "i", "seg"))
       .filter(col("part_a") < col("part_b"))
-      .select(col("part_a"), col("part_b"), col("name_a"), col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("dist") >= 0)
+      .select(col("part_a"), col("part_b"), col("name_a"), col("name_b"),
+        col("dist"))
       .dropDuplicates("part_a", "part_b")
     // short-name branch: exact length-band block (probe explodes its
-    // length into the ±2 band) — population-bounded, empty on TPC-H
+    // length into the ±2 band, clamped to the short side's 1..8 range —
+    // unclamped, 2 of the 5 band values could never join) —
+    // population-bounded, empty on TPC-H
     val shortA = p.filter(col("l") < 9).select(col("p_partkey").as("part_a"),
       col("p_name").as("name_a"), col("p_size"), col("l").as("lb"))
     val shortB = p.filter(col("l") < 9 + 2).select(
         col("p_partkey").as("part_b"), col("p_name").as("name_b"),
-        col("p_size"), explode(expr("sequence(l - 2, l + 2)")).as("lb"))
+        col("p_size"),
+        explode(expr("sequence(greatest(l - 2, 1), least(l + 2, 8))"))
+          .as("lb"))
     val shortPairs = shortA.join(shortB, Seq("p_size", "lb"))
       .filter(col("part_a") =!= col("part_b"))
       .select(least(col("part_a"), col("part_b")).as("part_a"),
@@ -960,13 +1007,10 @@ object Relational extends graft.QueryModule {
           .otherwise(col("name_b")).as("name_a"),
         when(col("part_a") < col("part_b"), col("name_b"))
           .otherwise(col("name_a")).as("name_b"))
-      .dropDuplicates("part_a", "part_b")
-    longPairs.unionByName(shortPairs)
-      // thresholded variant: banded O(n*k) DP with early exit, returns
-      // -1 beyond the bound — exact distances for every surviving row,
-      // so the oracle's plain levenshtein(...) <= 2 is unchanged
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
       .filter(col("dist") >= 0)
+      .dropDuplicates("part_a", "part_b")
+    longPairs.unionByName(shortPairs)
       .select(col("part_a"), col("part_b"), col("name_a"), col("name_b"),
         col("dist"))
   }

@@ -311,4 +311,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Generate"),
       s"wedges must come from the adjacency-array explode:\n$plan")
   }
+
+  test("edit-distance join: PassJoin candidate amplification is bounded at 39/row") {
+    val s = spark; import s.implicits._
+    // lengths spanning the whole long branch; worst-case amplification
+    // is at large l where every (dl, sh) enumeration survives the
+    // position-validity filter
+    val parts = Seq.tabulate(30)(k =>
+      (k.toLong, ("abcdefghijklmnopqrstuvwxyz0123456789" * 2).take(9 + k), 1))
+      .toDF("p_partkey", "p_name", "p_size")
+      .withColumn("l", org.apache.spark.sql.functions.length($"p_name"))
+    val perRow = graft.queries.Relational.editProbe(parts)
+      .groupBy($"part_b").count().agg(max($"count")).collect()(0).getLong(0)
+    assert(perRow <= 39,
+      s"probe amplification $perRow exceeds the 13·3 = 39 feasibility bound")
+  }
+
+  test("edit-distance join: signature equi-join, no cartesian, match-only dedup exchange") {
+    val df = graft.queries.Relational.editDistancePairs(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // both branches must join on their blocking keys (segment signature /
+    // length band), never on p_size alone
+    val joinKeys = plan.split("\n").filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joinKeys.exists(l => l.contains("seg#")),
+      s"long branch must join on the segment signature:\n$plan")
+    // the banded-DP verification runs BELOW the pair dedup (Catalyst
+    // even pushes it into the join condition), so only verified matches
+    // cross the dedup exchange — plan prints root-first, so the dedup's
+    // exchange line must come BEFORE the first levenshtein line
+    val lines = plan.split("\n")
+    assert(lines.exists(l => l.contains("Aggregate(key=[part_a")),
+      s"expected a (part_a, part_b)-keyed dedup aggregate:\n$plan")
+    val dedupEx = lines.indexWhere(_.contains("Exchange hashpartitioning(part_a"))
+    val verifyAt = lines.indexWhere(_.contains("levenshtein"))
+    assert(dedupEx >= 0 && verifyAt > dedupEx,
+      s"banded DP must run before the pair-dedup exchange:\n$plan")
+  }
 }
