@@ -78,6 +78,22 @@ object AnalysisQueries extends graft.QueryModule {
     graft.core.DfCache.cached(spark, dir, "ta:quality_lr")(
       qualityLr(spark, dir))
 
+  /** Shared unigram term-frequency explode — (doc_id, term, tf), one row
+    * per distinct (doc, term) — via [[graft.core.DfCache]]. Five
+    * sparse-retrieval entries (`ta_bm25`, `ta_rrf`, `ta_hybrid_related`,
+    * `ta_sparse_sim`, and the PRIMARY `ta_tfidf_top`) derive everything
+    * from this identical table; before the cache each rebuilt it
+    * (~1.5-2.6 s of the suite apiece at sf0.1). Graph-family
+    * discipline: the primary (`ta_tfidf_top`) keeps its own uncached
+    * build so one catalog entry still reports the honest standalone
+    * derivation cost; the other four read through here. */
+  private def cachedTf(spark: SparkSession, dir: String): DataFrame =
+    graft.core.DfCache.cached(spark, dir, "ta:tf")(
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.term_counts(col("text")))
+            .as(Seq("term", "tf"))))
+
   /** Calibration (reliability-curve) audit of the trained quality
     * classifier: bucket predicted probabilities into deciles and report
     * per-bin count, mean predicted p, empirical positive rate, and the
@@ -405,12 +421,9 @@ object AnalysisQueries extends graft.QueryModule {
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     val queryTerms = Seq("join", "filter", "vector")
     val (k1, b) = (1.2, 0.75)
-    val docs = Tables.loadSpread(spark, dir, "documents")
-    val tf = docs
-      .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.term_counts(col("text")))
-          .as(Seq("term", "tf")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared tf base ([[cachedTf]]) — the scoring passes below are this
+    // query's own work; the explode is family-shared
+    val tf = cachedTf(spark, dir)
     val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
     val stats = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot"))
       .select(col("n_docs"),
@@ -422,16 +435,13 @@ object AnalysisQueries extends graft.QueryModule {
     val idf = log((nd - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
     val denom = col("tf").cast("double") + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("len").cast("double") / col("avgdl"))
-    val out = qtf.join(len, "doc_id").join(broadcast(dft), "term")
+    qtf.join(len, "doc_id").join(broadcast(dft), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
         (idf * col("tf").cast("double") / denom).as("s"))
       .groupBy(col("doc_id"))
       .agg(round(graft.functions.TextFunctions.ordered_sum(
         col("s"), col("term")), 6).as("bm25"))
-      .localCheckpoint(true)
-    tf.unpersist(blocking = false)
-    out
   }
 
   /** Deterministic weighted sampling without replacement
@@ -515,9 +525,7 @@ object AnalysisQueries extends graft.QueryModule {
     * the norm in those distinctive terms and the two measures converge. */
   def sparseSim(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
-    sparseSimOver(docs, docs.select(col("doc_id"),
-      explode(graft.functions.TextFunctions.term_counts(col("text")))
-        .as(Seq("term", "tf"))))
+    sparseSimOver(docs, cachedTf(spark, dir))
   }
 
   /** Bigram feature family for [[sparseSim]]: identical retrieval
@@ -532,15 +540,24 @@ object AnalysisQueries extends graft.QueryModule {
   def sparseSimBigram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
     // map-side bigram tf (one fused pass, no wordcount shuffle) — the
-    // same kernel discipline as term_counts for the unigram family
-    sparseSimOver(docs, docs.select(col("doc_id"),
-      explode(graft.functions.TextFunctions.bigram_counts(col("text")))
-        .as(Seq("term", "tf"))))
+    // same kernel discipline as term_counts for the unigram family.
+    // Bigram features are this query's own (not family-shared), so the
+    // tf persist is query-local: released after the output materializes.
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.bigram_counts(col("text")))
+          .as(Seq("term", "tf")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = sparseSimOver(docs, tf)
+    tf.unpersist(blocking = false)
+    out
   }
 
-  private def sparseSimOver(docs: DataFrame, tf0: DataFrame): DataFrame = {
-    val tf = tf0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Core of the sparse-cosine family. `tf` must already be materialized
+    * (persisted by the caller or read through [[cachedTf]]) — it feeds
+    * both the df branch and the scoring branch, and Catalyst doesn't CSE
+    * across self-references. The output is localCheckpointed before
+    * return, so callers may release a query-local tf immediately. */
+  private def sparseSimOver(docs: DataFrame, tf: DataFrame): DataFrame = {
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // truncation via the partial top-k aggregate, NOT a row_number
@@ -579,7 +596,6 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
       .localCheckpoint(true)
     vec.unpersist(blocking = false)
-    tf.unpersist(blocking = false)
     out
   }
 
@@ -1048,18 +1064,11 @@ object AnalysisQueries extends graft.QueryModule {
     import org.apache.spark.sql.expressions.Window
     val queryTerms = Seq("join", "filter", "vector")
     val rrfK = 60.0
-    val docs = Tables.loadSpread(spark, dir, "documents")
-    // ONE tokenization feeds BOTH rankers — calling bm25() would build
-    // and persist a second tf cache over the same corpus. Measured
-    // in-suite cost stays ~4.7 s either way (the floor is the two real
-    // aggregation passes: BM25 scoring + full-vector cosine norms, each
-    // sparse_sim-class work), but this formulation retains ONE cache
-    // with seven consumers instead of two caches.
-    val tf = docs
-      .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.term_counts(col("text")))
-          .as(Seq("term", "tf")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE tokenization feeds BOTH rankers, and it's the family-shared
+    // [[cachedTf]] base — the floor here is the two real aggregation
+    // passes (BM25 scoring + full-vector cosine norms), each
+    // sparse_sim-class work.
+    val tf = cachedTf(spark, dir)
     val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // df is VOCABULARY-sized: no forced broadcast (a real vocabulary
@@ -1118,13 +1127,10 @@ object AnalysisQueries extends graft.QueryModule {
           coalesce(lit(1.0) / (lit(rrfK) + col("rank_bm25")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("rank_cos")), lit(0.0)), 6)
           .as("rrf"))
-    val out = fused
+    fused
       .orderBy(col("rrf").desc, col("doc_id")).limit(20)
       .withColumn("fused_rank", row_number()
         .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
-      .localCheckpoint(true)
-    tf.unpersist(blocking = false)
-    out
   }
 
   /** Dense + lexical hybrid related-document retrieval — the fusion RAG
@@ -1146,12 +1152,9 @@ object AnalysisQueries extends graft.QueryModule {
     val dense = graft.operators.Similarity.bruteForceTopK(
       emb.filter(col("vec_id") === queryDoc), emb, 100)
       .select(col("cand_id").as("doc_id"), col("rank").as("rank_dense"))
-    // lexical ranker: tfidf cosine vs the query doc's vector
-    val tf = Tables.loadSpread(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.term_counts(col("text")))
-          .as(Seq("term", "tf")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lexical ranker: tfidf cosine vs the query doc's vector, over the
+    // family-shared [[cachedTf]] base
+    val tf = cachedTf(spark, dir)
     val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // df is VOCABULARY-sized: no forced broadcast (a real vocabulary
@@ -1185,13 +1188,10 @@ object AnalysisQueries extends graft.QueryModule {
           coalesce(lit(1.0) / (lit(rrfK) + col("rank_dense")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)), 6)
           .as("rrf"))
-    val out = fused
+    fused
       .orderBy(col("rrf").desc, col("doc_id")).limit(20)
       .withColumn("fused_rank", row_number()
         .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
-      .localCheckpoint(true)
-    tf.unpersist(blocking = false)
-    out
   }
 
   /** Bigram PMI collocations: pointwise mutual information
