@@ -1,0 +1,64 @@
+package graft
+
+import graft.core.DfCacheStore
+
+/** Eviction contract of the shared derived-base cache: bounded entry
+  * count, LRU victim selection (a touched entry survives a later
+  * insert), evicted blocks released, and a re-request after eviction
+  * rebuilding through the builder again. */
+class DfCacheSpec extends SparkSpec {
+
+  private def frame(n: Int) = {
+    val s = spark; import s.implicits._
+    (0 until n).map(_.toLong).toDF("v")
+  }
+
+  test("hit returns the same frame without rebuilding") {
+    val store = new DfCacheStore(4)
+    var builds = 0
+    def get() = store.cached(spark, "/d", "a") { builds += 1; frame(3) }
+    val first = get()
+    val second = get()
+    assert(builds == 1)
+    assert(first eq second)
+    assert(first.count() == 3)
+  }
+
+  test("entry count is capped; eldest evicted, blocks released") {
+    val store = new DfCacheStore(2)
+    val a = store.cached(spark, "/d", "a")(frame(1))
+    store.cached(spark, "/d", "b")(frame(2))
+    store.cached(spark, "/d", "c")(frame(3))
+    assert(store.entryCount == 2)
+    // 'a' was eldest: its checkpoint blocks must be gone
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      s"evicted entry still persisted at ${a.storageLevel}")
+  }
+
+  test("LRU: touching an entry protects it; the untouched one is evicted") {
+    val store = new DfCacheStore(2)
+    var rebuiltA = 0
+    var rebuiltB = 0
+    def getA() = store.cached(spark, "/d", "a") { rebuiltA += 1; frame(1) }
+    def getB() = store.cached(spark, "/d", "b") { rebuiltB += 1; frame(2) }
+    getA(); getB()
+    getA() // refresh A's recency — B becomes the LRU victim
+    store.cached(spark, "/d", "c")(frame(3))
+    assert(store.entryCount == 2)
+    getA()
+    assert(rebuiltA == 1, "touched entry must have survived the insert")
+    getB()
+    assert(rebuiltB == 2, "untouched entry must have been evicted and rebuilt")
+  }
+
+  test("evicted then re-requested: rebuilds and serves the new frame") {
+    val store = new DfCacheStore(1)
+    var builds = 0
+    def get() = store.cached(spark, "/d", "a") { builds += 1; frame(5) }
+    get()
+    store.cached(spark, "/d", "b")(frame(1)) // evicts a
+    val back = get()
+    assert(builds == 2)
+    assert(back.count() == 5)
+  }
+}
