@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed by per-partition operators.
   *
-  * The actual codecs (image decode, audio resample, video frame extraction)
-  * are NOT available in this environment — the decode kernel is a clearly
-  * marked STUB with a deterministic fake so the Spark-side plumbing
-  * (schema, batch iteration, partition-local processing, metadata structs)
-  * is real and tested. Swapping [[decodeStub]] for a JNI/FFI codec changes
-  * no dataflow.
+  * The decode kernel ([[decodeKernel]]) parses REAL container headers in
+  * pure JVM code — PNG IHDR and RIFF/WAVE fmt/data — and falls back to a
+  * clearly marked deterministic fake for payloads needing codecs this
+  * environment can't ship (JPEG, H.264, ...); that FFI seam is the only
+  * stub left, and swapping it in changes no dataflow. The Spark-side
+  * plumbing (schema, batch iteration, partition-local processing,
+  * metadata structs) is real and tested either way.
   *
   * Scale notes: blobs never shuffle — `decodeMeta` is mapPartitions over
   * the scan, metadata-only columns flow downstream. A real pipeline
@@ -28,22 +29,89 @@ object Multimodal {
       n_frames: Int,
       checksum: Long)
 
-  /** STUB decode kernel: real implementation would call an image/audio
-    * codec here. The fake derives deterministic "dimensions" from blob
-    * length and a simple byte checksum — enough to exercise the partition
-    * iterator, the typed output schema and downstream aggregation. */
-  private def decodeStub(docId: Long, mediaType: String, bytes: Array[Byte]): MediaMeta = {
-    // ??? <- real codec goes here (e.g. via FFI); deterministic fake below
+  /** Decode kernel. Real container headers are parsed honestly in pure
+    * JVM code — PNG IHDR (width × height) and RIFF/WAVE fmt + data
+    * chunks (sample rate as `width`, channels as `height`, sample
+    * frames as `n_frames`) — so genuine media blobs report their true
+    * dimensions with zero new dependencies. Payloads that are neither
+    * (the synthetic corpus' UTF-8 stand-ins; real pipelines: codecs we
+    * can't ship here, e.g. JPEG/H.264 — that FFI seam stays stubbed)
+    * fall back to the deterministic fake, which keeps the DuckDB oracle
+    * replayable: text bytes can never start with either magic. The
+    * checksum is payload-derived in all branches. */
+  private[graft] def decodeKernel(docId: Long, mediaType: String,
+      bytes: Array[Byte]): MediaMeta = {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum = (sum * 131 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
     val len = bytes.length.toLong
-    MediaMeta(docId, mediaType,
-      byte_len = len,
-      width = (len % 640).toInt + 1,
-      height = (len % 480).toInt + 1,
-      n_frames = if (mediaType == "video") (len % 24).toInt + 1 else 1,
-      checksum = sum)
+    parsePngHeader(bytes).orElse(parseWavHeader(bytes)) match {
+      case Some((w, h, frames)) =>
+        MediaMeta(docId, mediaType, len, w, h, frames, sum)
+      case None =>
+        // deterministic fake for non-media payloads (documented stub)
+        MediaMeta(docId, mediaType,
+          byte_len = len,
+          width = (len % 640).toInt + 1,
+          height = (len % 480).toInt + 1,
+          n_frames = if (mediaType == "video") (len % 24).toInt + 1 else 1,
+          checksum = sum)
+    }
+  }
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def tagAt(b: Array[Byte], o: Int, tag: String): Boolean =
+    (0 until 4).forall(k => (b(o + k) & 0xff) == tag.charAt(k))
+
+  /** PNG: 8-byte signature, then the mandatory first chunk IHDR with
+    * big-endian width/height at offsets 16/20 (PNG spec §5.2, §11.2.2). */
+  private[graft] def parsePngHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 24) return None
+    if (!(0 until 8).forall(k => (b(k) & 0xff) == sig(k))) return None
+    if (!tagAt(b, 12, "IHDR")) return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some((w.toInt, h.toInt, 1))
+  }
+
+  /** WAV: RIFF/WAVE container; walks the chunk list for `fmt ` (PCM
+    * layout: channels @+2 LE16, sample rate @+4 LE32, block align
+    * @+12 LE16) and `data` (payload size -> sample-frame count).
+    * Returns (sample_rate, channels, n_sample_frames). */
+  private[graft] def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12) return None
+    if (!tagAt(b, 0, "RIFF") || !tagAt(b, 8, "WAVE")) return None
+    var off = 12
+    var rate = -1L; var channels = -1; var blockAlign = -1; var dataLen = -1L
+    while (off + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+      val size = le32(b, off + 4)
+      if (tagAt(b, off, "fmt ") && off + 8 + 16 <= b.length) {
+        channels = le16(b, off + 10)
+        rate = le32(b, off + 12)
+        blockAlign = le16(b, off + 20)
+      } else if (tagAt(b, off, "data")) {
+        dataLen = math.min(size, (b.length - off - 8).toLong)
+      }
+      // chunks are word-aligned (odd sizes carry a pad byte); a
+      // malformed 32-bit size can't overflow the cursor: clamp to end
+      val next = off.toLong + 8L + size + (size & 1L)
+      off = if (next > b.length) b.length else next.toInt
+    }
+    if (rate <= 0 || channels <= 0 || blockAlign <= 0) None
+    else Some((rate.toInt, channels,
+      if (dataLen < 0) 0 else (dataLen / blockAlign).toInt))
   }
 
   /** documents-as-blobs: models a `binary` media column (UTF-8 bytes of the
@@ -61,7 +129,7 @@ object Multimodal {
     import spark.implicits._
     blobs.select(col("doc_id"), col("media_type"), col("blob"))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, mt, bytes) => decodeStub(id, mt, bytes) })
+      .mapPartitions(_.map { case (id, mt, bytes) => decodeKernel(id, mt, bytes) })
   }
 
   /** Frame sampling for video blobs: every `stride`-th frame index of the

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Decode-kernel honesty: real container payloads must report their
+  * TRUE header dimensions, not the deterministic fake.
+  *
+  * The PNG fixture is a genuine file (written by javax.imageio — full
+  * signature/IHDR/IDAT/IEND structure, not a hand-mocked header); the
+  * WAV fixture is a byte-exact canonical RIFF/WAVE PCM file built per
+  * the spec. Non-media payloads must keep the fake (the oracle for
+  * `mm_decode_stats` replays exactly that branch over UTF-8 blobs). */
+class MultimodalSpec extends SparkSpec {
+
+  private def realPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "JVM PNG writer missing")
+    bos.toByteArray
+  }
+
+  /** Canonical 44-byte-header PCM WAV. */
+  private def realWav(rate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataLen = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until dataLen).foreach(i => bb.put((i * 13).toByte))
+    bb.array()
+  }
+
+  test("PNG blob: header-parsed width/height, not the length-derived fake") {
+    val png = realPng(37, 23)
+    val m = Multimodal.decodeKernel(1L, "image", png)
+    assert(m.width == 37 && m.height == 23 && m.n_frames == 1,
+      s"got ${m.width}x${m.height}")
+    assert(m.byte_len == png.length)
+    // the fake would have produced these instead
+    assert((m.width, m.height) !=
+      ((png.length % 640 + 1).toInt, (png.length % 480 + 1).toInt) ||
+      png.length % 640 + 1 == 37 && png.length % 480 + 1 == 23)
+  }
+
+  test("WAV blob: fmt/data-parsed rate, channels and sample frames") {
+    val wav = realWav(rate = 8000, channels = 2, bitsPerSample = 16, nFrames = 50)
+    val m = Multimodal.decodeKernel(2L, "audio", wav)
+    assert(m.width == 8000, s"sample rate ${m.width}")
+    assert(m.height == 2, s"channels ${m.height}")
+    assert(m.n_frames == 50, s"frames ${m.n_frames}")
+  }
+
+  test("non-media payloads keep the deterministic fake (oracle branch)") {
+    val bytes = "plain text payload, definitely not a container".getBytes("UTF-8")
+    val m = Multimodal.decodeKernel(3L, "image", bytes)
+    assert(m.width == bytes.length % 640 + 1)
+    assert(m.height == bytes.length % 480 + 1)
+    assert(m.n_frames == 1)
+  }
+
+  test("malformed near-media payloads fall back instead of crashing") {
+    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val truncated = pngSig ++ Array[Byte](0, 0, 0, 13) // signature, no IHDR
+    val junkRiff = "RIFFxxxxWAVE".getBytes("US-ASCII") ++
+      Array.fill[Byte](10)(0x7f)
+    Seq(truncated, junkRiff, Array.emptyByteArray).foreach { b =>
+      val m = Multimodal.decodeKernel(4L, "audio", b)
+      assert(m.width == b.length % 640 + 1, "must use the fake branch")
+    }
+  }
+
+  test("decodeMeta end-to-end: real media and text blobs in one frame") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (0L, "image", realPng(64, 48)),
+      (1L, "audio", realWav(44100, 1, 16, 100)),
+      (2L, "image", "not media".getBytes("UTF-8")))
+    val meta = Multimodal.decodeMeta(spark,
+        rows.toDF("doc_id", "media_type", "blob"))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(0L).width == 64 && meta(0L).height == 48)
+    assert(meta(1L).width == 44100 && meta(1L).n_frames == 100)
+    assert(meta(2L).width == ("not media".getBytes("UTF-8").length % 640 + 1))
+  }
+}
