@@ -312,6 +312,26 @@ class PlanAuditSpec extends SparkSpec {
       s"wedges must come from the adjacency-array explode:\n$plan")
   }
 
+  test("rel_bucketed_join: zero exchange on the join key (layout-satisfied)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the bucket layout — not a small-table
+      // shortcut — is what satisfies the join's distribution requirement
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.queries.Relational.bucketedJoin(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"join must read the bucketed layout:\n$plan")
+      // the ONLY exchange is the segment-sized final aggregate; nothing
+      // may move on the join key
+      plan.split("\n").filter(_.contains("Exchange")).foreach { l =>
+        assert(l.contains("c_mktsegment") && !l.contains("o_custkey"),
+          s"unexpected exchange: $l")
+      }
+      assert(df.count() == 5) // TPC-H market segments
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("edit-distance join: PassJoin candidate amplification is bounded at 39/row") {
     val s = spark; import s.implicits._
     // lengths spanning the whole long branch; worst-case amplification
