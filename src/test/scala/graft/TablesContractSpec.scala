@@ -54,6 +54,37 @@ class TablesContractSpec extends SparkSpec {
     }
   }
 
+  test("INT64 TIMESTAMP(MICROS) events generation loads normalized") {
+    // a third plausible driver regen: parquet INT64 with the
+    // TIMESTAMP(MICROS, adjustedToUTC) logical type — Spark reads it as
+    // TimestampType natively and the loader must pass it through at µs
+    // precision, not re-scale it (a 1000x error would land ~1970 or far
+    // future, caught by value equality here)
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evmicros").toString
+    val base = 1717200000000000L // 2024-06-01 in µs
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      Seq((1L, base), (2L, base + 60000000L))
+        .toDF("event_id", "us")
+        .select($"event_id", expr("timestamp_micros(us)").as("ts"),
+          lit(7L).as("user_id"), lit("view").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val df = Tables.load(spark, dir, "events")
+    assert(df.schema("ts").dataType == TimestampType,
+      s"micros generation loaded as ${df.schema("ts").dataType}")
+    val got = df.orderBy(col("event_id"))
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    assert(got.sameElements(Array(base, base + 60000000L)),
+      s"micros values not preserved: ${got.toSeq} vs $base")
+  }
+
   test("legacy INT64-nanos events generation still loads via the long branch") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evnanos").toString
