@@ -137,14 +137,27 @@ object Relational extends graft.QueryModule {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val ot = s"orders_bkt_$tag"
     val ct = s"customer_bkt_$tag"
+    // Idempotent across JVMs, not just sessions: a previous run's
+    // warehouse directory survives while the (in-memory) catalog starts
+    // empty, and CTAS refuses a non-empty location — so a stale
+    // location with no catalog entry is deleted before the (re)write.
+    def ensure(name: String, build: => DataFrame): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        val wh = java.net.URI.create(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        val loc = new java.io.File(wh, name)
+        if (loc.exists()) rm(loc)
+        Tables.writeBucketed(build, name, "o_custkey", 8)
+      }
     this.synchronized {
-      if (!spark.catalog.tableExists(ot))
-        Tables.writeBucketed(Tables.load(spark, dir, "orders")
-          .select(col("o_custkey"), col("o_totalprice")), ot, "o_custkey", 8)
-      if (!spark.catalog.tableExists(ct))
-        Tables.writeBucketed(Tables.load(spark, dir, "customer")
-          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
-          ct, "o_custkey", 8)
+      ensure(ot, Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")))
+      ensure(ct, Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")))
     }
     spark.table(ot).join(spark.table(ct), Seq("o_custkey"))
       .groupBy(col("c_mktsegment"))
