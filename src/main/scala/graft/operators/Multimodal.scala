@@ -45,7 +45,8 @@ object Multimodal {
     var i = 0
     while (i < bytes.length) { sum = (sum * 131 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
     val len = bytes.length.toLong
-    parsePngHeader(bytes).orElse(parseWavHeader(bytes)) match {
+    parsePngHeader(bytes).orElse(parseWavHeader(bytes))
+        .orElse(parseJpegHeader(bytes)) match {
       case Some((w, h, frames)) =>
         MediaMeta(docId, mediaType, len, w, h, frames, sum)
       case None =>
@@ -84,6 +85,41 @@ object Multimodal {
     val h = be32(b, 20)
     if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
     else Some((w.toInt, h.toInt, 1))
+  }
+
+  /** JPEG: SOI marker, then the segment walk to the first frame header
+    * (SOF0/1/2/9/10 — baseline/extended/progressive, sequential or
+    * arithmetic), whose payload carries height then width as
+    * big-endian 16-bit at offsets +3/+5 (ITU T.81 §B.2.2). Marker
+    * padding (0xFF fill) is skipped; standalone markers (RST/TEM) have
+    * no length field. */
+  private[graft] def parseJpegHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None // SOI
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None // desynced: not a marker
+      var m = off + 1
+      while (m < b.length && (b(m) & 0xff) == 0xff) m += 1 // fill bytes
+      if (m >= b.length) return None
+      val marker = b(m) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS: no SOF seen
+      if (marker >= 0xd0 && marker <= 0xd7) { off = m + 1 } // RSTn: standalone
+      else {
+        if (m + 3 > b.length) return None
+        val len = ((b(m + 1) & 0xff) << 8) | (b(m + 2) & 0xff)
+        if (len < 2) return None
+        val isSof = Set(0xc0, 0xc1, 0xc2, 0xc9, 0xca).contains(marker)
+        if (isSof) {
+          if (m + 8 > b.length) return None
+          val h = ((b(m + 4) & 0xff) << 8) | (b(m + 5) & 0xff)
+          val w = ((b(m + 6) & 0xff) << 8) | (b(m + 7) & 0xff)
+          return if (w > 0 && h > 0) Some((w, h, 1)) else None
+        }
+        off = m + 1 + len
+      }
+    }
+    None
   }
 
   /** WAV: RIFF/WAVE container; walks the chunk list for `fmt ` (PCM

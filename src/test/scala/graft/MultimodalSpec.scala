@@ -55,6 +55,15 @@ class MultimodalSpec extends SparkSpec {
       png.length % 640 + 1 == 37 && png.length % 480 + 1 == 23)
   }
 
+  test("JPEG blob: SOF-parsed width/height from a real encoder output") {
+    val img = new java.awt.image.BufferedImage(
+      31, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JVM JPEG writer missing")
+    val m = Multimodal.decodeKernel(7L, "image", bos.toByteArray)
+    assert(m.width == 31 && m.height == 17, s"got ${m.width}x${m.height}")
+  }
+
   test("WAV blob: fmt/data-parsed rate, channels and sample frames") {
     val wav = realWav(rate = 8000, channels = 2, bitsPerSample = 16, nFrames = 50)
     val m = Multimodal.decodeKernel(2L, "audio", wav)
