@@ -930,6 +930,51 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("doc_id"), col("quality"), col("n_chars"), col("cum"))
   }
 
+  private val PackBudget = 2048L
+  private val PackShardWidth = 256L
+
+  /** Sequence packing — the pretraining step that concatenates the
+    * corpus in ingest order and slices it into fixed token-budget
+    * training sequences (GPT-style "pack then split at the boundary"):
+    * per document, the bin it starts in, its offset inside that bin,
+    * and how many bin boundaries cut it (`n_splits` — the attention-
+    * fragmentation metric packing efficiency reports track). Everything
+    * derives from the global ordered cumulative token count, computed
+    * scale-safe as a two-level running sum (the [[tokenBudget]]
+    * discipline): per-shard windows are partitioned (parallel), shard
+    * offsets come from one window over the dimension-sized shard-total
+    * table and broadcast back. [[PackShardWidth]] is the knob that
+    * keeps the shard table dimension-sized as the corpus grows (width
+    * ~ n/10⁴ at 100 TB). Integer arithmetic throughout — exact in both
+    * engines; the oracle's textbook single window over doc_id is the
+    * semantics, this plan is the distributed formulation of it. */
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.count_tokens(col("text"))
+          .cast("long").as("tok"),
+        (col("doc_id") / PackShardWidth).cast("long").as("shard"))
+    val shardTot = toks.groupBy(col("shard")).agg(sum(col("tok")).as("t"))
+    val wS = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardTot
+      .withColumn("off", coalesce(sum(col("t")).over(wS), lit(0L)))
+      .select(col("shard"), col("off"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("within", sum(col("tok")).over(wIn))
+      .join(broadcast(offsets), "shard")
+      .withColumn("cum", col("off") + col("within"))
+      // integer `div` per term (Spark's `/` on longs is a double
+      // divide; flooring a DIFFERENCE of double quotients is not the
+      // difference of floors)
+      .selectExpr("doc_id", "tok",
+        s"(cum - tok) div $PackBudget AS bin",
+        s"(cum - tok) % $PackBudget AS offset_in_bin",
+        s"greatest((cum - 1) div $PackBudget - (cum - tok) div $PackBudget, 0L) AS n_splits")
+  }
+
   /** Per-language adaptive quality gate: keep documents at or above their
     * OWN language's 25th quality percentile — the per-domain threshold
     * curation step (a global cut over-prunes low-resource strata). Same
@@ -1792,6 +1837,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_oov_rate" -> oovRate,
     "ta_quality_gate" -> qualityGate,
     "ta_token_budget" -> tokenBudget,
+    "ta_seq_packing" -> seqPacking,
     "ta_rrf" -> rrfFusion,
     "ta_hybrid_related" -> hybridRelated,
     "ta_corpus_prep" -> corpusPrep,
@@ -2634,6 +2680,21 @@ object AnalysisQueries extends graft.QueryModule {
          |    / CAST(sum(seg.n_pieces) AS DOUBLE), 6) AS chars_per_piece
          |FROM tok JOIN seg USING (word)
          |GROUP BY tok.lang""".stripMargin,
+    "ta_seq_packing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |    sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM toks)
+         |SELECT doc_id, tok,
+         |  CAST((cum - tok) // 2048 AS BIGINT) AS bin,
+         |  CAST((cum - tok) % 2048 AS BIGINT) AS offset_in_bin,
+         |  CAST(greatest((cum - 1) // 2048 - (cum - tok) // 2048, 0)
+         |    AS BIGINT) AS n_splits
+         |FROM c""".stripMargin,
     "ta_token_budget" ->
       s"""WITH $qualityFeatureCtes,
          |q AS (SELECT f.doc_id, d.n_chars, $qualityScoreSql AS quality

@@ -312,6 +312,33 @@ class PlanAuditSpec extends SparkSpec {
       s"wedges must come from the adjacency-array explode:\n$plan")
   }
 
+  test("seq packing: doc-stream window is shard-partitioned; only the shard table is single-partition") {
+    val df = graft.queries.AnalysisQueries.seqPacking(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val lines = plan.split("\n")
+    // the corpus-sized running sum must run partitioned (parallel)
+    assert(lines.exists(l => l.contains("Window") && l.contains("], [shard")),
+      s"within-shard window must be partitioned by shard:\n$plan")
+    // exactly one single-partition stage: the dimension-sized
+    // shard-total offset window, never the document stream
+    assert(lines.count(_.contains("Exchange SinglePartition")) == 1, plan)
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"shard offsets must broadcast back:\n$plan")
+    // two-level sum equals the textbook single global window
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.functions.TextFunctions.count_tokens(col("text")).cast("long")
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), tok.as("tok"))
+      .withColumn("cum", sum(col("tok")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .selectExpr("doc_id", "(cum - tok) div 2048 AS bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = df.select(col("doc_id"), col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
   test("rel_bucketed_join: zero exchange on the join key (layout-satisfied)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
