@@ -312,6 +312,19 @@ class PlanAuditSpec extends SparkSpec {
       s"wedges must come from the adjacency-array explode:\n$plan")
   }
 
+  test("sparse retrieval: consumers plan against the shared tf checkpoint, not a re-explode") {
+    // ta_bm25 reads the family's ta:tf DfCache entry: its plan must
+    // reference the materialized checkpoint (ExistingRDD) and contain
+    // NO Generate — the term_counts explode ran once, in the cache
+    // builder, not per consumer
+    val plan = graft.queries.AnalysisQueries.bm25(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"bm25 must scan the tf checkpoint:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"no tokenization explode may appear below a cache consumer:\n$plan")
+  }
+
   test("seq packing: doc-stream window is shard-partitioned; only the shard table is single-partition") {
     val df = graft.queries.AnalysisQueries.seqPacking(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
