@@ -935,7 +935,10 @@ object AnalysisQueries extends graft.QueryModule {
 
   /** Sequence packing — the pretraining step that concatenates the
     * corpus in ingest order and slices it into fixed token-budget
-    * training sequences (GPT-style "pack then split at the boundary"):
+    * training sequences (GPT-style "pack then split at the boundary").
+    * The complement of [[packBins]]: that one is the greedy whole-
+    * document packer (no doc ever splits, bins can underfill); this one
+    * fills every bin exactly and reports the cuts. Output:
     * per document, the bin it starts in, its offset inside that bin,
     * and how many bin boundaries cut it (`n_splits` — the attention-
     * fragmentation metric packing efficiency reports track). Everything
