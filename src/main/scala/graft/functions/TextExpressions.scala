@@ -44,6 +44,34 @@ case class EstimateTokens(child: Expression)
   override def prettyName: String = "estimate_tokens"
 }
 
+/** `sequence_ratio(a, b)` — difflib.SequenceMatcher.ratio-compatible
+  * similarity (2·M/(|a|+|b|), M = recursive matching-block total) as a
+  * NATIVE codegen expression: the generated code calls the static
+  * [[graft.operators.FuzzyJoin.ratioFn]] kernel directly inside
+  * whole-stage codegen — no UDF closure, no Row encoding, no boxing.
+  * This runs once per PAIR in the similarity joins (millions of calls
+  * at sf0.1), which is exactly where UDF dispatch overhead shows.
+  * Null inputs yield null (the catalog always feeds non-null
+  * normalized text; the retired UDF's null→0.0 path was dead). */
+case class SequenceRatio(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sequence_ratio expects (string, string), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.operators.FuzzyJoin.ratioFn(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.operators.FuzzyJoin.ratioFn($a.toString(), $b.toString())")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SequenceRatio = copy(l, r)
+  override def prettyName: String = "sequence_ratio"
+}
+
 object TruncateTokens {
   val schema: StructType = StructType(Seq(
     StructField("text", StringType, nullable = false),
@@ -476,6 +504,8 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 
   def count_tokens(c: Column): Column = col(CountTokens(ex(c)))
+  def sequence_ratio(a: Column, b: Column): Column =
+    col(SequenceRatio(ex(a), ex(b)))
   def estimate_tokens(c: Column): Column = col(EstimateTokens(ex(c)))
   def truncate_tokens(c: Column, maxTokens: Column, mode: Column): Column =
     col(TruncateTokens(ex(c), ex(maxTokens), ex(mode)))
@@ -544,6 +574,8 @@ object TextFunctions {
       es => CountTokens(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("estimate_tokens",
       es => EstimateTokens(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sequence_ratio",
+      es => SequenceRatio(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("truncate_tokens",
       es => TruncateTokens(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("split_chunks",

@@ -59,7 +59,9 @@ object FuzzyJoin {
       matchLen(a, bestA + bestLen, aHi, b, bestB + bestLen, bHi, prev, cur)
   }
 
-  /** difflib.SequenceMatcher.ratio semantics: 2*M/(|a|+|b|). */
+  /** difflib.SequenceMatcher.ratio semantics: 2*M/(|a|+|b|). Static
+    * kernel — called directly from whole-stage-codegen'd Java via the
+    * [[graft.functions.SequenceRatio]] expression. */
   def ratioFn(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
     val total = a.length + b.length
@@ -69,8 +71,11 @@ object FuzzyJoin {
     2.0 * matchLen(a, 0, a.length, b, 0, b.length, row0, row1) / total
   }
 
-  val ratio: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf(ratioFn _)
+  /** Column form of [[ratioFn]] — a native Catalyst expression with
+    * `doGenCode` (was the repo's last Scala UDF; the expression stays
+    * inside WholeStageCodegen with no closure dispatch or boxing). */
+  def ratio(a: Column, b: Column): Column =
+    graft.functions.TextFunctions.sequence_ratio(a, b)
 
   /** P11: extract number families from text (years, decimal amounts) —
     * regexp_extract_all, as in augment_finqa.py:34-60. */
