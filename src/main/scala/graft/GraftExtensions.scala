@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => functions.CountTokens(es.head)))
     e.injectFunction((FunctionIdentifier("estimate_tokens"), info("estimate_tokens"),
       (es: Seq[Expression]) => functions.EstimateTokens(es.head)))
+    e.injectFunction((FunctionIdentifier("sequence_ratio"), info("sequence_ratio"),
+      (es: Seq[Expression]) => functions.SequenceRatio(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("truncate_tokens"), info("truncate_tokens"),
       (es: Seq[Expression]) => functions.TruncateTokens(es(0), es(1), es(2))))
     e.injectFunction((FunctionIdentifier("split_chunks"), info("split_chunks"),

@@ -312,6 +312,15 @@ class PlanAuditSpec extends SparkSpec {
       s"wedges must come from the adjacency-array explode:\n$plan")
   }
 
+  test("composite match: fully codegen — no UDF dispatch anywhere in the plan") {
+    val plan = graft.queries.Advanced.compositeMatch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"the similarity kernel must be a native expression:\n$plan")
+    assert(plan.contains("sequence_ratio"),
+      s"expected the sequence_ratio expression in the plan:\n$plan")
+  }
+
   test("sparse retrieval: consumers plan against the shared tf checkpoint, not a re-explode") {
     // ta_bm25 reads the family's ta:tf DfCache entry: its plan must
     // reference the materialized checkpoint (ExistingRDD) and contain
