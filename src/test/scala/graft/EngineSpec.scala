@@ -86,6 +86,12 @@ class EngineSpec extends SparkSpec {
       "SELECT term_counts('a b a') AS m").collect()(0)
       .getAs[Map[String, Long]]("m")
     assert(tc == Map("a" -> 2L, "b" -> 1L))
+    // the native SequenceMatcher expression resolves from SQL and agrees
+    // with the static kernel (difflib parity is golden-spec'd)
+    val sr = spark.sql(
+      "SELECT sequence_ratio('abcab', 'bcab') AS r").collect()(0).getDouble(0)
+    assert(sr == graft.operators.FuzzyJoin.ratioFn("abcab", "bcab"))
+    assert(math.abs(sr - 8.0 / 9.0) < 1e-12)
   }
 
   test("truncationAnswers: budget floor, strategies, threshold gating") {
