@@ -145,7 +145,9 @@ object Multimodal {
       val next = off.toLong + 8L + size + (size & 1L)
       off = if (next > b.length) b.length else next.toInt
     }
-    if (rate <= 0 || channels <= 0 || blockAlign <= 0) None
+    // rate is a raw LE32: values past Int.MaxValue would wrap negative
+    // through toInt — treat as malformed (no real rate is > 2^31 Hz)
+    if (rate <= 0 || rate > Int.MaxValue || channels <= 0 || blockAlign <= 0) None
     else Some((rate.toInt, channels,
       if (dataLen < 0) 0 else (dataLen / blockAlign).toInt))
   }

@@ -91,6 +91,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: decode kernel never throws on adversarial near-media bytes") {
+    // a partition kernel that throws kills the whole job at scale —
+    // random payloads behind each magic must always fall through or
+    // parse, never crash
+    val rnd = new scala.util.Random(99L)
+    val magics = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      "RIFF".getBytes("US-ASCII"),
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),
+      Array[Byte](0xff.toByte, 0xd8.toByte),
+      Array.emptyByteArray)
+    (0 until 300).foreach { i =>
+      val magic = magics(i % magics.length)
+      val body = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt.toByte)
+      val m = Multimodal.decodeKernel(i.toLong, "image", magic ++ body)
+      assert(m.byte_len == magic.length + body.length)
+      assert(m.width >= 1 && m.height >= 1 && m.n_frames >= 0)
+    }
+    // targeted: a fmt chunk whose LE32 sample rate exceeds Int.MaxValue
+    // must fall back, not wrap negative through toInt
+    val hugeRate = java.nio.ByteBuffer.allocate(36)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(28)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(0x80000001) // rate = 2^31 + 1 unsigned
+      .putInt(0).putShort(2).putShort(16).array()
+    val hm = Multimodal.decodeKernel(9L, "audio", hugeRate)
+    assert(hm.width == hugeRate.length % 640 + 1, "must use the fake branch")
+  }
+
   test("decodeMeta end-to-end: real media and text blobs in one frame") {
     val s = spark; import s.implicits._
     val rows = Seq(
