@@ -74,7 +74,7 @@ class EngineSpec extends SparkSpec {
     // a fresh SparkSession can't be built in the shared test JVM (the
     // extensions only apply at session construction); the end-to-end path
     // is exercised via spark-shell with spark.sql.extensions (see verify
-    // skill). Here: injection runs cleanly and registers 7 functions.
+    // skill). Here: injection runs cleanly and registers the function set.
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts)
     // and the session-level registration path covers SQL resolution:
