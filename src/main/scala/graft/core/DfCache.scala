@@ -42,7 +42,7 @@ private[graft] class DfCacheStore(maxEntries: Int) {
       val prev = cache.get(key)
       if (prev != null) {
         // double-compute race loser: release the orphaned blocks
-        built.unpersist(blocking = false)
+        releaseBlocks(built)
         prev
       } else {
         cache.put(key, built)
@@ -50,12 +50,29 @@ private[graft] class DfCacheStore(maxEntries: Int) {
           val it = cache.entrySet().iterator()
           val eldest = it.next()
           it.remove()
-          eldest.getValue.unpersist(blocking = false)
+          releaseBlocks(eldest.getValue)
         }
         built
       }
     }
   }
+
+  /** Releases a cached frame's storage. `Dataset.unpersist` only knows
+    * `persist()`-registered plans — a localCheckpointed frame is a
+    * `LogicalRDD` the CacheManager never saw, so its checkpoint blocks
+    * must be unpersisted at the RDD layer or eviction frees NOTHING
+    * (blocks would linger until ContextCleaner GC, unbounded growth
+    * under dir churn — the exact scenario the LRU exists for). */
+  private def releaseBlocks(df: DataFrame): Unit = {
+    df.unpersist(blocking = false) // covers persist()-built frames
+    checkpointRdds(df).foreach(_.unpersist(blocking = false))
+  }
+
+  private[graft] def checkpointRdds(
+      df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 
   private[graft] def entryCount: Int = cache.synchronized(cache.size())
 }

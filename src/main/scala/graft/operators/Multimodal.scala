@@ -104,7 +104,9 @@ object Multimodal {
       if (m >= b.length) return None
       val marker = b(m) & 0xff
       if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS: no SOF seen
-      if (marker >= 0xd0 && marker <= 0xd7) { off = m + 1 } // RSTn: standalone
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off = m + 1 // TEM / RSTn: standalone, no length field
+      }
       else {
         if (m + 3 > b.length) return None
         val len = ((b(m + 1) & 0xff) << 8) | (b(m + 2) & 0xff)

@@ -134,7 +134,10 @@ object Relational extends graft.QueryModule {
     * pay the full shuffle per query. The layout write is idempotent and
     * dir-scoped, so sf0.01 verify and sf0.1 bench never share tables. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // lowercase: saveAsTable lowercases the identifier (and hence the
+    // warehouse subdirectory), so a mixed-case tag would break the
+    // stale-location check below
+    val tag = dir.toLowerCase.replaceAll("[^a-z0-9]", "_")
     val ot = s"orders_bkt_$tag"
     val ct = s"customer_bkt_$tag"
     // Idempotent across JVMs, not just sessions: a previous run's
@@ -1032,15 +1035,16 @@ object Relational extends graft.QueryModule {
         col("dist"))
       .dropDuplicates("part_a", "part_b")
     // short-name branch: exact length-band block (probe explodes its
-    // length into the ±2 band, clamped to the short side's 1..8 range —
-    // unclamped, 2 of the 5 band values could never join) —
-    // population-bounded, empty on TPC-H
+    // length into the ±2 band, clamped to the short side's 0..8 range —
+    // unclamped, values outside it could never join; 0 stays IN the
+    // band so zero-length names still pair, the generic operator's
+    // contract even though p_name is never empty on TPC-H)
     val shortA = p.filter(col("l") < 9).select(col("p_partkey").as("part_a"),
       col("p_name").as("name_a"), col("p_size"), col("l").as("lb"))
     val shortB = p.filter(col("l") < 9 + 2).select(
         col("p_partkey").as("part_b"), col("p_name").as("name_b"),
         col("p_size"),
-        explode(expr("sequence(greatest(l - 2, 1), least(l + 2, 8))"))
+        explode(expr("sequence(greatest(l - 2, 0), least(l + 2, 8))"))
           .as("lb"))
     val shortPairs = shortA.join(shortB, Seq("p_size", "lb"))
       .filter(col("part_a") =!= col("part_b"))

@@ -24,15 +24,24 @@ class DfCacheSpec extends SparkSpec {
     assert(first.count() == 3)
   }
 
-  test("entry count is capped; eldest evicted, blocks released") {
+  test("entry count is capped; eldest evicted, checkpoint blocks released") {
     val store = new DfCacheStore(2)
     val a = store.cached(spark, "/d", "a")(frame(1))
+    // Dataset.storageLevel / unpersist don't see localCheckpointed
+    // frames (they're LogicalRDDs the CacheManager never registered) —
+    // assert at the RDD layer, where the blocks actually live
+    val aRdds = store.checkpointRdds(a)
+    assert(aRdds.nonEmpty, "cached frame should be a materialized checkpoint")
+    val ids = spark.sparkContext.getPersistentRDDs
+    assert(aRdds.forall(r => ids.contains(r.id)),
+      "checkpoint blocks must be registered while resident")
     store.cached(spark, "/d", "b")(frame(2))
     store.cached(spark, "/d", "c")(frame(3))
     assert(store.entryCount == 2)
-    // 'a' was eldest: its checkpoint blocks must be gone
-    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
-      s"evicted entry still persisted at ${a.storageLevel}")
+    // 'a' was eldest: its checkpoint RDD must be unpersisted
+    val after = spark.sparkContext.getPersistentRDDs
+    assert(aRdds.forall(r => !after.contains(r.id)),
+      "evicted entry's checkpoint blocks were not released")
   }
 
   test("LRU: touching an entry protects it; the untouched one is evicted") {

@@ -115,8 +115,9 @@ class EditDistanceFuzzSpec extends SparkSpec {
     check(names.toSeq, "boundary")
   }
 
-  test("short strings incl. duplicates and p_size blocking") {
+  test("short strings incl. empty names, duplicates and p_size blocking") {
     val names = Seq(
+      ("", 1), ("", 1), // empty names: band value 0 must stay joinable
       ("a", 1), ("a", 1), ("b", 1), ("ab", 1), ("ba", 1), ("abc", 1),
       ("abcd", 1), ("abcde", 1), ("abcdef", 1), ("abcdefg", 1),
       ("abcdefgh", 1), ("abcdefghi", 1), ("aXcdefgh", 1), ("bcdefgh", 1),

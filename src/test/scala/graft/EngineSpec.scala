@@ -92,6 +92,22 @@ class EngineSpec extends SparkSpec {
       "SELECT sequence_ratio('abcab', 'bcab') AS r").collect()(0).getDouble(0)
     assert(sr == graft.operators.FuzzyJoin.ratioFn("abcab", "bcab"))
     assert(math.abs(sr - 8.0 / 9.0) < 1e-12)
+    // non-literal children: constant folding can't pre-evaluate, so this
+    // compiles and runs the doGenCode path inside whole-stage codegen —
+    // a broken generated-call string fails HERE, not first at bench time
+    // (a local Seq would fold to a LocalTableScan pre-codegen; a range
+    // scan keeps the projection in generated code)
+    val gen = spark.range(3).selectExpr(
+        "CASE id WHEN 0 THEN 'abcab' WHEN 1 THEN 'xyz' ELSE '' END AS a",
+        "CASE id WHEN 0 THEN 'bcab' WHEN 1 THEN 'abc' ELSE '' END AS b")
+      .select(graft.functions.TextFunctions.sequence_ratio(col("a"), col("b"))
+        .as("r"))
+    // the "*(n)" prefix is executedPlan.toString's WholeStageCodegen marker
+    assert(gen.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      s"projection must be codegen'd:\n${gen.queryExecution.executedPlan}")
+    val rs = gen.collect().map(_.getDouble(0))
+    assert(rs(0) == graft.operators.FuzzyJoin.ratioFn("abcab", "bcab"))
+    assert(rs(1) == 0.0 && rs(2) == 1.0)
   }
 
   test("truncationAnswers: budget floor, strategies, threshold gating") {
