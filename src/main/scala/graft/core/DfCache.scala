@@ -57,13 +57,18 @@ private[graft] class DfCacheStore(maxEntries: Int) {
     }
   }
 
-  /** Releases a cached frame's storage. `Dataset.unpersist` only knows
+  /** Releases a frame's storage. `Dataset.unpersist` only knows
     * `persist()`-registered plans — a localCheckpointed frame is a
     * `LogicalRDD` the CacheManager never saw, so its checkpoint blocks
-    * must be unpersisted at the RDD layer or eviction frees NOTHING
+    * must be unpersisted at the RDD layer or the release frees NOTHING
     * (blocks would linger until ContextCleaner GC, unbounded growth
-    * under dir churn — the exact scenario the LRU exists for). */
-  private def releaseBlocks(df: DataFrame): Unit = {
+    * under dir churn — the exact scenario the LRU exists for). Shared
+    * by every transient-checkpoint site (e.g. ivfProbeCurve), not just
+    * this cache. Only call on frames whose LogicalRDDs the caller
+    * exclusively owns: the collect releases EVERY checkpoint in the
+    * plan, so a frame derived from a still-shared checkpointed base
+    * must not be passed here. */
+  private[graft] def releaseBlocks(df: DataFrame): Unit = {
     df.unpersist(blocking = false) // covers persist()-built frames
     checkpointRdds(df).foreach(_.unpersist(blocking = false))
   }

@@ -221,10 +221,13 @@ object SimilarityQueries extends graft.QueryModule {
             .as("recall"))
     }.reduce(_.unionAll(_))
       // the curve is 4 rows: materialize it, then release the per-call
-      // transients (the tfidfTop persist-lifecycle discipline)
+      // transients. NB these are localCheckpointed frames, which
+      // Dataset.unpersist silently ignores (no CacheManager entry) —
+      // the RDD-layer release in DfCache.releaseBlocks is the one that
+      // actually frees the blocks.
       .localCheckpoint(true)
-    assigned.unpersist(blocking = false)
-    full.unpersist(blocking = false)
+    graft.core.DfCache.releaseBlocks(assigned)
+    graft.core.DfCache.releaseBlocks(full)
     out
   }
 
