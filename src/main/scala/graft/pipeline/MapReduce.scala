@@ -223,7 +223,14 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
     * reduce. */
   def judgedAnswers(documents: DataFrame): DataFrame =
     answers(documents).withColumn("judgment",
-      model.judge(col("best_score"), col("chunks_after")))
+      // judge's contract is the 0-10 scale; best_score carries the
+      // FORMAT's scale (0-100 for plain), so normalize before the
+      // bands — without this every plain-format doc scoring >= 40/100
+      // judged "Correct" and the middle bands were unreachable
+      model.judge(
+        if (cfg.format.scoreScale == 10) col("best_score")
+        else col("best_score") / lit(cfg.format.scoreScale / 10),
+        col("chunks_after")))
 
   /** Judge stage (O5 positional batching + P7 normalization): batches of
     * 5 docs by doc_id order on top of [[judgedAnswers]]. */

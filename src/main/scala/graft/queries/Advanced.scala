@@ -729,13 +729,16 @@ object Advanced extends graft.QueryModule {
         |tot AS (SELECT count(*) AS tn FROM events),
         |wtot AS (SELECT window_start, CAST(sum(n) AS BIGINT) AS wn
         |  FROM wt GROUP BY 1),
-        |grid AS (SELECT w.window_start, r.event_type, r.rn
-        |  FROM (SELECT DISTINCT window_start FROM wt) w CROSS JOIN ref r),
-        |j AS (SELECT g.window_start, g.event_type, g.rn,
-        |    coalesce(wt.n, 0) AS n
-        |  FROM grid g LEFT JOIN wt
-        |    ON g.window_start = wt.window_start
-        |    AND g.event_type = wt.event_type)
+        |types AS (SELECT event_type FROM ref
+        |  UNION SELECT DISTINCT event_type FROM wt),
+        |grid AS (SELECT w.window_start, t.event_type
+        |  FROM (SELECT DISTINCT window_start FROM wt) w CROSS JOIN types t),
+        |j AS (SELECT g.window_start, g.event_type,
+        |    coalesce(ref.rn, 0) AS rn, coalesce(wt.n, 0) AS n
+        |  FROM grid g
+        |  LEFT JOIN wt ON g.window_start = wt.window_start
+        |    AND g.event_type = wt.event_type
+        |  LEFT JOIN ref ON g.event_type = ref.event_type)
         |SELECT j.window_start, max(wtot.wn) AS n_events,
         |  round(list_reduce(list_prepend(0.0,
         |    list(abs(CAST(j.n AS DOUBLE) / wtot.wn

@@ -45,8 +45,11 @@ class ChunkCache(spark: SparkSession, cacheRoot: String) {
   def invalidate(k: String): Unit = {
     val dir = Paths.get(dirFor(k))
     if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      // Files.walk holds a directory handle — close it or leak one/call
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally walk.close()
     }
   }
 }

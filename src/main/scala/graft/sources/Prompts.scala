@@ -22,17 +22,49 @@ import org.apache.spark.sql.functions._
   * mirrors the reference.
   */
 case class PromptTemplate(template: String, inputVariables: Seq[String]) {
-  /** Driver-side formatting (the reference's PromptTemplate.format). */
-  def format(vars: Map[String, String]): String =
-    inputVariables.foldLeft(template)((t, v) =>
-      t.replace(s"{$v}", vars.getOrElse(v, "")))
+  /** The template split into literal / variable-slot tokens ONCE at
+    * construction. Substitution then CONCATENATES — single pass over
+    * the template, exactly Python str.format's semantics: substituted
+    * VALUES are never re-scanned. The previous fold-of-`replace` form
+    * rescanned the accumulated string, so a document chunk containing
+    * the literal text "{question}" would have the question spliced
+    * into the context region of the emitted payload — data-driven
+    * prompt corruption. */
+  private val tokens: Seq[Either[String, String]] = {
+    if (inputVariables.isEmpty) Seq(Left(template))
+    else {
+      val re = inputVariables
+        .map(v => java.util.regex.Pattern.quote(s"{$v}")).mkString("|")
+      val m = java.util.regex.Pattern.compile(re).matcher(template)
+      val buf = Seq.newBuilder[Either[String, String]]
+      var last = 0
+      while (m.find()) {
+        if (m.start > last) buf += Left(template.substring(last, m.start))
+        buf += Right(template.substring(m.start + 1, m.end - 1))
+        last = m.end
+      }
+      if (last < template.length) buf += Left(template.substring(last))
+      buf.result()
+    }
+  }
 
-  /** Column-level formatting: each input variable is filled from a column.
+  /** Driver-side formatting (the reference's PromptTemplate.format);
+    * unbound variables fill as "". */
+  def format(vars: Map[String, String]): String =
+    tokens.map {
+      case Left(literal) => literal
+      case Right(v)      => vars.getOrElse(v, "")
+    }.mkString
+
+  /** Column-level formatting: each input variable is filled from a column
+    * (building per-row LLM payloads stays a codegen'd projection).
     * Missing bindings are left as-is (visible in the debug log, like the
     * reference's unformatted braces). */
   def formatCol(bindings: Map[String, Column]): Column =
-    inputVariables.foldLeft(lit(template): Column)((t, v) =>
-      bindings.get(v).map(c => replace(t, lit(s"{$v}"), c)).getOrElse(t))
+    concat(tokens.map {
+      case Left(literal) => lit(literal)
+      case Right(v)      => bindings.getOrElse(v, lit(s"{$v}"))
+    }: _*)
 }
 
 case class PromptSet(name: String, prompts: Map[String, PromptTemplate])

@@ -40,11 +40,22 @@ object QaSources {
     limit.fold(df)(df.limit) // P3: sample limit
   }
 
+  private val finqaRawSchema = StructType(Seq(
+    StructField("doc_name", StringType),
+    StructField("question", StringType),
+    StructField("answer", StringType),
+    StructField("filename", StringType),
+    StructField("explanation", StringType)))
+
   /** S2 + P2: FinQA single-array JSON scan with "" defaults —
-    * reference: src/loaders/finqa_loader.py:27-50. */
+    * reference: src/loaders/finqa_loader.py:27-50. Explicit schema (the
+    * financeBench discipline): with inference, an optional key present
+    * in NO record yields a frame without that column and the default
+    * projection fails resolution instead of defaulting. */
   def finqa(spark: SparkSession, path: String,
       limit: Option[Int] = None): DataFrame = {
-    val df = spark.read.option("multiLine", true).json(path)
+    val df = spark.read.option("multiLine", true)
+      .schema(finqaRawSchema).json(path)
       .select(
         col("doc_name"), col("question"), col("answer"),
         coalesce(col("filename"), lit("")).as("filename"),
@@ -52,10 +63,18 @@ object QaSources {
     limit.fold(df)(df.limit)
   }
 
+  private val judgmentsRawSchema = StructType(Seq(
+    StructField("model_answer", StringType),
+    StructField("gold_answer", StringType),
+    StructField("question", StringType),
+    StructField("label", StringType)))
+
   /** S14 + P8: labeled judge meta-evaluation samples — keep only rows with
-    * all four required fields (scripts/llm_judge_evaluation.py:22-41). */
+    * all four required fields (scripts/llm_judge_evaluation.py:22-41).
+    * Explicit schema: an all-rows-missing key must surface as null rows
+    * filtered here, not an unresolved-column error. */
   def labeledJudgments(spark: SparkSession, glob: String): DataFrame =
-    spark.read.json(glob)
+    spark.read.schema(judgmentsRawSchema).json(glob)
       .filter(col("model_answer").isNotNull && col("gold_answer").isNotNull &&
         col("question").isNotNull && col("label").isNotNull)
       .select(col("model_answer"), col("gold_answer"), col("question"), col("label"))

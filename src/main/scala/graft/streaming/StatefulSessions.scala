@@ -53,9 +53,20 @@ object StatefulSessions {
                   open = Open(sec, sec, 1, v)
                 // <= gap merges: session_window coalesces ADJACENT windows
                 // (an event exactly gap after the last still extends the
-                // session) — matched here so the parity spec holds
+                // session) — matched here so the parity spec holds.
+                // min/max, not assignment: an out-of-order event older
+                // than lastSec must not REWIND the session horizon
+                // (timeout would fire early) or move session_start
+                // forward. Under today's 0-second watermark the rewind
+                // is unreachable (per-batch sort + late-row drop), so
+                // this guards the operator's contract for any future
+                // delayThreshold parameterization; disorder beyond the
+                // gap would coalesce into the open session — the
+                // single-Open state bound.
                 case o if sec - o.lastSec <= gapSec =>
-                  open = o.copy(lastSec = sec, n = o.n + 1, total = o.total + v)
+                  open = o.copy(startSec = math.min(o.startSec, sec),
+                    lastSec = math.max(o.lastSec, sec),
+                    n = o.n + 1, total = o.total + v)
                 case o =>
                   closed += Session(user, o.startSec, o.n, o.total)
                   open = Open(sec, sec, 1, v)

@@ -20,6 +20,14 @@ import graft.pipeline.{MapReduceConfig, MapReducePipeline}
   */
 object StreamingOps {
 
+  /** documents.parquet schema for streaming file sources (readStream
+    * requires an explicit schema) — ONE definition; a column change is
+    * a one-place edit, not a drift across three inlined copies. */
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   /** Streaming file sources need an explicit schema, and events.ts has two
     * on-disk generations (INT64 TIMESTAMP(NANOS) vs plain timestamp[us] ->
     * TIMESTAMP_NTZ — see Tables.load). Probe the parquet footer ONCE at
@@ -48,12 +56,15 @@ object StreamingOps {
       case _                => df
     }
 
-  /** Start `agg` as a complete-mode memory-sink stream with a scoped
-    * state-store count, drain it synchronously, and return the sink
-    * table. State-store count == shuffle partitions at stream start,
-    * fixed for the query's lifetime — sized to the stateful key space,
-    * not the core count (32 stores for a few thousand keys is pure
-    * per-batch open/commit/fsync overhead). */
+  /** Recursive delete with the walk stream CLOSED (Files.walk holds a
+    * directory handle; an unclosed stream leaks one per call). */
+  private def rmTree(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   /** Run `body` with the INT64-nanos parquet read flag set, restoring
     * the prior session value after (queries here drain synchronously, so
     * scoping the conf is safe — no session-global side effect leaks). */
@@ -68,16 +79,26 @@ object StreamingOps {
     }
   }
 
+  /** Start `agg` as a memory-sink stream with a scoped state-store
+    * count, drain it synchronously, and return a SNAPSHOT of the sink
+    * table. State-store count == shuffle partitions at stream start,
+    * fixed for the query's lifetime — sized to the stateful key space,
+    * not the core count (32 stores for a few thousand keys is pure
+    * per-batch open/commit/fsync overhead). The snapshot
+    * (localCheckpoint) matters: the memory sink registers by NAME, so a
+    * later call re-registers the same table and a live view returned
+    * earlier would silently flip to the newer query's rows. */
   private def drainToMemorySink(spark: SparkSession, agg: DataFrame,
-      name: String, statePartitions: Int = 8): DataFrame = {
+      name: String, statePartitions: Int = 8,
+      outputMode: String = "complete"): DataFrame = {
     val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q =
-      try agg.writeStream.outputMode("complete")
+      try agg.writeStream.outputMode(outputMode)
         .format("memory").queryName(name).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name)
+    spark.table(name).localCheckpoint(true)
   }
 
   /** Event-time tumbling-window aggregation, run as a REAL streaming query
@@ -126,12 +147,20 @@ object StreamingOps {
     val tot = ev.agg(count(lit(1)).as("tn"))
     val wtot = prof.groupBy(col("window_start"))
       .agg(sum(col("n")).as("wn"))
-    // full window x type grid so absent types still contribute their
-    // reference share to the distance
+    // full window x type grid over the UNION of reference and observed
+    // types: a type absent from the window still contributes its
+    // reference share, and a NOVEL type absent from the reference
+    // contributes its full window share — dropping the latter (a
+    // ref-only grid) would underreport exactly the new-crawl-shape
+    // drift this monitor exists to catch
+    val types = ref.select(col("event_type"))
+      .unionByName(prof.select(col("event_type"))).distinct()
     val grid = prof.select(col("window_start")).distinct()
-      .crossJoin(broadcast(ref))
+      .crossJoin(broadcast(types))
     grid.join(prof, Seq("window_start", "event_type"), "left")
       .na.fill(0L, Seq("n"))
+      .join(broadcast(ref), Seq("event_type"), "left")
+      .na.fill(0L, Seq("rn"))
       .join(broadcast(wtot), "window_start")
       .crossJoin(broadcast(tot))
       .groupBy(col("window_start"))
@@ -177,10 +206,6 @@ object StreamingOps {
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.3): DataFrame = {
     import graft.operators.Dedup
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
     // static index: shingles + banded signatures over the corpus
     val corpus = graft.core.Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id").as("corpus_id"),
@@ -198,26 +223,25 @@ object StreamingOps {
       .select(col("stream_id"), col("stream_sh"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val pairs = stream.join(corpus, Seq("band_idx", "band_hash")) // stream-static
-      .filter(col("stream_id") < col("corpus_id")) // one direction, no self
+      // no self-pairs, but BOTH orientations survive: in the real
+      // incremental deployment arriving ids are HIGHER than every
+      // corpus id, so a stream_id < corpus_id cut would drop every
+      // genuine match — canonicalize to (least, greatest) instead
+      .filter(col("stream_id") =!= col("corpus_id"))
       // verify BEFORE the stateful dedup: a pair colliding in k bands is
       // verified k times (bounded by `bands`), but the dedup state then
       // holds only (doc_a, doc_b, jaccard) — never the shingle arrays
       .withColumn("jaccard", Dedup.jaccard(col("stream_sh"), col("corpus_sh")))
       .filter(col("jaccard") >= threshold)
-      .select(col("stream_id").as("doc_a"), col("corpus_id").as("doc_b"),
+      .select(least(col("stream_id"), col("corpus_id")).as("doc_a"),
+        greatest(col("stream_id"), col("corpus_id")).as("doc_b"),
         col("jaccard"))
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-    val name = "graft_stream_neardups"
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try pairs.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-    try { q.processAllAvailable() } finally { q.stop() }
+    val out = drainToMemorySink(spark, pairs, "graft_stream_neardups",
+      outputMode = "append")
     corpus.unpersist(blocking = false)
-    spark.table(name).localCheckpoint(true)
+    out
   }
 
   /** Ingestion-time curation gate — the streaming half of the
@@ -240,10 +264,6 @@ object StreamingOps {
     * cost is O(tokens), state is zero. */
   def streamingCuration(spark: SparkSession, dir: String,
       corpusDigests: DataFrame, thresholds: DataFrame): DataFrame = {
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
     val feats = graft.operators.TextAnalysis.qualityFeatures(col("text")).toMap
     val classified = spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -262,15 +282,8 @@ object StreamingOps {
         col("status"),
         when(col("status") === "admit",
           graft.core.SplitHash.splitCol(col("doc_id"))).as("split"))
-    val name = "graft_stream_curation"
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try classified.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-    try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name).localCheckpoint(true)
+    drainToMemorySink(spark, classified, "graft_stream_curation",
+      outputMode = "append")
   }
 
   /** Stream-STREAM interval join (click attribution): views and clicks
@@ -301,15 +314,8 @@ object StreamingOps {
       .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
         expr("unix_micros(cts) div 1000000 - unix_micros(vts) div 1000000")
           .as("lag_sec"))
-    val name = "graft_stream_attrib"
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joined.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-    try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name).localCheckpoint(true)
+    drainToMemorySink(spark, joined, "graft_stream_attrib",
+      outputMode = "append")
   }
 
   /** Per-(user, hour) admission quota run as a REAL streaming query
@@ -325,15 +331,8 @@ object StreamingOps {
         .select(col("user_id"), expr("unix_micros(ts)").as("us"),
           col("event_id")).as[(Long, Long, Long)]
       val out = RateLimit.rateLimit(typed, windowSec, maxPerWindow)
-      val name = "graft_stream_rate_limit"
-      val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val q =
-        try out.toDF().writeStream.outputMode("append")
-          .format("memory").queryName(name).start()
-        finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-      try { q.processAllAvailable() } finally { q.stop() }
-      spark.table(name).localCheckpoint(true)
+      drainToMemorySink(spark, out.toDF(), "graft_stream_rate_limit",
+        outputMode = "append")
     }
 
   /** Per-user EWMA anomaly state as a REAL streaming query
@@ -350,15 +349,8 @@ object StreamingOps {
           col("event_id"), col("value"))
         .as[(Long, Long, Long, Double)]
       val out = EwmaState.ewma(typed)
-      val name = "graft_stream_ewma"
-      val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val q =
-        try out.toDF().writeStream.outputMode("update")
-          .format("memory").queryName(name).start()
-        finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-      try { q.processAllAvailable() } finally { q.stop() }
-      spark.table(name).localCheckpoint(true)
+      drainToMemorySink(spark, out.toDF(), "graft_stream_ewma",
+        outputMode = "update")
     }
 
   /** Gap-based sessionization of the events table as a REAL streaming
@@ -427,12 +419,25 @@ object StreamingOps {
       val scratch = Files.createTempDirectory("graft_sessions_sentinel")
       spark.range(1).select(cols.toIndexedSeq: _*)
         .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val part = Files.list(scratch).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      // Files.list is a resource-holding stream: close it, or each call
+      // leaks a directory handle for the JVM lifetime
+      val listing = Files.list(scratch)
+      val part =
+        try listing.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst.get
+        finally listing.close()
       Files.move(part, stage.resolve("zz_sentinel.parquet"))
+      rmTree(scratch)
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name)
+    // snapshot BEFORE deleting the staged source (the memory sink may
+    // hold lazy references) and before any later call re-registers the
+    // sink name; then drop the per-call temp copies — without this every
+    // invocation left a copy of events.parquet in /tmp for the host
+    // lifetime
+    val snap = spark.table(name).localCheckpoint(true)
+    rmTree(stage)
+    snap
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("n_events"))
       .localCheckpoint(true)
@@ -444,10 +449,6 @@ object StreamingOps {
     * all batch outputs (== batch answers on the same corpus). */
   def streamingQaAnswers(spark: SparkSession, docsDir: String,
       cfg: MapReduceConfig): DataFrame = {
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
     val pipe = new MapReducePipeline(cfg)
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
     val src = spark.readStream.schema(docsSchema)

@@ -110,6 +110,23 @@ class EngineSpec extends SparkSpec {
     assert(rs(1) == 0.0 && rs(2) == 1.0)
   }
 
+  test("judgment is format-invariant: plain's 0-100 scores normalize before the judge bands") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = "spark query join data filter group sort merge window stream batch hash"
+    def judgments(format: String): Map[Long, String] =
+      Engine(format = format, question = q).judged(docs)
+        .select(col("doc_id"), col("judgment"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val json = judgments("json")
+    val plain = judgments("plain")
+    // same docs, same extractive scores — only the format scale differs,
+    // so the 5-way judgment must be identical (pre-fix, every plain doc
+    // with best_score >= 40/100 was "Correct" and middle bands dead)
+    assert(json == plain,
+      s"diverging: ${json.toSet.diff(plain.toSet).take(5)}")
+    assert(json.values.toSet.size > 1, "fixture must exercise several bands")
+  }
+
   test("truncationAnswers: budget floor, strategies, threshold gating") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = "spark query join data filter group sort merge window stream batch hash"
