@@ -228,7 +228,12 @@ object XxHashSql {
        |  FROM ev CROSS JOIN hyp),
        |sigs AS (
        |  SELECT vec_id, CAST(t AS INTEGER) AS tbl,
-       |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS sig
+       |    -- UBIGINT shift (the simhash-pack discipline): a 32-bit
+       |    -- `1 << b` overflows for b >= 31, capping the oracle at a
+       |    -- narrower signature than the kernel's 63-bit bound
+       |    CAST(sum(CASE WHEN dot >= 0
+       |      THEN (1::UBIGINT << CAST(b AS INTEGER)) ELSE 0::UBIGINT END)
+       |      AS BIGINT) AS sig
        |  FROM dots GROUP BY vec_id, t)""".stripMargin
 
   /** Full MinHash-LSH near-dup oracle: band-bucket candidates (optionally

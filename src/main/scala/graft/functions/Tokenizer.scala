@@ -35,48 +35,73 @@ object Tokenizer {
   private final val MaxLetterRun = 8
   private final val MaxDigitRun = 3
 
-  // classes mirror the regex exactly: \p{L}, \p{N} (Nd+Nl+No), ASCII ws
-  @inline private def isLetter(c: Char): Boolean = Character.isLetter(c)
-  @inline private def isDigit(c: Char): Boolean = {
-    val t = Character.getType(c)
+  // classes mirror the regex exactly: \p{L}, \p{N} (Nd+Nl+No), ASCII ws.
+  // CODE POINTS, not chars: both Java regex and DuckDB's RE2 match whole
+  // code points, so a supplementary character (emoji, math alphanumerics)
+  // must classify as ONE unit here too — per-char scanning would see the
+  // two surrogate halves, emit two punctuation tokens where the regexes
+  // emit one letter, and break every parity-based oracle on such input.
+  // Run LENGTHS count code points for the same reason ({1,8} is 8 code
+  // points, not 8 UTF-16 chars).
+  @inline private def isLetterCp(cp: Int): Boolean = Character.isLetter(cp)
+  @inline private def isDigitCp(cp: Int): Boolean = {
+    val t = Character.getType(cp)
     t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
       t == Character.OTHER_NUMBER
   }
-  @inline private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r' 
+  @inline private def isSpaceCp(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+      cp == '\f' || cp == '\r'
 
-  /** Token [start, end) char offsets into `s`. */
+  /** Token [start, end) CHAR offsets into `s` (offsets stay UTF-16 so
+    * substring-based consumers are untouched; only classification and
+    * run budgets are code-point based). */
   def tokenize(s: String): Array[Int] = {
     val out = new ArrayBuffer[Int](math.max(16, s.length / 4))
     var i = 0
     val n = s.length
     while (i < n) {
-      val c = s.charAt(i)
-      if (isSpace(c)) {
-        i += 1
-      } else if (isLetter(c)) {
+      val cp = s.codePointAt(i)
+      if (isSpaceCp(cp)) {
+        i += Character.charCount(cp)
+      } else if (isLetterCp(cp)) {
+        var k = i    // current token start (char offset)
+        var cnt = 0  // code points in the current token
         var j = i
-        while (j < n && isLetter(s.charAt(j))) j += 1
-        var k = i
-        while (k < j) {
-          val e = math.min(k + MaxLetterRun, j)
-          out += k; out += e
-          k = e
+        var c2 = cp
+        var run = true
+        while (run) {
+          j += Character.charCount(c2)
+          cnt += 1
+          if (cnt == MaxLetterRun) { out += k; out += j; k = j; cnt = 0 }
+          if (j < n) {
+            c2 = s.codePointAt(j)
+            run = isLetterCp(c2)
+          } else run = false
         }
+        if (cnt > 0) { out += k; out += j }
         i = j
-      } else if (isDigit(c)) {
-        var j = i
-        while (j < n && isDigit(s.charAt(j))) j += 1
+      } else if (isDigitCp(cp)) {
         var k = i
-        while (k < j) {
-          val e = math.min(k + MaxDigitRun, j)
-          out += k; out += e
-          k = e
+        var cnt = 0
+        var j = i
+        var c2 = cp
+        var run = true
+        while (run) {
+          j += Character.charCount(c2)
+          cnt += 1
+          if (cnt == MaxDigitRun) { out += k; out += j; k = j; cnt = 0 }
+          if (j < n) {
+            c2 = s.codePointAt(j)
+            run = isDigitCp(c2)
+          } else run = false
         }
+        if (cnt > 0) { out += k; out += j }
         i = j
       } else {
-        out += i; out += (i + 1)
-        i += 1
+        val w = Character.charCount(cp)
+        out += i; out += (i + w)
+        i += w
       }
     }
     out.toArray
@@ -89,22 +114,42 @@ object Tokenizer {
     var i = 0
     val n = s.length
     while (i < n) {
-      val c = s.charAt(i)
-      if (isSpace(c)) {
-        i += 1
-      } else if (isLetter(c)) {
+      val cp = s.codePointAt(i)
+      if (isSpaceCp(cp)) {
+        i += Character.charCount(cp)
+      } else if (isLetterCp(cp)) {
+        var cps = 0
         var j = i
-        while (j < n && isLetter(s.charAt(j))) j += 1
-        count += ((j - i) + MaxLetterRun - 1) / MaxLetterRun
+        var c2 = cp
+        var run = true
+        while (run) {
+          j += Character.charCount(c2)
+          cps += 1
+          if (j < n) {
+            c2 = s.codePointAt(j)
+            run = isLetterCp(c2)
+          } else run = false
+        }
+        count += (cps + MaxLetterRun - 1) / MaxLetterRun
         i = j
-      } else if (isDigit(c)) {
+      } else if (isDigitCp(cp)) {
+        var cps = 0
         var j = i
-        while (j < n && isDigit(s.charAt(j))) j += 1
-        count += ((j - i) + MaxDigitRun - 1) / MaxDigitRun
+        var c2 = cp
+        var run = true
+        while (run) {
+          j += Character.charCount(c2)
+          cps += 1
+          if (j < n) {
+            c2 = s.codePointAt(j)
+            run = isDigitCp(c2)
+          } else run = false
+        }
+        count += (cps + MaxDigitRun - 1) / MaxDigitRun
         i = j
       } else {
         count += 1
-        i += 1
+        i += Character.charCount(cp)
       }
     }
     count

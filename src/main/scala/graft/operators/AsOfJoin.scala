@@ -48,15 +48,21 @@ object AsOfJoin {
     val rightCols = right.columns.filterNot(c => c == key).toSeq
     val payloadType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => right.schema(c)))
+    // left rows keep a typed-null __tb: __side already separates the
+    // sides in the window order, so the sentinel never competes with a
+    // right tiebreak — and the tiebreak keeps its ORIGINAL numeric type
+    // (a cast("long") here once truncated fractional tiebreaks, turning
+    // the documented largest-wins determinism into an arbitrary pick
+    // for double/decimal columns)
     val l = left
       .withColumn("__side", lit(1))
-      .withColumn("__tb", lit(Long.MinValue))
+      .withColumn("__tb", lit(null).cast(right.schema(tiebreak).dataType))
       .withColumn("__payload", lit(null).cast(payloadType))
     // a NULL right ts would sort NULLS FIRST into every frame and be
     // attached as a "match" — SQL comparison semantics say it never matches
     val r = right.filter(col(ts).isNotNull).select(
       Seq(col(key), col(ts), lit(0).as("__side"),
-        col(tiebreak).cast("long").as("__tb"),
+        col(tiebreak).as("__tb"),
         struct(rightCols.map(col): _*).as("__payload")): _*)
     // align schemas: right rows carry null left columns (never read back)
     val u = l.unionByName(r, allowMissingColumns = true)

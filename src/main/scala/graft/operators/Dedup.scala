@@ -96,24 +96,30 @@ object Dedup {
   /** Token positions (1-based) of k-grams that occur in more than one
     * document: the shared core of [[duplicatedSpans]] and
     * [[spanCoverage]]. Returns (idCol, pos). */
-  private def dupGramPositions(docs: DataFrame, idCol: String,
-      textCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col(idCol), tokensOf(col(textCol)).as("ts"))
+  /** Positional k-gram hash occurrences — one row per (doc, 1-based
+    * pos, g), g = xxhash64 of the k-token gram at pos. The gram never
+    * leaves the map side: its 64-bit hash is the shuffle/window key
+    * (8 bytes/occurrence instead of the k-token string). A collision
+    * would need two distinct corpus grams sharing an xxhash64 —
+    * ~n^2/2^64, negligible at any corpus size, and deterministic (the
+    * oracle gate exercises exactly this plan). ONE definition shared by
+    * the span report AND the rewrite, so the gram rule (tokenizer,
+    * hash, position base) cannot drift between them. */
+  private def gramOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol), tokensOf(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= k)
-    // the gram never leaves the map side: its 64-bit hash is the shuffle
-    // and window-sort key (8 bytes/occurrence instead of the k-token
-    // string). A collision would need two distinct grams in the corpus
-    // sharing an xxhash64 — ~n^2/2^64, negligible at any corpus size,
-    // and deterministic (the oracle gate exercises exactly this plan).
-    val occ = toks.select(col(idCol),
+      .select(col(idCol),
         explode(transform(sequence(lit(1), size(col("ts")) - (k - 1)),
           i => struct(i.as("pos"),
             xxhash64(concat_ws(" ", slice(col("ts"), i, lit(k)))).as("g")))).as("e"))
       .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
+
+  private def dupGramPositions(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byGram = Window.partitionBy(col("g"))
-    occ
+    gramOccurrences(docs, idCol, textCol, k)
       .withColumn("dup",
         min(col(idCol)).over(byGram) =!= max(col(idCol)).over(byGram))
       .filter(col("dup"))
@@ -175,15 +181,8 @@ object Dedup {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol), tokensOf(col(textCol)).as("ts"))
-    val occ = toks.filter(size(col("ts")) >= k)
-      .select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("ts")) - (k - 1)),
-          i => struct(i.as("pos"),
-            xxhash64(concat_ws(" ", slice(col("ts"), i, lit(k)))).as("g"))))
-          .as("e"))
-      .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
     val byGram = Window.partitionBy(col("g"))
-    val dropPos = occ
+    val dropPos = gramOccurrences(docs, idCol, textCol, k)
       .withColumn("own", min(col(idCol)).over(byGram))
       .withColumn("mx", max(col(idCol)).over(byGram))
       .filter(col("own") =!= col("mx") && col(idCol) =!= col("own"))

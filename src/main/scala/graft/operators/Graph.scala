@@ -141,6 +141,45 @@ object Graph {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Degree-annotated, round-partitioned edge cache + node set — the
+    * shared scale shape of [[pageRank]] and [[personalizedPageRank]]
+    * (one definition, so the caching/partitioning discipline cannot
+    * drift between them). degC is |V| rows — the same cardinality as
+    * the rank vector, so it is only safely broadcast when the rank
+    * vector is; in the billions-of-nodes layout the degree attach must
+    * shuffle too. The eager count fixes the cache's outputPartitioning
+    * (an unexecuted AQE plan inside InMemoryRelation reports Unknown,
+    * which would re-insert a per-round Exchange before the
+    * aggregation). Returns (edges, nodes, degC). */
+  private def rankBase(pairs: DataFrame, broadcastRanks: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val degC = degrees(pairs).select(col("v").as("src"), col("deg").as("d"))
+    val partKey = if (broadcastRanks) "dst" else "src"
+    val degSide = if (broadcastRanks) broadcast(degC) else degC
+    val edges = directedEdges(pairs).join(degSide, "src")
+      .repartition(col(partKey))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    (edges, edges.select(col("src").as("node")).distinct(), degC)
+  }
+
+  /** One power-iteration round over the [[rankBase]] cache:
+    * pr'(v) = teleport(v) + d · fold_{u in N(v), src-ordered}(pr(u)/deg(u)).
+    * The group runs on the bare `dst` attribute (an alias in the
+    * grouping key would defeat the partitioning match and re-add an
+    * Exchange); `teleport` may reference `dst` (the PPR seed mass). */
+  private def rankRound(edges: DataFrame, broadcastRanks: Boolean,
+      damping: Double, teleport: Column)(pr: DataFrame): DataFrame = {
+    val ranks = if (broadcastRanks) broadcast(pr) else pr
+    edges.join(ranks, edges("src") === ranks("node"))
+      .select(col("dst"), col("src"), (col("pr") / col("d")).as("contrib"))
+      .groupBy(col("dst"))
+      .agg((teleport + lit(damping) *
+        graft.functions.TextFunctions.ordered_sum(col("contrib"), col("src")))
+        .as("pr"))
+      .withColumnRenamed("dst", "node")
+  }
+
   /** Fixed-iteration PageRank (damping `d`) over an undirected pair table
     * (`pa < pb`, deduplicated). Returns (node, rank_norm) where
     * rank_norm = rank * n (relative to uniform; keeps the rounded value
@@ -157,22 +196,9 @@ object Graph {
     // halving the retained footprint vs the two-cache variant (which
     // measurably inflated the rest of a many-query session via cache
     // pressure: 4.1 s in-suite vs 2.6 s isolated).
-    val degC = degrees(pairs).select(col("v").as("src"), col("deg").as("d"))
-    val partKey = if (broadcastRanks) "dst" else "src"
-    // degC is |V| rows — the same cardinality as the rank vector, so it
-    // is only safely broadcast when the rank vector is; in the
-    // billions-of-nodes layout the degree attach must shuffle too.
-    val degSide = if (broadcastRanks) broadcast(degC) else degC
-    val edges = directedEdges(pairs).join(degSide, "src")
-      .repartition(col(partKey))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Materializing the edge cache eagerly fixes its outputPartitioning
-    // (an unexecuted AQE plan inside InMemoryRelation reports Unknown,
-    // which would re-insert a per-round Exchange before the aggregation).
-    edges.count()
     // |V| and pr0 from the cache: every node of the undirected graph
     // appears as a src (both edge directions are present).
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val (edges, nodes, _) = rankBase(pairs, broadcastRanks)
     val n = nodes.count()
     // The DuckDB oracle casts its literals to DOUBLE before this same
     // subtraction, so the teleport term is bit-identical (DECIMAL
@@ -182,21 +208,7 @@ object Graph {
     // localCheckpoint+unpersist variant measured 2-3x slower. Callers
     // running many engines in one JVM can spark.catalog.clearCache().
     val teleport = (lit(1.0) - lit(damping)) / lit(n.toDouble)
-
-    // pr(v) = (1-d)/n + d * fold_{u in N(v), src-ordered}(pr(u)/deg(u))
-    def round1(pr: DataFrame): DataFrame = {
-      val ranks = if (broadcastRanks) broadcast(pr) else pr
-      // group on the bare `dst` attribute (an alias in the grouping key
-      // would defeat the partitioning match and re-add an Exchange)
-      edges.join(ranks, edges("src") === ranks("node"))
-        .select(col("dst"), col("src"), (col("pr") / col("d")).as("contrib"))
-        .groupBy(col("dst"))
-        .agg((teleport + lit(damping) *
-          graft.functions.TextFunctions.ordered_sum(col("contrib"), col("src")))
-          .as("pr"))
-        .withColumnRenamed("dst", "node")
-    }
-
+    val round1 = rankRound(edges, broadcastRanks, damping, teleport) _
     val pr0 = nodes.withColumn("pr", lit(1.0) / lit(n.toDouble))
     val prN = (1 to iters).foldLeft(pr0)((pr, _) => round1(pr))
     prN.select(col("node"),
@@ -216,14 +228,7 @@ object Graph {
     * rounded to 8 dp. */
   def personalizedPageRank(pairs: DataFrame, iters: Int, nSeeds: Int,
       damping: Double = 0.85, broadcastRanks: Boolean = true): DataFrame = {
-    val degC = degrees(pairs).select(col("v").as("src"), col("deg").as("d"))
-    val partKey = if (broadcastRanks) "dst" else "src"
-    val degSide = if (broadcastRanks) broadcast(degC) else degC
-    val edges = directedEdges(pairs).join(degSide, "src")
-      .repartition(col(partKey))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count() // pin the partitioning (the pageRank cache rule)
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val (edges, nodes, degC) = rankBase(pairs, broadcastRanks)
     require(nSeeds >= 1, "personalizedPageRank needs at least one seed")
     val seeds = degC.orderBy(col("d").desc, col("src").asc).limit(nSeeds)
       .select(col("src")).collect().map(_.getLong(0)).toSeq.sorted
@@ -232,16 +237,8 @@ object Graph {
     val nS = seeds.length.toDouble
     val seedMass = (lit(1.0) - lit(damping)) / lit(nS)
     def isSeed(c: Column): Column = c.isin(seeds: _*)
-    def round1(pr: DataFrame): DataFrame = {
-      val ranks = if (broadcastRanks) broadcast(pr) else pr
-      edges.join(ranks, edges("src") === ranks("node"))
-        .select(col("dst"), col("src"), (col("pr") / col("d")).as("contrib"))
-        .groupBy(col("dst"))
-        .agg((when(isSeed(col("dst")), seedMass).otherwise(lit(0.0))
-          + lit(damping) * graft.functions.TextFunctions.ordered_sum(
-            col("contrib"), col("src"))).as("pr"))
-        .withColumnRenamed("dst", "node")
-    }
+    val round1 = rankRound(edges, broadcastRanks, damping,
+      when(isSeed(col("dst")), seedMass).otherwise(lit(0.0))) _
     val pr0 = nodes.withColumn("pr",
       when(isSeed(col("node")), lit(1.0) / lit(nS))
         .otherwise(lit(0.0)))

@@ -176,7 +176,10 @@ object Multimodal {
     * stub-decoded frame count (explode → one row per sampled frame). */
   def sampleFrames(spark: SparkSession, meta: Dataset[MediaMeta], stride: Int): DataFrame = {
     meta.toDF()
-      .filter(col("media_type") === "video")
+      // n_frames >= 1 guard: a zero-frame decode (e.g. a WAV header
+      // with no data chunk) must yield zero rows, not crash the job on
+      // sequence(0, -1) — the repetition-query discipline
+      .filter(col("media_type") === "video" && col("n_frames") >= 1)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))

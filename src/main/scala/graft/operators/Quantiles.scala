@@ -39,10 +39,23 @@ object Quantiles {
     * single-task sort — exactly the `ntile` plan this operator exists to
     * avoid (QuantilesSpec pins this behavior). Round or bucket the score
     * before calling. */
+  /** Working-column names; inputs must not collide (loud, not a silent
+    * ambiguous-reference/drop — the ivfAssign guard discipline). `n` is
+    * claimed too: the broadcast total's count column joins the rows. */
+  private val Reserved = Seq("__q", "__g", "__tie", "__below", "n")
+
+  private def guardReserved(df: DataFrame, op: String): Unit = {
+    val hit = df.columns.toSeq.intersect(Reserved)
+    require(hit.isEmpty,
+      s"$op: input columns ${hit.mkString(", ")} collide with reserved " +
+        s"working names (${Reserved.mkString(", ")}) — rename before calling")
+  }
+
   def ntileBy(df: DataFrame, score: Column, tiebreak: Column, k: Int,
       total: DataFrame, out: String = "bucket"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"ntile: k must be >= 1, got $k")
+    guardReserved(df, "ntileBy")
     val scored = df.withColumn("__q", score)
     val dist = scored.groupBy(col("__q")).agg(count(lit(1)).as("c"))
     val wv = Window.orderBy(col("__q"))
@@ -79,6 +92,7 @@ object Quantiles {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"ntile: k must be >= 1, got $k")
+    guardReserved(df, "ntileWithin")
     val scored = df.withColumn("__g", group).withColumn("__q", score)
     val dist = scored.groupBy(col("__g"), col("__q"))
       .agg(count(lit(1)).as("c"))

@@ -528,10 +528,17 @@ object Similarity {
     // centroids out, aggregate means back). Literalizing them makes the
     // assignment a pure per-row projection: argmin = first element of
     // sort_array over (dist, cluster) structs — no join, no shuffle.
-    var cent: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+    // seeds = the k SMALLEST ids (deterministic; a TakeOrdered, not a
+    // sort) — `vec_id < k` would silently collect ZERO seeds on
+    // non-dense or non-zero-based id spaces and label every vector
+    // cluster -1; the guard keeps any remaining shortfall loud
+    var cent: Seq[(Int, Seq[Double])] = e
+      .orderBy(col("vec_id"))
+      .limit(k)
       .select(col("vec_id").cast("int").as("cluster"), col("v"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1).toSeq
+    require(cent.nonEmpty, "kmeans: no seed vectors (empty input?)")
     // assignment kernel as a closure UDF, NOT a literal-array expression:
     // k x dim literals inlined into the plan force a fresh Janino compile
     // of a 500-constant method every round (measured: it costs what the

@@ -851,7 +851,7 @@ object SimilarityQueries extends graft.QueryModule {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv
-       |       FROM e WHERE vec_id < 8),
+       |       FROM e ORDER BY vec_id LIMIT 8),
        |${distCte("d1", "c0")},
        |${assignCte("a1", "d1")},
        |${updateCte("p1", "m1", "c1", "a1")},

@@ -35,6 +35,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("p4") == null)
   }
 
+  test("fractional tiebreaks keep their order (no long truncation)") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    // both right rows tie on ts; 2.9 vs 2.7 both truncated to 2 under
+    // the old cast("long"), making the pick partition-order-dependent
+    val right = Seq((1L, 100L, 2.7, "lo"), (1L, 100L, 2.9, "hi"))
+      .toDF("k", "ts", "tb", "tag")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "tb")
+      .select("r_tag").collect()(0).getString(0)
+    assert(out == "hi", s"largest fractional tiebreak must win, got $out")
+  }
+
   test("backward as-of join: every left row appears exactly once") {
     val ev = core.Tables.load(spark, sf, "events")
     val p = ev.filter(col("event_type") === "purchase")

@@ -48,6 +48,35 @@ class TokenizerSpec extends SparkSpec {
     assert(Tokenizer.countTokens("") == 0)
   }
 
+  test("supplementary code points: scanner matches the parity regex") {
+    // both Java regex and DuckDB RE2 classify whole CODE POINTS — the
+    // scanner must too, or astral letters (math-bold Lu, CJK ext-B)
+    // split into two punctuation tokens per char and every
+    // parity-based oracle diverges on such input
+    def regexTokens(s: String): Seq[String] = {
+      val m = java.util.regex.Pattern
+        .compile(Tokenizer.DuckDbTokenRegex).matcher(s)
+      val buf = Seq.newBuilder[String]
+      while (m.find()) buf += m.group()
+      buf.result()
+    }
+    val astral = Seq(
+      "ab𝐀𝐁cd",      // 6-code-point letter run incl. math-bold Lu
+      "😀",                      // emoji (So -> punctuation class)
+      "𠄣" + "4世",          // CJK ext-B letter, digit, BMP CJK
+      "𝐀" * 9,                  // astral letter run crossing the 8 budget
+      "𝟎" * 4,                  // MATHEMATICAL BOLD DIGIT ZERO (Nd) run
+      "x😀y 12𝟏",
+      "\uD800 lone-high surrogate")        // invalid UTF-16 stays 1 token
+    astral.foreach { s =>
+      val fromScanner = Tokenizer.tokenize(s).grouped(2)
+        .map(p => s.substring(p(0), p(1))).toSeq
+      assert(fromScanner == regexTokens(s),
+        s"scanner/regex divergence on <$s>: $fromScanner vs ${regexTokens(s)}")
+      assert(Tokenizer.countTokens(s) == regexTokens(s).size)
+    }
+  }
+
   test("chunk spans: size/overlap invariants") {
     forAll(Gen.chooseNum(0, 5000), Gen.chooseNum(1, 200), Gen.chooseNum(0, 199)) {
       (n, size, ov0) =>
