@@ -80,7 +80,7 @@ case class Engine(
       // same pluggable-model routing as MapReducePipeline.mapped: a custom
       // TextModel changes the truncation path too, not just answers()
       .withColumn("score",
-        model.score(col("ttoks"), qtoks) * lit(qaFormat.scoreScale / 10))
+        qaFormat.scaleUp(model.score(col("ttoks"), qtoks)))
       .select(col("doc_id"),
         col("t.original_tokens").as("original_tokens"),
         col("t.truncated_tokens").as("truncated_tokens"),
@@ -100,7 +100,7 @@ case class Engine(
       strategy: String = "start"): DataFrame = {
     import org.apache.spark.sql.functions._
     val a = truncationAnswers(documents, contextWindow, buffer, strategy)
-    val scaled = col("score") / lit(qaFormat.scoreScale / 10) // back to 0-10
+    val scaled = qaFormat.scaleDown(col("score")) // back to 0-10
     // below-threshold scores are the truncation path's "no surviving
     // chunk"; routed through the model's judge slot like the MapReduce
     // path, so a custom model judges BOTH plan shapes

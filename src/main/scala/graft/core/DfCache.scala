@@ -10,18 +10,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that reads another cache entry — clusters -> pairs — must not hold
   * it, and a long Spark job must not serialize other lookups), then
   * inserted under a short synchronized block; an insert race loser
-  * releases its orphaned blocks, same as the old putIfAbsent scheme.
-  * Eviction unpersists the eldest entry's checkpoint blocks — an
-  * evicted localCheckpointed frame is NOT reusable (its lineage was
-  * truncated at materialization), which is the right contract for a
-  * cache: consumers read through [[cached]] every time and a
-  * re-request rebuilds. */
+  * releases its orphaned blocks immediately (nobody else ever saw that
+  * frame, so the release is provably safe).
+  *
+  * Eviction is DEFERRED, not immediate: `cached()` hands out the frame
+  * reference, so an immediate unpersist could yank checkpoint blocks
+  * out from under a consumer that looked the frame up moments earlier
+  * (or retained it in a long-lived service — the very scenario the LRU
+  * exists for); a localCheckpointed frame has truncated lineage, so
+  * missing blocks fail the job rather than recompute. Instead the
+  * victim's checkpoint RDDs go onto a pending list keyed by a weak
+  * reference to the frame's analyzed plan root: every Dataset derived
+  * from the cached frame holds that plan node (Dataset ops wrap the
+  * parent's analyzed plan), so the reference clears only when NO
+  * consumer can still run the frame — then the sweep (piggybacked on
+  * every subsequent insert, or explicit via [[sweepReleases]])
+  * unpersists the blocks at the RDD layer. Until then the blocks stay
+  * pinned: bounded by construction (one entry per eviction, swept as
+  * consumers drop out), and inert for bench/verify lifetimes. */
 private[graft] class DfCacheStore(maxEntries: Int) {
   private val cache = new java.util.LinkedHashMap[
       (SparkSession, String, String), DataFrame](16, 0.75f, /*access order*/ true) {
-    // eviction is manual (in cached()) so the evicted frame can be
-    // unpersisted — removeEldestEntry can't return the victim
+    // eviction is manual (in cached()) so the victim can be routed to
+    // the deferred-release list — removeEldestEntry can't return it
   }
+
+  /** An evicted entry awaiting release: `anchor` weakly tracks the
+    * frame's analyzed plan root (reachable while ANY consumer Dataset
+    * derived from the frame is alive); `rdds` strongly pins the
+    * checkpoint RDDs so we can still unpersist them after the plan is
+    * gone (an RDD holds no back-reference to the plan, so pinning it
+    * never keeps the anchor alive). */
+  private final class Pending(
+      val anchor: java.lang.ref.WeakReference[AnyRef],
+      val rdds: Seq[org.apache.spark.rdd.RDD[_]])
+  private val pending = new scala.collection.mutable.ArrayBuffer[Pending]
 
   /** Builds (several derived bases) run at most once per
     * (session, dir, tag) while the entry stays resident.
@@ -39,9 +62,11 @@ private[graft] class DfCacheStore(maxEntries: Int) {
     }
     val built = if (checkpoint) f.localCheckpoint(true) else f
     cache.synchronized {
+      sweepLocked()
       val prev = cache.get(key)
       if (prev != null) {
-        // double-compute race loser: release the orphaned blocks
+        // double-compute race loser: nobody but this thread ever saw
+        // the orphan, so its blocks can be released immediately
         releaseBlocks(built)
         prev
       } else {
@@ -50,12 +75,48 @@ private[graft] class DfCacheStore(maxEntries: Int) {
           val it = cache.entrySet().iterator()
           val eldest = it.next()
           it.remove()
-          releaseBlocks(eldest.getValue)
+          deferRelease(eldest.getValue)
         }
         built
       }
     }
   }
+
+  /** Queues an evicted frame's checkpoint blocks for release once no
+    * consumer can still execute the frame. `unpersist` on the frame
+    * itself runs immediately — it only covers persist()-built plans,
+    * where dropping the CacheManager entry is safe (lineage is intact;
+    * a live consumer recomputes instead of failing). */
+  private def deferRelease(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    val rdds = checkpointRdds(df)
+    if (rdds.nonEmpty) {
+      pending += new Pending(
+        new java.lang.ref.WeakReference[AnyRef](df.queryExecution.analyzed), rdds)
+    }
+  }
+
+  private def sweepLocked(): Int = {
+    var released = 0
+    var i = 0
+    while (i < pending.length) {
+      if (pending(i).anchor.get() == null) {
+        pending(i).rdds.foreach(_.unpersist(blocking = false))
+        pending.remove(i)
+        released += 1
+      } else i += 1
+    }
+    released
+  }
+
+  /** Releases every pending eviction whose last consumer reference has
+    * been collected; returns how many were released. Runs implicitly on
+    * each insert — exposed for tests and for an explicit service-side
+    * maintenance hook. */
+  private[graft] def sweepReleases(): Int = cache.synchronized(sweepLocked())
+
+  private[graft] def pendingReleaseCount: Int =
+    cache.synchronized(pending.length)
 
   /** Releases a frame's storage. `Dataset.unpersist` only knows
     * `persist()`-registered plans — a localCheckpointed frame is a
@@ -92,7 +153,10 @@ private[graft] class DfCacheStore(maxEntries: Int) {
   * derivation keeps an honest standalone bench timing — only the
   * downstream consumers read through this cache.
   *
-  * Entries are LRU-evicted (blocks unpersisted) beyond 32 — inert for
-  * bench/verify lifetimes (~10 tags), real for a long-lived service
-  * where dirs churn. DfCacheSpec pins the eviction behavior. */
+  * Entries are LRU-evicted beyond 32 — inert for bench/verify
+  * lifetimes (~10 tags), real for a long-lived service where dirs
+  * churn. Eviction defers the block release until no consumer still
+  * holds the frame (weak-ref on the plan root), so a lookup racing an
+  * eviction can never observe a lineage-truncated frame with missing
+  * blocks. DfCacheSpec pins both the eviction and the deferral. */
 object DfCache extends DfCacheStore(32)

@@ -135,7 +135,11 @@ object Multimodal {
     var rate = -1L; var channels = -1; var blockAlign = -1; var dataLen = -1L
     while (off + 8 <= b.length && (rate < 0 || dataLen < 0)) {
       val size = le32(b, off + 4)
-      if (tagAt(b, off, "fmt ") && off + 8 + 16 <= b.length) {
+      // the chunk's own declared size must cover the 16 PCM fmt fields —
+      // otherwise channels/rate/blockAlign would be read from the NEXT
+      // chunk's bytes (plausible-looking garbage instead of the
+      // deterministic-fake fallback a malformed header should get)
+      if (tagAt(b, off, "fmt ") && size >= 16 && off + 8 + 16 <= b.length) {
         channels = le16(b, off + 10)
         rate = le32(b, off + 12)
         blockAlign = le16(b, off + 20)

@@ -75,7 +75,22 @@ object ExtractiveModel extends TextModel {
   *  - hybrid: 0-10 scale, threshold 5, newline concat
   *            (hybrid_formatter.py:17-60) */
 sealed abstract class QaFormat(
-    val scoreScale: Int, val defaultThreshold: Int, val xmlReduce: Boolean)
+    val scoreScale: Int, val defaultThreshold: Int, val xmlReduce: Boolean) {
+  require(scoreScale > 0, s"scoreScale must be positive, got $scoreScale")
+  /** 0-10 -> format scale. Exact for any scale (25 -> x2.5, not the
+    * truncated x2); stays an INT literal when the factor is whole so
+    * the built-in 10/100 formats keep their integer score schema. */
+  def scaleUp(score: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val f = scoreScale / 10.0
+    if (f == Math.floor(f)) score * org.apache.spark.sql.functions.lit(f.toInt)
+    else score * org.apache.spark.sql.functions.lit(f)
+  }
+  /** format scale -> 0-10 (double division: scale 25 divides by 2.5,
+    * scale 9 doesn't divide by zero). Spark's Divide returns double
+    * either way, so the 10/100 formats' result schema is unchanged. */
+  def scaleDown(score: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    score / org.apache.spark.sql.functions.lit(scoreScale / 10.0)
+}
 object QaFormat {
   case object Json extends QaFormat(10, 5, true)
   case object Plain extends QaFormat(100, 50, false)
@@ -136,7 +151,7 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
         split_chunks(col("text"), lit(cfg.chunkSize), lit(cfg.overlap)))
       .withColumn("ctoks", chunkTokens)
       .withColumn("score",
-        model.score(col("ctoks"), questionTokens) * lit(cfg.format.scoreScale / 10))
+        cfg.format.scaleUp(model.score(col("ctoks"), questionTokens)))
       .withColumn("content", model.content(col("ctoks")))
       .drop("ctoks", "chunk_text")
   }
@@ -229,7 +244,7 @@ class MapReducePipeline(cfg: MapReduceConfig, model: TextModel = ExtractiveModel
       // judged "Correct" and the middle bands were unreachable
       model.judge(
         if (cfg.format.scoreScale == 10) col("best_score")
-        else col("best_score") / lit(cfg.format.scoreScale / 10),
+        else cfg.format.scaleDown(col("best_score")),
         col("chunks_after")))
 
   /** Judge stage (O5 positional batching + P7 normalization): batches of

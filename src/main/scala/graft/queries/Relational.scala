@@ -136,8 +136,14 @@ object Relational extends graft.QueryModule {
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     // lowercase: saveAsTable lowercases the identifier (and hence the
     // warehouse subdirectory), so a mixed-case tag would break the
-    // stale-location check below
-    val tag = dir.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    // stale-location check below. The sanitized prefix alone is not
+    // injective (/d/sf0.1 and /d/sf0_1 collapse; case-differing dirs on
+    // a case-sensitive FS collapse) — a hash of the RAW dir string
+    // disambiguates, so distinct dirs can never reuse each other's
+    // materialized layout.
+    val tag = dir.toLowerCase.replaceAll("[^a-z0-9]", "_") + "_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
     val ot = s"orders_bkt_$tag"
     val ct = s"customer_bkt_$tag"
     // Idempotent across JVMs, not just sessions: a previous run's

@@ -24,9 +24,10 @@ class DfCacheSpec extends SparkSpec {
     assert(first.count() == 3)
   }
 
-  test("entry count is capped; eldest evicted, checkpoint blocks released") {
+  test("entry count is capped; eviction defers release while a consumer " +
+      "holds the frame, then releases once the last reference drops") {
     val store = new DfCacheStore(2)
-    val a = store.cached(spark, "/d", "a")(frame(1))
+    var a: org.apache.spark.sql.DataFrame = store.cached(spark, "/d", "a")(frame(1))
     // Dataset.storageLevel / unpersist don't see localCheckpointed
     // frames (they're LogicalRDDs the CacheManager never registered) —
     // assert at the RDD layer, where the blocks actually live
@@ -38,10 +39,26 @@ class DfCacheSpec extends SparkSpec {
     store.cached(spark, "/d", "b")(frame(2))
     store.cached(spark, "/d", "c")(frame(3))
     assert(store.entryCount == 2)
-    // 'a' was eldest: its checkpoint RDD must be unpersisted
+    // 'a' was eldest and evicted — but this test still HOLDS the frame:
+    // its truncated-lineage blocks must stay resident and runnable (an
+    // eager unpersist here is exactly the lookup-vs-eviction race)
+    assert(store.pendingReleaseCount == 1)
+    val mid = spark.sparkContext.getPersistentRDDs
+    assert(aRdds.forall(r => mid.contains(r.id)),
+      "evicted-but-held frame's blocks must not be released yet")
+    assert(a.count() == 1, "a held evicted frame must still execute")
+    // drop the last consumer reference: the plan-root anchor clears on
+    // GC and the sweep releases the blocks
+    a = null
+    var tries = 0
+    while (store.pendingReleaseCount > 0 && tries < 60) {
+      System.gc(); Thread.sleep(50); store.sweepReleases(); tries += 1
+    }
+    assert(store.pendingReleaseCount == 0,
+      "anchor must clear once no consumer can still run the frame")
     val after = spark.sparkContext.getPersistentRDDs
     assert(aRdds.forall(r => !after.contains(r.id)),
-      "evicted entry's checkpoint blocks were not released")
+      "evicted entry's checkpoint blocks were not released after the sweep")
   }
 
   test("LRU: touching an entry protects it; the untouched one is evicted") {

@@ -120,6 +120,20 @@ class MultimodalSpec extends SparkSpec {
       .putInt(0).putShort(2).putShort(16).array()
     val hm = Multimodal.decodeKernel(9L, "audio", hugeRate)
     assert(hm.width == hugeRate.length % 640 + 1, "must use the fake branch")
+    // targeted: a fmt chunk DECLARING size < 16 must not have its
+    // channels/rate read from the following chunk's bytes — the walker
+    // must skip it (declared size governs the cursor) and fall back
+    val shortFmt = java.nio.ByteBuffer.allocate(12 + 8 + 12 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(48)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(12) // declares only 12 bytes
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .put("data".getBytes("US-ASCII")).putInt(16)
+      .put(Array.fill[Byte](16)(7)).array()
+    val sm = Multimodal.decodeKernel(10L, "audio", shortFmt)
+    assert(sm.width == shortFmt.length % 640 + 1,
+      "truncated fmt chunk must use the fake branch, not garbage fields")
   }
 
   test("decodeMeta end-to-end: real media and text blobs in one frame") {
