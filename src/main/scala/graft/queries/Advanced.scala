@@ -387,7 +387,80 @@ object Advanced extends graft.QueryModule {
         regexp_replace(col("props"), "\\d+", "<NUM>").as("scrubbed"),
         size(split(col("props"), "\\d+")).minus(1).as("n_redactions"))
 
+  /** Fellegi-Sunter probabilistic record linkage (entity resolution —
+    * the curation step that merges records of the same entity across
+    * scrapes before dedup/survivorship). Links `customer` against a
+    * deterministically corrupted re-scrape of itself: per-field
+    * corruption by key residue (name-stem typo @ 1/7, last-digit slip
+    * @ 1/11, balance-bucket drift @ 1/5). Candidate pairs come from
+    * BLOCKING on the stable (nationkey, mktsegment) attributes — the
+    * PassJoin discipline: pair count is sum of block-size products,
+    * linear per block, never all-pairs (a skewed block would be salted
+    * at 100 TB; these are balanced by construction). Per agreement
+    * pattern over the 3 compared fields: log-likelihood weight
+    * sum_j ln(m_j/u_j) if field j agrees else ln((1-m_j)/(1-u_j)),
+    * where u_j (chance agreement between NON-matches) is estimated from
+    * the data as sum_v n_v^2 / N^2 — exact integer aggregates, only the
+    * final ratio is floating — and m_j (agreement between true matches)
+    * comes from the known corruption model (production systems fit it
+    * with EM; the weights math is identical). Output: the 8 agreement
+    * patterns with pair counts, true-match counts, the FS weight, and
+    * the matched? decision (weight > 0) — the blocking join and the
+    * u-statistics are the only shuffles; every u scalar is a 1-row
+    * broadcast. */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("key"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      col("c_name").substr(lit(1), length(col("c_name")) - 1).as("stem"),
+      col("c_name").substr(length(col("c_name")), lit(1)).as("last"),
+      floor(col("c_acctbal") / 500.0).cast("long").as("bucket"))
+    val b = base.select(col("key"), col("nat"), col("seg"),
+      when(col("key") % 7 === 0,
+        replace(col("stem"), lit("Customer"), lit("Custmer")))
+        .otherwise(col("stem")).as("stem"),
+      when(col("key") % 11 === 0,
+        ((col("last").cast("int") + 1) % 10).cast("string"))
+        .otherwise(col("last")).as("last"),
+      when(col("key") % 5 === 0, col("bucket") + 1)
+        .otherwise(col("bucket")).as("bucket"))
+    // chance-agreement u_j = sum_v n_v^2 / N^2 from exact long counts
+    def uOf(field: String) = broadcast(
+      base.groupBy(col(field)).agg(count(lit(1)).as("n"))
+        .agg((sum(col("n") * col("n")).cast("double")
+          / (sum(col("n")) * sum(col("n"))).cast("double")).as(s"u_$field")))
+    // m_j from the corruption model: P(field survives | true match)
+    val (m1, m2, m3) = (6.0 / 7, 10.0 / 11, 4.0 / 5)
+    val a = base.select(col("key").as("a_key"), col("nat"), col("seg"),
+      col("stem").as("a_stem"), col("last").as("a_last"),
+      col("bucket").as("a_bucket"))
+    a.join(b.select(col("key").as("b_key"), col("nat"), col("seg"),
+        col("stem").as("b_stem"), col("last").as("b_last"),
+        col("bucket").as("b_bucket")),
+        Seq("nat", "seg")) // blocking join
+      .crossJoin(uOf("stem")).crossJoin(uOf("last")).crossJoin(uOf("bucket"))
+      .select(
+        (col("a_stem") === col("b_stem")).as("ag_stem"),
+        (col("a_last") === col("b_last")).as("ag_last"),
+        (col("a_bucket") === col("b_bucket")).as("ag_bucket"),
+        (col("a_key") === col("b_key")).as("is_true"),
+        (when(col("a_stem") === col("b_stem"), log(lit(m1) / col("u_stem")))
+          .otherwise(log(lit(1 - m1) / (lit(1.0) - col("u_stem"))))
+        + when(col("a_last") === col("b_last"), log(lit(m2) / col("u_last")))
+          .otherwise(log(lit(1 - m2) / (lit(1.0) - col("u_last"))))
+        + when(col("a_bucket") === col("b_bucket"),
+            log(lit(m3) / col("u_bucket")))
+          .otherwise(log(lit(1 - m3) / (lit(1.0) - col("u_bucket")))))
+          .as("score"))
+      .groupBy(col("ag_stem"), col("ag_last"), col("ag_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+        round(max(col("score")), 6).as("weight"),
+        (max(col("score")) > 0).as("matched"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adv_record_linkage" -> recordLinkage,
     "adv_session_window" -> sessionWindow,
     "adv_json_extract" -> jsonExtract,
     "adv_scrub" -> scrub,
@@ -413,6 +486,50 @@ object Advanced extends graft.QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "adv_record_linkage" ->
+      """WITH base AS (SELECT c_custkey AS key, c_nationkey AS nat,
+        |    c_mktsegment AS seg,
+        |    substr(c_name, 1, length(c_name) - 1) AS stem,
+        |    substr(c_name, length(c_name), 1) AS lastc,
+        |    CAST(floor(c_acctbal / CAST(500.0 AS DOUBLE)) AS BIGINT) AS bucket
+        |  FROM customer),
+        |b AS (SELECT key, nat, seg,
+        |    CASE WHEN key % 7 = 0 THEN replace(stem, 'Customer', 'Custmer')
+        |      ELSE stem END AS stem,
+        |    CASE WHEN key % 11 = 0
+        |      THEN CAST((CAST(lastc AS INT) + 1) % 10 AS VARCHAR)
+        |      ELSE lastc END AS lastc,
+        |    CASE WHEN key % 5 = 0 THEN bucket + 1 ELSE bucket END AS bucket
+        |  FROM base),
+        |u1 AS (SELECT CAST(sum(n * n) AS DOUBLE)
+        |    / CAST(sum(n) * sum(n) AS DOUBLE) AS u_stem
+        |  FROM (SELECT count(*) AS n FROM base GROUP BY stem)),
+        |u2 AS (SELECT CAST(sum(n * n) AS DOUBLE)
+        |    / CAST(sum(n) * sum(n) AS DOUBLE) AS u_last
+        |  FROM (SELECT count(*) AS n FROM base GROUP BY lastc)),
+        |u3 AS (SELECT CAST(sum(n * n) AS DOUBLE)
+        |    / CAST(sum(n) * sum(n) AS DOUBLE) AS u_bucket
+        |  FROM (SELECT count(*) AS n FROM base GROUP BY bucket)),
+        |p AS (SELECT a.stem = b.stem AS ag_stem, a.lastc = b.lastc AS ag_last,
+        |    a.bucket = b.bucket AS ag_bucket, a.key = b.key AS is_true,
+        |    (CASE WHEN a.stem = b.stem
+        |       THEN ln(CAST(6 AS DOUBLE) / CAST(7 AS DOUBLE) / u_stem)
+        |       ELSE ln((CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE) / CAST(7 AS DOUBLE))
+        |         / (CAST(1.0 AS DOUBLE) - u_stem)) END
+        |     + CASE WHEN a.lastc = b.lastc
+        |       THEN ln(CAST(10 AS DOUBLE) / CAST(11 AS DOUBLE) / u_last)
+        |       ELSE ln((CAST(1 AS DOUBLE) - CAST(10 AS DOUBLE) / CAST(11 AS DOUBLE))
+        |         / (CAST(1.0 AS DOUBLE) - u_last)) END
+        |     + CASE WHEN a.bucket = b.bucket
+        |       THEN ln(CAST(4 AS DOUBLE) / CAST(5 AS DOUBLE) / u_bucket)
+        |       ELSE ln((CAST(1 AS DOUBLE) - CAST(4 AS DOUBLE) / CAST(5 AS DOUBLE))
+        |         / (CAST(1.0 AS DOUBLE) - u_bucket)) END) AS score
+        |  FROM base a JOIN b ON a.nat = b.nat AND a.seg = b.seg
+        |  CROSS JOIN u1 CROSS JOIN u2 CROSS JOIN u3)
+        |SELECT ag_stem, ag_last, ag_bucket, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  round(max(score), 6) AS weight, max(score) > 0 AS matched
+        |FROM p GROUP BY 1, 2, 3""".stripMargin,
     "stream_ewma" -> Relational.ewmaOracleSql,
     "adv_session_window" ->
       """WITH marked AS (

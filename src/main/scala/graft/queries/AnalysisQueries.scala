@@ -1629,6 +1629,48 @@ object AnalysisQueries extends graft.QueryModule {
           / sum(col("tf")).cast("double"), 5).as("avg_logprob"))
   }
 
+  /** Kneser-Ney smoothed bigram-LM document scoring (Kneser & Ney 1995;
+    * the modern-default smoothing one step up from [[bigramLogprob]]'s
+    * fixed interpolation): for every OBSERVED bigram,
+    * p_KN(w2|w1) = max(c(w1 w2) − D, 0)/c(w1 ·)
+    *             + D · N1+(w1 ·)/c(w1 ·) · N1+(· w2)/N1+(· ·), D = 0.75 —
+    * the continuation probability N1+(· w2)/N1+(· ·) scores how many
+    * CONTEXTS a word completes, not how often it occurs, which is what
+    * de-weights boilerplate ("Francisco" occurs often but only after
+    * "San"). Every model statistic derives from ONE corpus bigram-count
+    * table by key-partitioned aggregation (c(w1 ·) and N1+(w1 ·) group
+    * by w1, N1+(· w2) by w2, N1+(· ·) is a 1-row broadcast) and rejoins
+    * on w1/w2/bg keys — nothing vocabulary-sized is collected or
+    * broadcast, the [[bigramLogprob]] 100 TB discipline. Per-doc sums
+    * fold in bigram order; ln noise absorbed by round-5. */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val btf = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.bigram_counts(col("text")))
+        .as(Seq("bg", "tf")))
+    val bm = btf.groupBy(col("bg")).agg(sum(col("tf")).as("bcnt"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val ctx = bm.groupBy(col("w1"))
+      .agg(sum(col("bcnt")).as("ctx"), count(lit(1)).as("nf"))
+    val cont = bm.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
+    val tot = bm.agg(count(lit(1)).as("ntypes"))
+    val model = bm.join(ctx, "w1").join(cont, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bg"),
+        (greatest(col("bcnt").cast("double") - lit(0.75), lit(0.0))
+            / col("ctx").cast("double")
+          + lit(0.75) * col("nf").cast("double") / col("ctx").cast("double")
+            * (col("nb").cast("double") / col("ntypes").cast("double")))
+          .as("p"))
+    btf.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(graft.functions.TextFunctions.ordered_sum(
+          col("tf").cast("double") * log(col("p")), col("bg"))
+          / sum(col("tf")).cast("double"), 5).as("avg_logprob"))
+  }
+
   /** Bigram-LM document scores via [[graft.core.DfCache]]: the
     * perplexity buckets previously re-trained the full bigram LM that
     * `ta_bigram_logprob` (the PRIMARY, still uncached and honest)
@@ -1798,6 +1840,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_cms_counts" -> cmsCounts,
     "ta_source_mix_temperature" -> sourceMixTemperature,
     "ta_bigram_logprob" -> bigramLogprob,
+    "ta_kneser_ney" -> kneserNey,
     "ta_perplexity_buckets" -> perplexityBuckets,
     "ta_decontaminate" -> decontaminate,
     "ta_pack_bins" -> packBins,
@@ -1870,14 +1913,20 @@ object AnalysisQueries extends graft.QueryModule {
     * `blp (doc_id, n_bigrams, avg_logprob)` — the [[bigramLogprob]]
     * replay, reused by the perplexity-bucket oracle. MATERIALIZED so a
     * downstream join cannot re-expand the model subtree. */
-  private def bigramLogprobCtes: String =
+  /** Shared per-doc bigram-count CTEs ending in `btf (doc_id, bg, tf)` —
+    * the `TextFunctions.bigram_counts` replay, shared by the
+    * interpolated and Kneser-Ney LM oracles. */
+  private def bigramCountCtes: String =
     s"""toks AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
        |  FROM documents),
        |bigp AS (SELECT doc_id, w1 || ' ' || w2 AS bg FROM (
        |  SELECT doc_id, unnest(ts[1:greatest(len(ts) - 1, 0)]) AS w1,
        |         unnest(ts[2:len(ts)]) AS w2 FROM toks)),
        |btf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
-       |  FROM bigp GROUP BY 1, 2),
+       |  FROM bigp GROUP BY 1, 2)""".stripMargin
+
+  private def bigramLogprobCtes: String =
+    s"""$bigramCountCtes,
        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY 1),
        |ut AS (SELECT sum(cnt) AS utotal FROM uni),
@@ -2459,6 +2508,33 @@ object AnalysisQueries extends graft.QueryModule {
         |GROUP BY d.source, r.w, r.rate""".stripMargin,
     "ta_bigram_logprob" ->
       s"WITH $bigramLogprobCtes\nSELECT doc_id, n_bigrams, avg_logprob FROM blp",
+    "ta_kneser_ney" ->
+      s"""WITH $bigramCountCtes,
+         |bm AS (SELECT bg, sum(tf) AS bcnt FROM btf GROUP BY 1),
+         |sp AS (SELECT bg, bcnt, string_split(bg, ' ')[1] AS w1,
+         |         string_split(bg, ' ')[2] AS w2 FROM bm),
+         |ctx AS (SELECT w1, sum(bcnt) AS ctx, count(*) AS nf FROM sp
+         |  GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS nb FROM sp GROUP BY 1),
+         |tot AS (SELECT count(*) AS ntypes FROM bm),
+         |model AS (SELECT sp.bg,
+         |    greatest(CAST(sp.bcnt AS DOUBLE) - CAST(0.75 AS DOUBLE),
+         |             CAST(0.0 AS DOUBLE)) / CAST(ctx.ctx AS DOUBLE)
+         |    + CAST(0.75 AS DOUBLE) * CAST(ctx.nf AS DOUBLE)
+         |      / CAST(ctx.ctx AS DOUBLE)
+         |      * (CAST(cont.nb AS DOUBLE) / CAST(tot.ntypes AS DOUBLE)) AS p
+         |  FROM sp JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams
+         |  FROM btf GROUP BY 1),
+         |l AS (SELECT t.doc_id,
+         |    list(struct_pack(tf := t.tf, p := m.p) ORDER BY t.bg) AS xs
+         |  FROM btf t JOIN model m USING (bg) GROUP BY 1)
+         |SELECT l.doc_id, s.n_bigrams,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(xs, x -> CAST(x.tf AS DOUBLE) * ln(x.p))),
+         |      (a, b) -> a + b)
+         |    / CAST(s.n_bigrams AS DOUBLE), 5) AS avg_logprob
+         |FROM l JOIN s USING (doc_id)""".stripMargin,
     "ta_perplexity_buckets" ->
       s"""WITH $bigramLogprobCtes,
          |q AS (SELECT b.doc_id, d.lang, b.avg_logprob

@@ -420,4 +420,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(dedupEx >= 0 && verifyAt > dedupEx,
       s"banded DP must run before the pair-dedup exchange:\n$plan")
   }
+
+  test("kneser-ney LM: model statistics degrade to key-partitioned joins at scale") {
+    // same contract as the interpolated bigram LM: with auto-broadcast
+    // off, the vocabulary-sized c(w1 .)/N1+(w1 .)/N1+(. w2) attaches and
+    // the per-doc model join must fall back to shuffled equi-joins —
+    // only the 1-row N1+(. .) total may broadcast (explicit hint)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.queries.AnalysisQueries.kneserNey(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffled model joins:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"no forced broadcast may survive the threshold=-1 config:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("record linkage: blocking equi-join, broadcast u-scalars, no cartesian") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.queries.Advanced.recordLinkage(spark, sf)
+        .queryExecution.executedPlan.toString
+      // candidate pairs must come from the (nat, seg) blocking keys as a
+      // shuffled equi-join — never an all-pairs comparison
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"blocking join must be a shuffled equi-join at scale:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+      // the three u-statistics are 1-row frames with an explicit
+      // broadcast hint: they ride BroadcastNestedLoopJoins, which is the
+      // wanted shape (a scalar against every pair row)
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"u-scalars should attach via broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
