@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * metadata, processed by per-partition operators.
   *
   * The decode kernel ([[decodeKernel]]) parses REAL container headers in
-  * pure JVM code — PNG IHDR and RIFF/WAVE fmt/data — and falls back to a
-  * clearly marked deterministic fake for payloads needing codecs this
-  * environment can't ship (JPEG, H.264, ...); that FFI seam is the only
-  * stub left, and swapping it in changes no dataflow. The Spark-side
+  * pure JVM code — PNG IHDR, JPEG SOF, GIF logical screen + frame walk,
+  * and RIFF/WAVE fmt/data — and falls back to a clearly marked
+  * deterministic fake for payloads needing codecs this environment
+  * can't ship (pixel/sample DECODING, H.264, ...); that FFI seam is the
+  * only stub left, and swapping it in changes no dataflow. The Spark-side
   * plumbing (schema, batch iteration, partition-local processing,
   * metadata structs) is real and tested either way.
   *
@@ -30,15 +31,16 @@ object Multimodal {
       checksum: Long)
 
   /** Decode kernel. Real container headers are parsed honestly in pure
-    * JVM code — PNG IHDR (width × height) and RIFF/WAVE fmt + data
+    * JVM code — PNG IHDR and JPEG SOF (width × height), GIF logical
+    * screen + image-descriptor frame count, and RIFF/WAVE fmt + data
     * chunks (sample rate as `width`, channels as `height`, sample
     * frames as `n_frames`) — so genuine media blobs report their true
-    * dimensions with zero new dependencies. Payloads that are neither
-    * (the synthetic corpus' UTF-8 stand-ins; real pipelines: codecs we
-    * can't ship here, e.g. JPEG/H.264 — that FFI seam stays stubbed)
-    * fall back to the deterministic fake, which keeps the DuckDB oracle
-    * replayable: text bytes can never start with either magic. The
-    * checksum is payload-derived in all branches. */
+    * dimensions with zero new dependencies. Payloads that are none of
+    * these (the synthetic corpus' UTF-8 stand-ins; real pipelines:
+    * pixel/sample decoding needs codecs we can't ship — that FFI seam
+    * stays stubbed) fall back to the deterministic fake, which keeps
+    * the DuckDB oracle replayable: text bytes can never start with any
+    * of the magics. The checksum is payload-derived in all branches. */
   private[graft] def decodeKernel(docId: Long, mediaType: String,
       bytes: Array[Byte]): MediaMeta = {
     var sum = 0L
@@ -46,7 +48,7 @@ object Multimodal {
     while (i < bytes.length) { sum = (sum * 131 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
     val len = bytes.length.toLong
     parsePngHeader(bytes).orElse(parseWavHeader(bytes))
-        .orElse(parseJpegHeader(bytes)) match {
+        .orElse(parseJpegHeader(bytes)).orElse(parseGifHeader(bytes)) match {
       case Some((w, h, frames)) =>
         MediaMeta(docId, mediaType, len, w, h, frames, sum)
       case None =>
@@ -156,6 +158,52 @@ object Multimodal {
     if (rate <= 0 || rate > Int.MaxValue || channels <= 0 || blockAlign <= 0) None
     else Some((rate.toInt, channels,
       if (dataLen < 0) 0 else (dataLen / blockAlign).toInt))
+  }
+
+  /** GIF: 6-byte GIF87a/GIF89a signature, LE16 logical-screen
+    * width/height at offsets 6/8 (GIF89a spec §18); `n_frames` counts
+    * image descriptors (0x2C) found by the BLOCK walk — extensions
+    * (0x21) and image data are length-prefixed sub-block chains, so the
+    * walk skips payload bytes and can never mistake data for an
+    * introducer. A desynced or truncated block stream stops the count
+    * (floor 1: a valid header declares at least a canvas); the walk
+    * advances >= 1 byte per step, so it always terminates. */
+  private[graft] def parseGifHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 13) return None
+    val sig = "GIF8"
+    if (!(0 until 4).forall(k => (b(k) & 0xff) == sig.charAt(k))) return None
+    val ver = b(5) & 0xff
+    if (((b(4) & 0xff) != '7' && (b(4) & 0xff) != '9') || ver != 'a') return None
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    if (w <= 0 || h <= 0) return None
+    val packed = b(10) & 0xff
+    // skip the global color table when the flag bit is set: 3 * 2^(n+1)
+    var off = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    def skipSubBlocks(start: Int): Int = {
+      var o = start
+      while (o < b.length && (b(o) & 0xff) != 0) o += 1 + (b(o) & 0xff)
+      o + 1 // past the 0 terminator (or past end — loop guard bounds it)
+    }
+    var frames = 0
+    var done = false
+    while (!done && off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x3b => done = true // trailer
+        case 0x21 => off = skipSubBlocks(off + 2) // introducer + label
+        case 0x2c =>
+          if (off + 10 > b.length) done = true
+          else {
+            frames += 1
+            val lp = b(off + 9) & 0xff
+            val lct = if ((lp & 0x80) != 0) 3 * (1 << ((lp & 7) + 1)) else 0
+            // descriptor (10) + local color table + LZW min-code byte
+            off = skipSubBlocks(off + 10 + lct + 1)
+          }
+        case _ => done = true // desynced: stop counting, keep the header
+      }
+    }
+    Some((w, h, math.max(frames, 1)))
   }
 
   /** documents-as-blobs: models a `binary` media column (UTF-8 bytes of the

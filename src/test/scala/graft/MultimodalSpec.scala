@@ -64,6 +64,32 @@ class MultimodalSpec extends SparkSpec {
     assert(m.width == 31 && m.height == 17, s"got ${m.width}x${m.height}")
   }
 
+  test("GIF blob: screen-descriptor dims from a real encoder; block-walked frames") {
+    val img = new java.awt.image.BufferedImage(
+      29, 13, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "JVM GIF writer missing")
+    val m = Multimodal.decodeKernel(8L, "image", bos.toByteArray)
+    assert(m.width == 29 && m.height == 13, s"got ${m.width}x${m.height}")
+    assert(m.n_frames == 1, s"frames ${m.n_frames}")
+    // multi-frame: hand-assembled container (the walker needs structure,
+    // not valid LZW) — 2 image descriptors, an extension to skip, no GCT
+    def sub(data: Byte*): Array[Byte] =
+      Array(data.length.toByte) ++ data :+ 0.toByte
+    def imageDesc(w: Int, h: Int): Array[Byte] =
+      Array[Byte](0x2c, 0, 0, 0, 0,
+        (w & 0xff).toByte, (w >> 8).toByte, (h & 0xff).toByte, (h >> 8).toByte,
+        0 /*no LCT*/, 2 /*LZW min code*/) ++ sub(1, 2, 3)
+    val twoFrame =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte](40, 0, 30, 0, 0 /*no GCT*/, 0, 0) ++
+        (Array[Byte](0x21, 0xf9.toByte) ++ sub(0, 5, 0, 0)) ++ // GCE ext
+        imageDesc(40, 30) ++ imageDesc(40, 30) :+ 0x3b.toByte
+    val m2 = Multimodal.decodeKernel(9L, "video", twoFrame)
+    assert(m2.width == 40 && m2.height == 30, s"got ${m2.width}x${m2.height}")
+    assert(m2.n_frames == 2, s"frames ${m2.n_frames}")
+  }
+
   test("WAV blob: fmt/data-parsed rate, channels and sample frames") {
     val wav = realWav(rate = 8000, channels = 2, bitsPerSample = 16, nFrames = 50)
     val m = Multimodal.decodeKernel(2L, "audio", wav)
@@ -101,6 +127,8 @@ class MultimodalSpec extends SparkSpec {
       "RIFF".getBytes("US-ASCII"),
       "RIFFxxxxWAVE".getBytes("US-ASCII"),
       Array[Byte](0xff.toByte, 0xd8.toByte),
+      "GIF89a".getBytes("US-ASCII"),
+      "GIF87a".getBytes("US-ASCII"),
       Array.emptyByteArray)
     (0 until 300).foreach { i =>
       val magic = magics(i % magics.length)
