@@ -94,6 +94,33 @@ object AnalysisQueries extends graft.QueryModule {
           explode(graft.functions.TextFunctions.term_counts(col("text")))
             .as(Seq("term", "tf"))))
 
+  /** Full-vector tf-idf weights `(doc_id, term, df, w)` shared by the
+    * two rank-fusion entries (`ta_rrf`, `ta_hybrid_related`), which
+    * previously each rebuilt the identical tf ⋈ df ⋈ ln(n/df) weighting
+    * on top of [[cachedTf]]; `ta_tfidf_top` remains the family's
+    * UNCACHED primary (same derivation shape, honest standalone
+    * timing). Builder reads through [[cachedTf]] — built outside the
+    * store lock, the documented nested-cache pattern. */
+  private def cachedTfidfW(spark: SparkSession, dir: String): DataFrame =
+    graft.core.DfCache.cached(spark, dir, "ta:tfidf_w") {
+      val tf = cachedTf(spark, dir)
+      val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df is VOCABULARY-sized: no forced broadcast (a real vocabulary
+      // outgrows it) — Catalyst/AQE picks broadcast at test scale
+      tf.join(dfT, "term")
+        .withColumn("w", col("tf").cast("double") * log(lit(nDocs) / col("df")))
+        .select(col("doc_id"), col("term"), col("df"), col("w"))
+    }
+
+  /** Full-vector document norms over [[cachedTfidfW]] — one double per
+    * doc, the other half of the work both fusion rankers repeated. */
+  private def cachedTfidfNorms(spark: SparkSession, dir: String): DataFrame =
+    graft.core.DfCache.cached(spark, dir, "ta:tfidf_norms")(
+      cachedTfidfW(spark, dir).groupBy(col("doc_id"))
+        .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
+          col("w") * col("w"), col("term"))).as("nrm")))
+
   /** Calibration (reliability-curve) audit of the trained quality
     * classifier: bucket predicted probabilities into deciles and report
     * per-bin count, mean predicted p, empirical positive rate, and the
@@ -1118,11 +1145,9 @@ object AnalysisQueries extends graft.QueryModule {
     // sparse_sim-class work.
     val tf = cachedTf(spark, dir)
     val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // df is VOCABULARY-sized: no forced broadcast (a real vocabulary
-    // outgrows it) — Catalyst/AQE picks broadcast at test scale on its own
-    val w = tf.join(dfT, "term")
-      .withColumn("w", col("tf").cast("double") * log(lit(nDocs) / col("df")))
+    // tf-idf weights + norms from the family-shared caches (identical
+    // values: same expression over the same cachedTf base)
+    val w = cachedTfidfW(spark, dir)
     // BM25 ranker from the same tf (identical arithmetic to [[bm25]] /
     // the shared bm25Ctes oracle text: same fold order, same casts)
     val (k1, b) = (1.2, 0.75)
@@ -1144,9 +1169,7 @@ object AnalysisQueries extends graft.QueryModule {
       .agg(round(graft.functions.TextFunctions.ordered_sum(
         col("s"), col("term")), 6).as("bm25"))
     // full-vector doc norms, term-ordered fold (sparse-sim discipline)
-    val norms = w.groupBy(col("doc_id"))
-      .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
-        col("w") * col("w"), col("term"))).as("nrm"))
+    val norms = cachedTfidfNorms(spark, dir)
     val qIdf = w.filter(col("term").isin(queryTerms: _*))
       .select(col("term"), col("df")).distinct()
       .withColumn("idf", log(lit(nDocs) / col("df")))
@@ -1201,17 +1224,10 @@ object AnalysisQueries extends graft.QueryModule {
       emb.filter(col("vec_id") === queryDoc), emb, 100)
       .select(col("cand_id").as("doc_id"), col("rank").as("rank_dense"))
     // lexical ranker: tfidf cosine vs the query doc's vector, over the
-    // family-shared [[cachedTf]] base
-    val tf = cachedTf(spark, dir)
-    val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // df is VOCABULARY-sized: no forced broadcast (a real vocabulary
-    // outgrows it) — Catalyst/AQE picks broadcast at test scale on its own
-    val w = tf.join(dfT, "term")
-      .withColumn("w", col("tf").cast("double") * log(lit(nDocs) / col("df")))
-    val norms = w.groupBy(col("doc_id"))
-      .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
-        col("w") * col("w"), col("term"))).as("nrm"))
+    // family-shared weight/norm caches (ta_tfidf_top stays the
+    // uncached primary of this derivation)
+    val w = cachedTfidfW(spark, dir)
+    val norms = cachedTfidfNorms(spark, dir)
     val w0 = w.filter(col("doc_id") === queryDoc)
       .select(col("term"), col("w").as("w0"))
     val n0 = norms.filter(col("doc_id") === queryDoc)

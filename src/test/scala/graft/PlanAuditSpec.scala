@@ -334,6 +334,27 @@ class PlanAuditSpec extends SparkSpec {
       s"no tokenization explode may appear below a cache consumer:\n$plan")
   }
 
+  test("fusion rankers: tf-idf weights and norms read from shared checkpoints") {
+    // ta_rrf / ta_hybrid_related consume the ta:tfidf_w / ta:tfidf_norms
+    // DfCache entries: their plans must scan materialized checkpoints
+    // (ExistingRDD) with NO Generate — tokenization, weighting and the
+    // norm fold all ran once, in the cache builders
+    Seq(
+      graft.queries.AnalysisQueries.rrfFusion(spark, sf),
+      graft.queries.AnalysisQueries.hybridRelated(spark, sf)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"),
+        s"fusion ranker must scan the shared checkpoints:\n$plan")
+      // the dense ranker's top-k posexplode is legitimate; what must be
+      // gone is any TOKENIZATION generate (term_counts ran once, in the
+      // ta:tf cache builder)
+      assert(!plan.split("\n").exists(l =>
+          l.contains("Generate") && l.contains("term_counts")),
+        s"no tokenization explode may appear below a cache consumer:\n$plan")
+    }
+  }
+
   test("seq packing: doc-stream window is shard-partitioned; only the shard table is single-partition") {
     val df = graft.queries.AnalysisQueries.seqPacking(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
