@@ -344,6 +344,34 @@ object Advanced extends graft.QueryModule {
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("total_value"))
 
+  /** Skew-mitigated equi-join — the JOIN-side companion of
+    * [[saltedAgg]]. Joining a fact table to a low-cardinality dimension
+    * on a hot key (event_type: a handful of values) sends every row of
+    * a type through ONE reducer in a shuffle join — the classic straggler
+    * at 100 TB. Salting restores parallelism semantics-free: the fact
+    * side derives salt = pmod(event_id, 16), the dimension replicates
+    * 16× via explode(sequence), and the join runs on
+    * (event_type, salt) — 16 reducers per hot key, identical rows out.
+    * At test scale Catalyst would broadcast the tiny dimension anyway;
+    * PlanAuditSpec disables auto-broadcast and pins the two-key shuffled
+    * join + the replication Generate — the shape that holds when the
+    * dimension is segment-sized and the fact side is the 100 TB one.
+    * Metrics are integer-exact (counts + id checksum), so the oracle is
+    * the plain unsalted join. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = 16
+    val ev = Tables.load(spark, dir, "events")
+    val dim = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_cnt"))
+      .withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
+    ev.withColumn("salt", pmod(col("event_id"), lit(s)).cast("int"))
+      .join(dim, Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("type_cnt")).as("type_cnt"),
+        sum(col("event_id")).as("id_sum"))
+  }
+
   /** Streaming stateful dedup -> aggregation (dropDuplicates state + agg
     * state chained in one streaming query); oracle = batch
     * count(DISTINCT user_id) per type. */
@@ -475,6 +503,7 @@ object Advanced extends graft.QueryModule {
     "adv_asof_join" -> asofJoin,
     "adv_range_join" -> rangeJoin,
     "adv_salted_agg" -> saltedAgg,
+    "adv_salted_join" -> saltedJoin,
     "stream_window_agg" -> streamWindowAgg,
     "stream_drift" -> streamDrift,
     "stream_dedup_count" -> streamDedup,
@@ -808,6 +837,14 @@ object Advanced extends graft.QueryModule {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "adv_salted_join" ->
+      """WITH dim AS (SELECT event_type, count(*) AS type_cnt
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(max(d.type_cnt) AS BIGINT) AS type_cnt,
+        |  CAST(sum(e.event_id) AS BIGINT) AS id_sum
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "stream_dedup_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,

@@ -460,6 +460,26 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salted join: two-key shuffled join with the replication generate") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.queries.Advanced.saltedJoin(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      // the join must carry BOTH keys — event_type alone would put every
+      // row of a hot type through one reducer
+      val joinLine = plan.split("\n").find(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(joinLine.isDefined, s"expected a shuffled equi-join:\n$plan")
+      assert(joinLine.get.contains("event_type#") && joinLine.get.contains("salt#"),
+        s"join must be keyed on (event_type, salt):\n$plan")
+      // the dimension side replicates via explode(sequence(...))
+      assert(plan.contains("Generate explode"),
+        s"dimension replication generate missing:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("record linkage: blocking equi-join, broadcast u-scalars, no cartesian") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
