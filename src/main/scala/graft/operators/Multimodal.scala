@@ -165,9 +165,15 @@ object Multimodal {
     * image descriptors (0x2C) found by the BLOCK walk — extensions
     * (0x21) and image data are length-prefixed sub-block chains, so the
     * walk skips payload bytes and can never mistake data for an
-    * introducer. A desynced or truncated block stream stops the count
-    * (floor 1: a valid header declares at least a canvas); the walk
-    * advances >= 1 byte per step, so it always terminates. */
+    * introducer. STRICT accept: the walk must reach the trailer (0x3B)
+    * in-bounds with >= 1 image descriptor, every sub-block chain landing
+    * exactly on its 0x00 terminator — the GIF magic is pure printable
+    * ASCII (unlike PNG's 0x89 or JPEG's 0xFF), so ordinary document
+    * text CAN start with "GIF89a"; text can't satisfy the structural
+    * walk (no NUL terminators, no exact trailer), which keeps the
+    * decode-stats oracle's fake-branch replay sound. Desynced or
+    * truncated streams are rejected to the fake branch for the same
+    * reason; the walk advances >= 1 byte per step, so it terminates. */
   private[graft] def parseGifHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 13) return None
     val sig = "GIF8"
@@ -180,30 +186,36 @@ object Multimodal {
     val packed = b(10) & 0xff
     // skip the global color table when the flag bit is set: 3 * 2^(n+1)
     var off = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    // walks a sub-block chain; -1 when the chain runs past the buffer
+    // (a truncated/non-GIF payload) instead of landing on a terminator
     def skipSubBlocks(start: Int): Int = {
       var o = start
       while (o < b.length && (b(o) & 0xff) != 0) o += 1 + (b(o) & 0xff)
-      o + 1 // past the 0 terminator (or past end — loop guard bounds it)
+      if (o >= b.length) -1 else o + 1 // past the 0x00 terminator
     }
     var frames = 0
-    var done = false
-    while (!done && off < b.length) {
+    var trailer = false
+    var bad = false
+    while (!trailer && !bad && off < b.length) {
       (b(off) & 0xff) match {
-        case 0x3b => done = true // trailer
-        case 0x21 => off = skipSubBlocks(off + 2) // introducer + label
+        case 0x3b => trailer = true
+        case 0x21 =>
+          off = skipSubBlocks(off + 2) // introducer + label
+          if (off < 0) bad = true
         case 0x2c =>
-          if (off + 10 > b.length) done = true
+          if (off + 10 > b.length) bad = true
           else {
             frames += 1
             val lp = b(off + 9) & 0xff
             val lct = if ((lp & 0x80) != 0) 3 * (1 << ((lp & 7) + 1)) else 0
             // descriptor (10) + local color table + LZW min-code byte
             off = skipSubBlocks(off + 10 + lct + 1)
+            if (off < 0) bad = true
           }
-        case _ => done = true // desynced: stop counting, keep the header
+        case _ => bad = true // desynced: not a GIF block stream
       }
     }
-    Some((w, h, math.max(frames, 1)))
+    if (trailer && !bad && frames >= 1) Some((w, h, frames)) else None
   }
 
   /** documents-as-blobs: models a `binary` media column (UTF-8 bytes of the

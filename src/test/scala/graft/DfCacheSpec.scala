@@ -48,12 +48,19 @@ class DfCacheSpec extends SparkSpec {
       "evicted-but-held frame's blocks must not be released yet")
     assert(a.count() == 1, "a held evicted frame must still execute")
     // drop the last consumer reference: the plan-root anchor clears on
-    // GC and the sweep releases the blocks
+    // GC and the sweep releases the blocks. A canary weak-ref guards the
+    // assertion against JVMs where System.gc() is a no-op (e.g.
+    // -XX:+DisableExplicitGC): if even the trivially-unreachable canary
+    // never clears, the environment can't exercise the contract — skip
+    // rather than flake.
+    val canary = new java.lang.ref.WeakReference(new Object)
     a = null
     var tries = 0
     while (store.pendingReleaseCount > 0 && tries < 60) {
       System.gc(); Thread.sleep(50); store.sweepReleases(); tries += 1
     }
+    if (store.pendingReleaseCount > 0 && canary.get() != null)
+      cancel("JVM did not process weak references within the retry window")
     assert(store.pendingReleaseCount == 0,
       "anchor must clear once no consumer can still run the frame")
     val after = spark.sparkContext.getPersistentRDDs

@@ -88,6 +88,21 @@ class MultimodalSpec extends SparkSpec {
     val m2 = Multimodal.decodeKernel(9L, "video", twoFrame)
     assert(m2.width == 40 && m2.height == 30, s"got ${m2.width}x${m2.height}")
     assert(m2.n_frames == 2, s"frames ${m2.n_frames}")
+    // the GIF magic is printable ASCII — unlike PNG/JPEG, ordinary TEXT
+    // can start with it. The structural walk (NUL-terminated sub-block
+    // chains + exact trailer) must reject prose so the oracle's
+    // fake-branch replay stays sound for text corpora.
+    val prose = "GIF89a is the 1989 revision of the image format,"
+      .getBytes("UTF-8") ++ ("x" * 40).getBytes("UTF-8")
+    val mp = Multimodal.decodeKernel(11L, "image", prose)
+    assert(mp.width == prose.length % 640 + 1,
+      "GIF-prefixed prose must use the fake branch, not header fields")
+    // headerless trailer-only payload: no image descriptor -> reject
+    val empty = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](10, 0, 10, 0, 0, 0, 0, 0x3b)
+    val me = Multimodal.decodeKernel(12L, "image", empty)
+    assert(me.width == empty.length % 640 + 1,
+      "a GIF with no image descriptor must use the fake branch")
   }
 
   test("WAV blob: fmt/data-parsed rate, channels and sample frames") {
