@@ -1664,6 +1664,20 @@ object AnalysisQueries extends graft.QueryModule {
     val btf = docs.select(col("doc_id"),
       explode(graft.functions.TextFunctions.bigram_counts(col("text")))
         .as(Seq("bg", "tf")))
+    btf.join(kneserNeyModel(btf), "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(graft.functions.TextFunctions.ordered_sum(
+          col("tf").cast("double") * log(col("p")), col("bg"))
+          / sum(col("tf")).cast("double"), 5).as("avg_logprob"))
+  }
+
+  /** The KN model over a per-doc bigram-count table `(doc_id, bg, tf)`:
+    * `(bg, p)` for every OBSERVED bigram. Factored out of [[kneserNey]]
+    * so KneserNeySpec can pin the probability contract (per context,
+    * the observed-continuation mass sums to <= 1 with the unseen mass
+    * strictly positive). */
+  private[graft] def kneserNeyModel(btf: DataFrame): DataFrame = {
     val bm = btf.groupBy(col("bg")).agg(sum(col("tf")).as("bcnt"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
@@ -1671,7 +1685,7 @@ object AnalysisQueries extends graft.QueryModule {
       .agg(sum(col("bcnt")).as("ctx"), count(lit(1)).as("nf"))
     val cont = bm.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
     val tot = bm.agg(count(lit(1)).as("ntypes"))
-    val model = bm.join(ctx, "w1").join(cont, "w2")
+    bm.join(ctx, "w1").join(cont, "w2")
       .crossJoin(broadcast(tot))
       .select(col("bg"),
         (greatest(col("bcnt").cast("double") - lit(0.75), lit(0.0))
@@ -1679,12 +1693,6 @@ object AnalysisQueries extends graft.QueryModule {
           + lit(0.75) * col("nf").cast("double") / col("ctx").cast("double")
             * (col("nb").cast("double") / col("ntypes").cast("double")))
           .as("p"))
-    btf.join(model, "bg")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_bigrams"),
-        round(graft.functions.TextFunctions.ordered_sum(
-          col("tf").cast("double") * log(col("p")), col("bg"))
-          / sum(col("tf")).cast("double"), 5).as("avg_logprob"))
   }
 
   /** Bigram-LM document scores via [[graft.core.DfCache]]: the

@@ -93,6 +93,39 @@ object SimilarityQueries extends graft.QueryModule {
           .as("recall"))
   }
 
+  /** IDCG@K for binary gains — sum_{i=1..K} 1/log2(i+1), folded in
+    * ascending-i order; the JVM-computed double is embedded verbatim in
+    * the DuckDB oracle so both engines divide by the identical
+    * constant. */
+  private val IdcgK: Double =
+    (1 to K).foldLeft(0.0)((a, i) =>
+      a + 1.0 / (Math.log(i + 1.0) / Math.log(2.0)))
+
+  /** Position-weighted index-quality audit: binary nDCG@K of the IVF
+    * ranking against the exact top-K — the [[ivfRecall]] discipline
+    * with rank discounts. Recall@K pays a hit at rank 1 and rank K the
+    * same; nDCG pays 1/log2(rank+1), the metric retrieval stacks
+    * actually report, so an index that finds the right set in the wrong
+    * order scores below one that also orders it. Gains are binary
+    * (membership in the exact top-K); both rankings are deterministic,
+    * so the audit itself hash-gates. DCG folds in rank order; round-6
+    * absorbs log ulp. */
+  def ivfNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val br = topkBrute(spark, dir).select(col("query_id"), col("cand_id"))
+    val iv = topkIvf(spark, dir)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+    val per = iv.join(br, Seq("query_id", "cand_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"),
+        graft.functions.TextFunctions.ordered_sum(
+          lit(1.0) / log2(col("rank") + lit(1)), col("rank")).as("dcg"))
+    br.select(col("query_id")).distinct()
+      .join(per, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("dcg"), lit(0.0)) / lit(IdcgK), 6).as("ndcg"))
+  }
+
   /** Cluster-quality audit: k-means clusters scored against the
     * ground-truth labels — per-cluster size, majority label and purity
     * (the standard external clustering evaluation a curation pipeline
@@ -620,6 +653,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_brute" -> topkBrute,
     "sim_mmr" -> mmrDiverse,
     "sim_ivf_recall" -> ivfRecall,
+    "sim_ivf_ndcg" -> ivfNdcg,
     "sim_pq_recall" -> pqRecall,
     "sim_matryoshka_recall" -> matryoshkaRecall,
     "sim_sq8_recall" -> sq8Recall,
@@ -1098,6 +1132,21 @@ object SimilarityQueries extends graft.QueryModule {
          |  GROUP BY br.query_id)
          |SELECT query_id, n_hit, round(n_hit / $K.0, 6) AS recall
          |FROM hits""".stripMargin,
+    "sim_ivf_ndcg" ->
+      s"""WITH br AS (SELECT query_id, cand_id FROM ($bruteOracle)),
+         |iv AS (SELECT query_id, cand_id, rank FROM ($ivfOracle)),
+         |h AS (SELECT iv.query_id, iv.rank
+         |  FROM iv JOIN br USING (query_id, cand_id)),
+         |d AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CAST(1.0 AS DOUBLE) / log2(rank + 1) ORDER BY rank)),
+         |      (a, b) -> a + b) AS dcg
+         |  FROM h GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(d.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(coalesce(d.dcg, CAST(0.0 AS DOUBLE))
+         |    / CAST($IdcgK AS DOUBLE), 6) AS ndcg
+         |FROM (SELECT DISTINCT query_id FROM br) q
+         |LEFT JOIN d USING (query_id)""".stripMargin,
     "sim_ivf_recall" ->
       s"""WITH br AS (SELECT query_id, cand_id FROM ($bruteOracle)),
          |iv AS (SELECT query_id, cand_id FROM ($ivfOracle)),
