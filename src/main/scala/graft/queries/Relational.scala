@@ -459,6 +459,48 @@ object Relational extends graft.QueryModule {
           .cast("double").as("running_spend"))
   }
 
+  /** KMV (k-minimum-values) distinct sketch — the REPLAYABLE member of
+    * the sketch family: unlike HLL++ ([[approxDistinct]], whose sketch
+    * no other engine reproduces), KMV over the engine's XXH64
+    * (`hash64`, seed 0 — bit-for-bit replayed in DuckDB by
+    * [[graft.core.XxHashSql]]) is deterministic END-TO-END, so the
+    * sketch-based estimate itself hash-gates. Per group: keep the k=64
+    * smallest distinct hash values (a bounded [[graft.functions
+    * .TextFunctions.bottom_k_structs]] partial aggregate — k structs
+    * per partition cross the shuffle, the same scale shape as HLL's
+    * ~KB sketch), estimate D ≈ (k−1)·2⁶⁴ / h₍ₖ₎; groups with fewer
+    * than k distinct hashes fall back to their exact count. Unsigned
+    * hash order is obtained by flipping the sign bit (xor 2⁶³), so the
+    * signed struct compare IS the unsigned compare. The exact per-group
+    * distinct count rides along for the error audit. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val flip = lit(Long.MinValue)
+    val two64 = lit(math.pow(2, 64)) // exact power of two in double
+    val hashed = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_partkey",
+        graft.functions.TextFunctions.hash64($"l_partkey".cast("string"))
+          .bitwiseXOR(flip).as("hf"))
+    val exact = hashed.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
+    val sk = hashed.select($"l_returnflag", $"hf").distinct()
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_hashes"),
+        graft.functions.TextFunctions.bottom_k_structs(struct($"hf"), k)
+          .as("mins"))
+      .select($"l_returnflag", $"n_hashes",
+        array_max(transform($"mins", m => m("hf"))).bitwiseXOR(flip).as("hk"))
+    // unsigned double of the k-th smallest hash (round-6 of the final
+    // estimate absorbs the long->double rounding)
+    val hkD = when($"hk" < 0, $"hk".cast("double") + two64)
+      .otherwise($"hk".cast("double"))
+    sk.join(exact, "l_returnflag")
+      .select($"l_returnflag", $"exact_parts",
+        round(when($"n_hashes" <= k, $"n_hashes".cast("double"))
+          .otherwise(lit((k - 1).toDouble) * two64 / hkD), 4).as("est_parts"))
+  }
+
   /** Sketch-based distinct counting — the 100 TB path for
     * [[distinctCounts]]: HLL++ (approx_count_distinct) carries a ~KB
     * sketch per group through the shuffle instead of the full key set a
@@ -1241,6 +1283,7 @@ object Relational extends graft.QueryModule {
     "rel_set_ops" -> setOps,
     "rel_pivot" -> pivotCounts,
     "rel_approx_distinct" -> approxDistinct,
+    "rel_kmv_distinct" -> kmvDistinct,
     "rel_approx_percentiles" -> approxPercentiles,
     "rel_dataset_split" -> datasetSplit,
     "rel_cube_agg" -> cubeAgg,
@@ -1847,5 +1890,23 @@ object Relational extends graft.QueryModule {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "rel_kmv_distinct" ->
+      s"""WITH pk AS (SELECT DISTINCT l_returnflag AS doc_id,
+         |    CAST(l_partkey AS VARCHAR) AS t FROM lineitem),
+         |${graft.core.XxHashSql.hash64Ctes("pk", "hh", "kx")},
+         |g AS (SELECT doc_id AS l_returnflag, h64 FROM hh GROUP BY 1, 2),
+         |nh AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_hashes
+         |  FROM g GROUP BY 1),
+         |r AS (SELECT l_returnflag, h64, row_number() OVER
+         |    (PARTITION BY l_returnflag ORDER BY h64) AS rn FROM g),
+         |s AS (SELECT l_returnflag, h64 AS hk FROM r WHERE rn = 64),
+         |e AS (SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT)
+         |    AS exact_parts FROM lineitem GROUP BY 1)
+         |SELECT e.l_returnflag, e.exact_parts,
+         |  round(CASE WHEN nh.n_hashes <= 64 THEN CAST(nh.n_hashes AS DOUBLE)
+         |    ELSE CAST(63 AS DOUBLE) * CAST(18446744073709551616 AS DOUBLE)
+         |      / CAST(s.hk AS DOUBLE) END, 4) AS est_parts
+         |FROM e JOIN nh USING (l_returnflag)
+         |LEFT JOIN s USING (l_returnflag)""".stripMargin,
   )
 }
