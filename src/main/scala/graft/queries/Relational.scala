@@ -501,6 +501,31 @@ object Relational extends graft.QueryModule {
           .otherwise(lit((k - 1).toDouble) * two64 / hkD), 4).as("est_parts"))
   }
 
+  /** Equi-depth (equal-height) histogram — the planner-stats companion
+    * of the width-bucket [[histogram]]: 8 buckets of (near-)equal row
+    * count over `l_extendedprice`, each reporting its row count and true
+    * min/max price. Depth bucketing is `ntile`, which in its SQL form
+    * costs a SinglePartition global row sort; here it is
+    * [[graft.operators.Quantiles.ntileBy]] — the only total order runs
+    * over the bounded price-CELL distribution (floor(price/100), ~10³
+    * cells), with per-cell bounded windows for ties — so the row stream
+    * stays distributed at any scale. The cell+rowid ordering is the
+    * SPECIFIED ordering (replayed verbatim by the oracle's
+    * `ntile(8) OVER (ORDER BY cell, rid)`); min/max are order-free
+    * exact doubles. */
+  def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_extendedprice".as("price"),
+        ($"l_orderkey" * 10 + $"l_linenumber").as("rid"))
+    val total = li.agg(count(lit(1)).as("n"))
+    graft.operators.Quantiles.ntileBy(li,
+        floor($"price" / 100), $"rid", 8, total, "bucket")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"price").as("min_price"), max($"price").as("max_price"))
+  }
+
   /** Sketch-based distinct counting — the 100 TB path for
     * [[distinctCounts]]: HLL++ (approx_count_distinct) carries a ~KB
     * sketch per group through the shuffle instead of the full key set a
@@ -1284,6 +1309,7 @@ object Relational extends graft.QueryModule {
     "rel_pivot" -> pivotCounts,
     "rel_approx_distinct" -> approxDistinct,
     "rel_kmv_distinct" -> kmvDistinct,
+    "rel_equidepth_hist" -> equidepthHist,
     "rel_approx_percentiles" -> approxPercentiles,
     "rel_dataset_split" -> datasetSplit,
     "rel_cube_agg" -> cubeAgg,
@@ -1890,6 +1916,16 @@ object Relational extends graft.QueryModule {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "rel_equidepth_hist" ->
+      """WITH t AS (SELECT l_extendedprice AS price,
+        |    l_orderkey * 10 + l_linenumber AS rid,
+        |    CAST(floor(l_extendedprice / 100) AS BIGINT) AS cell
+        |  FROM lineitem),
+        |b AS (SELECT price, CAST(ntile(8) OVER (ORDER BY cell, rid) AS INT)
+        |    AS bucket FROM t)
+        |SELECT bucket, count(*) AS n_rows,
+        |  min(price) AS min_price, max(price) AS max_price
+        |FROM b GROUP BY 1""".stripMargin,
     "rel_kmv_distinct" ->
       s"""WITH pk AS (SELECT DISTINCT l_returnflag AS doc_id,
          |    CAST(l_partkey AS VARCHAR) AS t FROM lineitem),

@@ -73,6 +73,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("equi-depth histogram: no global row sort; matches the textbook ntile") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.queries.Relational.equidepthHist(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    // the lineitem row stream is never totally ordered (the curriculum-
+    // shards discipline): only the bounded price-cell distribution may
+    // sort single-partition
+    assert(!physical.matches("(?s).*Sort \\[[^\\]]*\\] true.*"), physical)
+    // same buckets as the single-partition textbook formulation
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_extendedprice").as("price"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+    val expected = li
+      .withColumn("bucket", ntile(8).over(
+        Window.orderBy(floor(col("price") / 100), col("rid"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val got = df.collect().map(r => (r.getInt(0), (r.getLong(1),
+      r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+  }
+
   test("hard negatives: queries broadcast; candidates never sort-merge or cartesian") {
     val df = graft.queries.SimilarityQueries.hardNegatives(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
