@@ -1484,6 +1484,58 @@ object AnalysisQueries extends graft.QueryModule {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the bounded-broadcast scale path
+    * for [[decontaminate]], WITH its false-positive audit. The exact
+    * path broadcasts the benchmark's raw 5-gram strings; at 100 TB
+    * benchmark suites the filter ships instead: k=3 bit positions per
+    * shingle in an m=65536-bit space, derived as
+    * pmod(xxh64("j:" || gram), m) — the engine's XXH64 replayed
+    * bit-for-bit in DuckDB ([[graft.core.XxHashSql]]), and m a POWER OF
+    * TWO so Spark's signed pmod equals DuckDB's unsigned mod (2^64 ≡ 0
+    * mod m). The filter is represented as the distinct set-bit position
+    * set (≤ m rows — bounded by construction, never by data); a corpus
+    * shingle is bloom-positive iff ALL k of its positions are set. The
+    * exact overlap rides along, so every row quantifies the filter's
+    * false positives (n_bloom ≥ n_exact always; the gap is the FP
+    * audit that sizes m·k for a real deployment). Deterministic
+    * end-to-end, so the sketch DECISION hash-gates — the KMV
+    * discipline applied to membership. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val m = 65536L
+    val k = 3
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    def positions(g: Column): Column = array((0 until k).map(j =>
+      pmod(graft.functions.TextFunctions.hash64(concat(lit(s"$j:"), g)),
+        lit(m))): _*)
+    val benchGrams = docs.filter(col("source") === "src0")
+      .select(explode(graft.operators.Dedup.shingles(col("text"), 5)).as("g"))
+      .distinct()
+    val bits = benchGrams.select(explode(positions(col("g"))).as("pos"))
+      .distinct()
+    val corpus = docs.filter(col("source") =!= "src0")
+    val grams = corpus.select(col("doc_id"),
+      explode(graft.operators.Dedup.shingles(col("text"), 5)).as("g"))
+    val bloom = grams
+      .select(col("doc_id"), col("g"), explode(positions(col("g"))).as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("nset"))
+      .filter(col("nset") === k) // every position set -> bloom-positive
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
+    val exact = grams.join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+    val nGrams = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    corpus.select(col("doc_id"))
+      .join(nGrams, Seq("doc_id"), "left_outer")
+      .join(exact, Seq("doc_id"), "left_outer")
+      .join(bloom, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+        (coalesce(col("n_exact"), lit(0L)) > 0).as("exact_contaminated"),
+        (coalesce(col("n_bloom"), lit(0L)) > 0).as("bloom_contaminated"))
+  }
+
   /** Sequence packing for training-data prep: greedily pack documents
     * (in deterministic doc_id order) into token-budget bins — the step
     * that turns a filtered corpus into fixed-length training sequences.
@@ -1867,6 +1919,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_kneser_ney" -> kneserNey,
     "ta_perplexity_buckets" -> perplexityBuckets,
     "ta_decontaminate" -> decontaminate,
+    "ta_bloom_decontaminate" -> bloomDecontaminate,
     "ta_pack_bins" -> packBins,
     "ta_unigram_logprob" -> unigramLogprob,
     "ta_repetition" -> repetition,
@@ -2475,6 +2528,43 @@ object AnalysisQueries extends graft.QueryModule {
          |SELECT s.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared,
          |  coalesce(h.n, 0) > 0 AS contaminated
          |FROM sh s LEFT JOIN hits h USING (doc_id)
+         |WHERE s.source <> 'src0'""".stripMargin,
+    "ta_bloom_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |              regexp_extract_all(text, '$re') AS ts FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |  CASE WHEN len(ts) >= 5 THEN list_distinct(
+         |    [array_to_string(list_slice(ts, i, i + 4), ' ')
+         |     for i in range(1, len(ts) - 5 + 2)])
+         |  ELSE [] END AS sh
+         |  FROM tok),
+         |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE source = 'src0'),
+         |bj AS (SELECT CAST(0 AS BIGINT) AS doc_id,
+         |    (CAST(r.j AS VARCHAR) || ':' || g) AS t
+         |  FROM bench CROSS JOIN range(3) r(j)),
+         |${graft.core.XxHashSql.hash64Ctes("bj", "bh", "bx")},
+         |bits AS (SELECT DISTINCT h64 % 65536 AS pos FROM bh),
+         |corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE source <> 'src0'),
+         |cj AS (SELECT doc_id, (CAST(r.j AS VARCHAR) || ':' || g) AS t
+         |  FROM corpus CROSS JOIN range(3) r(j)),
+         |${graft.core.XxHashSql.hash64Ctes("cj", "ch", "cx")},
+         |cp AS (SELECT doc_id, substr(t, 3) AS g, h64 % 65536 AS pos FROM ch),
+         |bloomhits AS (SELECT doc_id, g FROM cp JOIN bits USING (pos)
+         |  GROUP BY doc_id, g HAVING count(*) = 3),
+         |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+         |  FROM bloomhits GROUP BY 1),
+         |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM corpus JOIN bench USING (g) GROUP BY 1),
+         |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM corpus GROUP BY 1)
+         |SELECT s.doc_id,
+         |  CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(ne.n_exact, 0) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(nb.n_bloom, 0) AS BIGINT) AS n_bloom,
+         |  coalesce(ne.n_exact, 0) > 0 AS exact_contaminated,
+         |  coalesce(nb.n_bloom, 0) > 0 AS bloom_contaminated
+         |FROM sh s LEFT JOIN ng USING (doc_id) LEFT JOIN ne USING (doc_id)
+         |LEFT JOIN nb USING (doc_id)
          |WHERE s.source <> 'src0'""".stripMargin,
     "ta_pack_bins" ->
       s"""WITH RECURSIVE t AS (
