@@ -501,6 +501,48 @@ object Relational extends graft.QueryModule {
           .otherwise(lit((k - 1).toDouble) * two64 / hkD), 4).as("est_parts"))
   }
 
+  /** KMV sketch MERGE — the property that makes sketches matter at
+    * 100 TB: per-partition sketches combine into the whole-dataset
+    * sketch without re-scanning data. Builds the three per-returnflag
+    * KMV sketches of [[kmvDistinct]], merges them (union the sketch
+    * sets, keep the k smallest — KMV's closure: the k smallest of the
+    * per-group k-smallest ARE the global k smallest), and estimates the
+    * UNION's distinct-partkey count from the merged sketch alone. The
+    * DuckDB oracle computes the global sketch DIRECTLY from all hashes,
+    * so the hash-gate itself proves the mergability property, not just
+    * the arithmetic. Exact union count rides along for the error audit.
+    * Fallback is STRICT (< k): merged-set size saturates at >= k
+    * exactly when the global distinct count does, so both engines take
+    * the same branch. */
+  def kmvUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val flip = lit(Long.MinValue)
+    val two64 = lit(math.pow(2, 64))
+    val hashed = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_partkey",
+        graft.functions.TextFunctions.hash64($"l_partkey".cast("string"))
+          .bitwiseXOR(flip).as("hf"))
+    val perFlag = hashed.select($"l_returnflag", $"hf").distinct()
+      .groupBy($"l_returnflag")
+      .agg(graft.functions.TextFunctions.bottom_k_structs(struct($"hf"), k)
+        .as("mins"))
+    val merged = perFlag
+      .select(explode($"mins").as("m")).select($"m.hf".as("hf")).distinct()
+      .agg(count(lit(1)).as("n_merged"),
+        graft.functions.TextFunctions.bottom_k_structs(struct($"hf"), k)
+          .as("mins"))
+      .select($"n_merged",
+        array_max(transform($"mins", m => m("hf"))).bitwiseXOR(flip).as("hk"))
+    val exact = hashed.agg(countDistinct($"l_partkey").as("exact_union"))
+    val hkD = when($"hk" < 0, $"hk".cast("double") + two64)
+      .otherwise($"hk".cast("double"))
+    merged.crossJoin(exact)
+      .select($"exact_union",
+        round(when($"n_merged" < k, $"n_merged".cast("double"))
+          .otherwise(lit((k - 1).toDouble) * two64 / hkD), 4).as("est_union"))
+  }
+
   /** Equi-depth (equal-height) histogram — the planner-stats companion
     * of the width-bucket [[histogram]]: 8 buckets of (near-)equal row
     * count over `l_extendedprice`, each reporting its row count and true
@@ -1309,6 +1351,7 @@ object Relational extends graft.QueryModule {
     "rel_pivot" -> pivotCounts,
     "rel_approx_distinct" -> approxDistinct,
     "rel_kmv_distinct" -> kmvDistinct,
+    "rel_kmv_union" -> kmvUnion,
     "rel_equidepth_hist" -> equidepthHist,
     "rel_approx_percentiles" -> approxPercentiles,
     "rel_dataset_split" -> datasetSplit,
@@ -1926,6 +1969,25 @@ object Relational extends graft.QueryModule {
         |SELECT bucket, count(*) AS n_rows,
         |  min(price) AS min_price, max(price) AS max_price
         |FROM b GROUP BY 1""".stripMargin,
+    "rel_kmv_union" ->
+      s"""WITH pk AS (SELECT DISTINCT l_returnflag AS doc_id,
+         |    CAST(l_partkey AS VARCHAR) AS t FROM lineitem),
+         |${graft.core.XxHashSql.hash64Ctes("pk", "hh", "ux")},
+         |-- the DIRECT global sketch: k smallest distinct hashes over
+         |-- the whole table (the Spark side MERGES per-flag sketches;
+         |-- KMV closure makes them identical, so this gate proves the
+         |-- mergability property itself)
+         |g AS (SELECT h64 FROM hh GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_global FROM g),
+         |r AS (SELECT h64, row_number() OVER (ORDER BY h64) AS rn FROM g),
+         |s AS (SELECT h64 AS hk FROM r WHERE rn = 64),
+         |e AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+         |    AS exact_union FROM lineitem)
+         |SELECT e.exact_union,
+         |  round(CASE WHEN n.n_global < 64 THEN CAST(n.n_global AS DOUBLE)
+         |    ELSE CAST(63 AS DOUBLE) * CAST(18446744073709551616 AS DOUBLE)
+         |      / CAST(s.hk AS DOUBLE) END, 4) AS est_union
+         |FROM e CROSS JOIN n LEFT JOIN s ON true""".stripMargin,
     "rel_kmv_distinct" ->
       s"""WITH pk AS (SELECT DISTINCT l_returnflag AS doc_id,
          |    CAST(l_partkey AS VARCHAR) AS t FROM lineitem),
