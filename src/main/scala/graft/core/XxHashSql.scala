@@ -268,4 +268,54 @@ object XxHashSql {
        |JOIN mcnt cb ON cb.doc_id = m.doc_b
        |WHERE m.inter * 1.0 / (ca.n + cb.n - m.inter) >= $threshold""".stripMargin
   }
+
+  /** Full SQL replaying [[graft.operators.Dedup.winnowingPairs]]: ordered
+    * (duplicate-keeping) k-shingles, XXH64 each DISTINCT shingle string
+    * once, reassemble per-doc ordered hash lists, take every w-window
+    * minimum in the sign-bit-flipped domain (UBIGINT min there = the
+    * kernel's SIGNED long min — the `mmin` discipline), distinct the
+    * selected values, and run the same postings-cap pair join. Emits
+    * (doc_a, doc_b, n_shared, n_a, n_b, score). */
+  def winnowingPairsSql(re: String, k: Int, w: Int, minShared: Int,
+      dfCap: Int): String = {
+    val flip = "9223372036854775808::UBIGINT"
+    s"""WITH wt AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts FROM documents),
+       |wsh AS (
+       |  SELECT doc_id,
+       |    [array_to_string(list_slice(ts, i, i + ${k - 1}), ' ')
+       |     for i in range(1, len(ts) - $k + 2)] AS ss
+       |  FROM wt WHERE len(ts) >= ${k + w - 1}),
+       |wdis AS (
+       |  SELECT DISTINCT 0 AS doc_id, t
+       |  FROM (SELECT unnest(ss) AS t FROM wsh)),
+       |${hash64Ctes("wdis", "whash", "wxx")},
+       |wpos AS (
+       |  SELECT doc_id, unnest(ss) AS t,
+       |    unnest(range(1, len(ss) + 1)) AS pos
+       |  FROM wsh),
+       |whl AS (
+       |  SELECT p.doc_id, list(xor(h.h64, $flip) ORDER BY p.pos) AS hs
+       |  FROM wpos p JOIN whash h ON p.t = h.t GROUP BY p.doc_id),
+       |wfp AS (
+       |  SELECT doc_id, list_distinct(
+       |    [list_aggregate(list_slice(hs, j, j + ${w - 1}), 'min')
+       |     for j in range(1, len(hs) - $w + 2)]) AS fps
+       |  FROM whl),
+       |wcnt AS (SELECT doc_id, len(fps) AS n FROM wfp),
+       |wexp AS (SELECT doc_id, unnest(fps) AS fp FROM wfp),
+       |wpost AS (
+       |  SELECT fp, list(doc_id ORDER BY doc_id) AS ids FROM wexp
+       |  GROUP BY fp HAVING count(*) BETWEEN 2 AND $dfCap),
+       |wshared AS (
+       |  SELECT ia.a AS doc_a, ib.a AS doc_b, count(*) AS n_shared
+       |  FROM wpost, unnest(ids) AS ia(a), unnest(ids) AS ib(a)
+       |  WHERE ia.a < ib.a GROUP BY ia.a, ib.a)
+       |SELECT s.doc_a, s.doc_b, s.n_shared, ca.n AS n_a, cb.n AS n_b,
+       |  round(CAST(s.n_shared AS DOUBLE) / least(ca.n, cb.n), 6) AS score
+       |FROM wshared s
+       |JOIN wcnt ca ON ca.doc_id = s.doc_a
+       |JOIN wcnt cb ON cb.doc_id = s.doc_b
+       |WHERE s.n_shared >= $minShared""".stripMargin
+  }
 }

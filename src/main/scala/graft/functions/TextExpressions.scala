@@ -240,6 +240,71 @@ object TextKernels {
     }
     new GenericArrayData(mins.map(x => x: Any))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS local document fingerprinting scheme): hash
+    * every ORDERED k-token shingle (XXH64 seed 0, same base hash as the
+    * MinHash family) and keep the minimum hash of every w-consecutive
+    * window, returning the DISTINCT selected values sorted ascending.
+    *
+    * Guarantee (the reason winnowing beats uniform hash sampling, mod-p
+    * selection, etc.): any shared token run of length >= k + w - 1
+    * between two documents contributes at least one COMMON fingerprint —
+    * the shared window's minimum is the same value in both. Expected
+    * sampling density is 2/(w+1) of all shingles, so the downstream
+    * inverted index is ~w/2 x smaller than the full-shingle one at the
+    * same local-match guarantee.
+    *
+    * Windows slide over SHINGLE positions (duplicates kept — this is NOT
+    * [[shingles]], which dedups); the window minimum uses SIGNED long
+    * order, replayed in DuckDB by the sign-bit-flip trick
+    * ([[graft.core.XxHashSql]] `mmin` discipline). Docs with fewer than
+    * k + w - 1 tokens (no complete window) emit an empty array. O(n)
+    * via a monotonic deque. */
+  def winnow(t: UTF8String, kv: Int, wv: Int): ArrayData = {
+    if (kv < 1 || wv < 1) throw new IllegalArgumentException(
+      s"winnow_fingerprints: k ($kv) and w ($wv) must be >= 1")
+    val s = t.toString
+    val offs = Tokenizer.tokenize(s)
+    val n = offs.length / 2
+    val m = n - kv + 1 // shingle count
+    if (m < wv) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(
+        offs(2 * (i + kv - 1) + 1) - offs(2 * i) + kv)
+      var j = i
+      while (j < i + kv) {
+        if (j > i) sb.append(' ')
+        sb.append(s, offs(2 * j), offs(2 * j + 1))
+        j += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 0L)
+      i += 1
+    }
+    // monotonic deque of indices; >= pop keeps the RIGHTMOST minimum on
+    // ties (the paper's robust-winnowing rule — value-set unaffected)
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    val sel = new java.util.TreeSet[java.lang.Long]
+    var p = 0
+    while (p < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(p)) tail -= 1
+      dq(tail) = p; tail += 1
+      if (dq(head) <= p - wv) head += 1
+      if (p >= wv - 1) sel.add(hs(dq(head)))
+      p += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next().longValue(); x += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** `truncate_tokens(text, maxTokens, mode)` — token-budget truncation with
@@ -489,6 +554,29 @@ case class Hash64(child: Expression)
   override def prettyName: String = "hash64"
 }
 
+/** `winnow_fingerprints(text, k, w)` — distinct winnowing-selected
+  * shingle hashes, ascending ([[TextKernels.winnow]] for semantics and
+  * the local-match guarantee). Codegen-participating: the scan stays
+  * inside WholeStageCodegen and only the (sampled, ~2/(w+1) density)
+  * fingerprint array reaches the downstream explode. */
+case class WinnowFingerprints(text: Expression, k: Expression, w: Expression)
+    extends TernaryExpression {
+  override def first: Expression = text
+  override def second: Expression = k
+  override def third: Expression = w
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, kk: Any, ww: Any): Any =
+    TextKernels.winnow(t.asInstanceOf[UTF8String],
+      kk.asInstanceOf[Int], ww.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, kk, ww) =>
+      s"graft.functions.TextKernels.winnow($t, $kk, $ww)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowFingerprints =
+    copy(f, s, t)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 /** Static forwarder for [[Hash64]] codegen (the [[TextKernels]]
   * discipline: one kernel shared by interpreted eval and Janino code). */
 object HashKernel {
@@ -555,6 +643,8 @@ object TextFunctions {
   }
   def minhash_bands(c: Column, numHashes: Column, bands: Column): Column =
     col(MinHashBands(ex(c), ex(numHashes), ex(bands)))
+  def winnow_fingerprints(c: Column, k: Column, w: Column): Column =
+    col(WinnowFingerprints(ex(c), ex(k), ex(w)))
   def hash64(c: Column): Column = col(Hash64(ex(c)))
   def minhash_sig(c: Column, numHashes: Column): Column =
     col(MinHashSig(ex(c), ex(numHashes)))
@@ -590,5 +680,7 @@ object TextFunctions {
       es => TermCounts(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("hash64",
       es => Hash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      es => WinnowFingerprints(es(0), es(1), es(2)), "scala_udf")
   }
 }

@@ -250,6 +250,53 @@ object Dedup {
         when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
           .as("contained_id"))
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS scheme; reference corpus-analytics analog:
+    * the near-dup detection seam the chunk cache dedups exact-only,
+    * src/utils/document_processing.py:60-77). Per doc, the
+    * [[graft.functions.WinnowFingerprints]] expression selects the
+    * min-hash of every w-window of consecutive k-shingle XXH64s — a
+    * ~2/(w+1)-density LOCAL sample with the guarantee that any shared
+    * token run of length >= k + w - 1 yields a shared fingerprint. The
+    * pair join is then the standard inverted-index postings plan
+    * ([[ngramJaccardPairs]] shape) over the SAMPLED fingerprints, so the
+    * exchange is ~w/2 x smaller than the full-shingle index at the same
+    * guarantee — the 100 TB plagiarism/boilerplate detector.
+    *
+    * Output per surviving pair: shared-fingerprint count and the
+    * containment-style score c / min(|A|, |B|) over fingerprint SETS.
+    * Fingerprints hotter than `dfCap` docs (global boilerplate) are
+    * dropped with an observed metric, exactly the n-gram index's cap
+    * discipline. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 2,
+      dfCap: Int = 256): DataFrame = {
+    val fps = docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.winnow_fingerprints(
+          col(textCol), lit(k), lit(w)).as("fps"))
+      .select(struct(col(idCol).as("id"),
+        size(col("fps")).cast("long").as("n")).as("d"), col("fps"))
+    fps
+      .select(col("d"), explode(col("fps")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .observe("winnowing",
+        sum(when(size(col("ds")) > dfCap, 1).otherwise(0))
+          .as("dropped_hot_fingerprints"))
+      .filter(size(col("ds")) <= dfCap)
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .groupBy(col("p._1.id").as("doc_a"), col("p._2.id").as("doc_b"),
+        col("p._1.n").as("n_a"), col("p._2.n").as("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("score"))
+  }
+
   /** Shared core of the exact set-similarity family: per candidate pair
     * (doc_a < doc_b, same block), the shingle-set sizes and the shared
     * distinct-shingle count c. See [[ngramJaccardPairs]] for the plan

@@ -83,6 +83,21 @@ object DedupQueries extends graft.QueryModule {
     Dedup.ngramContainmentPairs(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", "lang", k = 3, threshold = 0.5)
 
+  private val WinnowK = 4
+  private val WinnowW = 4
+  private val WinnowMinShared = 2
+  private val WinnowDfCap = 256
+
+  /** Winnowing fingerprint near-dups ([[Dedup.winnowingPairs]]) — the
+    * guaranteed-local-match sampled index: pairs sharing >= 2 selected
+    * fingerprints, scored by shared / min fingerprint-set size. The
+    * oracle replays the full scheme (ordered shingles -> XXH64 ->
+    * flipped-domain window minima -> postings cap) in DuckDB. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingPairs(Tables.loadSpread(spark, dir, "documents"),
+      "doc_id", "text", k = WinnowK, w = WinnowW,
+      minShared = WinnowMinShared, dfCap = WinnowDfCap)
+
   /** Canonicalized ("fuzzy-exact") dedup — the standard web-corpus trick
     * that catches trivially-reformatted copies exact hashing misses:
     * lowercase, collapse every non-alphanumeric run to one space, trim,
@@ -472,6 +487,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_weights" -> dedupWeights,
     "dedup_rates_by_source" -> ratesBySource,
     "dedup_containment" -> containment,
+    "dedup_winnowing" -> winnowing,
     "ta_dedup_aware_mix" -> dedupAwareMix,
   )
 
@@ -639,6 +655,8 @@ object DedupQueries extends graft.QueryModule {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS n_pairs_ge
          |FROM h""".stripMargin,
+    "dedup_winnowing" -> graft.core.XxHashSql.winnowingPairsSql(
+      re, WinnowK, WinnowW, WinnowMinShared, WinnowDfCap),
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
