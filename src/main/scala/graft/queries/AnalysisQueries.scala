@@ -1798,6 +1798,69 @@ object AnalysisQueries extends graft.QueryModule {
           * lit(1.0) / sum(col("class_size")), 6).as("suppression_frac"))
   }
 
+  private val CusumSlack = 0.5
+  private val CusumAlarm = 5.0
+
+  /** CUSUM changepoint detection over the daily event-volume series —
+    * the batch drift monitor complementing the streaming window-count
+    * drift query: per event type, standardize the daily counts and run
+    * the two-sided cumulative-sum statistic with slack k = 0.5σ, alarm
+    * at h = 5σ (Page 1954's sequential test in its standard form).
+    *
+    * Scale + replay design: the textbook recurrence
+    * S+_d = max(0, S+_{d-1} + z_d - k) is NOT computed as a sequential
+    * fold — it has the closed form S+_d = P_d - min(0, min_{j<=d} P_j)
+    * over the drift prefix P_d = sum_{j<=d}(z_j - k), and because
+    * z_j = (x_j - mean)/std with INTEGER daily counts x, P_d itself
+    * collapses to a POINTWISE expression of the integer prefix sum
+    * X_d = sum_{j<=d} x_j:  P_d = (X_d - d*mean)/std - d*k. So the only
+    * window accumulations are over BIGINTs (exact, order-free) and a
+    * running MIN of doubles (comparison-only, order-free) — zero
+    * float-addition order sensitivity, which is what lets DuckDB replay
+    * the statistic bit-for-bit. mean/std likewise derive from exact
+    * integer sums. State per group = one row per day: bounded by the
+    * calendar, not the corpus. */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rnD = col("rn").cast("double")
+    val joined = daily
+      .withColumn("xsum", sum(col("x")).over(wc))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(stats), "event_type")
+      .withColumn("mean", col("sum_x").cast("double") / col("n").cast("double"))
+      .withColumn("variance",
+        (col("sum_x2").cast("double") -
+          col("sum_x").cast("double") * col("sum_x").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0)))
+      .withColumn("std", sqrt(col("variance")))
+      .withColumn("pu",
+        when(col("std") === 0.0, rnD * lit(-CusumSlack))
+          .otherwise((col("xsum").cast("double") - rnD * col("mean")) /
+            col("std") - rnD * lit(CusumSlack)))
+      .withColumn("pd",
+        when(col("std") === 0.0, rnD * lit(-CusumSlack))
+          .otherwise((rnD * col("mean") - col("xsum").cast("double")) /
+            col("std") - rnD * lit(CusumSlack)))
+    joined
+      .withColumn("splus", col("pu") - least(min(col("pu")).over(wc), lit(0.0)))
+      .withColumn("sminus", col("pd") - least(min(col("pd")).over(wc), lit(0.0)))
+      .select(col("event_type"), col("day"), col("x"),
+        round(col("splus"), 6).as("cusum_up"),
+        round(col("sminus"), 6).as("cusum_down"),
+        (col("splus") > CusumAlarm || col("sminus") > CusumAlarm).as("alarm"))
+  }
+
   /** Count-min-sketch point queries over the term stream (the mergeable
     * frequency summary complementing [[heavyHitters]]' top-k sketch):
     * one constant-memory pass builds the sketch (partials merge
@@ -1913,6 +1976,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_charset_quality" -> charsetQuality,
     "ta_source_mix" -> sourceMix,
     "ta_k_anonymity" -> kAnonymity,
+    "ta_cusum_drift" -> cusumDrift,
     "ta_cms_counts" -> cmsCounts,
     "ta_source_mix_temperature" -> sourceMixTemperature,
     "ta_bigram_logprob" -> bigramLogprob,
@@ -2587,6 +2651,49 @@ object AnalysisQueries extends graft.QueryModule {
          |    AND r.rn = p.rn + 1)
          |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
          |FROM p""".stripMargin,
+    "ta_cusum_drift" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |    count(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |st AS (
+         |  SELECT event_type, CAST(sum(x) AS BIGINT) AS sum_x,
+         |    CAST(sum(x * x) AS BIGINT) AS sum_x2, count(*) AS n
+         |  FROM daily GROUP BY 1),
+         |pre AS (
+         |  SELECT d.event_type, d.day, d.x,
+         |    CAST(sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS xsum,
+         |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn,
+         |    CAST(s.sum_x AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean,
+         |    sqrt((CAST(s.sum_x2 AS DOUBLE) -
+         |      CAST(s.sum_x AS DOUBLE) * CAST(s.sum_x AS DOUBLE) /
+         |        CAST(s.n AS DOUBLE)) /
+         |      (CAST(s.n AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS std
+         |  FROM daily d JOIN st s ON d.event_type = s.event_type),
+         |pp AS (
+         |  SELECT event_type, day, x,
+         |    CASE WHEN std = CAST(0.0 AS DOUBLE)
+         |      THEN CAST(rn AS DOUBLE) * CAST(-$CusumSlack AS DOUBLE)
+         |      ELSE (CAST(xsum AS DOUBLE) - CAST(rn AS DOUBLE) * mean) / std
+         |        - CAST(rn AS DOUBLE) * CAST($CusumSlack AS DOUBLE) END AS pu,
+         |    CASE WHEN std = CAST(0.0 AS DOUBLE)
+         |      THEN CAST(rn AS DOUBLE) * CAST(-$CusumSlack AS DOUBLE)
+         |      ELSE (CAST(rn AS DOUBLE) * mean - CAST(xsum AS DOUBLE)) / std
+         |        - CAST(rn AS DOUBLE) * CAST($CusumSlack AS DOUBLE) END AS pd
+         |  FROM pre),
+         |cs AS (
+         |  SELECT event_type, day, x,
+         |    pu - least(min(pu) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING), CAST(0.0 AS DOUBLE)) AS splus,
+         |    pd - least(min(pd) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING), CAST(0.0 AS DOUBLE)) AS sminus
+         |  FROM pp)
+         |SELECT event_type, day, x, round(splus, 6) AS cusum_up,
+         |  round(sminus, 6) AS cusum_down,
+         |  (splus > CAST($CusumAlarm AS DOUBLE) OR
+         |   sminus > CAST($CusumAlarm AS DOUBLE)) AS alarm
+         |FROM cs""".stripMargin,
     "ta_k_anonymity" ->
       """WITH cls AS (SELECT c_mktsegment, c_nationkey, count(*) AS class_size
         |  FROM customer GROUP BY 1, 2)

@@ -538,4 +538,51 @@ class TrainingDataSpec extends SparkSpec {
       assert(math.abs(recall - nHit / 5.0) < 1e-9)
     }
   }
+
+  test("cusum drift: closed form equals the sequential recurrence; shifts alarm") {
+    // The production plan computes S+ via the prefix-sum closed form
+    // (P_d - min(0, min P_j)) with pointwise float math; this pins it
+    // against the textbook recurrence S_d = max(0, S_{d-1} + z_d - k)
+    // run sequentially on the driver, on real sf0.001 events.
+    val out = queries.AnalysisQueries.cusumDrift(spark, sf)
+      .orderBy(col("event_type"), col("day")).collect()
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    assert(byType.nonEmpty)
+    byType.foreach { case (_, rows) =>
+      val xs = rows.map(_.getAs[Long]("x").toDouble)
+      val n = xs.length
+      val mean = xs.sum / n
+      val std = math.sqrt(xs.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+      var sp = 0.0; var sm = 0.0
+      rows.zip(xs).foreach { case (r, x) =>
+        val z = if (std == 0.0) 0.0 else (x - mean) / std
+        sp = math.max(0.0, sp + z - 0.5)
+        sm = math.max(0.0, sm - z - 0.5)
+        // closed form vs recurrence agree to float-reassociation slack
+        assert(math.abs(r.getAs[Double]("cusum_up") - sp) < 1e-6,
+          s"up ${r.getAs[Double]("cusum_up")} vs $sp")
+        assert(math.abs(r.getAs[Double]("cusum_down") - sm) < 1e-6)
+      }
+    }
+    // an injected mean shift must raise the alarm after the changepoint
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val shifted = (0 until 60).map { i =>
+      (java.sql.Timestamp.valueOf(d0.plusDays(i).atTime(12, 0)),
+        if (i < 40) 100 else 200)
+    }.flatMap { case (ts, cnt) => Seq.fill(cnt)((1L, ts, 1L, "shift", 1.0, "{}")) }
+    val ev = spark.createDataFrame(shifted)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("cusum").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val res = queries.AnalysisQueries.cusumDrift(spark, tmp)
+      .orderBy(col("day")).collect()
+    // retrospective standardization puts BOTH regimes off the global
+    // mean: the low regime drifts the DOWNWARD statistic, the high
+    // regime the UPWARD one — assert each fires only on its own side
+    assert(res.drop(40).exists(_.getAs[Double]("cusum_up") > 5.0),
+      "no upward alarm after a 2x level shift")
+    assert(!res.take(40).exists(_.getAs[Double]("cusum_up") > 5.0))
+    assert(res.take(40).exists(_.getAs[Double]("cusum_down") > 5.0),
+      "low regime should drift the downward statistic")
+  }
 }
