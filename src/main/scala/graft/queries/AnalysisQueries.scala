@@ -149,6 +149,46 @@ object AnalysisQueries extends graft.QueryModule {
         round(abs(col("mean_p") - col("frac_pos")), 6).as("gap"))
   }
 
+  /** Decile lift/gains table of the trained quality classifier — the
+    * "is the model worth using as a ranker" audit that complements
+    * [[qualityCalibration]]'s "can I trust the probabilities": rank all
+    * docs by predicted score (exact rank deciles, not p-value bins),
+    * and per decile report the positive rate, the cumulative share of
+    * all positives captured, and the cumulative lift over the base
+    * rate. Decile 1 of a useful model captures far more than 10% of
+    * positives; lift ~1 everywhere means the scores are noise.
+    *
+    * Ranking uses [[Quantiles.ntileBy]] over the 4-dp score
+    * distribution (doc_id tiebreak) — exact SQL `ntile(10) OVER
+    * (ORDER BY p DESC, doc_id)` without a global row sort. Everything
+    * after is integer counts; the final rates divide exact BIGINTs, so
+    * the curve replays bit-for-bit. Rides the [[cachedQualityLr]]
+    * score table (primary `ta_quality_lr` stays uncached). */
+  def qualityLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = cachedQualityLr(spark, dir)
+    val total = scored.agg(count(lit(1)).as("n"))
+    val dec = graft.operators.Quantiles.ntileBy(
+      scored, -col("p"), col("doc_id"), 10, total, "decile")
+    val g = dec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).cast("long").as("n_pos"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // <= 10 rows
+    val totals = scored.agg(count(lit(1)).as("tot_n"),
+      sum(col("label")).cast("long").as("tot_pos"))
+    g.withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .crossJoin(broadcast(totals))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("cum_pos").cast("double") / col("tot_pos").cast("double"), 6)
+          .as("captured"),
+        round((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+          (col("tot_pos").cast("double") / col("tot_n").cast("double")), 6)
+          .as("lift"))
+  }
+
   /** Closed-form per-language OLS fit of the composite quality score
     * against document length (n_chars) — the descriptive-statistics move
     * behind scaling-law / calibration plots ("does quality drift with
@@ -1798,6 +1838,39 @@ object AnalysisQueries extends graft.QueryModule {
           * lit(1.0) / sum(col("class_size")), 6).as("suppression_frac"))
   }
 
+  private val LDiversityL = 4
+
+  /** l-diversity audit over the same quasi-identifier classes as
+    * [[kAnonymity]] — the stronger release gate: a class can be large
+    * (k-anonymous) yet expose its members anyway if nearly everyone in
+    * it shares one sensitive value (homogeneity attack; Machanavajjhala
+    * et al., ICDE'06). Sensitive attribute here: the account-balance
+    * band (2000-wide buckets). Per (segment, nation) class: size,
+    * DISTINCT sensitive values, the dominant band's share (exact
+    * integer argmax via a packed max — no window sort), and the
+    * distinct-l >= 4 verdict. Two map-side-combined aggregations;
+    * trivially scale-safe. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.load(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("bn"))
+    // dominant band share via a packed (count, band) max: band fits in
+    // 16 bits biased by 8 — exact, order-free, and replayable; ties
+    // break toward the LARGER band id in both engines
+    bands
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(sum(col("bn")).as("class_size"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("bn") * 65536L + (col("band") + 8L)).as("packed"))
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        col("class_size"), col("n_sensitive"),
+        round(shiftright(col("packed"), 16).cast("double") /
+          col("class_size").cast("double"), 6).as("dominant_share"),
+        (col("n_sensitive") >= LDiversityL).as("l_diverse"))
+  }
+
   private val CusumSlack = 0.5
   private val CusumAlarm = 5.0
 
@@ -1976,6 +2049,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_charset_quality" -> charsetQuality,
     "ta_source_mix" -> sourceMix,
     "ta_k_anonymity" -> kAnonymity,
+    "ta_l_diversity" -> lDiversity,
     "ta_cusum_drift" -> cusumDrift,
     "ta_cms_counts" -> cmsCounts,
     "ta_source_mix_temperature" -> sourceMixTemperature,
@@ -1991,6 +2065,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_quality" -> quality,
     "ta_quality_lr" -> qualityLr,
     "ta_quality_calibration" -> qualityCalibration,
+    "ta_quality_lift" -> qualityLift,
     "ta_length_quality_fit" -> lengthQualityFit,
     "ta_gopher_rules" -> gopherRules,
     "ta_dsir_weights" -> dsirWeights,
@@ -2651,6 +2726,19 @@ object AnalysisQueries extends graft.QueryModule {
          |    AND r.rn = p.rn + 1)
          |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
          |FROM p""".stripMargin,
+    "ta_l_diversity" ->
+      s"""WITH bd AS (
+         |  SELECT c_mktsegment, c_nationkey,
+         |    CAST(floor(c_acctbal / CAST(2000.0 AS DOUBLE)) AS BIGINT) AS band,
+         |    count(*) AS bn
+         |  FROM customer GROUP BY 1, 2, 3)
+         |SELECT c_mktsegment, c_nationkey,
+         |  CAST(sum(bn) AS BIGINT) AS class_size,
+         |  count(*) AS n_sensitive,
+         |  round(CAST(max(bn * 65536 + (band + 8)) >> 16 AS DOUBLE) /
+         |    CAST(sum(bn) AS DOUBLE), 6) AS dominant_share,
+         |  (count(*) >= $LDiversityL) AS l_diverse
+         |FROM bd GROUP BY 1, 2""".stripMargin,
     "ta_cusum_drift" ->
       s"""WITH daily AS (
          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -2892,6 +2980,27 @@ object AnalysisQueries extends graft.QueryModule {
          |FROM fd JOIN v$BpeRounds v USING (word)
          |GROUP BY fd.lang""".stripMargin,
     "ta_quality_lr" -> qualityLrOracle,
+    "ta_quality_lift" ->
+      s"""WITH lr AS ($qualityLrOracle),
+         |dd AS (SELECT doc_id, label,
+         |    ntile(10) OVER (ORDER BY p DESC, doc_id) AS decile FROM lr),
+         |g AS (SELECT decile, count(*) AS n,
+         |    CAST(sum(label) AS BIGINT) AS n_pos FROM dd GROUP BY 1),
+         |c AS (SELECT decile, n, n_pos,
+         |    CAST(sum(n) OVER (ORDER BY decile
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         |    CAST(sum(n_pos) OVER (ORDER BY decile
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+         |  FROM g),
+         |t AS (SELECT count(*) AS tot_n, CAST(sum(label) AS BIGINT) AS tot_pos
+         |  FROM lr)
+         |SELECT decile, n, n_pos,
+         |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+         |  round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6)
+         |    AS captured,
+         |  round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
+         |    (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6) AS lift
+         |FROM c CROSS JOIN t""".stripMargin,
     "ta_quality_calibration" ->
       s"""WITH lr AS ($qualityLrOracle),
          |b AS (SELECT CAST(least(floor(p * 10), 9.0) AS INT) AS bin,

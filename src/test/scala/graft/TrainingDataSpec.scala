@@ -565,6 +565,10 @@ class TrainingDataSpec extends SparkSpec {
       }
     }
     // an injected mean shift must raise the alarm after the changepoint
+    checkShiftAlarm()
+  }
+
+  private def checkShiftAlarm(): Unit = {
     val d0 = java.time.LocalDate.of(2024, 1, 1)
     val shifted = (0 until 60).map { i =>
       (java.sql.Timestamp.valueOf(d0.plusDays(i).atTime(12, 0)),
@@ -584,5 +588,49 @@ class TrainingDataSpec extends SparkSpec {
     assert(!res.take(40).exists(_.getAs[Double]("cusum_up") > 5.0))
     assert(res.take(40).exists(_.getAs[Double]("cusum_down") > 5.0),
       "low regime should drift the downward statistic")
+  }
+
+  test("quality lift: deciles partition the corpus, captured monotone to 1") {
+    val rows = queries.AnalysisQueries.qualityLift(spark, sf)
+      .orderBy(col("decile")).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to rows.length))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val scored = queries.AnalysisQueries.qualityLr(spark, sf).count()
+    assert(total === scored)
+    // exact-ntile balance: decile sizes differ by at most 1
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.max - ns.min <= 1)
+    val caps = rows.map(_.getAs[Double]("captured"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(caps.last - 1.0) < 1e-9)
+    // lift of the FULL population is 1 by construction
+    assert(math.abs(rows.last.getAs[Double]("lift") - 1.0) < 1e-9)
+    // and a working model ranks positives up: decile-1 rate >= overall
+    val overall = rows.map(_.getAs[Long]("n_pos")).sum.toDouble / total
+    assert(rows.head.getAs[Double]("pos_rate") >= overall)
+  }
+
+  test("l-diversity: class stats match a naive recomputation") {
+    val got = queries.AnalysisQueries.lDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("band"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+    val naive = cust.groupBy(_._1).map { case (k, vs) =>
+      val bands = vs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      (k, vs.size.toLong, bands.size.toLong, bands.values.max)
+    }
+    assert(got.size === naive.size)
+    naive.foreach { case (k, size, nSens, domN) =>
+      val r = got(k)
+      assert(r.getAs[Long]("class_size") === size)
+      assert(r.getAs[Long]("n_sensitive") === nSens)
+      assert(math.abs(r.getAs[Double]("dominant_share") -
+        BigDecimal(domN.toDouble / size).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(r.getAs[Boolean]("l_diverse") === (nSens >= 4))
+    }
   }
 }
