@@ -632,6 +632,30 @@ object Relational extends graft.QueryModule {
         max($"gap_sec").as("max_gap"))
   }
 
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence — the behavioral-model summary (what follows what, with
+    * what probability). One user-partitioned lag window (same shuffle
+    * shape as [[eventGaps]]; (ts, event_id) makes the order total), then
+    * an exact (prev, next) count aggregation; transition probabilities
+    * divide exact BIGINTs per prev-type row, so the matrix replays
+    * bit-for-bit. Per-user state never leaves its partition; the final
+    * matrix is |types|^2 rows — bounded by the vocabulary, not the
+    * corpus. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val pairs = Tables.load(spark, dir, "events")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy($"prev_type")
+      .agg(sum($"n").as("row_total"))
+    pairs.join(totals, "prev_type")
+      .select($"prev_type", $"next_type", $"n",
+        round($"n".cast("double") / $"row_total".cast("double"), 6).as("p"))
+  }
+
   /** Gaps-and-islands interval merge: collapse each user's event stream
     * into maximal activity intervals — consecutive events <= 300 s apart
     * merge; a longer gap opens a new interval. The island id is the
@@ -1346,6 +1370,7 @@ object Relational extends graft.QueryModule {
     "rel_ewma" -> ewmaAnomaly,
     "rel_skew_report" -> skewReport,
     "rel_event_gaps" -> eventGaps,
+    "rel_event_transitions" -> eventTransitions,
     "rel_interval_merge" -> intervalMerge,
     "rel_set_ops" -> setOps,
     "rel_pivot" -> pivotCounts,
@@ -1574,6 +1599,21 @@ object Relational extends graft.QueryModule {
         |  round(min(value), 4) AS min_value,
         |  round(max(value), 4) AS max_value
         |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
+    "rel_event_transitions" ->
+      """WITH pr AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6) AS p
+        |FROM cnt c JOIN tot t ON c.prev_type = t.prev_type""".stripMargin,
     "rel_event_gaps" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -181,4 +181,30 @@ class RelationalSpec extends SparkSpec {
       s"skyline must not use a single-partition window:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("event transitions: row-stochastic, counts match a naive driver pass") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.eventTransitions(spark, sf).collect()
+    // each prev-type row of the matrix sums to ~1 (rounding slack 6dp)
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-4)
+    }
+    // counts equal a naive per-user sequential scan
+    val evs = graft.core.Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val naive = new scala.collection.mutable.HashMap[(String, String), Long]
+    evs.groupBy(_._1).foreach { case (_, es) =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.zip(seq.drop(1)).foreach { case (a, b) =>
+        naive((a, b)) = naive.getOrElse((a, b), 0L) + 1 }
+    }
+    assert(rows.length === naive.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("prev_type"), r.getAs[String]("next_type"))
+      assert(r.getAs[Long]("n") === naive(k), s"$k")
+    }
+  }
 }
