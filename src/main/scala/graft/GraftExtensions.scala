@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => functions.TermCounts(es.head)))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"), info("winnow_fingerprints"),
       (es: Seq[Expression]) => functions.WinnowFingerprints(es(0), es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("lcs_tokens"), info("lcs_tokens"),
+      (es: Seq[Expression]) => functions.LcsTokens(es(0), es(1), es(2))))
     e.injectOptimizerRule(_ => plans.TokenFilterStrengthen)
   }
 }

@@ -241,6 +241,41 @@ object TextKernels {
     new GenericArrayData(mins.map(x => x: Any))
   }
 
+  /** Token-level longest-common-subsequence length over the first
+    * `maxT` engine tokens of each side — the ROUGE-L core statistic
+    * (Lin, 2004). Classic two-row O(n*m) DP; the cap bounds per-row
+    * cost by construction (answer-scale texts — the cap is the metric's
+    * documented domain, not an optimization shortcut, and it is what
+    * keeps the DuckDB replay's recursive DP tractable). */
+  def lcsTokens(a: UTF8String, b: UTF8String, maxT: Int): Int = {
+    if (maxT < 1) throw new IllegalArgumentException(
+      s"lcs_tokens: maxT ($maxT) must be >= 1")
+    def toks(u: UTF8String): Array[String] = {
+      val s = u.toString
+      val offs = Tokenizer.tokenize(s)
+      val n = math.min(offs.length / 2, maxT)
+      Array.tabulate(n)(i => s.substring(offs(2 * i), offs(2 * i + 1)))
+    }
+    val ta = toks(a)
+    val tb = toks(b)
+    if (ta.isEmpty || tb.isEmpty) return 0
+    var prev = new Array[Int](tb.length + 1)
+    var cur = new Array[Int](tb.length + 1)
+    var i = 0
+    while (i < ta.length) {
+      var j = 0
+      while (j < tb.length) {
+        cur(j + 1) =
+          if (ta(i) == tb(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(tb.length)
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03 — the MOSS local document fingerprinting scheme): hash
     * every ORDERED k-token shingle (XXH64 seed 0, same base hash as the
@@ -554,6 +589,26 @@ case class Hash64(child: Expression)
   override def prettyName: String = "hash64"
 }
 
+/** `lcs_tokens(a, b, maxT)` — token-level LCS length over the first
+  * `maxT` tokens of each side ([[TextKernels.lcsTokens]]); the ROUGE-L
+  * statistic as a codegen scalar. */
+case class LcsTokens(a: Expression, b: Expression, maxT: Expression)
+    extends TernaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = maxT
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(x: Any, y: Any, m: Any): Any =
+    TextKernels.lcsTokens(x.asInstanceOf[UTF8String],
+      y.asInstanceOf[UTF8String], m.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, m) =>
+      s"graft.functions.TextKernels.lcsTokens($x, $y, $m)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LcsTokens = copy(f, s, t)
+  override def prettyName: String = "lcs_tokens"
+}
+
 /** `winnow_fingerprints(text, k, w)` — distinct winnowing-selected
   * shingle hashes, ascending ([[TextKernels.winnow]] for semantics and
   * the local-match guarantee). Codegen-participating: the scan stays
@@ -645,6 +700,8 @@ object TextFunctions {
     col(MinHashBands(ex(c), ex(numHashes), ex(bands)))
   def winnow_fingerprints(c: Column, k: Column, w: Column): Column =
     col(WinnowFingerprints(ex(c), ex(k), ex(w)))
+  def lcs_tokens(a: Column, b: Column, maxT: Column): Column =
+    col(LcsTokens(ex(a), ex(b), ex(maxT)))
   def hash64(c: Column): Column = col(Hash64(ex(c)))
   def minhash_sig(c: Column, numHashes: Column): Column =
     col(MinHashSig(ex(c), ex(numHashes)))

@@ -130,6 +130,42 @@ object QaPipeline extends graft.QueryModule {
       cand.join(refs, "doc_id"), "llm_answer", "ref_text", col("doc_id"))
   }
 
+  private[queries] val RougeMax = 64
+
+  /** ROUGE-L answer scoring (Lin, 2004) — the sequence-aware companion
+    * to [[answerPrf]]'s bag-of-tokens P/R/F1: per doc, the token-level
+    * LCS between the pipeline's answer and the document prefix, with
+    * precision lcs/|cand|, recall lcs/|ref| and the LCS F-measure. Both
+    * sides cap at [[RougeMax]] tokens — answers are chunk-sized by
+    * construction, and the cap is what keeps the oracle's recursive DP
+    * replay (one DP-row list per candidate token) tractable. The scalar
+    * is the codegen [[graft.functions.LcsTokens]] expression: the scan
+    * stays in WholeStageCodegen; per-doc work is O(RougeMax^2) flat. */
+  def rougeL(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{count_tokens, lcs_tokens}
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val cand = pipe.answers(docs).select(col("doc_id"), col("llm_answer"))
+    cand.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
+        lcs_tokens(col("llm_answer"), col("text"), lit(RougeMax))
+          .cast("long").as("lcs"),
+        least(count_tokens(col("llm_answer")), lit(RougeMax))
+          .cast("long").as("n_cand"),
+        least(count_tokens(col("text")), lit(RougeMax))
+          .cast("long").as("n_ref"))
+      .withColumn("p", when(col("n_cand") > 0,
+        col("lcs").cast("double") / col("n_cand").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("r", when(col("n_ref") > 0,
+        col("lcs").cast("double") / col("n_ref").cast("double"))
+        .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("lcs"), col("n_cand"), col("n_ref"),
+        round(col("p"), 6).as("rouge_p"), round(col("r"), 6).as("rouge_r"),
+        round(when(col("p") + col("r") > 0,
+          lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+          .otherwise(lit(0.0)), 6).as("rouge_f"))
+  }
+
   /** Formatter variants (factory.py format dispatch): same graph, format
     * semantics swapped. Longer question so format thresholds (5 on 0-10,
     * 50 on 0-100) are reachable. */
@@ -170,6 +206,7 @@ object QaPipeline extends graft.QueryModule {
     "qa_truncation" -> truncation,
     "qa_truncation_summary" -> truncationSummary,
     "qa_answer_prf" -> answerPrf,
+    "qa_rouge_l" -> rougeL,
   )
 
   // ------------------------------------------------------------- oracles
@@ -332,6 +369,78 @@ object QaPipeline extends graft.QueryModule {
          |  least(10, len(list_intersect(
          |    list_distinct(list_slice(ts, 1, least(len(ts), $TruncMax))), $qlist))) AS score
          |FROM toks""".stripMargin,
+    // ROUGE-L replay: the LCS DP as a recursive CTE — one DP-row LIST
+    // per (doc, candidate-token) step. The row update uses the
+    // monotone-equivalent recurrence dp[i][j] = max(dp[i-1][j],
+    // dp[i-1][j-1]+eq, dp[i][j-1]); its first two terms vectorize over
+    // j, and the dp[i][j-1] chain is a prefix-max folded with a
+    // LIST-typed list_reduce (elements are singleton lists so acc and
+    // element share one type; scalar-state folds are safe — only
+    // STRUCT-state folds alias, the documented DuckDB pitfall).
+    "qa_rouge_l" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts FROM documents
+         |), base AS (
+         |  SELECT doc_id, ts, len(ts) AS n,
+         |    CASE WHEN len(ts) <= ${cfg.chunkSize} THEN 1
+         |         ELSE 1 + CAST(ceil((len(ts) - ${cfg.chunkSize}) / $stride.0) AS INT)
+         |    END AS k
+         |  FROM toks WHERE len(ts) > 0
+         |), idx AS (
+         |  SELECT doc_id, ts, n,
+         |    CAST(unnest(generate_series(0, k - 1)) AS INT) AS chunk_idx
+         |  FROM base
+         |), chunks AS (
+         |  SELECT doc_id, chunk_idx,
+         |    list_slice(ts, chunk_idx * $stride + 1,
+         |               least(chunk_idx * $stride + ${cfg.chunkSize}, n)) AS ctoks
+         |  FROM idx
+         |), scored AS (
+         |  SELECT doc_id, chunk_idx, len(ctoks) AS token_count,
+         |    least(10, len(list_intersect(list_distinct(ctoks), $qlist))) AS score,
+         |    array_to_string(ctoks, ' ') AS content
+         |  FROM chunks
+         |), answers AS ($answersSelect),
+         |pairs AS (
+         |  SELECT a.doc_id,
+         |    list_slice(regexp_extract_all(a.llm_answer, '$re'), 1, $RougeMax) AS cts,
+         |    list_slice(t.ts, 1, $RougeMax) AS rts
+         |  FROM answers a JOIN toks t USING (doc_id)),
+         |rec AS (
+         |  SELECT doc_id, 0 AS i,
+         |    list_transform(range(len(rts) + 1), x -> CAST(0 AS BIGINT)) AS dprow
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT r.doc_id, r.i + 1,
+         |    list_reduce(
+         |      list_prepend([CAST(0 AS BIGINT)],
+         |        list_transform(range(1, len(p.rts) + 1),
+         |          j -> [greatest(r.dprow[j + 1],
+         |                 r.dprow[j] + CASE WHEN p.rts[j] = p.cts[r.i + 1]
+         |                              THEN 1 ELSE 0 END)])),
+         |      (acc, x) -> list_append(acc, greatest(x[1], acc[len(acc)])))
+         |  FROM rec r JOIN pairs p USING (doc_id)
+         |  WHERE r.i < len(p.cts)),
+         |fin AS (
+         |  SELECT r.doc_id, r.dprow[len(p.rts) + 1] AS lcs,
+         |    len(p.cts) AS n_cand, len(p.rts) AS n_ref
+         |  FROM rec r JOIN pairs p USING (doc_id)
+         |  WHERE r.i = len(p.cts)),
+         |pr AS (
+         |  SELECT doc_id, lcs, n_cand, n_ref,
+         |    CASE WHEN n_cand > 0
+         |      THEN CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS p,
+         |    CASE WHEN n_ref > 0
+         |      THEN CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS r
+         |  FROM fin)
+         |SELECT doc_id, lcs, n_cand, n_ref,
+         |  round(p, 6) AS rouge_p, round(r, 6) AS rouge_r,
+         |  round(CASE WHEN p + r > 0
+         |    THEN CAST(2.0 AS DOUBLE) * p * r / (p + r)
+         |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS rouge_f
+         |FROM pr""".stripMargin,
     "qa_answer_prf" ->
       s"""$scoredCte, answers AS ($answersSelect),
          |refs AS (

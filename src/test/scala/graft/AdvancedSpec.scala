@@ -114,4 +114,38 @@ class AdvancedSpec extends SparkSpec {
     assert(streamed == batchWindows,
       s"windowed event total $streamed vs table $batchWindows")
   }
+
+  test("lcs_tokens matches a naive memoized LCS; cap and edge semantics hold") {
+    import graft.functions.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def naive(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(99)
+    def doc(n: Int) = Seq.fill(n)("w" * (1 + rnd.nextInt(3)) +
+      ("abcdef" (rnd.nextInt(6)).toString))
+    for (_ <- 1 to 200) {
+      val a = doc(rnd.nextInt(30))
+      val b = doc(rnd.nextInt(30))
+      val got = TextKernels.lcsTokens(
+        UTF8String.fromString(a.mkString(" ")),
+        UTF8String.fromString(b.mkString(" ")), 64)
+      assert(got === naive(a, b), s"a=$a b=$b")
+    }
+    // golden + edges
+    def lcs(a: String, b: String, m: Int = 64) =
+      TextKernels.lcsTokens(UTF8String.fromString(a),
+        UTF8String.fromString(b), m)
+    assert(lcs("the cat sat on the mat", "the dog sat on a mat") === 4)
+    assert(lcs("", "anything here") === 0)
+    assert(lcs("same same", "same same") === 2)
+    // the cap truncates BOTH sides: only the first maxT tokens count
+    assert(lcs("aa bb cc dd", "aa bb cc dd", 2) === 2)
+    assert(lcs("zz aa", "aa zz", 1) === 0) // first tokens differ
+  }
 }
