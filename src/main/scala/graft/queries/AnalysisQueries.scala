@@ -1838,6 +1838,75 @@ object AnalysisQueries extends graft.QueryModule {
           * lit(1.0) / sum(col("class_size")), 6).as("suppression_frac"))
   }
 
+  private val BootstrapB = 200
+
+  /** Poisson(1) CDF thresholds c_0..c_11 (k = 12 caps the tail at
+    * ~1e-13): ONE Scala constant list interpolated into both the Spark
+    * plan and the DuckDB SQL, so the inverse-CDF lookup is literal-
+    * identical in both engines. */
+  private val PoissonCdf: Seq[Double] = {
+    var p = math.exp(-1.0)
+    var c = p
+    val buf = scala.collection.mutable.ArrayBuffer(c)
+    for (k <- 1 to 11) { p /= k; c += p; buf += c }
+    buf.toSeq
+  }
+
+  /** Poisson-bootstrap confidence interval for the corpus mean document
+    * length — THE resampling scheme that survives 100 TB: instead of
+    * materializing B resamples, each row draws an independent
+    * Poisson(1) replication weight per replicate (the multinomial
+    * bootstrap's limit for large n), so the whole procedure is one
+    * explode + one groupBy(replicate) of EXACT integer weighted sums —
+    * map-side combined, no global sort, state = B partial rows.
+    *
+    * Replayability: the weight is the inverse Poisson CDF of a uniform
+    * derived from hash64(doc_id:b) (top 53 bits), thresholds from
+    * [[PoissonCdf]] — every quantity until the final B-row percentile
+    * step is a BIGINT, so there is no float-order sensitivity anywhere
+    * and DuckDB replays the interval bit-for-bit. CI = nearest-rank
+    * 2.5%/97.5% of the B replicate means (a 200-row sort). */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{hash64, ordered_sum}
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val point = docs.agg(sum(col("n_chars")).as("tot"),
+      count(lit(1)).as("n"))
+    val u = shiftrightunsigned(col("h"), 11).cast("double") *
+      lit(1.0 / 9007199254740992.0)
+    val w = PoissonCdf.zipWithIndex
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(0L))) {
+        case (acc, (c, k)) => acc.when(col("u") < lit(c), lit(k.toLong))
+      }.otherwise(lit(12L))
+    val reps = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .withColumn("h", hash64(concat(col("doc_id").cast("string"),
+        lit(":"), col("b").cast("string"))))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("n_chars")).as("sx"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        when(col("sw") > 0,
+          col("sx").cast("double") / col("sw").cast("double"))
+          .otherwise(lit(0.0)).as("mean_rep"))
+    val loIdx = math.ceil(0.025 * BootstrapB).toInt // nearest-rank, 1-based
+    val hiIdx = math.ceil(0.975 * BootstrapB).toInt
+    reps
+      .agg(sort_array(collect_list(col("mean_rep"))).as("ms"),
+        round(ordered_sum(col("mean_rep"), col("b")) / lit(BootstrapB.toDouble), 6)
+          .as("mean_of_reps"))
+      .crossJoin(broadcast(point))
+      .select(lit(BootstrapB).as("n_replicates"),
+        col("n").as("n_docs"),
+        round(col("tot").cast("double") / col("n").cast("double"), 6)
+          .as("point_mean"),
+        col("mean_of_reps"),
+        round(element_at(col("ms"), loIdx), 6).as("ci_lo"),
+        round(element_at(col("ms"), hiIdx), 6).as("ci_hi"))
+  }
+
   private val LDiversityL = 4
 
   /** l-diversity audit over the same quasi-identifier classes as
@@ -2051,6 +2120,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_k_anonymity" -> kAnonymity,
     "ta_l_diversity" -> lDiversity,
     "ta_cusum_drift" -> cusumDrift,
+    "ta_bootstrap_ci" -> bootstrapCi,
     "ta_cms_counts" -> cmsCounts,
     "ta_source_mix_temperature" -> sourceMixTemperature,
     "ta_bigram_logprob" -> bigramLogprob,
@@ -2726,6 +2796,45 @@ object AnalysisQueries extends graft.QueryModule {
          |    AND r.rn = p.rn + 1)
          |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
          |FROM p""".stripMargin,
+    "ta_bootstrap_ci" -> {
+      val cases = PoissonCdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < CAST($c AS DOUBLE) THEN $k" }
+        .mkString("\n         |      ")
+      s"""WITH bdoc AS (SELECT doc_id, n_chars FROM documents),
+         |bx AS (SELECT doc_id, unnest(range($BootstrapB)) AS b FROM bdoc),
+         |btok AS (SELECT doc_id,
+         |    CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) AS t
+         |  FROM bx),
+         |${graft.core.XxHashSql.hash64Ctes("btok", "bh", "bxx")},
+         |bu AS (SELECT doc_id, CAST(split_part(t, ':', 2) AS INT) AS b,
+         |    CAST(h64 >> 11 AS DOUBLE) *
+         |      CAST(${1.0 / 9007199254740992.0} AS DOUBLE) AS u
+         |  FROM bh),
+         |bw AS (SELECT doc_id, b,
+         |    CASE $cases
+         |      ELSE 12 END AS w
+         |  FROM bu),
+         |bagg AS (SELECT b, CAST(sum(w * n_chars) AS BIGINT) AS sx,
+         |    CAST(sum(w) AS BIGINT) AS sw
+         |  FROM bw JOIN bdoc USING (doc_id) GROUP BY b),
+         |bm AS (SELECT b, CASE WHEN sw > 0
+         |    THEN CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS mean_rep
+         |  FROM bagg),
+         |bs AS (SELECT list_sort(list(mean_rep)) AS ms,
+         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(mean_rep ORDER BY b)), (a, x) -> a + x) /
+         |      CAST($BootstrapB.0 AS DOUBLE), 6) AS mean_of_reps
+         |  FROM bm),
+         |bp AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot, count(*) AS n
+         |  FROM documents)
+         |SELECT $BootstrapB AS n_replicates, n AS n_docs,
+         |  round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 6) AS point_mean,
+         |  mean_of_reps,
+         |  round(ms[${math.ceil(0.025 * BootstrapB).toInt}], 6) AS ci_lo,
+         |  round(ms[${math.ceil(0.975 * BootstrapB).toInt}], 6) AS ci_hi
+         |FROM bs CROSS JOIN bp""".stripMargin
+    },
     "ta_l_diversity" ->
       s"""WITH bd AS (
          |  SELECT c_mktsegment, c_nationkey,

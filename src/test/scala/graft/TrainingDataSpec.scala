@@ -610,6 +610,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("pos_rate") >= overall)
   }
 
+  test("bootstrap CI: brackets the point mean, plausible width, exact ranks") {
+    val r = queries.AnalysisQueries.bootstrapCi(spark, sf).collect().head
+    val point = r.getAs[Double]("point_mean")
+    val lo = r.getAs[Double]("ci_lo")
+    val hi = r.getAs[Double]("ci_hi")
+    assert(r.getAs[Int]("n_replicates") === 200)
+    assert(lo < hi)
+    assert(lo <= point && point <= hi,
+      s"CI [$lo, $hi] must bracket the point mean $point")
+    assert(lo <= r.getAs[Double]("mean_of_reps") &&
+      r.getAs[Double]("mean_of_reps") <= hi)
+    // width sanity: a 95% bootstrap CI of a mean over n docs should be
+    // within a loose factor of the CLT 2*1.96*sd/sqrt(n) band
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("n_chars").cast("double")).collect().map(_.getDouble(0))
+    val n = docs.length
+    val m = docs.sum / n
+    val sd = math.sqrt(docs.map(v => (v - m) * (v - m)).sum / (n - 1))
+    val clt = 2 * 1.96 * sd / math.sqrt(n.toDouble)
+    val width = hi - lo
+    assert(width > clt / 3 && width < clt * 3,
+      s"CI width $width vs CLT band $clt")
+  }
+
   test("l-diversity: class stats match a naive recomputation") {
     val got = queries.AnalysisQueries.lDiversity(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
