@@ -543,6 +543,64 @@ object Relational extends graft.QueryModule {
           .otherwise(lit((k - 1).toDouble) * two64 / hkD), 4).as("est_union"))
   }
 
+  /** KMV set-INTERSECTION estimate (Beyer et al., SIGMOD'07) — the last
+    * member of the sketch algebra next to [[kmvDistinct]] /
+    * [[kmvUnion]]: from the two per-flag sketches ALONE, estimate
+    * |A ∩ R| as ρ · est(A ∪ R), where ρ = the fraction of the merged
+    * bottom-k present in BOTH input sketches (a uniform sample of the
+    * union, so membership-in-both estimates the Jaccard). The exact
+    * intersection rides along as the error audit. Unsaturated case
+    * degenerates exactly: when the merged set has < k hashes both
+    * sketches are complete, ρ·est = the true intersection count, and
+    * both engines take the same branch. Everything after the two
+    * bounded bottom-k aggregates is k-element array algebra on one row. */
+  def kmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val flip = lit(Long.MinValue)
+    val two64 = lit(math.pow(2, 64))
+    // sets = the partkeys shipped in 1996 Q1 vs Q2: partially-overlapping
+    // by construction (the returnflag sets both saturate the part
+    // dimension — a degenerate rho = 1 gate)
+    val hashed = Tables.load(spark, dir, "lineitem")
+      .filter(year($"l_shipdate") === 1996 &&
+        quarter($"l_shipdate").isin(1, 2))
+      .select(quarter($"l_shipdate").as("q"), $"l_partkey",
+        graft.functions.TextFunctions.hash64($"l_partkey".cast("string"))
+          .bitwiseXOR(flip).as("hf"))
+    val sk = hashed.select($"q", $"hf").distinct()
+      .groupBy($"q")
+      .agg(graft.functions.TextFunctions.bottom_k_structs(struct($"hf"), k)
+        .as("mins"))
+      .select($"q", transform($"mins", m => m("hf")).as("hs"))
+    val a = sk.filter($"q" === 1).select($"hs".as("ha"))
+    val b = sk.filter($"q" === 2).select($"hs".as("hb"))
+    val exact = hashed.select($"q", $"l_partkey").distinct()
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("nf"))
+      .filter($"nf" === 2)
+      .agg(count(lit(1)).as("exact_intersection"))
+    val hkD = when($"hk" < 0, $"hk".cast("double") + two64)
+      .otherwise($"hk".cast("double"))
+    a.crossJoin(b) // two 1-row sketch frames
+      .withColumn("u", array_sort(array_union($"ha", $"hb")))
+      .withColumn("n_u", size($"u").cast("long"))
+      .withColumn("merged", slice($"u", 1, k))
+      .withColumn("hk",
+        element_at($"merged", size($"merged")).bitwiseXOR(flip))
+      .withColumn("n_both", size(array_intersect($"merged",
+        array_intersect($"ha", $"hb"))).cast("long"))
+      .withColumn("est_union",
+        when($"n_u" < k, $"n_u".cast("double"))
+          .otherwise(lit((k - 1).toDouble) * two64 / hkD))
+      .withColumn("denom", least($"n_u", lit(k.toLong)))
+      .crossJoin(broadcast(exact))
+      .select($"exact_intersection", $"n_both",
+        round($"est_union", 4).as("est_union"),
+        round(($"n_both".cast("double") / $"denom".cast("double")) *
+          $"est_union", 4).as("est_intersection"))
+  }
+
   /** Equi-depth (equal-height) histogram — the planner-stats companion
     * of the width-bucket [[histogram]]: 8 buckets of (near-)equal row
     * count over `l_extendedprice`, each reporting its row count and true
@@ -1377,6 +1435,7 @@ object Relational extends graft.QueryModule {
     "rel_approx_distinct" -> approxDistinct,
     "rel_kmv_distinct" -> kmvDistinct,
     "rel_kmv_union" -> kmvUnion,
+    "rel_kmv_intersect" -> kmvIntersect,
     "rel_equidepth_hist" -> equidepthHist,
     "rel_approx_percentiles" -> approxPercentiles,
     "rel_dataset_split" -> datasetSplit,
@@ -2009,6 +2068,48 @@ object Relational extends graft.QueryModule {
         |SELECT bucket, count(*) AS n_rows,
         |  min(price) AS min_price, max(price) AS max_price
         |FROM b GROUP BY 1""".stripMargin,
+    "rel_kmv_intersect" ->
+      s"""WITH pk AS (SELECT DISTINCT quarter(l_shipdate) AS doc_id,
+         |    CAST(l_partkey AS VARCHAR) AS t FROM lineitem
+         |  WHERE year(l_shipdate) = 1996 AND quarter(l_shipdate) IN (1, 2)),
+         |${graft.core.XxHashSql.hash64Ctes("pk", "hh", "ix")},
+         |g AS (SELECT doc_id AS q, h64 FROM hh GROUP BY 1, 2),
+         |r AS (SELECT q, h64, row_number() OVER
+         |    (PARTITION BY q ORDER BY h64) AS rn FROM g),
+         |sk AS (SELECT q, list(h64 ORDER BY h64) AS hs
+         |  FROM r WHERE rn <= 64 GROUP BY q),
+         |ab AS (SELECT
+         |    (SELECT hs FROM sk WHERE q = 1) AS ha,
+         |    (SELECT hs FROM sk WHERE q = 2) AS hb),
+         |m AS (SELECT
+         |    list_sort(list_distinct(ha || hb)) AS u,
+         |    len(list_distinct(ha || hb)) AS n_u,
+         |    list_intersect(ha, hb) AS both_sk
+         |  FROM ab),
+         |m2 AS (SELECT n_u,
+         |    list_slice(u, 1, 64) AS merged,
+         |    least(n_u, 64) AS denom,
+         |    both_sk
+         |  FROM m),
+         |m3 AS (SELECT n_u, denom,
+         |    merged[len(merged)] AS hk,
+         |    len(list_intersect(merged, both_sk)) AS n_both
+         |  FROM m2),
+         |est AS (SELECT n_both, denom,
+         |    CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+         |      ELSE CAST(63 AS DOUBLE) * CAST(18446744073709551616 AS DOUBLE)
+         |        / CAST(hk AS DOUBLE) END AS est_union
+         |  FROM m3),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+         |  SELECT l_partkey FROM (
+         |    SELECT DISTINCT quarter(l_shipdate) AS q, l_partkey FROM lineitem
+         |    WHERE year(l_shipdate) = 1996 AND quarter(l_shipdate) IN (1, 2))
+         |  GROUP BY l_partkey HAVING count(*) = 2))
+         |SELECT e.exact_intersection, CAST(est.n_both AS BIGINT) AS n_both,
+         |  round(est.est_union, 4) AS est_union,
+         |  round((CAST(est.n_both AS DOUBLE) / CAST(est.denom AS DOUBLE)) *
+         |    est.est_union, 4) AS est_intersection
+         |FROM est CROSS JOIN e""".stripMargin,
     "rel_kmv_union" ->
       s"""WITH pk AS (SELECT DISTINCT l_returnflag AS doc_id,
          |    CAST(l_partkey AS VARCHAR) AS t FROM lineitem),

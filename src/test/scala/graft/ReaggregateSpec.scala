@@ -77,4 +77,19 @@ class ReaggregateSpec extends SparkSpec {
         s"split-merge diverged from direct for '$w'")
     }
   }
+
+  test("KMV intersection estimate: bounded inputs, sane estimate vs exact") {
+    val r = graft.queries.Relational.kmvIntersect(spark, sf).collect().head
+    val exact = r.getAs[Long]("exact_intersection")
+    val nBoth = r.getAs[Long]("n_both")
+    val est = r.getAs[Double]("est_intersection")
+    assert(nBoth >= 0 && nBoth <= 64)
+    assert(est >= 0.0)
+    // k = 64 gives ~12.5% RSE on the union and the rho factor adds
+    // binomial noise — assert a loose 2.5x band, not sketch luck
+    assert(est > exact / 2.5 && est < exact * 2.5,
+      s"est $est vs exact $exact")
+    // the estimate can never exceed the union estimate
+    assert(est <= r.getAs[Double]("est_union") + 1e-9)
+  }
 }
