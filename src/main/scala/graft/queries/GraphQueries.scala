@@ -167,11 +167,50 @@ object GraphQueries extends graft.QueryModule {
         .select(col("part_a").as("pa"), col("part_b").as("pb")),
       LinkPredMaxDeg, LinkPredMinCn)
 
+  /** Newman modularity of the label-propagation communities — the
+    * partition-quality audit run after any community detection:
+    * Q = Σ_c (e_c/m − (D_c/2m)²), reported per community as its
+    * additive contribution (e_c = intra-community edges, D_c = degree
+    * sum, m = total undirected edges). EVERY accumulated quantity is an
+    * exact BIGINT (edge counts, degree sums, their squares live in the
+    * per-community rows); the float arithmetic is pointwise from those
+    * integers, so the metric replays bit-for-bit with zero ordering
+    * discipline. Labels broadcast (the propagation's own regime); the
+    * only shuffles are the two community aggregations. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = cachedPairs(spark, dir)
+    val lbl = broadcast(labelProp(spark, dir))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val withC = pairs
+      .join(lbl.select($"node".as("pa"), $"community".as("ca")), "pa")
+      .join(lbl.select($"node".as("pb"), $"community".as("cb")), "pb")
+    val intra = withC.filter($"ca" === $"cb")
+      .groupBy($"ca".as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = pairs.select(explode(array($"pa", $"pb")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val comm = deg.join(lbl, "node")
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("degree_sum"))
+    val half = $"degree_sum".cast("double") /
+      (lit(2.0) * $"m".cast("double"))
+    comm.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(m))
+      .select($"community", $"n_nodes", $"intra_edges", $"degree_sum",
+        // + 0.0 normalizes the round's -0.0 (a zero-intra community's
+        // tiny negative contribution) to +0.0 in both engines
+        (round($"intra_edges".cast("double") / $"m".cast("double") -
+          half * half, 6) + lit(0.0)).as("q_contrib"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_copurchase" -> copurchase,
     "rel_linkpred" -> linkPred,
     "rel_pagerank" -> pagerank,
     "rel_label_prop" -> labelProp,
+    "rel_modularity" -> modularity,
     "rel_assoc_rules" -> assocRules,
     "rel_triangles" -> triangles,
     "rel_kcore" -> kcore,
@@ -192,16 +231,40 @@ object GraphQueries extends graft.QueryModule {
     val rounds = (1 to Iters)
       .map(i => iterCte(i, if (i == 1) "l0" else s"l${i - 1}"))
       .mkString(",\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH $labelPropCtes,
+       |$rounds
+       |SELECT node, lbl AS community FROM l$Iters""".stripMargin
+  }
+
+  /** [[labelPropOracle]]'s full chain re-wrapped as CTEs ending in
+    * `lab(node, community)` — the reusable prefix for audits OVER the
+    * propagation result (modularity). */
+  private def labelPropChainCtes: String = {
+    def iterCte(i: Int, prev: String) =
+      s"""c$i AS (SELECT e.dst, l.lbl, count(*) AS c
+         |  FROM e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT dst AS node, lbl FROM (
+         |  SELECT dst, lbl, row_number() OVER
+         |    (PARTITION BY dst ORDER BY c DESC, lbl ASC) AS rn FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to Iters)
+      .map(i => iterCte(i, if (i == 1) "l0" else s"l${i - 1}"))
+      .mkString(",\n")
+    s"""$labelPropCtes,
+       |$rounds,
+       |lab AS (SELECT node, lbl AS community FROM l$Iters)""".stripMargin
+  }
+
+  /** Shared CTE chain (graph build + round-0 labels) for the label-prop
+    * replay and its downstream modularity audit. */
+  private val labelPropCtes =
+    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
        |  FROM li a JOIN li b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
        |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
        |     UNION ALL SELECT pb, pa FROM pairs),
-       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e),
-       |$rounds
-       |SELECT node, lbl AS community FROM l$Iters""".stripMargin
-  }
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e)""".stripMargin
 
   /** DuckDB replay of [[Graph.pageRank]]: one generated CTE block per
     * round, every float fold in src order (the Spark side folds a
@@ -341,6 +404,34 @@ object GraphQueries extends graft.QueryModule {
          |GROUP BY 1, 2 HAVING count(*) >= $MinSupport""".stripMargin,
     "rel_pagerank" -> pagerankOracle,
     "rel_label_prop" -> labelPropOracle,
+    "rel_modularity" ->
+      s"""WITH $labelPropChainCtes,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |intra AS (
+         |  SELECT la.community, count(*) AS intra_edges
+         |  FROM pairs p
+         |  JOIN lab la ON la.node = p.pa
+         |  JOIN lab lb ON lb.node = p.pb
+         |  WHERE la.community = lb.community GROUP BY 1),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT pa AS node FROM pairs
+         |    UNION ALL SELECT pb FROM pairs) GROUP BY 1),
+         |comm AS (
+         |  SELECT la.community, count(*) AS n_nodes,
+         |    CAST(sum(d.deg) AS BIGINT) AS degree_sum
+         |  FROM deg d JOIN lab la ON la.node = d.node GROUP BY 1)
+         |SELECT c.community, c.n_nodes,
+         |  coalesce(i.intra_edges, 0) AS intra_edges, c.degree_sum,
+         |  round(CAST(coalesce(i.intra_edges, 0) AS DOUBLE)
+         |      / CAST(m.m AS DOUBLE)
+         |    - (CAST(c.degree_sum AS DOUBLE)
+         |       / (CAST(2.0 AS DOUBLE) * CAST(m.m AS DOUBLE)))
+         |      * (CAST(c.degree_sum AS DOUBLE)
+         |       / (CAST(2.0 AS DOUBLE) * CAST(m.m AS DOUBLE))), 6)
+         |    + CAST(0.0 AS DOUBLE) AS q_contrib
+         |FROM comm c LEFT JOIN intra i USING (community)
+         |CROSS JOIN m""".stripMargin,
     "rel_assoc_rules" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,

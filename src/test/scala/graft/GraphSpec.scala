@@ -308,4 +308,35 @@ class GraphSpec extends SparkSpec {
       assert(got == expected, s"trial $trial: $got vs $expected")
     }
   }
+
+  test("modularity: contributions match a naive driver recomputation; Q in [-1, 1]") {
+    val rows = GraphQueries.modularity(spark, sf).collect()
+    val labels = GraphQueries.labelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).values
+      .flatMap(es => es.map(_._2).sorted.combinations(2).map(c => (c(0), c(1))))
+      .toSet
+    val m = pairs.size
+    val intra = pairs.groupBy { case (a, b) => labels(a) }
+      .view.mapValues(_.count { case (a, b) => labels(a) == labels(b) }).toMap
+    val deg = pairs.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val degSum = deg.groupBy { case (n, _) => labels(n) }
+      .view.mapValues(_.values.sum).toMap
+    assert(rows.map(_.getAs[Long]("degree_sum")).sum === 2L * m)
+    val q = rows.map(_.getAs[Double]("q_contrib")).sum
+    assert(q >= -1.0 && q <= 1.0)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("community")
+      assert(r.getAs[Long]("degree_sum") === degSum(c), s"community $c")
+      val e = intra.getOrElse(c, 0)
+      val naive = e.toDouble / m -
+        math.pow(degSum(c).toDouble / (2.0 * m), 2)
+      assert(math.abs(r.getAs[Double]("q_contrib") - naive) < 1e-6,
+        s"community $c: ${r.getAs[Double]("q_contrib")} vs $naive")
+    }
+  }
 }

@@ -523,4 +523,25 @@ class PlanAuditSpec extends SparkSpec {
         s"u-scalars should attach via broadcast:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("winnowing pairs: sampled-index postings plan — no cartesian, text never shuffles") {
+    // the whole point of winnowing is that only the ~2/(w+1)-density
+    // fingerprint sample reaches the exchange: the kernel projects at
+    // the scan, every shuffled row is (fp, id, n)- or pair-sized, and
+    // the df-cap observe metric is present (hot fingerprints drop LOUDLY)
+    val df = graft.queries.DedupQueries.winnowing(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    plan.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text"), s"text crosses an exchange: $l")
+    }
+    // winnow_fingerprints evaluates below every exchange (plan strings
+    // print top-down, so the scan side is the segment after the LAST
+    // Exchange line)
+    val scanSide = plan.split("Exchange").last
+    assert(scanSide.contains("winnow_fingerprints"),
+      s"kernel must project at the scan:\n$plan")
+    assert(df.queryExecution.analyzed.toString.contains("winnowing"),
+      "df-cap observe metric missing from the plan")
+  }
 }
