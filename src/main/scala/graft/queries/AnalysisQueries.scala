@@ -1940,6 +1940,42 @@ object AnalysisQueries extends graft.QueryModule {
         (col("n_sensitive") >= LDiversityL).as("l_diverse"))
   }
 
+  private val DpEpsilon = 1.0
+  private val DpSuppressBelow = 10.0
+
+  /** Differentially-private release of the (lang, source) document
+    * counts — the Laplace mechanism (sensitivity 1, ε = [[DpEpsilon]])
+    * that completes the privacy-audit family next to [[kAnonymity]] /
+    * [[lDiversity]]: noise = -b·sign(u−½)·ln(1−2|u−½|), the inverse
+    * Laplace CDF of a uniform DERIVED FROM A KEYED HASH (top 53 bits of
+    * hash64("dp:lang:source")) rather than an RNG — so the release is
+    * reproducible run-to-run, engine-to-engine (the engine's standard
+    * no-RNG-state discipline; a production release would swap the seed
+    * string per epoch). True counts ride along as the utility audit;
+    * cells whose noisy count falls below [[DpSuppressBelow]] carry the
+    * suppression flag a release pipeline would honor. One map-side
+    * aggregation; the noise is a pointwise projection. */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.hash64
+    val tiny = 1.0 / 9007199254740992.0 // 2^-53: clamp keeps ln finite
+    val cells = Tables.loadSpread(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("true_n"))
+    val u0 = shiftrightunsigned(
+      hash64(concat(lit("dp:"), col("lang"), lit(":"), col("source"))), 11)
+      .cast("double") * lit(tiny)
+    cells
+      .withColumn("u", least(greatest(u0, lit(tiny)), lit(1.0 - tiny)))
+      .withColumn("noise",
+        lit(-1.0 / DpEpsilon) *
+          signum(col("u") - lit(0.5)) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))))
+      .select(col("lang"), col("source"), col("true_n"),
+        round(col("true_n").cast("double") + col("noise"), 4).as("noisy_n"),
+        (col("true_n").cast("double") + col("noise") <
+          DpSuppressBelow).as("suppressed"))
+  }
+
   private val CusumSlack = 0.5
   private val CusumAlarm = 5.0
 
@@ -2119,6 +2155,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_source_mix" -> sourceMix,
     "ta_k_anonymity" -> kAnonymity,
     "ta_l_diversity" -> lDiversity,
+    "ta_dp_counts" -> dpCounts,
     "ta_cusum_drift" -> cusumDrift,
     "ta_bootstrap_ci" -> bootstrapCi,
     "ta_cms_counts" -> cmsCounts,
@@ -2796,6 +2833,33 @@ object AnalysisQueries extends graft.QueryModule {
          |    AND r.rn = p.rn + 1)
          |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
          |FROM p""".stripMargin,
+    "ta_dp_counts" -> {
+      val tiny = 1.0 / 9007199254740992.0
+      s"""WITH cells AS (
+         |  SELECT lang, source, count(*) AS true_n
+         |  FROM documents GROUP BY 1, 2),
+         |ct AS (SELECT lang, source,
+         |    'dp:' || lang || ':' || source AS t, 0 AS doc_id
+         |  FROM cells),
+         |${graft.core.XxHashSql.hash64Ctes("ct", "ch", "dx")},
+         |cu AS (SELECT c.lang, c.source, c.true_n,
+         |    least(greatest(CAST(h.h64 >> 11 AS DOUBLE) *
+         |        CAST($tiny AS DOUBLE), CAST($tiny AS DOUBLE)),
+         |      CAST(${1.0 - tiny} AS DOUBLE)) AS u
+         |  FROM cells c JOIN ch h
+         |    ON h.t = 'dp:' || c.lang || ':' || c.source),
+         |cn AS (SELECT lang, source, true_n,
+         |    CAST(${-1.0 / DpEpsilon} AS DOUBLE) *
+         |      sign(u - CAST(0.5 AS DOUBLE)) *
+         |      ln(CAST(1.0 AS DOUBLE) -
+         |         CAST(2.0 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))) AS noise
+         |  FROM cu)
+         |SELECT lang, source, true_n,
+         |  round(CAST(true_n AS DOUBLE) + noise, 4) AS noisy_n,
+         |  (CAST(true_n AS DOUBLE) + noise <
+         |    CAST($DpSuppressBelow AS DOUBLE)) AS suppressed
+         |FROM cn""".stripMargin
+    },
     "ta_bootstrap_ci" -> {
       val cases = PoissonCdf.zipWithIndex
         .map { case (c, k) => s"WHEN u < CAST($c AS DOUBLE) THEN $k" }

@@ -634,6 +634,30 @@ class TrainingDataSpec extends SparkSpec {
       s"CI width $width vs CLT band $clt")
   }
 
+  test("dp counts: deterministic, Laplace-scaled noise, consistent suppression") {
+    val a = queries.AnalysisQueries.dpCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val b = queries.AnalysisQueries.dpCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, r) =>
+      // keyed-hash noise: identical across runs (no RNG state)
+      assert(r.getAs[Double]("noisy_n") === b(k).getAs[Double]("noisy_n"))
+      assert(r.getAs[Boolean]("suppressed") ===
+        (r.getAs[Double]("noisy_n") < 10.0 ||
+          // flag computed on the UNROUNDED noisy value; re-derive slack
+          math.abs(r.getAs[Double]("noisy_n") - 10.0) < 1e-3))
+    }
+    // Laplace(b=1) has E|noise| = 1: the empirical mean abs noise over
+    // the cells sits in a loose band (not zero, not wild)
+    val absNoise = a.values.map(r =>
+      math.abs(r.getAs[Double]("noisy_n") - r.getAs[Long]("true_n"))).toSeq
+    val meanAbs = absNoise.sum / absNoise.size
+    assert(meanAbs > 0.4 && meanAbs < 2.5, s"mean |noise| $meanAbs")
+    // and the noise is not constant (distinct cells draw distinct u)
+    assert(absNoise.distinct.size > absNoise.size / 2)
+  }
+
   test("l-diversity: class stats match a naive recomputation") {
     val got = queries.AnalysisQueries.lDiversity(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
