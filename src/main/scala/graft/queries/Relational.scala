@@ -714,6 +714,44 @@ object Relational extends graft.QueryModule {
         round($"n".cast("double") / $"row_total".cast("double"), 6).as("p"))
   }
 
+  /** Batch multi-touch attribution — the offline companion to the
+    * streaming `stream_join_attrib` entry: every purchase splits one
+    * unit of conversion credit LINEARLY across the same user's
+    * non-purchase touches in the preceding 24 h; credit aggregates by
+    * touch type. The touch⋈conversion join is keyed on user_id with
+    * the time window riding the join condition — per-user event
+    * streams are bounded, so the keyed join is the scale shape. Touch
+    * counts are exact integers; credit_by_type =
+    * Σ_p k_p/n_p is the one float accumulation, folded in p_id order
+    * (the engine's cross-engine float discipline; state is bounded by
+    * the purchase dimension per type, the [[LinearModel]] block fold
+    * being the escape hatch if that ever outgrows a task). */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"),
+        unix_micros($"ts").as("p_us"))
+    val touches = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"event_type".as("touch_type"),
+        unix_micros($"ts").as("t_us"))
+    val window = 24L * 3600 * 1000000
+    val joined = purchases.join(touches, "user_id")
+      .filter($"t_us" <= $"p_us" && $"t_us" > $"p_us" - window)
+    val perPurchase = joined
+      .groupBy($"p_id", $"touch_type")
+      .agg(count(lit(1)).as("k"))
+      .withColumn("n", sum($"k").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"p_id")))
+    perPurchase
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_purchases_touched"),
+        sum($"k").as("n_touches"),
+        round(graft.functions.TextFunctions.ordered_sum(
+          $"k".cast("double") / $"n".cast("double"), $"p_id"), 6)
+          .as("credit"))
+  }
+
   /** Gaps-and-islands interval merge: collapse each user's event stream
     * into maximal activity intervals — consecutive events <= 300 s apart
     * merge; a longer gap opens a new interval. The island id is the
@@ -1429,6 +1467,7 @@ object Relational extends graft.QueryModule {
     "rel_skew_report" -> skewReport,
     "rel_event_gaps" -> eventGaps,
     "rel_event_transitions" -> eventTransitions,
+    "rel_attribution" -> attribution,
     "rel_interval_merge" -> intervalMerge,
     "rel_set_ops" -> setOps,
     "rel_pivot" -> pivotCounts,
@@ -1658,6 +1697,28 @@ object Relational extends graft.QueryModule {
         |  round(min(value), 4) AS min_value,
         |  round(max(value), 4) AS max_value
         |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin,
+    "rel_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_type AS touch_type, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT p.p_id, t.touch_type FROM p JOIN t USING (user_id)
+        |  WHERE t.t_us <= p.p_us AND t.t_us > p.p_us - 86400000000),
+        |pp AS (
+        |  SELECT p_id, touch_type, count(*) AS k FROM j GROUP BY 1, 2),
+        |pn AS (
+        |  SELECT p_id, touch_type, k,
+        |    CAST(sum(k) OVER (PARTITION BY p_id) AS BIGINT) AS n
+        |  FROM pp)
+        |SELECT touch_type, count(*) AS n_purchases_touched,
+        |  CAST(sum(k) AS BIGINT) AS n_touches,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY p_id)),
+        |    (a, x) -> a + x), 6) AS credit
+        |FROM pn GROUP BY touch_type""".stripMargin,
     "rel_event_transitions" ->
       """WITH pr AS (
         |  SELECT user_id, event_type,

@@ -207,4 +207,38 @@ class RelationalSpec extends SparkSpec {
       assert(r.getAs[Long]("n") === naive(k), s"$k")
     }
   }
+
+  test("attribution: credit conserves (sums to purchases with touches); naive parity") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.attribution(spark, sf).collect()
+    val evs = graft.core.Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._1)
+    val win = 24L * 3600 * 1000000
+    val naive = new scala.collection.mutable.HashMap[String, Double]
+    var touched = 0
+    byUser.values.foreach { es =>
+      val purchases = es.filter(_._3 == "purchase")
+      val touches = es.filter(_._3 != "purchase")
+      purchases.foreach { case (_, pus, _, _) =>
+        val inWin = touches.filter(t => t._2 <= pus && t._2 > pus - win)
+        if (inWin.nonEmpty) {
+          touched += 1
+          inWin.groupBy(_._3).foreach { case (tt, ts) =>
+            naive(tt) = naive.getOrElse(tt, 0.0) +
+              ts.size.toDouble / inWin.size
+          }
+        }
+      }
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("credit")).sum -
+      touched.toDouble) < 1e-3)
+    rows.foreach { r =>
+      val tt = r.getAs[String]("touch_type")
+      assert(math.abs(r.getAs[Double]("credit") - naive(tt)) < 1e-3, tt)
+    }
+  }
 }
