@@ -166,6 +166,57 @@ object QaPipeline extends graft.QueryModule {
           .otherwise(lit(0.0)), 6).as("rouge_f"))
   }
 
+  /** log-BLEU-2 answer scoring — the n-gram-precision companion to
+    * [[rougeL]]: per doc, CLIPPED unigram and bigram precision of the
+    * pipeline answer against the document's [[TruncMax]]-token prefix,
+    * with the brevity penalty. Reported in the LOG domain
+    * (log_bleu = min(0, 1 − r/c) + ½ln p1 + ½ln p2 — monotone with
+    * BLEU, so ranking/thresholding is unchanged; linear BLEU is
+    * exp(log_bleu) for the consumer): `ln` is the engine's one proven
+    * cross-engine transcendental (the tf-idf family), while `exp`
+    * appears in NO green oracle — the log form keeps this query inside
+    * the proven-parity surface. Clipped counts come from the
+    * [[graft.functions.TermCounts]]/[[graft.functions.BigramCounts]]
+    * map kernels folded with `aggregate` — per-doc map algebra, no
+    * shuffle beyond the answer join; zero-precision rows carry NULL
+    * (mirrored, never ±inf). */
+  def bleu(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{bigram_counts, count_tokens, term_counts}
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val refs = docs
+      .withColumn("t", truncate_tokens(col("text"), lit(TruncMax), lit("start")))
+      .select(col("doc_id"), col("t.text").as("ref_text"))
+    val cand = pipe.answers(docs).select(col("doc_id"), col("llm_answer"))
+    def clipped(candMap: org.apache.spark.sql.Column, refMap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(map_entries(candMap), lit(0L), (acc, e) =>
+        acc + least(e.getField("value"),
+          coalesce(element_at(refMap, e.getField("key")), lit(0L))))
+    val scored = cand.join(refs, "doc_id")
+      .withColumn("c", count_tokens(col("llm_answer")).cast("long"))
+      .withColumn("r", least(count_tokens(col("ref_text")), lit(TruncMax))
+        .cast("long"))
+      .withColumn("clip1", clipped(term_counts(col("llm_answer")),
+        term_counts(col("ref_text"))))
+      .withColumn("clip2", clipped(bigram_counts(col("llm_answer")),
+        bigram_counts(col("ref_text"))))
+      .withColumn("p1", when(col("c") > 0,
+        col("clip1").cast("double") / col("c").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("p2", when(col("c") > 1,
+        col("clip2").cast("double") / (col("c") - 1).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("bp_log", when(col("c") === 0, lit(null).cast("double"))
+        .otherwise(least(lit(0.0),
+          lit(1.0) - col("r").cast("double") / col("c").cast("double"))))
+    scored.select(col("doc_id"), col("c").as("n_cand"), col("r").as("n_ref"),
+      round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+      round(col("bp_log"), 6).as("bp_log"),
+      round(when(col("p1") > 0 && col("p2") > 0,
+        col("bp_log") + lit(0.5) * log(col("p1")) +
+          lit(0.5) * log(col("p2")))
+        .otherwise(lit(null).cast("double")), 6).as("log_bleu"))
+  }
+
   /** Formatter variants (factory.py format dispatch): same graph, format
     * semantics swapped. Longer question so format thresholds (5 on 0-10,
     * 50 on 0-100) are reachable. */
@@ -207,6 +258,7 @@ object QaPipeline extends graft.QueryModule {
     "qa_truncation_summary" -> truncationSummary,
     "qa_answer_prf" -> answerPrf,
     "qa_rouge_l" -> rougeL,
+    "qa_bleu" -> bleu,
   )
 
   // ------------------------------------------------------------- oracles
@@ -369,6 +421,51 @@ object QaPipeline extends graft.QueryModule {
          |  least(10, len(list_intersect(
          |    list_distinct(list_slice(ts, 1, least(len(ts), $TruncMax))), $qlist))) AS score
          |FROM toks""".stripMargin,
+    "qa_bleu" ->
+      s"""$scoredCte, answers AS ($answersSelect),
+         |ca AS (SELECT doc_id, regexp_extract_all(llm_answer, '$re') AS ct
+         |  FROM answers),
+         |rf AS (SELECT doc_id, list_slice(ts, 1, $TruncMax) AS rt FROM toks),
+         |cu AS (SELECT doc_id, t, count(*) AS c FROM
+         |  (SELECT doc_id, unnest(ct) AS t FROM ca) GROUP BY 1, 2),
+         |ru AS (SELECT doc_id, t, count(*) AS c FROM
+         |  (SELECT doc_id, unnest(rt) AS t FROM rf) GROUP BY 1, 2),
+         |k1 AS (SELECT cu.doc_id,
+         |    CAST(sum(least(cu.c, coalesce(ru.c, 0))) AS BIGINT) AS clip1
+         |  FROM cu LEFT JOIN ru ON cu.doc_id = ru.doc_id AND cu.t = ru.t
+         |  GROUP BY 1),
+         |cb AS (SELECT doc_id, t, count(*) AS c FROM
+         |  (SELECT doc_id, unnest([ct[i] || ' ' || ct[i + 1]
+         |     for i in range(1, len(ct))]) AS t FROM ca) GROUP BY 1, 2),
+         |rb AS (SELECT doc_id, t, count(*) AS c FROM
+         |  (SELECT doc_id, unnest([rt[i] || ' ' || rt[i + 1]
+         |     for i in range(1, len(rt))]) AS t FROM rf) GROUP BY 1, 2),
+         |k2 AS (SELECT cb.doc_id,
+         |    CAST(sum(least(cb.c, coalesce(rb.c, 0))) AS BIGINT) AS clip2
+         |  FROM cb LEFT JOIN rb ON cb.doc_id = rb.doc_id AND cb.t = rb.t
+         |  GROUP BY 1),
+         |bb AS (SELECT ca.doc_id, len(ct) AS c, len(rt) AS r,
+         |    coalesce(k1.clip1, 0) AS clip1, coalesce(k2.clip2, 0) AS clip2
+         |  FROM ca JOIN rf USING (doc_id)
+         |  LEFT JOIN k1 USING (doc_id) LEFT JOIN k2 USING (doc_id)),
+         |pr AS (SELECT doc_id, c, r,
+         |    CASE WHEN c > 0 THEN CAST(clip1 AS DOUBLE) / CAST(c AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS p1,
+         |    CASE WHEN c > 1 THEN CAST(clip2 AS DOUBLE) / CAST(c - 1 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS p2,
+         |    CASE WHEN c = 0 THEN NULL
+         |         ELSE least(CAST(0.0 AS DOUBLE),
+         |           CAST(1.0 AS DOUBLE) - CAST(r AS DOUBLE) / CAST(c AS DOUBLE))
+         |    END AS bp_log
+         |  FROM bb)
+         |SELECT doc_id, c AS n_cand, r AS n_ref,
+         |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+         |  round(bp_log, 6) AS bp_log,
+         |  round(CASE WHEN p1 > 0 AND p2 > 0
+         |    THEN bp_log + CAST(0.5 AS DOUBLE) * ln(p1)
+         |       + CAST(0.5 AS DOUBLE) * ln(p2)
+         |    ELSE NULL END, 6) AS log_bleu
+         |FROM pr""".stripMargin,
     // ROUGE-L replay: the LCS DP as a recursive CTE — one DP-row LIST
     // per (doc, candidate-token) step. The row update uses the
     // monotone-equivalent recurrence dp[i][j] = max(dp[i-1][j],

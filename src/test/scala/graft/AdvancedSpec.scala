@@ -148,4 +148,33 @@ class AdvancedSpec extends SparkSpec {
     assert(lcs("aa bb cc dd", "aa bb cc dd", 2) === 2)
     assert(lcs("zz aa", "aa zz", 1) === 0) // first tokens differ
   }
+
+  test("log-BLEU: bounds, internal consistency, clipping semantics") {
+    val rows = graft.queries.QaPipeline.bleu(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p1 = r.getAs[Double]("p1")
+      val p2 = r.getAs[Double]("p2")
+      assert(p1 >= 0.0 && p1 <= 1.0)
+      assert(p2 >= 0.0 && p2 <= 1.0)
+      if (!r.isNullAt(r.fieldIndex("bp_log")))
+        assert(r.getAs[Double]("bp_log") <= 0.0)
+      if (!r.isNullAt(r.fieldIndex("log_bleu"))) {
+        val lb = r.getAs[Double]("log_bleu")
+        assert(lb <= 1e-9) // log of a [0,1] score
+        // consistency with the reported (rounded) components, 6dp slack
+        val recomputed = r.getAs[Double]("bp_log") +
+          0.5 * math.log(p1) + 0.5 * math.log(p2)
+        assert(math.abs(lb - recomputed) < 1e-4,
+          s"doc ${r.getAs[Long]("doc_id")}: $lb vs $recomputed")
+      } else {
+        // NULL only when a precision term is zero (or no candidate)
+        assert(p1 == 0.0 || p2 == 0.0)
+      }
+    }
+    // answers are extractive substrings of the doc: clipped precision
+    // is overwhelmingly 1 for long-enough candidates — sanity that the
+    // metric distinguishes brevity from precision
+    assert(rows.count(r => r.getAs[Double]("p1") == 1.0) > rows.length / 2)
+  }
 }
