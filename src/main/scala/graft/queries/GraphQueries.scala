@@ -180,7 +180,11 @@ object GraphQueries extends graft.QueryModule {
   def modularity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = cachedPairs(spark, dir)
-    val lbl = broadcast(labelProp(spark, dir))
+    // labels via DfCache: the audit re-reads the propagation result
+    // instead of re-running 3 rounds (PRIMARY rel_label_prop stays
+    // uncached and honest — the graph-family discipline)
+    val lbl = broadcast(DfCache.cached(spark, dir, "graph:labels")(
+      labelProp(spark, dir)))
     val m = pairs.agg(count(lit(1)).as("m"))
     val withC = pairs
       .join(lbl.select($"node".as("pa"), $"community".as("ca")), "pa")

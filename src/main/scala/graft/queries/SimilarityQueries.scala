@@ -522,6 +522,54 @@ object SimilarityQueries extends graft.QueryModule {
         // negative covariances) so both engines print the same zero
         (round(col("cov"), 6) + lit(0.0)).as("cov"))
 
+  private val DriftBlock = 4096L
+
+  /** Embedding centroid-drift monitor — the distribution-shift check run
+    * when a corpus (or encoder) changes: split the vectors into two
+    * cohorts by vec_id parity (stand-in for before/after snapshots),
+    * compute each cohort's per-dimension centroid, and report the
+    * centroid L2 distance, the centroid cosine, and the
+    * largest-shifting dimension. Per-dim means use the
+    * [[graft.operators.LinearModel]] two-level ordered fold (vec_id
+    * within [[DriftBlock]]-sized blocks, then block order), so state
+    * per task is block-bounded and every float fold is order-fixed —
+    * the whole audit replays bit-for-bit. The final cross-dimension
+    * folds run over exactly `dim` rows. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.ordered_sum
+    val ex = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), pmod(col("vec_id"), lit(2)).cast("int").as("cohort"),
+        expr(s"vec_id div $DriftBlock").as("blk"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("cohort"), col("blk"),
+        col("d").cast("long").as("d"), col("v").cast("double").as("v"))
+    val lvl1 = ex.groupBy(col("cohort"), col("d"), col("blk"))
+      .agg(ordered_sum(col("v"), col("vec_id")).as("s"),
+        count(lit(1)).as("c"))
+    val sums = lvl1.groupBy(col("cohort"), col("d"))
+      .agg(ordered_sum(col("s"), col("blk")).as("s"), sum(col("c")).as("n"))
+      .withColumn("m", col("s") / col("n").cast("double"))
+    val a = sums.filter(col("cohort") === 0)
+      .select(col("d"), col("m").as("ma"), col("n").as("na"))
+    val b = sums.filter(col("cohort") === 1)
+      .select(col("d"), col("m").as("mb"), col("n").as("nb"))
+    a.join(b, "d")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        ordered_sum((col("ma") - col("mb")) * (col("ma") - col("mb")),
+          col("d")).as("sq"),
+        ordered_sum(col("ma") * col("mb"), col("d")).as("dot"),
+        ordered_sum(col("ma") * col("ma"), col("d")).as("qa"),
+        ordered_sum(col("mb") * col("mb"), col("d")).as("qb"),
+        max(struct(abs(col("ma") - col("mb")).as("s"), col("d").as("d")))
+          .as("mx"))
+      .select(col("n_a"), col("n_b"),
+        round(sqrt(col("sq")), 6).as("l2_dist"),
+        round(col("dot") / (sqrt(col("qa")) * sqrt(col("qb"))), 6)
+          .as("cosine"),
+        round(col("mx.s"), 6).as("max_abs_shift"),
+        col("mx.d").as("max_shift_dim"))
+  }
+
   private val PcaRounds = 8
 
   /** Leading principal component by POWER ITERATION, then the
@@ -672,6 +720,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_pq" -> topkPq,
     "sim_topk_ivfpq" -> topkIvfPq,
     "sim_covariance" -> covariance,
+    "sim_centroid_drift" -> centroidDrift,
     "sim_pca_proj" -> pcaProjection,
     "sim_diversity" -> diversity,
   )
@@ -1248,6 +1297,42 @@ object SimilarityQueries extends graft.QueryModule {
         |  round((s.s_ij - a.s * b.s / n.n) / (n.n - 1), 6) + 0.0 AS cov
         |FROM sij s JOIN si a ON s.i = a.i JOIN si b ON s.j = b.i
         |CROSS JOIN n""".stripMargin,
+    "sim_centroid_drift" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(vec_id % 2 AS INT) AS cohort,
+         |    vec_id // $DriftBlock AS blk,
+         |    unnest(range(0, len(embedding))) AS d,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |l1 AS (SELECT cohort, d, blk,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(v ORDER BY vec_id)), (a, x) -> a + x) AS s,
+         |    count(*) AS c
+         |  FROM ex GROUP BY 1, 2, 3),
+         |l2 AS (SELECT cohort, d,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(s ORDER BY blk)), (a, x) -> a + x) AS s,
+         |    CAST(sum(c) AS BIGINT) AS n
+         |  FROM l1 GROUP BY 1, 2),
+         |ms AS (SELECT cohort, d, s / CAST(n AS DOUBLE) AS m, n FROM l2),
+         |j AS (SELECT a.d, a.m AS ma, b.m AS mb, a.n AS na, b.n AS nb
+         |  FROM ms a JOIN ms b ON a.d = b.d
+         |  WHERE a.cohort = 0 AND b.cohort = 1),
+         |agg AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list((ma - mb) * (ma - mb) ORDER BY d)), (a, x) -> a + x) AS sq,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(ma * mb ORDER BY d)), (a, x) -> a + x) AS dot,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(ma * ma ORDER BY d)), (a, x) -> a + x) AS qa,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(mb * mb ORDER BY d)), (a, x) -> a + x) AS qb,
+         |    max({'s': abs(ma - mb), 'd': d}) AS mx
+         |  FROM j)
+         |SELECT n_a, n_b, round(sqrt(sq), 6) AS l2_dist,
+         |  round(dot / (sqrt(qa) * sqrt(qb)), 6) AS cosine,
+         |  round(mx.s, 6) AS max_abs_shift, mx.d AS max_shift_dim
+         |FROM agg""".stripMargin,
     "sim_semantic_dedup" ->
       s"""WITH km AS ($kmeansOracle)
          |SELECT cluster, vec_id, CAST(rn AS INT) AS rn FROM (

@@ -610,6 +610,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("pos_rate") >= overall)
   }
 
+  test("centroid drift: matches a naive per-dimension recomputation") {
+    val r = queries.SimilarityQueries.centroidDrift(spark, sf).collect().head
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).map(_.toDouble).toArray))
+    val (a, b) = vecs.partition(_._1 % 2 == 0)
+    assert(r.getAs[Long]("n_a") === a.length)
+    assert(r.getAs[Long]("n_b") === b.length)
+    val dim = vecs.head._2.length
+    def centroid(vs: Array[(Long, Array[Double])]) =
+      Array.tabulate(dim)(d => vs.map(_._2(d)).sum / vs.length)
+    val (ca, cb) = (centroid(a), centroid(b))
+    val l2 = math.sqrt((0 until dim).map(d => math.pow(ca(d) - cb(d), 2)).sum)
+    assert(math.abs(r.getAs[Double]("l2_dist") - l2) < 1e-6)
+    val dot = (0 until dim).map(d => ca(d) * cb(d)).sum
+    val cos = dot / (math.sqrt(ca.map(x => x * x).sum) *
+      math.sqrt(cb.map(x => x * x).sum))
+    assert(math.abs(r.getAs[Double]("cosine") - cos) < 1e-6)
+    val shifts = (0 until dim).map(d => math.abs(ca(d) - cb(d)))
+    assert(math.abs(r.getAs[Double]("max_abs_shift") - shifts.max) < 1e-6)
+    assert(shifts(r.getAs[Long]("max_shift_dim").toInt) === shifts.max)
+  }
+
   test("bootstrap CI: brackets the point mean, plausible width, exact ranks") {
     val r = queries.AnalysisQueries.bootstrapCi(spark, sf).collect().head
     val point = r.getAs[Double]("point_mean")
