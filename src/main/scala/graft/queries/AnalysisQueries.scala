@@ -1940,6 +1940,50 @@ object AnalysisQueries extends graft.QueryModule {
         (col("n_sensitive") >= LDiversityL).as("l_diverse"))
   }
 
+  private val KlBucketWidth = 100
+  private val KlMaxBucket = 49
+
+  /** Per-source length-distribution divergence from the corpus — the
+    * data-mixture skew diagnostic (a source whose length profile
+    * diverges hard from the corpus distorts packing, curriculum and
+    * token budgets): bucket n_chars into [[KlBucketWidth]]-char cells
+    * (capped at [[KlMaxBucket]]), and per source report KL(source ‖
+    * corpus) and the bounded, symmetric Jensen–Shannon divergence. All
+    * probabilities are exact-integer ratios; the ln terms fold in
+    * bucket order over ≤ 50 cells per source (bounded by the binning,
+    * never the corpus), so the whole report replays bit-for-bit. The
+    * grid is sources × buckets — dimension-sized; the one corpus-wide
+    * row broadcasts. */
+  def sourceLengthKl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.ordered_sum
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"),
+        least(expr(s"n_chars div $KlBucketWidth"), lit(KlMaxBucket.toLong))
+          .as("bucket"))
+    val srcCnt = docs.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("k"))
+    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val corpCnt = docs.groupBy(col("bucket")).agg(count(lit(1)).as("qc"))
+    val corpTot = docs.agg(count(lit(1)).as("n"))
+    val grid = srcTot.crossJoin(broadcast(corpCnt))
+      .join(srcCnt, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("k"))
+      .crossJoin(broadcast(corpTot))
+    val p = col("k").cast("double") / col("ns").cast("double")
+    val q = col("qc").cast("double") / col("n").cast("double")
+    val m = lit(0.5) * (p + q)
+    grid
+      .withColumn("kl_term", when(col("k") > 0, p * log(p / q))
+        .otherwise(lit(0.0)))
+      .withColumn("js_term",
+        when(col("k") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+          lit(0.5) * q * log(q / m))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"),
+        round(ordered_sum(col("kl_term"), col("bucket")), 6).as("kl"),
+        round(ordered_sum(col("js_term"), col("bucket")), 6).as("js"))
+  }
+
   private val DpEpsilon = 1.0
   private val DpSuppressBelow = 10.0
 
@@ -2156,6 +2200,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_k_anonymity" -> kAnonymity,
     "ta_l_diversity" -> lDiversity,
     "ta_dp_counts" -> dpCounts,
+    "ta_source_length_kl" -> sourceLengthKl,
     "ta_cusum_drift" -> cusumDrift,
     "ta_bootstrap_ci" -> bootstrapCi,
     "ta_cms_counts" -> cmsCounts,
@@ -2833,6 +2878,49 @@ object AnalysisQueries extends graft.QueryModule {
          |    AND r.rn = p.rn + 1)
          |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
          |FROM p""".stripMargin,
+    "ta_source_length_kl" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    least(n_chars // $KlBucketWidth, $KlMaxBucket) AS bucket
+         |  FROM documents),
+         |sc AS (SELECT source, bucket, count(*) AS k FROM d GROUP BY 1, 2),
+         |st AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+         |cc AS (SELECT bucket, count(*) AS qc FROM d GROUP BY 1),
+         |nt AS (SELECT count(*) AS n FROM d),
+         |grid AS (
+         |  SELECT st.source, cc.bucket, st.ns, cc.qc,
+         |    coalesce(sc.k, 0) AS k, nt.n
+         |  FROM st CROSS JOIN cc
+         |  LEFT JOIN sc ON sc.source = st.source AND sc.bucket = cc.bucket
+         |  CROSS JOIN nt),
+         |terms AS (
+         |  SELECT source, bucket, ns,
+         |    CASE WHEN k > 0
+         |      THEN (CAST(k AS DOUBLE) / CAST(ns AS DOUBLE)) *
+         |        ln((CAST(k AS DOUBLE) / CAST(ns AS DOUBLE)) /
+         |           (CAST(qc AS DOUBLE) / CAST(n AS DOUBLE)))
+         |      ELSE CAST(0.0 AS DOUBLE) END AS kl_term,
+         |    (CASE WHEN k > 0
+         |      THEN CAST(0.5 AS DOUBLE) *
+         |        (CAST(k AS DOUBLE) / CAST(ns AS DOUBLE)) *
+         |        ln((CAST(k AS DOUBLE) / CAST(ns AS DOUBLE)) /
+         |           (CAST(0.5 AS DOUBLE) *
+         |            (CAST(k AS DOUBLE) / CAST(ns AS DOUBLE) +
+         |             CAST(qc AS DOUBLE) / CAST(n AS DOUBLE))))
+         |      ELSE CAST(0.0 AS DOUBLE) END) +
+         |    CAST(0.5 AS DOUBLE) *
+         |      (CAST(qc AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      ln((CAST(qc AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |         (CAST(0.5 AS DOUBLE) *
+         |          (CAST(k AS DOUBLE) / CAST(ns AS DOUBLE) +
+         |           CAST(qc AS DOUBLE) / CAST(n AS DOUBLE)))) AS js_term
+         |  FROM grid)
+         |SELECT source, max(ns) AS n_docs,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(kl_term ORDER BY bucket)), (a, x) -> a + x), 6) AS kl,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(js_term ORDER BY bucket)), (a, x) -> a + x), 6) AS js
+         |FROM terms GROUP BY source""".stripMargin,
     "ta_dp_counts" -> {
       val tiny = 1.0 / 9007199254740992.0
       s"""WITH cells AS (

@@ -610,6 +610,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("pos_rate") >= overall)
   }
 
+  test("source-length KL/JS: non-negative, JS bounded by ln 2, naive parity") {
+    val rows = queries.AnalysisQueries.sourceLengthKl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kl") >= -1e-9)
+      val js = r.getAs[Double]("js")
+      assert(js >= -1e-9 && js <= math.log(2.0) + 1e-9)
+    }
+    // naive recompute for every source from raw buckets
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        least(expr("n_chars div 100"), lit(49L)).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toDouble
+    val qc = docs.groupBy(_._2).view.mapValues(_.size / n).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = docs.filter(_._1 == src)
+      val ns = mine.length.toDouble
+      val pc = mine.groupBy(_._2).view.mapValues(_.size / ns).toMap
+      val kl = pc.map { case (b, p) => p * math.log(p / qc(b)) }.sum
+      assert(math.abs(r.getAs[Double]("kl") - kl) < 1e-5, src)
+      val js = qc.map { case (b, q) =>
+        val p = pc.getOrElse(b, 0.0)
+        val m = 0.5 * (p + q)
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          0.5 * q * math.log(q / m)
+      }.sum
+      assert(math.abs(r.getAs[Double]("js") - js) < 1e-5, src)
+    }
+  }
+
   test("centroid drift: matches a naive per-dimension recomputation") {
     val r = queries.SimilarityQueries.centroidDrift(spark, sf).collect().head
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
