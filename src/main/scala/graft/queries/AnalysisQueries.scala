@@ -1852,6 +1852,50 @@ object AnalysisQueries extends graft.QueryModule {
     buf.toSeq
   }
 
+  /** Shared DuckDB CTE chain for the Poisson-bootstrap family: ends in
+    * `bdoc(doc_id, n_chars)` and `bw(doc_id, b, w)` — the per-(doc,
+    * replicate) Poisson(1) weights replayed from the keyed hash. */
+  private def poissonWeightCtes: String = {
+    val cases = PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < CAST($c AS DOUBLE) THEN $k" }
+      .mkString("\n         |      ")
+    s"""bdoc AS (SELECT doc_id, n_chars FROM documents),
+       |bx AS (SELECT doc_id, unnest(range($BootstrapB)) AS b FROM bdoc),
+       |btok AS (SELECT doc_id,
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) AS t
+       |  FROM bx),
+       |${graft.core.XxHashSql.hash64Ctes("btok", "bh", "bxx")},
+       |bu AS (SELECT doc_id, CAST(split_part(t, ':', 2) AS INT) AS b,
+       |    CAST(h64 >> 11 AS DOUBLE) *
+       |      CAST(${1.0 / 9007199254740992.0} AS DOUBLE) AS u
+       |  FROM bh),
+       |bw AS (SELECT doc_id, b,
+       |    CASE $cases
+       |      ELSE 12 END AS w
+       |  FROM bu)""".stripMargin
+  }
+
+  /** The Spark side of [[poissonWeightCtes]]: (doc_id, n_chars, b, w)
+    * rows, one per (document, replicate). */
+  private def poissonWeights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.hash64
+    val tiny = 1.0 / 9007199254740992.0
+    val u = shiftrightunsigned(col("h"), 11).cast("double") * lit(tiny)
+    val w = PoissonCdf.zipWithIndex
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(0L))) {
+        case (acc, (c, k)) => acc.when(col("u") < lit(c), lit(k.toLong))
+      }.otherwise(lit(12L))
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .withColumn("h", hash64(concat(col("doc_id").cast("string"),
+        lit(":"), col("b").cast("string"))))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .select(col("doc_id"), col("n_chars"), col("b"), col("w"))
+  }
+
   /** Poisson-bootstrap confidence interval for the corpus mean document
     * length — THE resampling scheme that survives 100 TB: instead of
     * materializing B resamples, each row draws an independent
@@ -1867,24 +1911,12 @@ object AnalysisQueries extends graft.QueryModule {
     * and DuckDB replays the interval bit-for-bit. CI = nearest-rank
     * 2.5%/97.5% of the B replicate means (a 200-row sort). */
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{hash64, ordered_sum}
+    import graft.functions.TextFunctions.ordered_sum
     val docs = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
     val point = docs.agg(sum(col("n_chars")).as("tot"),
       count(lit(1)).as("n"))
-    val u = shiftrightunsigned(col("h"), 11).cast("double") *
-      lit(1.0 / 9007199254740992.0)
-    val w = PoissonCdf.zipWithIndex
-      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(0L))) {
-        case (acc, (c, k)) => acc.when(col("u") < lit(c), lit(k.toLong))
-      }.otherwise(lit(12L))
-    val reps = docs
-      .select(col("doc_id"), col("n_chars"),
-        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
-      .withColumn("h", hash64(concat(col("doc_id").cast("string"),
-        lit(":"), col("b").cast("string"))))
-      .withColumn("u", u)
-      .withColumn("w", w)
+    val reps = poissonWeights(spark, dir)
       .groupBy(col("b"))
       .agg(sum(col("w") * col("n_chars")).as("sx"), sum(col("w")).as("sw"))
       .select(col("b"),
@@ -1905,6 +1937,47 @@ object AnalysisQueries extends graft.QueryModule {
         col("mean_of_reps"),
         round(element_at(col("ms"), loIdx), 6).as("ci_lo"),
         round(element_at(col("ms"), hiIdx), 6).as("ci_hi"))
+  }
+
+  /** Poisson-bootstrap CI for the corpus MEDIAN document length — the
+    * robust-statistic companion to [[bootstrapCi]] and, unlike the mean,
+    * a case where the CLT gives no easy closed form. Per replicate, the
+    * lower weighted median is the smallest n_chars value whose
+    * cumulative Poisson weight reaches ceil(T/2): a per-replicate
+    * running sum over the VALUE DISTRIBUTION (cells, not rows), all of
+    * it BIGINT — the entire query has no float arithmetic anywhere, so
+    * it replays exactly by construction. CI = nearest-rank 2.5/97.5% of
+    * the B replicate medians (integers). */
+  def bootstrapMedianCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def medians(cells: DataFrame): DataFrame = {
+      // cells: (b, v, wsum) — weight mass per value cell per replicate
+      val wOrd = Window.partitionBy(col("b")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("b"))
+      cells
+        .withColumn("cum", sum(col("wsum")).over(wOrd))
+        .withColumn("t", sum(col("wsum")).over(wAll))
+        .filter(col("cum") * 2 >= col("t"))
+        .groupBy(col("b")).agg(min(col("v")).as("med"))
+    }
+    val reps = medians(poissonWeights(spark, dir)
+      .groupBy(col("b"), col("n_chars").as("v"))
+      .agg(sum(col("w")).as("wsum")))
+    val point = medians(
+      Tables.loadSpread(spark, dir, "documents")
+        .select(lit(0).as("b"), col("n_chars").as("v"))
+        .groupBy(col("b"), col("v")).agg(count(lit(1)).as("wsum")))
+      .select(col("med").as("point_median"))
+    val loIdx = math.ceil(0.025 * BootstrapB).toInt
+    val hiIdx = math.ceil(0.975 * BootstrapB).toInt
+    reps
+      .agg(sort_array(collect_list(col("med"))).as("ms"),
+        count(lit(1)).as("n_replicates"))
+      .crossJoin(broadcast(point))
+      .select(col("n_replicates"), col("point_median"),
+        element_at(col("ms"), loIdx).as("ci_lo"),
+        element_at(col("ms"), hiIdx).as("ci_hi"))
   }
 
   private val LDiversityL = 4
@@ -2203,6 +2276,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_source_length_kl" -> sourceLengthKl,
     "ta_cusum_drift" -> cusumDrift,
     "ta_bootstrap_ci" -> bootstrapCi,
+    "ta_bootstrap_median_ci" -> bootstrapMedianCi,
     "ta_cms_counts" -> cmsCounts,
     "ta_source_mix_temperature" -> sourceMixTemperature,
     "ta_bigram_logprob" -> bigramLogprob,
@@ -2948,24 +3022,35 @@ object AnalysisQueries extends graft.QueryModule {
          |    CAST($DpSuppressBelow AS DOUBLE)) AS suppressed
          |FROM cn""".stripMargin
     },
+    "ta_bootstrap_median_ci" -> {
+      s"""WITH $poissonWeightCtes,
+         |cells AS (SELECT b, n_chars AS v, CAST(sum(w) AS BIGINT) AS wsum
+         |  FROM bw JOIN bdoc USING (doc_id) GROUP BY 1, 2),
+         |cm AS (SELECT b, v,
+         |    CAST(sum(wsum) OVER (PARTITION BY b ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(sum(wsum) OVER (PARTITION BY b) AS BIGINT) AS t
+         |  FROM cells),
+         |med AS (SELECT b, min(v) AS med FROM cm WHERE cum * 2 >= t
+         |  GROUP BY b),
+         |pt AS (
+         |  SELECT min(v) AS point_median FROM (
+         |    SELECT v,
+         |      CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |        AS BIGINT) AS cum,
+         |      CAST(sum(c) OVER () AS BIGINT) AS t
+         |    FROM (SELECT n_chars AS v, count(*) AS c FROM documents
+         |          GROUP BY 1))
+         |  WHERE cum * 2 >= t),
+         |ag AS (SELECT list_sort(list(med)) AS ms,
+         |    count(*) AS n_replicates FROM med)
+         |SELECT n_replicates, point_median,
+         |  ms[${math.ceil(0.025 * BootstrapB).toInt}] AS ci_lo,
+         |  ms[${math.ceil(0.975 * BootstrapB).toInt}] AS ci_hi
+         |FROM ag CROSS JOIN pt""".stripMargin
+    },
     "ta_bootstrap_ci" -> {
-      val cases = PoissonCdf.zipWithIndex
-        .map { case (c, k) => s"WHEN u < CAST($c AS DOUBLE) THEN $k" }
-        .mkString("\n         |      ")
-      s"""WITH bdoc AS (SELECT doc_id, n_chars FROM documents),
-         |bx AS (SELECT doc_id, unnest(range($BootstrapB)) AS b FROM bdoc),
-         |btok AS (SELECT doc_id,
-         |    CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) AS t
-         |  FROM bx),
-         |${graft.core.XxHashSql.hash64Ctes("btok", "bh", "bxx")},
-         |bu AS (SELECT doc_id, CAST(split_part(t, ':', 2) AS INT) AS b,
-         |    CAST(h64 >> 11 AS DOUBLE) *
-         |      CAST(${1.0 / 9007199254740992.0} AS DOUBLE) AS u
-         |  FROM bh),
-         |bw AS (SELECT doc_id, b,
-         |    CASE $cases
-         |      ELSE 12 END AS w
-         |  FROM bu),
+      s"""WITH $poissonWeightCtes,
          |bagg AS (SELECT b, CAST(sum(w * n_chars) AS BIGINT) AS sx,
          |    CAST(sum(w) AS BIGINT) AS sw
          |  FROM bw JOIN bdoc USING (doc_id) GROUP BY b),

@@ -642,6 +642,21 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap median CI: brackets the exact median, integer-exact ranks") {
+    val r = queries.AnalysisQueries.bootstrapMedianCi(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_replicates") === 200L)
+    val lo = r.getAs[Long]("ci_lo")
+    val hi = r.getAs[Long]("ci_hi")
+    val pt = r.getAs[Long]("point_median")
+    assert(lo <= pt && pt <= hi, s"[$lo, $hi] must bracket $pt")
+    // the point median is the exact lower median of n_chars
+    val vals = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    val exact = vals((vals.length - 1) / 2)
+    assert(pt === exact)
+  }
+
   test("centroid drift: matches a naive per-dimension recomputation") {
     val r = queries.SimilarityQueries.centroidDrift(spark, sf).collect().head
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
