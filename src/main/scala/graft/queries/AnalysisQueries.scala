@@ -2013,6 +2013,42 @@ object AnalysisQueries extends graft.QueryModule {
         (col("n_sensitive") >= LDiversityL).as("l_diverse"))
   }
 
+  /** Per-source Gini coefficient of document length — the inequality
+    * audit for mixture balance (a source whose token mass concentrates
+    * in a few giant docs behaves very differently under packing and
+    * sampling than its doc count suggests). Computed from the VALUE
+    * DISTRIBUTION, never a global row sort: for length cells (v, c)
+    * ordered by v, the rank-sum Σ i·x_i decomposes per cell as
+    * v·(c·r0 + c(c+1)/2) with r0 = rows below the cell — and every
+    * product accumulates in DECIMAL(38,0), which is EXACT (DuckDB
+    * HUGEINT) and therefore order-free where a double sum would not
+    * be. G = 2·Σi·x_i/(n·Σx) − (n+1)/n, pointwise at the end. */
+  def lengthGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.loadSpread(spark, dir, "documents")
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (e: org.apache.spark.sql.Column) => e.cast("decimal(38,0)")
+    // sr2 = 2·Σ i·x_i, accumulated WITHOUT any division: per cell
+    // v·(2·c·r0 + c·(c+1)), every factor in decimal(38,0)
+    val ranked = cells
+      .withColumn("r0", coalesce(sum(col("c")).over(wOrd), lit(0L)))
+      .withColumn("ranksum2",
+        dec(col("v")) * (lit(2) * dec(col("c")) * dec(col("r0")) +
+          dec(col("c")) * (dec(col("c")) + lit(1))))
+    ranked.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"),
+        sum(dec(col("v")) * dec(col("c"))).as("sx"),
+        sum(col("ranksum2")).as("sr2"))
+      .select(col("source"), col("n"),
+        round(col("sr2").cast("double") /
+          (col("n").cast("double") * col("sx").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
   private val KlBucketWidth = 100
   private val KlMaxBucket = 49
 
@@ -2274,6 +2310,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_l_diversity" -> lDiversity,
     "ta_dp_counts" -> dpCounts,
     "ta_source_length_kl" -> sourceLengthKl,
+    "ta_length_gini" -> lengthGini,
     "ta_cusum_drift" -> cusumDrift,
     "ta_bootstrap_ci" -> bootstrapCi,
     "ta_bootstrap_median_ci" -> bootstrapMedianCi,
@@ -2952,6 +2989,30 @@ object AnalysisQueries extends graft.QueryModule {
          |    AND r.rn = p.rn + 1)
          |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
          |FROM p""".stripMargin,
+    "ta_length_gini" ->
+      """WITH cells AS (
+        |  SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, v, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS r0
+        |  FROM cells),
+        |rs AS (
+        |  SELECT source, v, c, r0,
+        |    CAST(v AS DECIMAL(38,0)) *
+        |      (2 * CAST(c AS DECIMAL(38,0)) * CAST(r0 AS DECIMAL(38,0)) +
+        |       CAST(c AS DECIMAL(38,0)) * (CAST(c AS DECIMAL(38,0)) + 1))
+        |      AS ranksum2
+        |  FROM rk)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |  round(CAST(sum(ranksum2) AS DOUBLE) /
+        |    (CAST(sum(c) AS DOUBLE) *
+        |     CAST(sum(CAST(v AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+        |       AS DOUBLE)) -
+        |    CAST(sum(c) + 1 AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS gini
+        |FROM rs GROUP BY source""".stripMargin,
     "ta_source_length_kl" ->
       s"""WITH d AS (
          |  SELECT source,

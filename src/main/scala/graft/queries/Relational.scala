@@ -543,6 +543,42 @@ object Relational extends graft.QueryModule {
           .otherwise(lit((k - 1).toDouble) * two64 / hkD), 4).as("est_union"))
   }
 
+  /** Benford first-digit audit over line-item prices — the classic
+    * fabricated-numbers detector (fraud/anomaly screening; naturally-
+    * occurring multiplicative quantities follow P(d) = log10(1+1/d)):
+    * per leading digit, observed vs Benford-expected counts and the χ²
+    * contribution, plus the total χ² on every row. Digit extraction is
+    * ENGINE-SAFE by construction: floor the double to a BIGINT (exact
+    * in both engines) and take the first character of the INTEGER's
+    * string form — integers print identically everywhere, where double
+    * formatting does not. The χ² fold runs over exactly 9 rows. On
+    * TPC-H-ish synthetic data the test CORRECTLY rejects (uniform
+    * price ranges are not Benford) — the audit detecting synthetic
+    * data is the demo. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.ordered_sum
+    val obs = Tables.load(spark, dir, "lineitem")
+      .select(floor($"l_extendedprice").cast("long").as("v"))
+      .filter($"v" >= 1)
+      .select(substring($"v".cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("observed"))
+    val n = obs.agg(sum($"observed").as("n"))
+    val ln10 = log(lit(10.0))
+    val withE = obs.crossJoin(broadcast(n))
+      .withColumn("expected",
+        $"n".cast("double") *
+          log(lit(1.0) + lit(1.0) / $"digit".cast("double")) / ln10)
+      .withColumn("contrib",
+        ($"observed".cast("double") - $"expected") *
+          ($"observed".cast("double") - $"expected") / $"expected")
+    val chi = withE.agg(
+      round(ordered_sum($"contrib", $"digit"), 6).as("chi2"))
+    withE.crossJoin(broadcast(chi))
+      .select($"digit", $"observed", round($"expected", 4).as("expected"),
+        round($"contrib", 6).as("contrib"), $"chi2")
+  }
+
   /** KMV set-INTERSECTION estimate (Beyer et al., SIGMOD'07) — the last
     * member of the sketch algebra next to [[kmvDistinct]] /
     * [[kmvUnion]]: from the two per-flag sketches ALONE, estimate
@@ -1475,6 +1511,7 @@ object Relational extends graft.QueryModule {
     "rel_kmv_distinct" -> kmvDistinct,
     "rel_kmv_union" -> kmvUnion,
     "rel_kmv_intersect" -> kmvIntersect,
+    "rel_benford" -> benford,
     "rel_equidepth_hist" -> equidepthHist,
     "rel_approx_percentiles" -> approxPercentiles,
     "rel_dataset_split" -> datasetSplit,
@@ -2129,6 +2166,31 @@ object Relational extends graft.QueryModule {
         |SELECT bucket, count(*) AS n_rows,
         |  min(price) AS min_price, max(price) AS max_price
         |FROM b GROUP BY 1""".stripMargin,
+    "rel_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v FROM lineitem),
+        |o AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS observed
+        |  FROM v WHERE v >= 1 GROUP BY 1),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM o),
+        |e AS (
+        |  SELECT digit, observed,
+        |    CAST(n AS DOUBLE) *
+        |      ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) /
+        |         CAST(digit AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE)) AS expected
+        |  FROM o CROSS JOIN n),
+        |c AS (
+        |  SELECT digit, observed, expected,
+        |    (CAST(observed AS DOUBLE) - expected) *
+        |    (CAST(observed AS DOUBLE) - expected) / expected AS contrib
+        |  FROM e),
+        |t AS (SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(contrib ORDER BY digit)), (a, x) -> a + x), 6) AS chi2
+        |  FROM c)
+        |SELECT digit, observed, round(expected, 4) AS expected,
+        |  round(contrib, 6) AS contrib, chi2
+        |FROM c CROSS JOIN t""".stripMargin,
     "rel_kmv_intersect" ->
       s"""WITH pk AS (SELECT DISTINCT quarter(l_shipdate) AS doc_id,
          |    CAST(l_partkey AS VARCHAR) AS t FROM lineitem

@@ -642,6 +642,41 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("length gini: matches the naive sorted-rank formula per source") {
+    val rows = queries.AnalysisQueries.lengthGini(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val xs = docs.filter(_._1 == src).map(_._2.toDouble).sorted
+      val n = xs.length
+      assert(r.getAs[Long]("n") === n.toLong)
+      val naive = 2.0 * xs.zipWithIndex.map { case (x, i) =>
+        (i + 1) * x }.sum / (n * xs.sum) - (n + 1.0) / n
+      assert(math.abs(r.getAs[Double]("gini") - naive) < 1e-6, src)
+      assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+    }
+  }
+
+  test("benford: digits partition, chi2 = sum of contribs, expected is Benford") {
+    val rows = queries.Relational.benford(spark, sf).collect()
+      .sortBy(_.getAs[Int]("digit"))
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val chi2 = rows.head.getAs[Double]("chi2")
+    assert(rows.forall(_.getAs[Double]("chi2") == chi2))
+    assert(math.abs(rows.map(_.getAs[Double]("contrib")).sum - chi2) < 1e-3)
+    val n = rows.map(_.getAs[Long]("observed")).sum.toDouble
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      val expect = n * math.log10(1.0 + 1.0 / d)
+      assert(math.abs(r.getAs[Double]("expected") - expect) < 1e-2, s"d=$d")
+      assert(r.getAs[Double]("contrib") >= 0.0)
+    }
+    // expected masses themselves sum to n (Benford probs sum to 1)
+    assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - n) < 1e-2)
+  }
+
   test("bootstrap median CI: brackets the exact median, integer-exact ranks") {
     val r = queries.AnalysisQueries.bootstrapMedianCi(spark, sf)
       .collect().head
