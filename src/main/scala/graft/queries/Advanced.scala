@@ -57,6 +57,29 @@ object Advanced extends graft.QueryModule {
     * single-label multiclass collapse to accuracy. Computed from the
     * unrounded TP/support/predicted counts of [[langidPrf]] — two tiny
     * aggregations over the per-class rows. */
+  /** Cohen's kappa for the language-ID classifier — chance-corrected
+    * agreement, the statistic that catches "high accuracy because one
+    * class dominates" where raw accuracy and even P/R/F1 can flatter:
+    * κ = (p_o − p_e)/(1 − p_e) with p_o = Σtp/N and
+    * p_e = Σ_c support_c·predicted_c / N². Every accumulated quantity
+    * is an exact BIGINT off the same per-class table as [[langidPrf]];
+    * the κ arithmetic is pointwise. Degenerate single-class case
+    * (p_e = 1) yields NULL in both engines, never a division blowup. */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val base = langidPrf(spark, dir)
+      .select(col("support"), col("tp"), col("predicted_n"))
+    val nD = col("n").cast("double")
+    val po = col("tp_sum").cast("double") / nD
+    val pe = col("cross").cast("double") / (nD * nD)
+    base
+      .agg(sum(col("support")).as("n"),
+        sum(col("tp")).as("tp_sum"),
+        sum(col("support") * col("predicted_n")).as("cross"))
+      .select(col("n"), round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe))
+          .otherwise(lit(null).cast("double")), 6).as("kappa"))
+  }
+
   def judgePrfMacro(spark: SparkSession, dir: String): DataFrame = {
     val counts = langidPrf(spark, dir)
       .select(col("lang"), col("support"), col("tp"), col("predicted_n"))
@@ -494,6 +517,7 @@ object Advanced extends graft.QueryModule {
     "adv_scrub" -> scrub,
     "adv_rollup" -> rollupAgg,
     "adv_langid_prf" -> langidPrf,
+    "adv_cohen_kappa" -> cohenKappa,
     "adv_judge_prf_macro" -> judgePrfMacro,
     "adv_composite_components" -> compositeComponents,
     "adv_composite_match" -> compositeMatch,
@@ -612,6 +636,35 @@ object Advanced extends graft.QueryModule {
          |             / (t.tp * 1.0 / p.predicted_n + t.tp * 1.0 / t.support)
          |        ELSE 0.0 END, 4) AS f1
          |FROM per_true t LEFT JOIN per_pred p USING (lang)""".stripMargin
+    },
+    "adv_cohen_kappa" -> {
+      val inner = AnalysisQueries.oracleSql("ta_langid")
+      s"""WITH pred AS ($inner),
+         |per_true AS (
+         |  SELECT lang, count(*) AS support,
+         |    CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM pred GROUP BY lang),
+         |per_pred AS (
+         |  SELECT predicted AS lang, count(*) AS predicted_n FROM pred GROUP BY 1),
+         |pc AS (
+         |  SELECT t.support, t.tp, coalesce(p.predicted_n, 0) AS predicted_n
+         |  FROM per_true t LEFT JOIN per_pred p USING (lang)),
+         |ag AS (
+         |  SELECT CAST(sum(support) AS BIGINT) AS n,
+         |    CAST(sum(tp) AS BIGINT) AS tp_sum,
+         |    CAST(sum(support * predicted_n) AS BIGINT) AS cross_sum
+         |  FROM pc),
+         |k AS (
+         |  SELECT n,
+         |    CAST(tp_sum AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |    CAST(cross_sum AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+         |  FROM ag)
+         |SELECT n, round(po, 6) AS po, round(pe, 6) AS pe,
+         |  round(CASE WHEN pe < CAST(1.0 AS DOUBLE)
+         |    THEN (po - pe) / (CAST(1.0 AS DOUBLE) - pe)
+         |    ELSE NULL END, 6) AS kappa
+         |FROM k""".stripMargin
     },
     "adv_judge_prf_macro" -> {
       val inner = AnalysisQueries.oracleSql("ta_langid")

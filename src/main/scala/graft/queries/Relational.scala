@@ -543,6 +543,48 @@ object Relational extends graft.QueryModule {
           .otherwise(lit((k - 1).toDouble) * two64 / hkD), 4).as("est_union"))
   }
 
+  /** Two-proportion A/B z-test over user purchase conversion — the
+    * experimentation primitive: users split into two arms by the parity
+    * of a keyed hash (reproducible, no RNG state — the engine's
+    * sampling discipline), conversion = the user has >= 1 purchase
+    * event, and the pooled-variance z statistic decides significance at
+    * the two-sided 5% level. Every accumulated quantity is an exact
+    * BIGINT (arm sizes, conversions); the z arithmetic is pointwise on
+    * one row, so the test replays bit-for-bit. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.hash64
+    // outcome: a HIGH-VALUE purchase (> 200) — plain has-a-purchase
+    // saturates on this corpus (every user buys; p = 1 has zero
+    // variance and an undefined z)
+    val users = Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" > 200.0, 1)
+        .otherwise(0)).as("converted"))
+      .withColumn("arm",
+        pmod(hash64(concat(lit("ab:"), $"user_id".cast("string"))), lit(2))
+          .cast("int"))
+    val arms = users.groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"converted").cast("long").as("conv"))
+    val a = arms.filter($"arm" === 0).select($"n".as("n_a"), $"conv".as("conv_a"))
+    val b = arms.filter($"arm" === 1).select($"n".as("n_b"), $"conv".as("conv_b"))
+    val pA = $"conv_a".cast("double") / $"n_a".cast("double")
+    val pB = $"conv_b".cast("double") / $"n_b".cast("double")
+    val pooled = ($"conv_a" + $"conv_b").cast("double") /
+      ($"n_a" + $"n_b").cast("double")
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double")))
+    a.crossJoin(b)
+      // se = 0 only when pooled conversion is 0 or 1 — degenerate data;
+      // NULL (mirrored) beats an ANSI divide-by-zero abort
+      .withColumn("z", when(se > 0.0, (pA - pB) / se)
+        .otherwise(lit(null).cast("double")))
+      .select($"n_a", $"n_b", $"conv_a", $"conv_b",
+        round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+        round($"z", 6).as("z"),
+        (abs($"z") > 1.96).as("significant"))
+  }
+
   /** Benford first-digit audit over line-item prices — the classic
     * fabricated-numbers detector (fraud/anomaly screening; naturally-
     * occurring multiplicative quantities follow P(d) = log10(1+1/d)):
@@ -1512,6 +1554,7 @@ object Relational extends graft.QueryModule {
     "rel_kmv_union" -> kmvUnion,
     "rel_kmv_intersect" -> kmvIntersect,
     "rel_benford" -> benford,
+    "rel_ab_test" -> abTest,
     "rel_equidepth_hist" -> equidepthHist,
     "rel_approx_percentiles" -> approxPercentiles,
     "rel_dataset_split" -> datasetSplit,
@@ -2166,6 +2209,46 @@ object Relational extends graft.QueryModule {
         |SELECT bucket, count(*) AS n_rows,
         |  min(price) AS min_price, max(price) AS max_price
         |FROM b GROUP BY 1""".stripMargin,
+    "rel_ab_test" -> {
+      s"""WITH uc AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase'
+         |             AND value > CAST(200.0 AS DOUBLE)
+         |             THEN 1 ELSE 0 END) AS converted,
+         |    'ab:' || CAST(user_id AS VARCHAR) AS t, 0 AS doc_id
+         |  FROM events GROUP BY user_id),
+         |${graft.core.XxHashSql.hash64Ctes("uc", "uh", "abx")},
+         |ua AS MATERIALIZED (
+         |  SELECT u.user_id, u.converted, CAST(h.h64 % 2 AS INT) AS arm
+         |  FROM uc u JOIN uh h ON h.t = u.t),
+         |arms AS MATERIALIZED (
+         |  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+         |  FROM ua GROUP BY arm),
+         |ab AS (SELECT
+         |    (SELECT n FROM arms WHERE arm = 0) AS n_a,
+         |    (SELECT conv FROM arms WHERE arm = 0) AS conv_a,
+         |    (SELECT n FROM arms WHERE arm = 1) AS n_b,
+         |    (SELECT conv FROM arms WHERE arm = 1) AS conv_b),
+         |z AS (SELECT n_a, n_b, conv_a, conv_b,
+         |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+         |  FROM ab),
+         |z2 AS (SELECT *,
+         |    CASE WHEN sqrt(pp * (CAST(1.0 AS DOUBLE) - pp) *
+         |        (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) +
+         |         CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) >
+         |        CAST(0.0 AS DOUBLE)
+         |      THEN (pa - pb) / sqrt(pp * (CAST(1.0 AS DOUBLE) - pp) *
+         |        (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) +
+         |         CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+         |      ELSE NULL END AS zv
+         |  FROM z)
+         |SELECT n_a, n_b, conv_a, conv_b,
+         |  round(pa, 6) AS p_a, round(pb, 6) AS p_b, round(zv, 6) AS z,
+         |  (abs(zv) > CAST(1.96 AS DOUBLE)) AS significant
+         |FROM z2""".stripMargin
+    },
     "rel_benford" ->
       """WITH v AS (
         |  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v FROM lineitem),

@@ -642,6 +642,41 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("ab test: arms partition users, z matches naive, null split insignificant") {
+    val r = queries.Relational.abTest(spark, sf).collect().head
+    val users = graft.core.Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users)
+    val (na, nb) = (r.getAs[Long]("n_a").toDouble, r.getAs[Long]("n_b").toDouble)
+    val (ca, cb) = (r.getAs[Long]("conv_a").toDouble, r.getAs[Long]("conv_b").toDouble)
+    val pooled = (ca + cb) / (na + nb)
+    assert(pooled > 0.0 && pooled < 1.0, "outcome must not saturate")
+    val se = math.sqrt(pooled * (1 - pooled) * (1 / na + 1 / nb))
+    val z = (ca / na - cb / nb) / se
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+    // a pure hash split of one population is a NULL experiment: the
+    // test should (almost surely) not fire
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("cohen kappa: matches naive from the confusion marginals, in [-1, 1]") {
+    val r = queries.Advanced.cohenKappa(spark, sf).collect().head
+    val pred = queries.AnalysisQueries.langid(spark, sf)
+      .select(col("lang"), col("predicted")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = pred.length.toDouble
+    val po = pred.count { case (t, p) => t == p } / n
+    val langs = (pred.map(_._1) ++ pred.map(_._2)).distinct
+    val pe = langs.map { l =>
+      (pred.count(_._1 == l) / n) * (pred.count(_._2 == l) / n)
+    }.sum
+    assert(math.abs(r.getAs[Double]("po") - po) < 1e-5)
+    assert(math.abs(r.getAs[Double]("pe") - pe) < 1e-5)
+    val kappa = r.getAs[Double]("kappa")
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-4)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
   test("length gini: matches the naive sorted-rank formula per source") {
     val rows = queries.AnalysisQueries.lengthGini(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
