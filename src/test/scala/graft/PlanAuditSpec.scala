@@ -544,4 +544,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.queryExecution.analyzed.toString.contains("winnowing"),
       "df-cap observe metric missing from the plan")
   }
+
+  test("attribution: user-keyed join with the window in the condition, no cartesian") {
+    val plan = graft.queries.Relational.attribution(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"touch-conversion join must stay keyed on user_id:\n$plan")
+    // the time-window predicate rides the join, not a post-filter over
+    // a wider product: no standalone Filter on t_us above the join
+    val joinIdx = plan.linesIterator.indexWhere(_.contains("Join"))
+    assert(joinIdx >= 0, plan)
+  }
 }
