@@ -2013,6 +2013,52 @@ object AnalysisQueries extends graft.QueryModule {
         (col("n_sensitive") >= LDiversityL).as("l_diverse"))
   }
 
+  private val FwAlpha = 0.01
+  private val FwTopK = 20
+
+  /** "Fightin' Words" term drift (Monroe, Colaresi & Quinn, 2008): the
+    * log-odds-ratio with a Dirichlet prior between two corpus cohorts
+    * (doc_id parity — the stand-in for before/after snapshots), the
+    * standard lexical-shift audit that beats raw tf-ratio lists (which
+    * overweight rare terms) by shrinking toward the prior and
+    * z-scaling: δ_w = ln[(y_aw+α)/(n_a+α₀−y_aw−α)] − ln[(y_bw+α)/
+    * (n_b+α₀−y_bw−α)], z = δ/√(1/(y_aw+α) + 1/(y_bw+α)). Every count
+    * is an exact BIGINT off the shared tf table; δ/z are pointwise
+    * (ln — the proven transcendental), and the top-[[FwTopK]] by |z|
+    * selects via the bounded [[graft.functions.TopKStructs]] partial
+    * aggregate — k rows per partition cross the shuffle, no global
+    * sort. Ties break on the term (bit-exact doubles make the
+    * selection replayable). */
+  def fightinWords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = cachedTf(spark, dir)
+      .withColumn("cohort", pmod(col("doc_id"), lit(2)).cast("int"))
+    val counts = tf.groupBy(col("term"))
+      .agg(sum(when(col("cohort") === 0, col("tf")).otherwise(0L)).as("y_a"),
+        sum(when(col("cohort") === 1, col("tf")).otherwise(0L)).as("y_b"))
+    val totals = counts.agg(sum(col("y_a")).as("n_a"),
+      sum(col("y_b")).as("n_b"), count(lit(1)).as("v"))
+    val a = lit(FwAlpha)
+    val a0 = col("v").cast("double") * a
+    val da = log((col("y_a").cast("double") + a) /
+      (col("n_a").cast("double") + a0 - col("y_a").cast("double") - a))
+    val db = log((col("y_b").cast("double") + a) /
+      (col("n_b").cast("double") + a0 - col("y_b").cast("double") - a))
+    val delta = da - db
+    val z = delta / sqrt(lit(1.0) / (col("y_a").cast("double") + a) +
+      lit(1.0) / (col("y_b").cast("double") + a))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("z", z)
+      .select(graft.functions.TextFunctions.top_k_structs(
+        struct(abs(col("z")).as("az"), col("term").as("term"),
+          col("y_a").as("y_a"), col("y_b").as("y_b"),
+          round(delta, 6).as("delta"), round(col("z"), 6).as("zr")),
+        FwTopK).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.term").as("term"), col("t.y_a").as("y_a"),
+        col("t.y_b").as("y_b"), col("t.delta").as("delta"),
+        col("t.zr").as("z"))
+  }
+
   /** Per-source Gini coefficient of document length — the inequality
     * audit for mixture balance (a source whose token mass concentrates
     * in a few giant docs behaves very differently under packing and
@@ -2311,6 +2357,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_dp_counts" -> dpCounts,
     "ta_source_length_kl" -> sourceLengthKl,
     "ta_length_gini" -> lengthGini,
+    "ta_fightin_words" -> fightinWords,
     "ta_cusum_drift" -> cusumDrift,
     "ta_bootstrap_ci" -> bootstrapCi,
     "ta_bootstrap_median_ci" -> bootstrapMedianCi,
@@ -2989,6 +3036,39 @@ object AnalysisQueries extends graft.QueryModule {
          |    AND r.rn = p.rn + 1)
          |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
          |FROM p""".stripMargin,
+    "ta_fightin_words" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text, '$re')) AS t
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |cc AS (SELECT term,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN tf ELSE 0 END)
+         |      AS BIGINT) AS y_a,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN tf ELSE 0 END)
+         |      AS BIGINT) AS y_b
+         |  FROM tf GROUP BY 1),
+         |tt AS (SELECT CAST(sum(y_a) AS BIGINT) AS n_a,
+         |    CAST(sum(y_b) AS BIGINT) AS n_b, count(*) AS v FROM cc),
+         |zz AS (SELECT term, y_a, y_b,
+         |    ln((CAST(y_a AS DOUBLE) + CAST($FwAlpha AS DOUBLE)) /
+         |       (CAST(n_a AS DOUBLE) + CAST(v AS DOUBLE) *
+         |          CAST($FwAlpha AS DOUBLE) -
+         |        CAST(y_a AS DOUBLE) - CAST($FwAlpha AS DOUBLE))) -
+         |    ln((CAST(y_b AS DOUBLE) + CAST($FwAlpha AS DOUBLE)) /
+         |       (CAST(n_b AS DOUBLE) + CAST(v AS DOUBLE) *
+         |          CAST($FwAlpha AS DOUBLE) -
+         |        CAST(y_b AS DOUBLE) - CAST($FwAlpha AS DOUBLE))) AS delta
+         |  FROM cc CROSS JOIN tt),
+         |zs AS (SELECT term, y_a, y_b, delta,
+         |    delta / sqrt(CAST(1.0 AS DOUBLE) /
+         |        (CAST(y_a AS DOUBLE) + CAST($FwAlpha AS DOUBLE)) +
+         |      CAST(1.0 AS DOUBLE) /
+         |        (CAST(y_b AS DOUBLE) + CAST($FwAlpha AS DOUBLE))) AS zv
+         |  FROM zz)
+         |SELECT term, y_a, y_b, round(delta, 6) AS delta,
+         |  round(zv, 6) AS z
+         |FROM zs ORDER BY abs(zv) DESC, term DESC LIMIT $FwTopK""".stripMargin,
     "ta_length_gini" ->
       """WITH cells AS (
         |  SELECT source, n_chars AS v, count(*) AS c

@@ -677,6 +677,48 @@ class TrainingDataSpec extends SparkSpec {
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
 
+  test("fightin words: matches a naive full recomputation's top-k; null split tame") {
+    val rows = queries.AnalysisQueries.fightinWords(spark, sf).collect()
+    assert(rows.length === 20)
+    // naive: full per-term counts from raw tokens
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.regex_tokens(col("text")).as("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val counts = new scala.collection.mutable.HashMap[String, (Long, Long)]
+    docs.foreach { case (id, ts) =>
+      ts.foreach { t =>
+        val (a, b) = counts.getOrElse(t, (0L, 0L))
+        counts(t) = if (id % 2 == 0) (a + 1, b) else (a, b + 1)
+      }
+    }
+    val na = counts.values.map(_._1).sum.toDouble
+    val nb = counts.values.map(_._2).sum.toDouble
+    val v = counts.size
+    val al = 0.01; val a0 = v * al
+    def score(ya: Long, yb: Long): (Double, Double) = {
+      val d = math.log((ya + al) / (na + a0 - ya - al)) -
+        math.log((yb + al) / (nb + a0 - yb - al))
+      (d, d / math.sqrt(1.0 / (ya + al) + 1.0 / (yb + al)))
+    }
+    val naiveTop = counts.toSeq
+      .map { case (t, (ya, yb)) => (t, ya, yb, score(ya, yb)) }
+      .sortBy { case (t, _, _, (_, z)) => (-math.abs(z), t) }
+    // selection parity on |z| (ties broken differently are equal-|z| rows)
+    val gotTerms = rows.map(_.getAs[String]("term")).toSet
+    val cutoff = math.abs(naiveTop(19)._4._2)
+    naiveTop.takeWhile { case (_, _, _, (_, z)) =>
+      math.abs(z) > cutoff + 1e-12 }.foreach { case (t, _, _, _) =>
+      assert(gotTerms.contains(t), s"missing clear-top term $t") }
+    rows.foreach { r =>
+      val (d, z) = score(r.getAs[Long]("y_a"), r.getAs[Long]("y_b"))
+      assert(math.abs(r.getAs[Double]("delta") - d) < 1e-5)
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+      // parity split of one corpus: no term should show real drift
+      assert(math.abs(z) < 5.0)
+    }
+  }
+
   test("length gini: matches the naive sorted-rank formula per source") {
     val rows = queries.AnalysisQueries.lengthGini(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
