@@ -556,4 +556,16 @@ class PlanAuditSpec extends SparkSpec {
     val joinIdx = plan.linesIterator.indexWhere(_.contains("Join"))
     assert(joinIdx >= 0, plan)
   }
+
+  test("fightin words: top-k is the partial aggregate, never a global row sort") {
+    val plan = graft.queries.AnalysisQueries.fightinWords(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_structs"),
+      s"selection must run through the bounded partial aggregate:\n$plan")
+    // no Sort over the per-term stream (the k-row result may sort; a
+    // global ORDER BY on the vocabulary-sized input may not)
+    assert(!plan.split("\n").exists(l =>
+      l.contains("Sort ") && l.contains("az")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
