@@ -2013,6 +2013,43 @@ object AnalysisQueries extends graft.QueryModule {
         (col("n_sensitive") >= LDiversityL).as("l_diverse"))
   }
 
+  /** Per-source bigram entropy rate — the information-theoretic fluency
+    * signal (natural text has a characteristic conditional entropy;
+    * boilerplate and template spam sit far below it, shuffled/garbled
+    * text far above): joint bigram entropy H(X,Y), the first-token
+    * marginal H(X), and the conditional entropy rate
+    * H(Y|X) = H(X,Y) − H(X), all from exact BIGINT bigram counts with
+    * every −Σ p·ln p folded in cell order (the [[termEntropy]]
+    * vocabulary-fold precedent; ln is the proven transcendental). Map
+    * side emits per-doc bigram count MAPS ([[graft.functions
+    * .BigramCounts]]), so the shuffle carries one row per distinct
+    * (source, bigram). */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{bigram_counts, ordered_sum}
+    val bg = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"),
+        explode(bigram_counts(col("text"))).as(Seq("bg", "c")))
+      .groupBy(col("source"), col("bg")).agg(sum(col("c")).as("c"))
+    val tot = bg.groupBy(col("source")).agg(sum(col("c")).as("n2"))
+    val p2 = col("c").cast("double") / col("n2").cast("double")
+    val hJoint = bg.join(tot, "source")
+      .groupBy(col("source"))
+      .agg(ordered_sum(-p2 * log(p2), col("bg")).as("h_joint"))
+    val mx = bg
+      .select(col("source"), substring_index(col("bg"), " ", 1).as("x"),
+        col("c"))
+      .groupBy(col("source"), col("x")).agg(sum(col("c")).as("c"))
+    val px = col("c").cast("double") / col("n2").cast("double")
+    val hMarg = mx.join(tot, "source")
+      .groupBy(col("source"))
+      .agg(ordered_sum(-px * log(px), col("x")).as("h_marginal"))
+    hJoint.join(hMarg, "source").join(tot, "source")
+      .select(col("source"), col("n2").as("n_bigrams"),
+        round(col("h_joint"), 6).as("h_joint"),
+        round(col("h_marginal"), 6).as("h_marginal"),
+        round(col("h_joint") - col("h_marginal"), 6).as("h_cond"))
+  }
+
   private val FwAlpha = 0.01
   private val FwTopK = 20
 
@@ -2358,6 +2395,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_source_length_kl" -> sourceLengthKl,
     "ta_length_gini" -> lengthGini,
     "ta_fightin_words" -> fightinWords,
+    "ta_entropy_rate" -> entropyRate,
     "ta_cusum_drift" -> cusumDrift,
     "ta_bootstrap_ci" -> bootstrapCi,
     "ta_bootstrap_median_ci" -> bootstrapMedianCi,
@@ -3036,6 +3074,40 @@ object AnalysisQueries extends graft.QueryModule {
          |    AND r.rn = p.rn + 1)
          |SELECT doc_id, lang, bucket, n AS n_tokens, CAST(bin AS INT) AS bin
          |FROM p""".stripMargin,
+    "ta_entropy_rate" ->
+      s"""WITH tk AS (
+         |  SELECT source, regexp_extract_all(text, '$re') AS ts
+         |  FROM documents),
+         |bg AS (
+         |  SELECT source, t AS bg, count(*) AS c FROM (
+         |    SELECT source, unnest([ts[i] || ' ' || ts[i + 1]
+         |      for i in range(1, len(ts))]) AS t FROM tk)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n2
+         |  FROM bg GROUP BY 1),
+         |hj AS (
+         |  SELECT b.source,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(-(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+         |           ln(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE))
+         |           ORDER BY bg)), (a, x) -> a + x) AS h_joint
+         |  FROM bg b JOIN tot USING (source) GROUP BY b.source),
+         |mx AS (
+         |  SELECT source, split_part(bg, ' ', 1) AS x,
+         |    CAST(sum(c) AS BIGINT) AS c
+         |  FROM bg GROUP BY 1, 2),
+         |hm AS (
+         |  SELECT m.source,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(-(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+         |           ln(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE))
+         |           ORDER BY x)), (a, x2) -> a + x2) AS h_marginal
+         |  FROM mx m JOIN tot USING (source) GROUP BY m.source)
+         |SELECT hj.source, tot.n2 AS n_bigrams,
+         |  round(hj.h_joint, 6) AS h_joint,
+         |  round(hm.h_marginal, 6) AS h_marginal,
+         |  round(hj.h_joint - hm.h_marginal, 6) AS h_cond
+         |FROM hj JOIN hm USING (source) JOIN tot USING (source)""".stripMargin,
     "ta_fightin_words" ->
       s"""WITH tf AS (
          |  SELECT doc_id, t AS term, count(*) AS tf FROM (

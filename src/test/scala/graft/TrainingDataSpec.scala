@@ -677,6 +677,34 @@ class TrainingDataSpec extends SparkSpec {
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
 
+  test("entropy rate: chain rule holds, bounds hold, naive parity per source") {
+    val rows = queries.AnalysisQueries.entropyRate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        graft.functions.TextFunctions.regex_tokens(col("text")).as("ts"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val hj = r.getAs[Double]("h_joint")
+      val hm = r.getAs[Double]("h_marginal")
+      val hc = r.getAs[Double]("h_cond")
+      // chain rule + information-theory bounds
+      assert(math.abs(hj - hm - hc) < 1e-5)
+      assert(hc >= -1e-9 && hc <= hj + 1e-9 && hm <= hj + 1e-9)
+      // naive recompute
+      val bgs = docs.filter(_._1 == src)
+        .flatMap { case (_, ts) => ts.zip(ts.drop(1)).map(p => s"${p._1} ${p._2}") }
+      val n = bgs.length.toDouble
+      assert(r.getAs[Long]("n_bigrams") === bgs.length.toLong)
+      def ent(keys: Seq[String]): Double =
+        keys.groupBy(identity).values
+          .map(g => { val p = g.size / n; -p * math.log(p) }).sum
+      assert(math.abs(hj - ent(bgs)) < 1e-5, src)
+      assert(math.abs(hm - ent(bgs.map(_.split(' ').head).toSeq)) < 1e-5, src)
+    }
+  }
+
   test("fightin words: matches a naive full recomputation's top-k; null split tame") {
     val rows = queries.AnalysisQueries.fightinWords(spark, sf).collect()
     assert(rows.length === 20)
