@@ -543,6 +543,39 @@ object Relational extends graft.QueryModule {
           .otherwise(lit((k - 1).toDouble) * two64 / hkD), 4).as("est_union"))
   }
 
+  /** Lag-1 / lag-7 autocorrelation of the daily order count — the
+    * seasonality screen run before forecasting or anomaly thresholds
+    * (a strong lag-7 says weekly structure, lag-1 says momentum). The
+    * daily series is bounded by the CALENDAR, not the fact table (the
+    * CUSUM discipline), so the one unpartitioned lag window is safe at
+    * any scale; the Pearson r at each lag computes from six exact
+    * BIGINT sums over the paired series — pointwise floats only, so
+    * both statistics replay bit-for-bit. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"day")
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("x1", lag($"x", 1).over(w))
+      .withColumn("x7", lag($"x", 7).over(w))
+    def rFor(yCol: String): org.apache.spark.sql.Column = {
+      val n = sum(when(col(yCol).isNotNull, 1L).otherwise(0L))
+      val sx = sum(when(col(yCol).isNotNull, $"x").otherwise(0L))
+      val sy = sum(coalesce(col(yCol), lit(0L)))
+      val sxx = sum(when(col(yCol).isNotNull, $"x" * $"x").otherwise(0L))
+      val syy = sum(coalesce(col(yCol) * col(yCol), lit(0L)))
+      val sxy = sum(coalesce($"x" * col(yCol), lit(0L)))
+      val nD = n.cast("double")
+      val cov = nD * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+      val vx = nD * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+      val vy = nD * syy.cast("double") - sy.cast("double") * sy.cast("double")
+      round(cov / sqrt(vx * vy), 6)
+    }
+    daily.agg(count(lit(1)).as("n_days"),
+      rFor("x1").as("r_lag1"), rFor("x7").as("r_lag7"))
+  }
+
   /** Two-proportion A/B z-test over user purchase conversion — the
     * experimentation primitive: users split into two arms by the parity
     * of a keyed hash (reproducible, no RNG state — the engine's
@@ -1555,6 +1588,7 @@ object Relational extends graft.QueryModule {
     "rel_kmv_intersect" -> kmvIntersect,
     "rel_benford" -> benford,
     "rel_ab_test" -> abTest,
+    "rel_autocorr" -> autocorr,
     "rel_equidepth_hist" -> equidepthHist,
     "rel_approx_percentiles" -> approxPercentiles,
     "rel_dataset_split" -> datasetSplit,
@@ -2209,6 +2243,43 @@ object Relational extends graft.QueryModule {
         |SELECT bucket, count(*) AS n_rows,
         |  min(price) AS min_price, max(price) AS max_price
         |FROM b GROUP BY 1""".stripMargin,
+    "rel_autocorr" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS x
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT x,
+        |    lag(x, 1) OVER (ORDER BY day) AS x1,
+        |    lag(x, 7) OVER (ORDER BY day) AS x7
+        |  FROM daily),
+        |s AS (SELECT count(*) AS n_days,
+        |    CAST(sum(CASE WHEN x1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN x1 IS NOT NULL THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(sum(coalesce(x1, 0)) AS BIGINT) AS sy1,
+        |    CAST(sum(CASE WHEN x1 IS NOT NULL THEN x * x ELSE 0 END) AS BIGINT) AS sxx1,
+        |    CAST(sum(coalesce(x1 * x1, 0)) AS BIGINT) AS syy1,
+        |    CAST(sum(coalesce(x * x1, 0)) AS BIGINT) AS sxy1,
+        |    CAST(sum(CASE WHEN x7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+        |    CAST(sum(CASE WHEN x7 IS NOT NULL THEN x ELSE 0 END) AS BIGINT) AS sx7,
+        |    CAST(sum(coalesce(x7, 0)) AS BIGINT) AS sy7,
+        |    CAST(sum(CASE WHEN x7 IS NOT NULL THEN x * x ELSE 0 END) AS BIGINT) AS sxx7,
+        |    CAST(sum(coalesce(x7 * x7, 0)) AS BIGINT) AS syy7,
+        |    CAST(sum(coalesce(x * x7, 0)) AS BIGINT) AS sxy7
+        |  FROM lagged)
+        |SELECT n_days,
+        |  round((CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE) -
+        |         CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE)) /
+        |    sqrt((CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE) -
+        |          CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) *
+        |         (CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE) -
+        |          CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))), 6) AS r_lag1,
+        |  round((CAST(n7 AS DOUBLE) * CAST(sxy7 AS DOUBLE) -
+        |         CAST(sx7 AS DOUBLE) * CAST(sy7 AS DOUBLE)) /
+        |    sqrt((CAST(n7 AS DOUBLE) * CAST(sxx7 AS DOUBLE) -
+        |          CAST(sx7 AS DOUBLE) * CAST(sx7 AS DOUBLE)) *
+        |         (CAST(n7 AS DOUBLE) * CAST(syy7 AS DOUBLE) -
+        |          CAST(sy7 AS DOUBLE) * CAST(sy7 AS DOUBLE))), 6) AS r_lag7
+        |FROM s""".stripMargin,
     "rel_ab_test" -> {
       s"""WITH uc AS (
          |  SELECT user_id,

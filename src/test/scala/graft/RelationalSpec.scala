@@ -241,4 +241,27 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("credit") - naive(tt)) < 1e-3, tt)
     }
   }
+
+  test("autocorr: matches a naive driver Pearson on the lagged day series") {
+    import org.apache.spark.sql.functions._
+    val r = Relational.autocorr(spark, sf).collect().head
+    val daily = graft.core.Tables.load(spark, sf, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("day")).collect().map(_.getLong(1).toDouble)
+    assert(r.getAs[Long]("n_days") === daily.length.toLong)
+    def pearson(lagK: Int): Double = {
+      val pairs = daily.drop(lagK).zip(daily.dropRight(lagK))
+      val n = pairs.length
+      val (xs, ys) = pairs.unzip
+      val cov = n * pairs.map { case (x, y) => x * y }.sum - xs.sum * ys.sum
+      val vx = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+      val vy = n * ys.map(y => y * y).sum - ys.sum * ys.sum
+      cov / math.sqrt(vx * vy)
+    }
+    assert(math.abs(r.getAs[Double]("r_lag1") - pearson(1)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("r_lag7") - pearson(7)) < 1e-5)
+    // uniform synthetic order dates: no real seasonality
+    assert(math.abs(r.getAs[Double]("r_lag7")) < 0.2)
+  }
 }
