@@ -543,6 +543,39 @@ object Relational extends graft.QueryModule {
           .otherwise(lit((k - 1).toDouble) * two64 / hkD), 4).as("est_union"))
   }
 
+  /** Revenue-concentration (Lorenz) deciles — "what share of revenue do
+    * the top 10/20/…% of customers carry": per-customer revenue in
+    * exact DECIMAL, customers ranked into deciles by revenue band
+    * (100-unit cells — the bounded-cardinality equi-depth discipline;
+    * the one total order runs over price CELLS, never rows — with the
+    * custkey tiebreak), then per-decile counts, exact-decimal revenue,
+    * share and cumulative share. Pure integer/decimal arithmetic until
+    * the final pointwise divisions. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rev = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
+    // descending revenue via the negated band (ntileBy orders ASC)
+    val cells = rev.withColumn("cell", -floor($"rev" / 100))
+    val total = cells.agg(count(lit(1)).as("n"))
+    val dec = graft.operators.Quantiles.ntileBy(
+      cells, $"cell", $"o_custkey", 10, total, "decile")
+    val g = dec.groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"rev").as("rev"))
+    val tot = rev.agg(sum($"rev").as("tot"))
+    val wc = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // 10 rows
+    g.crossJoin(broadcast(tot))
+      .withColumn("cum", sum($"rev").over(wc))
+      .select($"decile", $"n_customers",
+        round($"rev".cast("double"), 2).as("revenue"),
+        round($"rev".cast("double") / $"tot".cast("double"), 6).as("share"),
+        round($"cum".cast("double") / $"tot".cast("double"), 6)
+          .as("cum_share"))
+  }
+
   /** Lag-1 / lag-7 autocorrelation of the daily order count — the
     * seasonality screen run before forecasting or anomaly thresholds
     * (a strong lag-7 says weekly structure, lag-1 says momentum). The
@@ -1589,6 +1622,7 @@ object Relational extends graft.QueryModule {
     "rel_benford" -> benford,
     "rel_ab_test" -> abTest,
     "rel_autocorr" -> autocorr,
+    "rel_revenue_concentration" -> revenueConcentration,
     "rel_equidepth_hist" -> equidepthHist,
     "rel_approx_percentiles" -> approxPercentiles,
     "rel_dataset_split" -> datasetSplit,
@@ -2243,6 +2277,24 @@ object Relational extends graft.QueryModule {
         |SELECT bucket, count(*) AS n_rows,
         |  min(price) AS min_price, max(price) AS max_price
         |FROM b GROUP BY 1""".stripMargin,
+    "rel_revenue_concentration" ->
+      """WITH cr AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |cl AS (SELECT o_custkey, rev,
+        |    -CAST(floor(rev / 100) AS BIGINT) AS cell FROM cr),
+        |dd AS (SELECT o_custkey, rev,
+        |    ntile(10) OVER (ORDER BY cell, o_custkey) AS decile FROM cl),
+        |g AS (SELECT decile, count(*) AS n_customers, sum(rev) AS rev
+        |  FROM dd GROUP BY 1),
+        |t AS (SELECT sum(rev) AS tot FROM cr)
+        |SELECT decile, n_customers,
+        |  round(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |  round(CAST(sum(rev) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |    CAST(tot AS DOUBLE), 6) AS cum_share
+        |FROM g CROSS JOIN t""".stripMargin,
     "rel_autocorr" ->
       """WITH daily AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS x

@@ -264,4 +264,26 @@ class RelationalSpec extends SparkSpec {
     // uniform synthetic order dates: no real seasonality
     assert(math.abs(r.getAs[Double]("r_lag7")) < 0.2)
   }
+
+  test("revenue concentration: Lorenz invariants and balanced deciles") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.revenueConcentration(spark, sf).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val nc = rows.map(_.getAs[Long]("n_customers"))
+    assert(nc.max - nc.min <= 1) // exact ntile balance
+    val custs = graft.core.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(nc.sum === custs)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    // deciles ordered by revenue band: shares non-increasing (band
+    // granularity can tie adjacent deciles, never invert them beyond
+    // a band's width)
+    assert(shares.head === shares.max)
+    assert(shares.last === shares.min)
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+  }
 }
