@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Reference behavior: len(tiktoken.encode(s)),
   * src/utils/document_processing.py:19-23. */
 case class CountTokens(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any =
     Tokenizer.countTokens(v.asInstanceOf[UTF8String].toString)
@@ -31,7 +32,8 @@ case class CountTokens(child: Expression)
 /** `estimate_tokens(text)` — the reference's 1.15x safety-buffer estimate
   * (src/llm/async_llm_client.py:98-123): ceil(count * 1.15). */
 case class EstimateTokens(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any = {
     val n = Tokenizer.countTokens(v.asInstanceOf[UTF8String].toString)
@@ -348,7 +350,9 @@ object TextKernels {
   * placeholder does the same, relabeling the strategy). Codegen-
   * participating (static kernel call). */
 case class TruncateTokens(text: Expression, maxTokens: Expression, mode: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(StringType, IntegerType, StringType)
   override def first: Expression = text
   override def second: Expression = maxTokens
   override def third: Expression = mode
@@ -468,7 +472,8 @@ case class SplitChunksChars(text: Expression, size: Expression,
   * is first occurrence (set consumers — intersect counts, minhash,
   * explode — are order-insensitive). */
 case class Shingles(text: Expression, k: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType, IntegerType)
   override def left: Expression = text
   override def right: Expression = k
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -504,7 +509,9 @@ object Mix {
   * numHashes/bands minima combined), ready for posexplode -> bucket join.
   * Empty shingle array -> empty output (no bands, no candidates). */
 case class MinHashBands(shingles: Expression, numHashes: Expression, bands: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(ArrayType(StringType), IntegerType, IntegerType)
   override def first: Expression = shingles
   override def second: Expression = numHashes
   override def third: Expression = bands
@@ -525,7 +532,9 @@ case class MinHashBands(shingles: Expression, numHashes: Expression, bands: Expr
   * ([[TextKernels.minhashSig]]); the audit-surface companion of
   * [[MinHashBands]]. */
 case class MinHashSig(shingles: Expression, numHashes: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(ArrayType(StringType), IntegerType)
   override def left: Expression = shingles
   override def right: Expression = numHashes
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -546,7 +555,8 @@ case class MinHashSig(shingles: Expression, numHashes: Expression)
   * tokenizer; the map-side tf kernel for TF-IDF-family queries (equal to
   * explode(regex_tokens) + groupBy count, property-tested). */
 case class TermCounts(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType =
     MapType(StringType, LongType, valueContainsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -561,7 +571,8 @@ case class TermCounts(child: Expression)
   * pairs, space-joined) under the engine tokenizer; the map-side tf
   * kernel for the bigram feature family. */
 case class BigramCounts(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType =
     MapType(StringType, LongType, valueContainsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -579,7 +590,8 @@ case class BigramCounts(child: Expression)
   * builtin `xxhash64` seeds with 42 and tags the type — deliberately NOT
   * that. */
 case class Hash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     HashKernel.xxh64(v.asInstanceOf[UTF8String])
@@ -589,11 +601,36 @@ case class Hash64(child: Expression)
   override def prettyName: String = "hash64"
 }
 
+/** `hash_family(h, j)` — the engine's j-th derived hash of a base XXH64
+  * value: fmix64(h xor j·GOLDEN) ([[Mix.fmix64]]) — the SAME
+  * one-base-hash family derivation the MinHash signature kernel uses
+  * ([[TextKernels.minhashBands]]), exposed as a scalar so seeded sketch
+  * operators (the engine Count-Min row hashes) share one derivation
+  * with the DuckDB replay in [[graft.core.XxHashSql.fmixCtes]]. */
+case class HashFamily(h: Expression, j: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = h
+  override def right: Expression = j
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(hv: Any, jv: Any): Any =
+    Mix.fmix64(hv.asInstanceOf[Long] ^
+      (jv.asInstanceOf[Int] * 0x9E3779B97F4A7C15L))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (hv, jv) =>
+      s"graft.functions.Mix.fmix64($hv ^ (((long) $jv) * 0x9E3779B97F4A7C15L))")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HashFamily = copy(l, r)
+  override def prettyName: String = "hash_family"
+}
+
 /** `lcs_tokens(a, b, maxT)` — token-level LCS length over the first
   * `maxT` tokens of each side ([[TextKernels.lcsTokens]]); the ROUGE-L
   * statistic as a codegen scalar. */
 case class LcsTokens(a: Expression, b: Expression, maxT: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(StringType, StringType, IntegerType)
   override def first: Expression = a
   override def second: Expression = b
   override def third: Expression = maxT
@@ -615,7 +652,9 @@ case class LcsTokens(a: Expression, b: Expression, maxT: Expression)
   * inside WholeStageCodegen and only the (sampled, ~2/(w+1) density)
   * fingerprint array reaches the downstream explode. */
 case class WinnowFingerprints(text: Expression, k: Expression, w: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(StringType, IntegerType, IntegerType)
   override def first: Expression = text
   override def second: Expression = k
   override def third: Expression = w
@@ -703,6 +742,7 @@ object TextFunctions {
   def lcs_tokens(a: Column, b: Column, maxT: Column): Column =
     col(LcsTokens(ex(a), ex(b), ex(maxT)))
   def hash64(c: Column): Column = col(Hash64(ex(c)))
+  def hash_family(h: Column, j: Column): Column = col(HashFamily(ex(h), ex(j)))
   def minhash_sig(c: Column, numHashes: Column): Column =
     col(MinHashSig(ex(c), ex(numHashes)))
 

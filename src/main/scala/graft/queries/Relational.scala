@@ -770,20 +770,80 @@ object Relational extends graft.QueryModule {
         min($"price").as("min_price"), max($"price").as("max_price"))
   }
 
+  // Engine HLL parameters (shared by [[approxDistinct]] and its oracle —
+  // ONE source for every constant both engines must agree on).
+  private val HllB = 10                 // register-index bits
+  private val HllM = 1 << HllB          // 1024 registers
+  private val HllRhoBits = 32           // rho domain = low 32 hash bits
+  private val HllRhoMax = HllRhoBits + 1
+  // Z accumulates sum(2^(RhoMax - rho)) — exact BIGINT, < 2^44 total, so
+  // the BIGINT -> DOUBLE cast is exact in BOTH engines (no hugeint
+  // double-rounding hazard)
+  private val HllScale = 1L << HllRhoMax
+  private val HllAlpha = 0.7213 / (1 + 1.079 / HllM)
+  private val HllC = HllAlpha * HllM * HllM * HllScale.toDouble
+  private val HllLinThresh = 2.5 * HllM
+
   /** Sketch-based distinct counting — the 100 TB path for
-    * [[distinctCounts]]: HLL++ (approx_count_distinct) carries a ~KB
-    * sketch per group through the shuffle instead of the full key set a
-    * shuffle-distinct needs. Approximate by construction, so no DuckDB
-    * oracle (engines' sketches differ); RelationalSpec bounds the error
-    * against the exact counts. */
+    * [[distinctCounts]]: an ENGINE-OWNED HyperLogLog over the engine's
+    * seed-0 XXH64 (`hash64` — the [[kmvDistinct]] discipline), so the
+    * sketch is deterministic end-to-end and the estimate itself
+    * hash-gates against a DuckDB register-level replay (unlike Spark's
+    * HLL++, whose sketch no other engine reproduces; that was this
+    * query's pre-r11 form and the reason it sat outside the oracle).
+    *
+    * Layout: register index = top [[HllB]] hash bits (m = [[HllM]]);
+    * rho = 1 + trailing zeros of the LOW [[HllRhoBits]] bits (computed
+    * with builtin bit ops: `bit_count((w & -w) - 1)` — codegen'd, no
+    * UDF). The 32-bit rho domain keeps the harmonic sum
+    * Z = Σ 2^(33−rho_j) an EXACT BIGINT (< 2^44 — under the 2^53 double
+    * bound, so the one Z→double cast is exact in both engines); a
+    * register saturates only as its occupancy nears 2^32, i.e. the
+    * estimator stays reliable to ~10^12 distincts. Estimate =
+    * alpha·m²·2^33 / Z with the standard linear-counting fallback
+    * (E ≤ 2.5m and empty registers present → m·ln(m/V)); both branches
+    * exercise across SFs (sf0.01 takes linear counting, sf0.1 the raw
+    * estimator).
+    *
+    * Scale shape: the registers ARE the partial aggregate — the
+    * groupBy(key, idx) max is map-side combined, so each input
+    * partition contributes at most m rows per (group, metric) to the
+    * shuffle regardless of row count; the classic distributed-HLL
+    * merge (max per register) expressed as a plain Spark agg. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_suppkey").as("approx_supps"),
-        count(lit(1)).as("n_rows"))
+    val li = Tables.load(spark, dir, "lineitem")
+    val hashed = li.select($"l_returnflag",
+        explode(map(
+          lit("p"), $"l_partkey".cast("string"),
+          lit("s"), $"l_suppkey".cast("string"))).as(Seq("metric", "v")))
+      .select($"l_returnflag", $"metric",
+        graft.functions.TextFunctions.hash64($"v").as("h"))
+    val w = $"h".bitwiseAND(lit((1L << HllRhoBits) - 1))
+    val rho = when(w === 0L, lit(HllRhoMax))
+      .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1)
+    val regs = hashed
+      .select($"l_returnflag", $"metric",
+        shiftrightunsigned($"h", 64 - HllB).as("idx"), rho.as("rho"))
+      .groupBy($"l_returnflag", $"metric", $"idx")
+      .agg(max($"rho").as("r"))
+    val z = $"spow" + (lit(HllM.toLong) - $"present") * lit(HllScale)
+    val nz = (lit(HllM.toLong) - $"present").as("nz")
+    val eRaw = lit(HllC) / z.cast("double")
+    val est = regs.groupBy($"l_returnflag", $"metric")
+      .agg(count(lit(1)).as("present"),
+        sum(expr(s"shiftleft(1L, $HllRhoMax - r)")).as("spow"))
+      .select($"l_returnflag", $"metric", nz, eRaw.as("e_raw"))
+      .select($"l_returnflag", $"metric",
+        round(when($"e_raw" <= HllLinThresh && $"nz" > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"nz".cast("double")))
+          .otherwise($"e_raw"), 4).as("est"))
+    val wide = est.groupBy($"l_returnflag")
+      .agg(max(when($"metric" === "p", $"est")).as("approx_parts"),
+        max(when($"metric" === "s", $"est")).as("approx_supps"))
+    li.groupBy($"l_returnflag").agg(count(lit(1)).as("n_rows"))
+      .join(wide, "l_returnflag")
+      .select($"l_returnflag", $"approx_parts", $"approx_supps", $"n_rows")
   }
 
   /** Quantile sketch (§2.7+ sketch family, with [[approxDistinct]]):
@@ -2458,6 +2518,46 @@ object Relational extends graft.QueryModule {
          |    ELSE CAST(63 AS DOUBLE) * CAST(18446744073709551616 AS DOUBLE)
          |      / CAST(s.hk AS DOUBLE) END, 4) AS est_union
          |FROM e CROSS JOIN n LEFT JOIN s ON true""".stripMargin,
+    // Register-level replay of the engine HLL ([[approxDistinct]]): the
+    // sketch depends only on the DISTINCT value set per (flag, column),
+    // so the oracle hashes distinct values only (~100x fewer XXH64
+    // replays than row count at sf0.1). Every constant is interpolated
+    // from the same Scala vals the Spark side reads.
+    "rel_approx_distinct" ->
+      s"""WITH v0 AS (
+         |  SELECT l_returnflag || '|p' AS doc_id,
+         |    CAST(l_partkey AS VARCHAR) AS t FROM lineitem
+         |  UNION ALL
+         |  SELECT l_returnflag || '|s' AS doc_id,
+         |    CAST(l_suppkey AS VARCHAR) AS t FROM lineitem),
+         |vd AS (SELECT DISTINCT doc_id, t FROM v0),
+         |${graft.core.XxHashSql.hash64Ctes("vd", "vh", "hlx")},
+         |hw AS (SELECT doc_id, (h64 >> ${64 - HllB}) AS idx,
+         |    CAST(h64 & ${(1L << HllRhoBits) - 1}::UBIGINT AS BIGINT) AS wb
+         |  FROM vh),
+         |reg AS (SELECT doc_id, idx,
+         |    max(CASE WHEN wb = 0 THEN $HllRhoMax
+         |      ELSE bit_count((wb & -wb) - 1) + 1 END) AS r
+         |  FROM hw GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS present,
+         |    CAST(sum(1::BIGINT << ($HllRhoMax - r)) AS BIGINT) AS spow
+         |  FROM reg GROUP BY 1),
+         |ez AS (SELECT doc_id, spow + ($HllM - present) * $HllScale AS z,
+         |    $HllM - present AS nz FROM ag),
+         |es AS (SELECT doc_id,
+         |    round(CASE WHEN $HllC / CAST(z AS DOUBLE) <= $HllLinThresh
+         |        AND nz > 0
+         |      THEN ${HllM.toDouble} * ln(${HllM.toDouble} / CAST(nz AS DOUBLE))
+         |      ELSE $HllC / CAST(z AS DOUBLE) END, 4) AS est
+         |  FROM ez),
+         |wide AS (SELECT split_part(doc_id, '|', 1) AS l_returnflag,
+         |    max(CASE WHEN doc_id LIKE '%|p' THEN est END) AS approx_parts,
+         |    max(CASE WHEN doc_id LIKE '%|s' THEN est END) AS approx_supps
+         |  FROM es GROUP BY 1)
+         |SELECT w.l_returnflag, w.approx_parts, w.approx_supps, c.n_rows
+         |FROM wide w JOIN (SELECT l_returnflag,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM lineitem GROUP BY 1) c USING (l_returnflag)""".stripMargin,
     "rel_kmv_distinct" ->
       s"""WITH pk AS (SELECT DISTINCT l_returnflag AS doc_id,
          |    CAST(l_partkey AS VARCHAR) AS t FROM lineitem),

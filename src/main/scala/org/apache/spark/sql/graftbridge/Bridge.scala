@@ -10,4 +10,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `org.apache.spark.sql.types.AbstractDataType` is private[sql] in
+    * Spark 4; re-exported so engine expressions can declare
+    * `ExpectsInputTypes.inputTypes` (analysis-time type errors +
+    * implicit casts) from the graft package. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -17,9 +17,11 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("approx distinct stays within HLL++ error of the exact counts") {
+  test("engine HLL stays within sketch error of the exact counts") {
+    // m=1024 registers => relative std error ~1.04/sqrt(m) ~ 3.3%;
+    // allow 3 sigma (10%) plus an absolute floor for tiny groups
     val approx = Relational.approxDistinct(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Relational.distinctCounts(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(approx.keySet == exact.keySet)
