@@ -2275,29 +2275,63 @@ object AnalysisQueries extends graft.QueryModule {
         (col("splus") > CusumAlarm || col("sminus") > CusumAlarm).as("alarm"))
   }
 
+  // Engine CMS geometry (shared by [[cmsCounts]] and its oracle). Row
+  // hash r of a term = hash_family(hash64(term), r) — the MinHash-family
+  // derivation, so the DuckDB replay reuses the existing XXH64 + fmix64
+  // CTE chains. Width a power of two => the column index is a mask.
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 2048
+
   /** Count-min-sketch point queries over the term stream (the mergeable
-    * frequency summary complementing [[heavyHitters]]' top-k sketch):
-    * one constant-memory pass builds the sketch (partials merge
-    * associatively across partitions — counter arrays add), then the
-    * stopword vocabulary is probed against it. Deterministic for a
-    * fixed seed under ANY partitioning (increments commute), and the
-    * estimate is ONE-SIDED: never below the true count, at most
-    * eps·N above — the hard guarantee ReaggregateSpec pins against
-    * exact counts. Approximate family: rows-only driver check. */
+    * frequency summary complementing [[heavyHitters]]' top-k sketch) —
+    * ENGINE-OWNED since r11: the counter table is a plain
+    * groupBy(row, col) count over [[CmsDepth]] seeded row hashes
+    * ([[graft.functions.HashFamily]] over the seed-0 XXH64), and the
+    * estimate is the min over rows of the probed cells. Replacing
+    * Spark's internal `count_min_sketch` (whose byte layout no other
+    * engine reproduces — this query's pre-r11 form, and one of the
+    * three `no_oracle` entries) makes the sketch deterministic
+    * end-to-end, so the estimates hash-gate against a DuckDB
+    * counter-level replay.
+    *
+    * Scale shape: the counter table IS the sketch — the groupBy(r, c)
+    * count is map-side combined, so each input partition contributes at
+    * most depth·width rows to the shuffle regardless of corpus size
+    * (increments commute; partial counter arrays ADD, the CMS merge
+    * law ReaggregateSpec pins). The probe side is a broadcast of
+    * depth·|vocabulary| rows. The estimate keeps the one-sided CMS
+    * guarantee: never below the true count, at most N·depth/width
+    * above (w.h.p.), also spec-pinned against exact counts. */
   def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Tables.loadSpread(spark, dir, "documents")
-      .select(explode(graft.functions.TextFunctions.regex_tokens(col("text")))
-        .as("term"))
-    val skBytes = terms
-      .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
-      .head.getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skBytes))
-    val probes = graft.operators.TextAnalysis.Stopwords.toSeq.sorted
+    val tf = graft.functions.TextFunctions
+    val cells = cmsCells(Tables.loadSpread(spark, dir, "documents"))
     import spark.implicits._
-    probes.map(w => (w, cms.estimateCount(
-        w.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
-      .toDF("term", "est")
+    val probes = TextAnalysis.Stopwords.toSeq.sorted.toDF("term")
+      .select(col("term"), tf.hash64(col("term")).as("h"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .select(col("term"), col("r"),
+        tf.hash_family(col("h"), col("r"))
+          .bitwiseAND(lit((CmsWidth - 1).toLong)).as("c"))
+    cells.join(broadcast(probes), Seq("r", "c"), "right")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** The (r, c) → count counter table of the engine CMS over `docs`'
+    * text — the mergeable sketch state of [[cmsCounts]]: tables over
+    * disjoint corpus halves ADD cell-wise to the full-corpus table
+    * (increments commute — the merge law ReaggregateSpec pins). */
+  private[graft] def cmsCells(docs: DataFrame): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    docs
+      .select(explode(tf.term_counts(col("text"))).as(Seq("term", "n")))
+      .select(tf.hash64(col("term")).as("h"), col("n"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .select(col("r"),
+        tf.hash_family(col("h"), col("r"))
+          .bitwiseAND(lit((CmsWidth - 1).toLong)).as("c"),
+        col("n"))
+      .groupBy(col("r"), col("c")).agg(sum(col("n")).as("cnt"))
   }
 
   private val ZipfTopR = 100
@@ -2462,6 +2496,12 @@ object AnalysisQueries extends graft.QueryModule {
 
   private val re = Tokenizer.DuckDbTokenRegex
   private val stopList = TextAnalysis.Stopwords.mkString("['", "','", "']")
+
+  /** j·GOLDEN (mod 2^64) — the hash-family offset of
+    * [[graft.functions.HashFamily]], over the range column `j`. */
+  private val CmsJk =
+    "CAST((CAST(j AS HUGEINT) * 11400714819323198485::HUGEINT) % " +
+      "18446744073709551616::HUGEINT AS UBIGINT)"
 
   /** Per-doc distinct 3-gram shingles unnested against `source`, over a
     * CTE `t (source, ts)` — the one shingle definition shared by the
@@ -2923,6 +2963,34 @@ object AnalysisQueries extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Counter-level replay of the engine CMS ([[cmsCounts]]): XXH64 each
+    // DISTINCT term once (the shared CTE chain), derive the CmsDepth row
+    // hashes with the staged fmix64, rebuild the (r, c) counter table
+    // from exact term counts, and probe it. Geometry constants
+    // interpolated from the same Scala vals the Spark side reads.
+    "ta_cms_counts" ->
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(text, '$re')) AS t
+         |  FROM documents),
+         |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+         |td AS (SELECT 0 AS doc_id, t FROM tc),
+         |${graft.core.XxHashSql.hash64Ctes("td", "th", "cmx")},
+         |fam0 AS (SELECT th.t, j, xor(h64, $CmsJk) AS h
+         |  FROM th CROSS JOIN (SELECT unnest(range($CmsDepth)) AS j)),
+         |${graft.core.XxHashSql.fmixCtes("cf", "fam0", "famf", Seq("t", "j"))},
+         |cells AS (SELECT f.j AS r,
+         |    CAST(f.h & ${CmsWidth - 1}::UBIGINT AS BIGINT) AS c,
+         |    CAST(sum(tc.n) AS BIGINT) AS cnt
+         |  FROM famf f JOIN tc ON f.t = tc.t GROUP BY 1, 2),
+         |pd AS (SELECT 0 AS doc_id, unnest($stopList) AS t),
+         |${graft.core.XxHashSql.hash64Ctes("pd", "ph", "cpx")},
+         |pf0 AS (SELECT ph.t, j, xor(h64, $CmsJk) AS h
+         |  FROM ph CROSS JOIN (SELECT unnest(range($CmsDepth)) AS j)),
+         |${graft.core.XxHashSql.fmixCtes("cp", "pf0", "pff", Seq("t", "j"))},
+         |pcells AS (SELECT t AS term, j AS r,
+         |    CAST(h & ${CmsWidth - 1}::UBIGINT AS BIGINT) AS c FROM pff)
+         |SELECT p.term, min(coalesce(cl.cnt, 0)) AS est
+         |FROM pcells p LEFT JOIN cells cl ON p.r = cl.r AND p.c = cl.c
+         |GROUP BY p.term""".stripMargin,
     "ta_zipf_fit" ->
       s"""WITH toks AS (SELECT lang,
          |    unnest(regexp_extract_all(text, '${Tokenizer.DuckDbTokenRegex}'))

@@ -49,7 +49,9 @@ class ReaggregateSpec extends SparkSpec {
     val exact = terms.groupBy(col("term")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = exact.values.sum
-    val eps = 0.001
+    // engine CMS width 2048: expected extra load per cell = N/2048;
+    // the min over 4 independent rows sits well under 2/width * N
+    val eps = 2.0 / graft.queries.AnalysisQueries.CmsWidth
     val est = graft.queries.AnalysisQueries.cmsCounts(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     est.foreach { case (w, e) =>
@@ -58,24 +60,19 @@ class ReaggregateSpec extends SparkSpec {
       assert(e <= t + math.ceil(eps * n).toLong,
         s"CMS estimate for '$w' outside eps*N: est $e true $t n $n")
     }
-    // mergeability: sketches over two disjoint halves, merged, must
-    // EQUAL the single-pass sketch (counter arrays add exactly)
-    def sketchOf(df: org.apache.spark.sql.DataFrame) =
-      org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(
-          df.agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)"))
-            .head.getAs[Array[Byte]](0)))
-    val direct = sketchOf(terms)
-    val half1 = sketchOf(docs.filter(col("doc_id") % 2 === 0).select(explode(
-      graft.functions.TextFunctions.regex_tokens(col("text"))).as("term")))
-    val half2 = sketchOf(docs.filter(col("doc_id") % 2 === 1).select(explode(
-      graft.functions.TextFunctions.regex_tokens(col("text"))).as("term")))
-    half1.mergeInPlace(half2)
-    exact.keys.take(50).foreach { w =>
-      val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      assert(half1.estimateCount(b) == direct.estimateCount(b),
-        s"split-merge diverged from direct for '$w'")
-    }
+    // mergeability: counter tables over two disjoint halves must ADD
+    // cell-wise to the single-pass table (increments commute — the
+    // property that lets 1000 executors build partial sketches and the
+    // reducer sum them without ever seeing the term stream)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.AnalysisQueries.cmsCells(df)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = cellsOf(docs)
+    val half1 = cellsOf(docs.filter(col("doc_id") % 2 === 0))
+    val half2 = cellsOf(docs.filter(col("doc_id") % 2 === 1))
+    val merged = (half1.keySet ++ half2.keySet).map(k =>
+      k -> (half1.getOrElse(k, 0L) + half2.getOrElse(k, 0L))).toMap
+    assert(merged == direct, "split-merge diverged from direct counter table")
   }
 
   test("KMV intersection estimate: bounded inputs, sane estimate vs exact") {
