@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * The decode kernel ([[decodeKernel]]) parses REAL container headers in
   * pure JVM code — PNG IHDR, JPEG SOF, GIF logical screen + frame walk,
-  * and RIFF/WAVE fmt/data — and falls back to a clearly marked
-  * deterministic fake for payloads needing codecs this environment
-  * can't ship (pixel/sample DECODING, H.264, ...); that FFI seam is the
-  * only stub left, and swapping it in changes no dataflow. The Spark-side
-  * plumbing (schema, batch iteration, partition-local processing,
-  * metadata structs) is real and tested either way.
+  * and RIFF/WAVE fmt/data — and since r11 PNG PIXELS really decode too
+  * ([[decodePngPixels]]: Inflater + full None/Sub/Up/Average/Paeth
+  * defilter + palette expansion, zero new dependencies), feeding the
+  * real 8x8-luma aHash and pixel histograms. The clearly marked
+  * deterministic fake remains only for payloads needing codecs this
+  * environment can't ship (JPEG/GIF pixel entropy decode, audio/video
+  * sample decode, H.264, ...); swapping that seam in changes no
+  * dataflow. The Spark-side plumbing (schema, batch iteration,
+  * partition-local processing, metadata structs) is real and tested
+  * either way.
   *
   * Scale notes: blobs never shuffle — `decodeMeta` is mapPartitions over
   * the scan, metadata-only columns flow downstream. A real pipeline
@@ -218,6 +222,147 @@ object Multimodal {
     if (trailer && !bad && frames >= 1) Some((w, h, frames)) else None
   }
 
+  private[graft] case class PngPixels(
+      width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /** REAL pixel decode for the common PNG profile — 8-bit depth,
+    * non-interlaced, color types 0 (gray) / 2 (RGB) / 3 (palette,
+    * expanded to RGB) / 4 (gray+alpha) / 6 (RGBA): chunk walk collects
+    * IDAT, `java.util.zip.Inflater` inflates the scanline stream, and
+    * the five PNG row filters (None/Sub/Up/Average/Paeth, spec §9) are
+    * reversed in one pass. No new dependency; CRCs are not verified
+    * (parse honesty, not integrity audit). Anything outside the profile
+    * — 16-bit, interlaced, truncated or malformed streams, or a
+    * decoded-size past the 256 MB bomb guard — returns None and the
+    * caller falls back to the documented deterministic fake, exactly
+    * like the header parsers. This closes the pixel half of the codec
+    * seam for PNG; JPEG/GIF/WAV payload decode still needs external
+    * codecs (reference analog: the external `marker_single` boundary,
+    * /root/reference/src/utils/document_processing.py:194-243). */
+  private[graft] def decodePngPixels(b: Array[Byte]): Option[PngPixels] = {
+    if (parsePngHeader(b).isEmpty || b.length < 29) return None
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    if (bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return None
+    }
+    val w = be32(b, 16).toInt
+    val h = be32(b, 20).toInt
+    if (w.toLong * h * channels + h > (1L << 28)) return None
+    var off = 8
+    val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
+    var done = false
+    while (!done && off + 8 <= b.length) {
+      val len = be32(b, off).toInt
+      if (len < 0 || off + 12 + len > b.length) return None
+      if (tagAt(b, off + 4, "IDAT")) idat.write(b, off + 8, len)
+      else if (tagAt(b, off + 4, "PLTE"))
+        plte = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
+      else if (tagAt(b, off + 4, "IEND")) done = true
+      off += 12 + len
+    }
+    if (!done || idat.size == 0) return None
+    if (colorType == 3 && (plte == null || plte.length % 3 != 0)) return None
+    val bpr = w * channels // bytes per row at depth 8
+    val raw = new Array[Byte]((bpr + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    if (got < raw.length) return None
+    val out = new Array[Byte](bpr * h)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (bpr + 1)) & 0xff
+      if (ft > 4) return None
+      val ro = y * (bpr + 1) + 1
+      val oo = y * bpr
+      var x = 0
+      while (x < bpr) {
+        val rv = raw(ro + x) & 0xff
+        val a = if (x >= bpp) out(oo + x - bpp) & 0xff else 0
+        val u = if (y > 0) out(oo - bpr + x) & 0xff else 0
+        val v = ft match {
+          case 0 => rv
+          case 1 => rv + a
+          case 2 => rv + u
+          case 3 => rv + ((a + u) >> 1)
+          case _ => // Paeth
+            val c = if (y > 0 && x >= bpp) out(oo - bpr + x - bpp) & 0xff else 0
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u)
+            val pc = math.abs(p - c)
+            rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+        }
+        out(oo + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    if (colorType == 3) {
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val idx = out(i) & 0xff
+        if (idx * 3 + 2 >= plte.length) return None
+        px(3 * i) = plte(3 * idx)
+        px(3 * i + 1) = plte(3 * idx + 1)
+        px(3 * i + 2) = plte(3 * idx + 2)
+        i += 1
+      }
+      Some(PngPixels(w, h, 3, px))
+    } else Some(PngPixels(w, h, channels, out))
+  }
+
+  /** 8x8 mean-luma thumbnail of DECODED pixels — the real aHash grid:
+    * integer Rec.601 luma per pixel (gray channel for types 0/4),
+    * averaged over each cell's pixel block. */
+  private[graft] def lumaGrid8(p: PngPixels): Array[Byte] = {
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < p.height) {
+      val gy = (y.toLong * 8 / p.height).toInt
+      var x = 0
+      while (x < p.width) {
+        val gx = (x.toLong * 8 / p.width).toInt
+        val o = (y * p.width + x) * p.channels
+        val l =
+          if (p.channels < 3) p.pixels(o) & 0xff
+          else ((p.pixels(o) & 0xff) * 299 + (p.pixels(o + 1) & 0xff) * 587 +
+            (p.pixels(o + 2) & 0xff) * 114) / 1000
+        val s = gy * 8 + gx
+        sums(s) += l
+        cnts(s) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val g = new Array[Byte](64)
+    var k = 0
+    while (k < 64) {
+      g(k) = (if (cnts(k) > 0) (sums(k) / cnts(k)).toInt else 0).toByte
+      k += 1
+    }
+    g
+  }
+
   /** documents-as-blobs: models a `binary` media column (UTF-8 bytes of the
     * text stand in for real media payloads). */
   def asBlobs(docs: DataFrame): DataFrame =
@@ -295,25 +440,33 @@ object Multimodal {
   }
 
   /** Partition-local perceptual hashing (the [[decodeMeta]] iterator
-    * contract): STUB "decode + resize" shrinks each blob to a FIXED
-    * 64-cell thumbnail (cell = seed-0-XXH64 token slot of the decoded
-    * payload, value = clamped scaled count — a real pipeline puts the
-    * 8x8 luma grid here), then [[aHashBytes]] thresholds the cells.
-    * Hashed slots, not a vocabulary: nothing here needs a broadcast or
-    * grows with the corpus, and near-identical payloads land within a
-    * few bits. Blobs never shuffle; 8 bytes per media flow downstream. */
+    * contract): a PNG payload in the supported profile is REALLY decoded
+    * ([[decodePngPixels]]) and hashed over its 8x8 mean-luma grid
+    * ([[lumaGrid8]]) — the genuine average-hash. Everything else takes
+    * the documented deterministic fake (64-cell XXH64 token-slot
+    * thumbnail of the payload — the synthetic corpus' UTF-8 stand-ins
+    * always land here: 0x89 cannot begin UTF-8 text, which is what
+    * keeps the DuckDB replay sound), then [[aHashBytes]] thresholds the
+    * cells either way. Hashed slots, not a vocabulary: nothing here
+    * needs a broadcast or grows with the corpus, and near-identical
+    * payloads land within a few bits. Blobs never shuffle; 8 bytes per
+    * media flow downstream. */
   def perceptualHashes(spark: SparkSession, blobs: DataFrame): DataFrame = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("media_type"), col("blob"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, mt, b) =>
-        val cells = new Array[Long](64)
-        graft.functions.Tokenizer.tokens(new String(b, "UTF-8")).foreach { t =>
-          val slot = (graft.functions.HashKernel.xxh64(
-            org.apache.spark.unsafe.types.UTF8String.fromString(t)) & 63L).toInt
-          cells(slot) += 1
+        val thumb = decodePngPixels(b) match {
+          case Some(p) => lumaGrid8(p)
+          case None =>
+            val cells = new Array[Long](64)
+            graft.functions.Tokenizer.tokens(new String(b, "UTF-8")).foreach { t =>
+              val slot = (graft.functions.HashKernel.xxh64(
+                org.apache.spark.unsafe.types.UTF8String.fromString(t)) & 63L).toInt
+              cells(slot) += 1
+            }
+            cells.map(c => math.min(255L, c * 16L).toByte)
         }
-        val thumb = cells.map(c => math.min(255L, c * 16L).toByte)
         (id, mt, aHashBytes(thumb))
       })
       .toDF("doc_id", "media_type", "phash")
@@ -366,20 +519,25 @@ object Multimodal {
       features: Array[Double], // normalized 8-bucket byte histogram
       entropy: Double)
 
-  /** STUB feature extraction — the shape of an embedding/fingerprint
-    * kernel over a binary column: one partition-local pass computing a
-    * normalized 8-bucket byte histogram + its entropy. A real extractor
-    * (CLIP embedding, mel spectrogram, ...) replaces the loop body; the
-    * iterator/schema/partitioning contract is identical.
+  /** Feature extraction — the shape of an embedding/fingerprint kernel
+    * over a binary column: one partition-local pass computing a
+    * normalized 8-bucket histogram + its entropy. For a PNG in the
+    * supported profile the histogram runs over the DECODED PIXEL bytes
+    * ([[decodePngPixels]] — real intensity distribution, verified
+    * against hand-computed stats in MultimodalSpec); any other payload
+    * keeps the raw-byte histogram (the documented stand-in — a richer
+    * extractor such as a CLIP embedding or mel spectrogram replaces the
+    * loop body; the iterator/schema/partitioning contract is identical).
     *
-    * Contract: features sum to 1 for non-empty blobs; an EMPTY blob yields
-    * the all-zero vector with entropy 0 (there is no distribution to
-    * normalize — fabricating a uniform one would be invented data). */
+    * Contract: features sum to 1 for non-empty inputs; an EMPTY blob
+    * yields the all-zero vector with entropy 0 (there is no distribution
+    * to normalize — fabricating a uniform one would be invented data). */
   def extractFeatures(spark: SparkSession, blobs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("media_type"), col("blob"))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, mt, bytes) =>
+      .mapPartitions(_.map { case (id, mt, blob) =>
+        val bytes = decodePngPixels(blob).map(_.pixels).getOrElse(blob)
         val counts = new Array[Double](8)
         var i = 0
         while (i < bytes.length) { counts((bytes(i) & 0xff) >> 5) += 1; i += 1 }

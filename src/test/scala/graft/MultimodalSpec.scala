@@ -179,6 +179,138 @@ class MultimodalSpec extends SparkSpec {
       "truncated fmt chunk must use the fake branch, not garbage fields")
   }
 
+  // ---- real PNG PIXEL decode (r11): Inflater + defilter + palette ----
+
+  private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tag.getBytes("US-ASCII"))
+    crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array
+  }
+
+  /** Hand-built minimal grayscale PNG around pre-filtered scanlines —
+    * independent of any encoder, so each of the five row filters can be
+    * exercised deliberately. */
+  private def grayPng(w: Int, h: Int, rawScanlines: Array[Byte]): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte) // depth 8, color type 0 (gray)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(rawScanlines)
+    defl.finish()
+    val buf = new Array[Byte](rawScanlines.length + 128)
+    val n = defl.deflate(buf)
+    defl.end()
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("PNG pixels: bit-exact decode vs the independent JVM encoder") {
+    val w = 37; val h = 23
+    val png = realPng(w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val p = Multimodal.decodePngPixels(png).getOrElse(
+      fail("supported-profile PNG did not decode"))
+    assert(p.width == w && p.height == h && p.channels == 3)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert((p.pixels(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+          (p.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+          (p.pixels(o + 2) & 0xff) == (rgb & 0xff),
+          s"pixel ($x,$y) diverged from ImageIO")
+      }
+    }
+  }
+
+  test("PNG pixels: all five row filters reverse to hand-computed values") {
+    // 3x5 gray, one row per filter type; expected values worked out by
+    // hand from PNG spec §9 (Sub/Up/Average/Paeth recurrences)
+    val raw = Array[Int](
+      0, 10, 20, 30, // None
+      1, 5, 5, 5, // Sub: cumulative left
+      2, 1, 2, 3, // Up
+      3, 4, 6, 8, // Average
+      4, 2, 2, 2 // Paeth
+    ).map(_.toByte)
+    val p = Multimodal.decodePngPixels(grayPng(3, 5, raw)).getOrElse(
+      fail("hand-built gray PNG did not decode"))
+    val expected = Array(
+      10, 20, 30,
+      5, 10, 15,
+      6, 12, 18,
+      7, 15, 24,
+      9, 17, 26)
+    assert(p.channels == 1)
+    assert(p.pixels.map(_ & 0xff).toSeq == expected.toSeq)
+  }
+
+  test("PNG pixels: mean-pixel stats match a hand-computed value end-to-end") {
+    // 16x16 gray ramp holding every byte value exactly once: mean is
+    // exactly 127.5, the 8-bucket histogram is uniform (32 per bucket),
+    // entropy is ln 8 — all hand-derivable without running the decoder
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 16).foreach(x => (0 until 16).foreach(y =>
+      img.getRaster.setSample(x, y, 0, x * 16 + y)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val p = Multimodal.decodePngPixels(png).getOrElse(
+      fail("gray ramp PNG did not decode"))
+    assert(p.pixels.length == 256)
+    assert(p.pixels.map(_ & 0xff).sorted.toSeq == (0 until 256))
+    assert(p.pixels.map(v => (v & 0xff).toDouble).sum / 256 == 127.5)
+    val s = spark; import s.implicits._
+    val feats = Multimodal.extractFeatures(spark,
+        Seq((7L, "image", png)).toDF("doc_id", "media_type", "blob"))
+      .collect().head
+    assert(feats.features.forall(f => math.abs(f - 0.125) < 1e-15),
+      s"histogram over DECODED pixels must be uniform: ${feats.features.toSeq}")
+    assert(math.abs(feats.entropy - math.log(8.0)) < 1e-12)
+  }
+
+  test("PNG pixels: phash rides the real luma grid; fakes keep their branch") {
+    val s = spark; import s.implicits._
+    val png = realPng(40, 30)
+    val expected = Multimodal.aHashBytes(Multimodal.lumaGrid8(
+      Multimodal.decodePngPixels(png).get))
+    val rows = Seq((0L, "image", png),
+      (1L, "image", "plain text payload".getBytes("UTF-8")))
+    val got = Multimodal.perceptualHashes(spark,
+        rows.toDF("doc_id", "media_type", "blob"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(0L) == expected)
+    // the text payload must keep the deterministic token-slot fake
+    // (same value the mm_phash oracles replay)
+    assert(got(1L) != expected)
+  }
+
+  test("PNG pixels: outside-profile and corrupt streams fall back to None") {
+    val png = realPng(20, 20)
+    // truncate inside IDAT: header still parses, pixels must not
+    val cut = png.take(png.length - 24)
+    assert(Multimodal.decodePngPixels(cut).isEmpty)
+    assert(Multimodal.parsePngHeader(cut).nonEmpty)
+    // flip the interlace byte: profile rejection, not a crash
+    val inter = png.clone(); inter(28) = 1
+    assert(Multimodal.decodePngPixels(inter).isEmpty)
+    // garbage IDAT bytes: DataFormatException path
+    val garbled = png.clone()
+    val idatAt = (0 until garbled.length - 4).find(i =>
+      garbled(i) == 'I' && garbled(i + 1) == 'D' && garbled(i + 2) == 'A' &&
+        garbled(i + 3) == 'T').get
+    (4 until 12).foreach(k => garbled(idatAt + k) = 0x55)
+    assert(Multimodal.decodePngPixels(garbled).isEmpty)
+    assert(Multimodal.decodePngPixels("GIF89a not a png".getBytes).isEmpty)
+  }
+
   test("decodeMeta end-to-end: real media and text blobs in one frame") {
     val s = spark; import s.implicits._
     val rows = Seq(
