@@ -49,5 +49,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("lcs_tokens"), info("lcs_tokens"),
       (es: Seq[Expression]) => functions.LcsTokens(es(0), es(1), es(2))))
     e.injectOptimizerRule(_ => plans.TokenFilterStrengthen)
+    e.injectOptimizerRule(_ => plans.UnionAggToGroupingSets)
   }
 }

@@ -89,6 +89,37 @@ object Relational extends graft.QueryModule {
           .as("purchase_rate"))
   }
 
+  /** The A2/A3/A4 accuracy family AS A FAMILY — written the natural way
+    * (one aggregation per dimension plus the overall row, UNION ALL'd:
+    * by event type, by user cohort, global), which naively costs one
+    * scan + one shuffle PER BRANCH. The engine's
+    * [[graft.plans.UnionAggToGroupingSets]] optimizer rule collapses it
+    * into Catalyst's own grouping-sets shape — ONE scan, one Expand,
+    * one partially-aggregated shuffle (PlanAuditSpec pins no-Union +
+    * single-scan); the DuckDB oracle runs the literal UNION ALL, so the
+    * hash gate is the semantics-unchanged proof. Measures follow the
+    * exact-integer discipline: purchase rate = integer hit sum / count,
+    * one pointwise division. */
+  def accuracySets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type", ($"user_id" % 10).as("cohort"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("hit"))
+    def measures = Seq(
+      count(lit(1)).as("n"),
+      r4(sum($"hit").cast("double") / count(lit(1))).as("purchase_rate"))
+    val byType = ev.groupBy($"event_type").agg(measures.head, measures.tail: _*)
+      .select($"event_type", lit(null).cast("long").as("cohort"),
+        $"n", $"purchase_rate")
+    val byCohort = ev.groupBy($"cohort").agg(measures.head, measures.tail: _*)
+      .select(lit(null).cast("string").as("event_type"), $"cohort",
+        $"n", $"purchase_rate")
+    val overall = ev.agg(measures.head, measures.tail: _*)
+      .select(lit(null).cast("string").as("event_type"),
+        lit(null).cast("long").as("cohort"), $"n", $"purchase_rate")
+    byType.union(byCohort).union(overall)
+  }
+
   /** A4: distribution + share-of-total via a window over the aggregate —
     * one shuffle for the groupBy, the window total is a single-row exchange. */
   def judgmentDistribution(spark: SparkSession, dir: String): DataFrame = {
@@ -1695,6 +1726,7 @@ object Relational extends graft.QueryModule {
     "rel_score_filter" -> scoreFilter,
     "rel_q1_agg" -> q1Agg,
     "rel_accuracy_by_type" -> accuracyByType,
+    "rel_accuracy_sets" -> accuracySets,
     "rel_judgment_distribution" -> judgmentDistribution,
     "rel_timing_stats" -> timingStats,
     "rel_histogram" -> histogram,
@@ -2518,6 +2550,26 @@ object Relational extends graft.QueryModule {
          |    ELSE CAST(63 AS DOUBLE) * CAST(18446744073709551616 AS DOUBLE)
          |      / CAST(s.hk AS DOUBLE) END, 4) AS est_union
          |FROM e CROSS JOIN n LEFT JOIN s ON true""".stripMargin,
+    // The literal three-branch UNION ALL the Spark side WRITES (before
+    // the UnionAggToGroupingSets rule collapses it to one grouping-sets
+    // pass): a hash match here proves the rewrite changed nothing.
+    "rel_accuracy_sets" ->
+      """WITH ev AS (SELECT event_type, user_id % 10 AS cohort,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        |  FROM events)
+        |SELECT event_type, CAST(NULL AS BIGINT) AS cohort,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS purchase_rate
+        |FROM ev GROUP BY event_type
+        |UNION ALL
+        |SELECT CAST(NULL AS VARCHAR), cohort, CAST(count(*) AS BIGINT),
+        |  round(CAST(sum(hit) AS DOUBLE) / count(*), 4)
+        |FROM ev GROUP BY cohort
+        |UNION ALL
+        |SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  round(CAST(sum(hit) AS DOUBLE) / count(*), 4)
+        |FROM ev""".stripMargin,
     // Register-level replay of the engine HLL ([[approxDistinct]]): the
     // sketch depends only on the DISTINCT value set per (flag, column),
     // so the oracle hashes distinct values only (~100x fewer XXH64
