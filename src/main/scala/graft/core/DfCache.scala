@@ -26,8 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * consumer can still run the frame — then the sweep (piggybacked on
   * every subsequent insert, or explicit via [[sweepReleases]])
   * unpersists the blocks at the RDD layer. Until then the blocks stay
-  * pinned: bounded by construction (one entry per eviction, swept as
-  * consumers drop out), and inert for bench/verify lifetimes. */
+  * pinned: bounded by construction (one entry per eviction, swept on
+  * every lookup AND insert — a service whose tag set stabilizes still
+  * drains on hits), and inert for bench/verify lifetimes.
+  *
+  * Consumer contract: the deferral guarantee anchors on the frame's
+  * ANALYZED PLAN, which every derived Dataset retains — so hold the
+  * DataFrame (or a Dataset derived from it) for as long as you may
+  * execute it. A consumer that keeps only a derived `df.rdd` or a
+  * `toLocalIterator` cursor WITHOUT the Dataset does not reach the
+  * anchor, and a GC can release the checkpoint blocks under it. */
 private[graft] class DfCacheStore(maxEntries: Int) {
   private val cache = new java.util.LinkedHashMap[
       (SparkSession, String, String), DataFrame](16, 0.75f, /*access order*/ true) {
@@ -57,6 +65,10 @@ private[graft] class DfCacheStore(maxEntries: Int) {
       checkpoint: Boolean = true)(f: => DataFrame): DataFrame = {
     val key = (spark, dir, tag)
     cache.synchronized {
+      // lookups drain the pending-release list too (not just inserts):
+      // a long-lived service whose tag set stabilizes never inserts
+      // again, which would otherwise pin evicted blocks forever
+      sweepLocked()
       val existing = cache.get(key) // get() refreshes LRU recency
       if (existing != null) return existing
     }

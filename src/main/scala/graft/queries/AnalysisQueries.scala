@@ -2105,7 +2105,15 @@ object AnalysisQueries extends graft.QueryModule {
     * v·(c·r0 + c(c+1)/2) with r0 = rows below the cell — and every
     * product accumulates in DECIMAL(38,0), which is EXACT (DuckDB
     * HUGEINT) and therefore order-free where a double sum would not
-    * be. G = 2·Σi·x_i/(n·Σx) − (n+1)/n, pointwise at the end. */
+    * be. G = 2·Σi·x_i/(n·Σx) − (n+1)/n, pointwise at the end.
+    *
+    * Headroom bound: Spark's decimal sum NULLs on overflow past 38
+    * digits while DuckDB's HUGEINT is 128-bit, so the exactness claim
+    * holds while Σ v·2c·r0 < 10^38 — with n_chars <= 10^6 that is
+    * ~10^16 documents PER SOURCE (far past 100 TB of text); a corpus
+    * beyond it should pre-scale v into coarser length cells (e.g.
+    * v/100) before the rank-sum, which leaves G unchanged up to cell
+    * granularity. */
   def lengthGini(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = Tables.loadSpread(spark, dir, "documents")

@@ -663,8 +663,16 @@ object Relational extends graft.QueryModule {
           .cast("int"))
     val arms = users.groupBy($"arm")
       .agg(count(lit(1)).as("n"), sum($"converted").cast("long").as("conv"))
-    val a = arms.filter($"arm" === 0).select($"n".as("n_a"), $"conv".as("conv_a"))
-    val b = arms.filter($"arm" === 1).select($"n".as("n_b"), $"conv".as("conv_b"))
+    // left join against the literal {0, 1} arm frame so a DEGENERATE
+    // split (every user hashing to one arm) still yields exactly one
+    // output row with NULL stats for the empty arm — the same shape the
+    // oracle's scalar subqueries produce (r10 ADVICE; a bare
+    // filter+crossJoin would emit zero rows instead)
+    val armsFull = Seq(0, 1).toDF("arm").join(arms, Seq("arm"), "left")
+    val a = armsFull.filter($"arm" === 0)
+      .select($"n".as("n_a"), $"conv".as("conv_a"))
+    val b = armsFull.filter($"arm" === 1)
+      .select($"n".as("n_b"), $"conv".as("conv_b"))
     val pA = $"conv_a".cast("double") / $"n_a".cast("double")
     val pB = $"conv_b".cast("double") / $"n_b".cast("double")
     val pooled = ($"conv_a" + $"conv_b").cast("double") /

@@ -84,6 +84,31 @@ class DfCacheSpec extends SparkSpec {
     assert(rebuiltB == 2, "untouched entry must have been evicted and rebuilt")
   }
 
+  test("cache HITS drain pending releases — no further insert required") {
+    // a long-lived service whose tag set stabilizes only ever HITS the
+    // cache; deferred releases must still drain (r10 ADVICE)
+    val store = new DfCacheStore(1)
+    var a: org.apache.spark.sql.DataFrame = store.cached(spark, "/d", "a")(frame(1))
+    val aRdds = store.checkpointRdds(a)
+    store.cached(spark, "/d", "b")(frame(2)) // evicts a (held -> deferred)
+    assert(store.pendingReleaseCount == 1)
+    val canary = new java.lang.ref.WeakReference(new Object)
+    a = null
+    var tries = 0
+    while (store.pendingReleaseCount > 0 && tries < 60) {
+      System.gc(); Thread.sleep(50)
+      store.cached(spark, "/d", "b")(frame(2)) // pure lookup hit
+      tries += 1
+    }
+    if (store.pendingReleaseCount > 0 && canary.get() != null)
+      cancel("JVM did not process weak references within the retry window")
+    assert(store.pendingReleaseCount == 0,
+      "a lookup hit must sweep cleared anchors")
+    val after = spark.sparkContext.getPersistentRDDs
+    assert(aRdds.forall(r => !after.contains(r.id)),
+      "blocks must be released by the hit-path sweep")
+  }
+
   test("evicted then re-requested: rebuilds and serves the new frame") {
     val store = new DfCacheStore(1)
     var builds = 0
