@@ -33,12 +33,13 @@ object Quantiles {
     * SCALE CONTRACT: the one unpartitioned window here runs over the
     * score DISTRIBUTION, so it is bounded only because callers pass a
     * score of bounded cardinality — every caller in this repo rounds to
-    * 4 dp first (<= 10^4 cells by construction). Pass an UNROUNDED
-    * double and the distribution degenerates to one cell per row: the
-    * result is still correct, but the window silently becomes an n-cell
-    * single-task sort — exactly the `ntile` plan this operator exists to
-    * avoid (QuantilesSpec pins this behavior). Round or bucket the score
-    * before calling. */
+    * 4 dp first (<= 10^4 cells by construction). The contract is
+    * ENFORCED (r11): a distribution wider than `maxCells` (default 2^20
+    * — orders of magnitude above any legitimate caller, far below
+    * row counts at scale) raises at runtime instead of silently
+    * running the n-cell single-task sort this operator exists to avoid
+    * (QuantilesSpec pins both sides). Round or bucket the score before
+    * calling. */
   /** Working-column names; inputs must not collide (loud, not a silent
     * ambiguous-reference/drop — the ivfAssign guard discipline). `n` is
     * claimed too: the broadcast total's count column joins the rows. */
@@ -51,8 +52,27 @@ object Quantiles {
         s"working names (${Reserved.mkString(", ")}) — rename before calling")
   }
 
+  /** The cell-cardinality CONTRACT, enforced (was a convention until
+    * r11): the guarded column errors the job when the score
+    * distribution exceeds `maxCells` — a continuous per-row score
+    * silently degenerates the distribution window into the single-task
+    * n-row sort this operator exists to avoid, so misuse now fails
+    * LOUDLY instead (QuantilesSpec pins it). Rides the distribution
+    * frame's existing single-partition window stage: zero extra jobs,
+    * zero cost on the legitimate (bounded-cell) path. */
+  private def guardedBelow(wc: org.apache.spark.sql.expressions.WindowSpec,
+      op: String, maxCells: Int): Column =
+    when(count(lit(1)).over(wc) <= maxCells, col("__below"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: score distribution has "), count(lit(1)).over(wc),
+        lit(s" cells (> maxCells=$maxCells) — discretize the score " +
+          "(round/bucket) before calling; a per-row-distinct score " +
+          "degenerates to the single-task ntile sort this operator " +
+          "exists to avoid"))))
+
   def ntileBy(df: DataFrame, score: Column, tiebreak: Column, k: Int,
-      total: DataFrame, out: String = "bucket"): DataFrame = {
+      total: DataFrame, out: String = "bucket",
+      maxCells: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"ntile: k must be >= 1, got $k")
     guardReserved(df, "ntileBy")
@@ -60,9 +80,10 @@ object Quantiles {
     val dist = scored.groupBy(col("__q")).agg(count(lit(1)).as("c"))
     val wv = Window.orderBy(col("__q"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wc = Window.partitionBy(lit(0))
     val cum = dist
       .withColumn("__below", coalesce(sum(col("c")).over(wv), lit(0L)))
-      .select(col("__q"), col("__below"))
+      .select(col("__q"), guardedBelow(wc, "ntileBy", maxCells).as("__below"))
     val wt = Window.partitionBy(col("__q")).orderBy(tiebreak)
     val kL = lit(k.toLong)
     val i = col("__below") + col("__tie") - lit(1L) // 0-based global position
@@ -88,8 +109,8 @@ object Quantiles {
     * must carry (`__g`-compatible group value, `n` = group row count);
     * it is dimension-sized (one row per group) and broadcasts. */
   def ntileWithin(df: DataFrame, group: Column, score: Column,
-      tiebreak: Column, k: Int, totals: DataFrame, out: String = "bucket")
-      : DataFrame = {
+      tiebreak: Column, k: Int, totals: DataFrame, out: String = "bucket",
+      maxCells: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"ntile: k must be >= 1, got $k")
     guardReserved(df, "ntileWithin")
@@ -98,9 +119,11 @@ object Quantiles {
       .agg(count(lit(1)).as("c"))
     val wv = Window.partitionBy(col("__g")).orderBy(col("__q"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wc = Window.partitionBy(col("__g"))
     val cum = dist
       .withColumn("__below", coalesce(sum(col("c")).over(wv), lit(0L)))
-      .select(col("__g"), col("__q"), col("__below"))
+      .select(col("__g"), col("__q"),
+        guardedBelow(wc, "ntileWithin", maxCells).as("__below"))
     val wt = Window.partitionBy(col("__g"), col("__q")).orderBy(tiebreak)
     val kL = lit(k.toLong)
     val i = col("__below") + col("__tie") - lit(1L)

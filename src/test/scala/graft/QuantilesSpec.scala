@@ -53,6 +53,34 @@ class QuantilesSpec extends SparkSpec {
     assert(rounded <= rows.size.toLong)
   }
 
+  test("cell contract ENFORCED: a distribution wider than maxCells fails " +
+      "loudly instead of silently running the single-task sort") {
+    val rows = (1L to 200L).map(i => (i, i * 0.0314159 + 1.0 / i))
+    val df = spark.createDataFrame(rows).toDF("id", "s")
+    val total = df.agg(count(lit(1)).as("n"))
+    val e = intercept[Exception] {
+      Quantiles.ntileBy(df, col("s"), col("id"), 4, total,
+        maxCells = 100).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxCells"),
+      s"expected the cell-contract error, got: ${e.getMessage}")
+    // the same data discretized passes under the same budget
+    val ok = Quantiles.ntileBy(df, round(col("s"), 0), col("id"), 4, total,
+      maxCells = 100)
+    assert(ok.count() == 200)
+    // grouped variant: per-GROUP budget
+    val g = spark.createDataFrame(rows.map { case (i, s) =>
+      (if (i % 2 == 0) "a" else "b", i, s) }).toDF("g", "id", "s")
+    val totals = g.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val e2 = intercept[Exception] {
+      Quantiles.ntileWithin(g, col("g"), col("s"), col("id"), 4, totals,
+        maxCells = 50).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("maxCells"))
+    assert(Quantiles.ntileWithin(g, col("g"), round(col("s"), 0), col("id"),
+      4, totals, maxCells = 50).count() == 200)
+  }
+
   test("ntileWithin matches SQL ntile PARTITION BY group, incl. uneven groups") {
     val rows = Seq(
       ("a", 1L, 2.0), ("a", 2L, 1.0), ("a", 3L, 1.0), ("a", 4L, 3.0),
