@@ -14,7 +14,7 @@ DuckDB hugeint (un-cast sum of BIGINT) surfaces as Decimal in Arrow and
 repr-differs from Spark's int64 — fetchall() would silently convert it to
 a Python int and mask the mismatch.
 """
-import sys, json, glob, math
+import sys, json, glob, math, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -49,6 +49,11 @@ def main(sf_dir, out_dir, only=()):
         print(f"ERROR unknown query name(s): {', '.join(unknown)}")
         return 2
     names = [n for n in sorted(oracle) if not only or n in only]
+    # per-oracle DuckDB wall seconds, dumped next to the results so
+    # gen_query_docs.py can publish them (the full-catalog sf0.1 gate's
+    # cost is dominated by a handful of generated-CTE oracles — measure,
+    # don't guess which)
+    times = {}
     for name in names:
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
@@ -60,12 +65,15 @@ def main(sf_dir, out_dir, only=()):
         got_tbl = pq.read_table(files)
         got_cols = sorted(got_tbl.column_names)
         got = canon(table_rows(got_tbl, got_cols))
+        t0 = time.monotonic()
         try:
             exp_tbl = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        finally:
+            times[name] = round(time.monotonic() - t0, 3)
         exp_cols = sorted(exp_tbl.column_names)
         exp = canon(table_rows(exp_tbl, exp_cols))
         if exp_cols != got_cols:
@@ -79,8 +87,13 @@ def main(sf_dir, out_dir, only=()):
             print(f"      exp: {exp[diff] if diff < len(exp) else '<none>'}")
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(got)} rows)")
+            print(f"PASS  {name} ({len(got)} rows, {times[name]:.1f}s oracle)")
             n_pass += 1
+    try:
+        with open(f"{out_dir}/oracle_times.json", "w") as f:
+            json.dump(times, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 

@@ -30,9 +30,14 @@ FAMILIES = [
 ]
 
 
-def main(outdir: str) -> None:
+def main(outdir: str, times_path: str = "") -> None:
     out = Path(outdir)
     oracles = set(json.loads((out / "oracle_sql.json").read_text()).keys())
+    # optional per-oracle DuckDB wall seconds (check_oracle.py dumps
+    # oracle_times.json next to its run); pass the sf0.1 one explicitly
+    # to publish full-scale gate costs
+    tp = Path(times_path) if times_path else out / "oracle_times.json"
+    times = json.loads(tp.read_text()) if tp.exists() else {}
     rows = {}
     for p in sorted(out.iterdir()):
         if p.name == "oracle_sql.json" or p.name.startswith("."):
@@ -52,8 +57,13 @@ def main(outdir: str) -> None:
           "the\nper-module Scaladoc.")
     print()
     print("Regenerate: `sbt \"runMain graft.Verify /root/testdata/sf0.01 "
-          "/tmp/v\"` then\n`python3 scripts/gen_query_docs.py /tmp/v > "
-          "docs/QUERIES.md`.")
+          "/tmp/v\"` then\n`python3 scripts/gen_query_docs.py /tmp/v "
+          "[oracle_times.json] > docs/QUERIES.md`.")
+    if times:
+        print("\nThe `oracle s` column is the DuckDB wall time of each "
+              "oracle at the\nrecorded scale (sf0.1 full-catalog gate) — "
+              "the gate's cost budget.\nOracles past the sampled-gate "
+              "threshold are policy-marked in PERF_NOTES.")
     seen = set()
     for prefix, title in FAMILIES:
         names = sorted(n for n in rows if n.startswith(prefix))
@@ -62,20 +72,28 @@ def main(outdir: str) -> None:
             continue
         seen.update(names)
         print(f"\n## {title} ({len(names)})\n")
-        print("| query | check | rows@sf0.01 |")
-        print("|---|---|---|")
-        for n in names:
-            check = "oracle" if n in oracles else "rows + spec"
-            print(f"| `{n}` | {check} | {rows[n]} |")
+        _table(names, oracles, rows, times)
     rest = sorted(n for n in rows if n not in seen)
     if rest:
         print(f"\n## Other ({len(rest)})\n")
+        _table(rest, oracles, rows, times)
+
+
+def _table(names, oracles, rows, times) -> None:
+    if times:
+        print("| query | check | rows@sf0.01 | oracle s |")
+        print("|---|---|---|---|")
+    else:
         print("| query | check | rows@sf0.01 |")
         print("|---|---|---|")
-        for n in rest:
-            check = "oracle" if n in oracles else "rows + spec"
+    for n in names:
+        check = "oracle" if n in oracles else "rows + spec"
+        if times:
+            t = f"{times[n]:.1f}" if n in times else ""
+            print(f"| `{n}` | {check} | {rows[n]} | {t} |")
+        else:
             print(f"| `{n}` | {check} | {rows[n]} |")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "")

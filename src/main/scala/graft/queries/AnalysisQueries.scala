@@ -2439,6 +2439,8 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_fightin_words" -> fightinWords,
     "ta_entropy_rate" -> entropyRate,
     "ta_cusum_drift" -> cusumDrift,
+    "stream_cusum" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingOps.cusumMonitor(s, d, CusumSlack, CusumAlarm)),
     "ta_bootstrap_ci" -> bootstrapCi,
     "ta_bootstrap_median_ci" -> bootstrapMedianCi,
     "ta_cms_counts" -> cmsCounts,
@@ -3401,6 +3403,62 @@ object AnalysisQueries extends graft.QueryModule {
          |      ELSE (CAST(xsum AS DOUBLE) - CAST(rn AS DOUBLE) * mean) / std
          |        - CAST(rn AS DOUBLE) * CAST($CusumSlack AS DOUBLE) END AS pu,
          |    CASE WHEN std = CAST(0.0 AS DOUBLE)
+         |      THEN CAST(rn AS DOUBLE) * CAST(-$CusumSlack AS DOUBLE)
+         |      ELSE (CAST(rn AS DOUBLE) * mean - CAST(xsum AS DOUBLE)) / std
+         |        - CAST(rn AS DOUBLE) * CAST($CusumSlack AS DOUBLE) END AS pd
+         |  FROM pre),
+         |cs AS (
+         |  SELECT event_type, day, x,
+         |    pu - least(min(pu) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING), CAST(0.0 AS DOUBLE)) AS splus,
+         |    pd - least(min(pd) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING), CAST(0.0 AS DOUBLE)) AS sminus
+         |  FROM pp)
+         |SELECT event_type, day, x, round(splus, 6) AS cusum_up,
+         |  round(sminus, 6) AS cusum_down,
+         |  (splus > CAST($CusumAlarm AS DOUBLE) OR
+         |   sminus > CAST($CusumAlarm AS DOUBLE)) AS alarm
+         |FROM cs""".stripMargin,
+    // The streaming monitor scored against FROZEN calibration params
+    // (per-type mean/std over days <= the global median day) — same
+    // closed-form replay as ta_cusum_drift, restricted to the
+    // monitoring half, LEFT-joined refs with the degenerate guard.
+    "stream_cusum" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |dd AS (SELECT DISTINCT day FROM daily),
+         |cut AS (SELECT day AS cutoff FROM (
+         |    SELECT day, row_number() OVER (ORDER BY day) AS rn,
+         |      count(*) OVER () AS nd FROM dd)
+         |  WHERE rn = CAST(ceil(nd / 2.0) AS BIGINT)),
+         |ref AS (
+         |  SELECT event_type, CAST(sum(x) AS BIGINT) AS sum_x,
+         |    CAST(sum(x * x) AS BIGINT) AS sum_x2, count(*) AS n
+         |  FROM daily, cut WHERE day <= cutoff GROUP BY 1),
+         |mon AS (
+         |  SELECT d.event_type, d.day, d.x FROM daily d, cut
+         |  WHERE d.day > cutoff),
+         |pre AS (
+         |  SELECT m.event_type, m.day, m.x,
+         |    CAST(sum(m.x) OVER (PARTITION BY m.event_type ORDER BY m.day
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS xsum,
+         |    row_number() OVER (PARTITION BY m.event_type ORDER BY m.day) AS rn,
+         |    CAST(r.sum_x AS DOUBLE) / CAST(r.n AS DOUBLE) AS mean,
+         |    sqrt((CAST(r.sum_x2 AS DOUBLE) -
+         |      CAST(r.sum_x AS DOUBLE) * CAST(r.sum_x AS DOUBLE) /
+         |        CAST(r.n AS DOUBLE)) /
+         |      (CAST(r.n AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS std
+         |  FROM mon m
+         |  LEFT JOIN ref r ON m.event_type = r.event_type),
+         |pp AS (
+         |  SELECT event_type, day, x,
+         |    CASE WHEN std IS NULL OR isnan(std) OR std = CAST(0.0 AS DOUBLE)
+         |      THEN CAST(rn AS DOUBLE) * CAST(-$CusumSlack AS DOUBLE)
+         |      ELSE (CAST(xsum AS DOUBLE) - CAST(rn AS DOUBLE) * mean) / std
+         |        - CAST(rn AS DOUBLE) * CAST($CusumSlack AS DOUBLE) END AS pu,
+         |    CASE WHEN std IS NULL OR isnan(std) OR std = CAST(0.0 AS DOUBLE)
          |      THEN CAST(rn AS DOUBLE) * CAST(-$CusumSlack AS DOUBLE)
          |      ELSE (CAST(rn AS DOUBLE) * mean - CAST(xsum AS DOUBLE)) / std
          |        - CAST(rn AS DOUBLE) * CAST($CusumSlack AS DOUBLE) END AS pd

@@ -87,6 +87,10 @@ object DedupQueries extends graft.QueryModule {
   private val WinnowW = 4
   private val WinnowMinShared = 2
   private val WinnowDfCap = 256
+  // expected winnow selection density 2/(w+1), 6-dp — ONE value
+  // interpolated into both engines ([[winnowDensity]])
+  private val WinnowTheoDensity =
+    math.rint(2.0 / (WinnowW + 1) * 1e6) / 1e6
 
   /** Winnowing fingerprint near-dups ([[Dedup.winnowingPairs]]) — the
     * guaranteed-local-match sampled index: pairs sharing >= 2 selected
@@ -389,6 +393,40 @@ object DedupQueries extends graft.QueryModule {
       spark, dir, corpusDigests, thresholds)
   }
 
+  /** Winnowing density audit — the index-health check for
+    * [[winnowing]]: per source, the observed fraction of shingle
+    * windows that contribute a (distinct) selected fingerprint, against
+    * the scheme's 2/(w+1) expected selection density (Schleimer/
+    * Wilkerson/Aiken, SIGMOD'03 §5 — observed sits at or under it
+    * because repeated selections collapse in the distinct set). A
+    * source whose density collapses far below the bound is
+    * template-heavy (few distinct windows — the index underselects
+    * exactly where near-dup recall matters); one at the bound is
+    * healthy. Pure integer sums per doc (fingerprint count, window
+    * count) aggregated per source, one pointwise division at the end —
+    * bit-replayable through the shared winnow CTE chain. */
+  def winnowDensity(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val perDoc = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"),
+        tf.count_tokens(col("text")).cast("long").as("nt"),
+        size(tf.winnow_fingerprints(col("text"),
+          lit(WinnowK), lit(WinnowW))).cast("long").as("n_fp"))
+      // windows = (nt - k + 1) - w + 1; docs below the k+w-1 token
+      // floor have no windows (the kernel returns an empty array)
+      .withColumn("n_windows", col("nt") - lit(WinnowK + WinnowW - 2))
+      .filter(col("n_windows") > 0)
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_windows")).as("total_windows"),
+        sum(col("n_fp")).as("total_fps"))
+      .select(col("source"), col("n_docs"), col("total_windows"),
+        col("total_fps"),
+        round(col("total_fps").cast("double") /
+          col("total_windows").cast("double"), 6).as("density"),
+        lit(WinnowTheoDensity).as("theoretical"))
+  }
+
   /** Substring-level dedup: maximal per-doc runs of 5-grams that occur
     * in more than one document ([[Dedup.duplicatedSpans]] — the
     * exact-substring-dedup span report). Linear end-to-end; the islands
@@ -497,6 +535,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_rates_by_source" -> ratesBySource,
     "dedup_containment" -> containment,
     "dedup_winnowing" -> winnowing,
+    "dedup_winnow_density" -> winnowDensity,
     "ta_dedup_aware_mix" -> dedupAwareMix,
   )
 
@@ -666,6 +705,41 @@ object DedupQueries extends graft.QueryModule {
          |FROM h""".stripMargin,
     "dedup_winnowing" -> graft.core.XxHashSql.winnowingPairsSql(
       re, WinnowK, WinnowW, WinnowMinShared, WinnowDfCap),
+    // fingerprint-count replay of the same winnow chain (ordered
+    // shingles -> XXH64 -> flipped-domain window minima -> distinct),
+    // reduced to per-doc counts + per-source density
+    "dedup_winnow_density" ->
+      s"""WITH wt AS (
+         |  SELECT doc_id, source, regexp_extract_all(text, '$re') AS ts
+         |  FROM documents),
+         |wsh AS (
+         |  SELECT doc_id, len(ts) AS nt,
+         |    [array_to_string(list_slice(ts, i, i + ${WinnowK - 1}), ' ')
+         |     for i in range(1, len(ts) - $WinnowK + 2)] AS ss
+         |  FROM wt WHERE len(ts) >= ${WinnowK + WinnowW - 1}),
+         |wdis AS (SELECT DISTINCT 0 AS doc_id, t
+         |  FROM (SELECT unnest(ss) AS t FROM wsh)),
+         |${graft.core.XxHashSql.hash64Ctes("wdis", "whash", "wdx")},
+         |wpos AS (SELECT doc_id, unnest(ss) AS t,
+         |    unnest(range(1, len(ss) + 1)) AS pos FROM wsh),
+         |whl AS (SELECT p.doc_id,
+         |    list(xor(h.h64, 9223372036854775808::UBIGINT)
+         |      ORDER BY p.pos) AS hs
+         |  FROM wpos p JOIN whash h ON p.t = h.t GROUP BY p.doc_id),
+         |wfp AS (SELECT doc_id,
+         |    len(list_distinct(
+         |      [list_aggregate(list_slice(hs, j, j + ${WinnowW - 1}), 'min')
+         |       for j in range(1, len(hs) - $WinnowW + 2)])) AS n_fp,
+         |    len(hs) - $WinnowW + 1 AS n_windows
+         |  FROM whl)
+         |SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(f.n_windows) AS BIGINT) AS total_windows,
+         |  CAST(sum(f.n_fp) AS BIGINT) AS total_fps,
+         |  round(CAST(sum(f.n_fp) AS DOUBLE)
+         |    / CAST(sum(f.n_windows) AS DOUBLE), 6) AS density,
+         |  CAST($WinnowTheoDensity AS DOUBLE) AS theoretical
+         |FROM wfp f JOIN wt s USING (doc_id)
+         |GROUP BY s.source""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -211,6 +211,91 @@ object StreamingOps {
           col("event_type")), 6).as("l1_drift"))
   }
 
+  /** Streaming CUSUM drift monitor — the PRODUCTION form of the batch
+    * [[graft.queries.AnalysisQueries.cusumDrift]]: the batch query
+    * standardizes each type's daily volume against its own FULL series
+    * (retrospective changepoint analysis); a live monitor cannot see
+    * the future, so this one scores the monitoring period against
+    * FROZEN reference parameters (per-type mean/std from the
+    * calibration half of the calendar — days up to the global median
+    * day). The daily-count profile is a REAL watermarked streaming
+    * window aggregation (complete mode — the [[driftProfile]]
+    * architecture); the closed-form CUSUM
+    * (P_d = (X_d − d·mean)/std − d·k, S_d = P_d − min prefix) then
+    * rides the DRAINED profile, which is windows×types — calendar-
+    * bounded whatever the event volume, like every per-day window in
+    * the catalog. Exact integer prefix sums + order-free running min,
+    * so DuckDB replays the statistic bit-for-bit. A type absent from
+    * the calibration period (or with zero variance) degrades to the
+    * slack-only path, same as the batch query. */
+  def cusumMonitor(spark: SparkSession, dir: String, slack: Double,
+      alarm: Double): DataFrame = withNanosAsLong(spark) {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val dayOf = date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+    // calibration cutoff: the global MEDIAN distinct day — the one
+    // unpartitioned window runs over the distinct-day list (calendar-
+    // bounded cells, the ntileBy discipline)
+    val days = ev.select(dayOf.as("day")).distinct()
+    val cutoff = days
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+      .crossJoin(broadcast(days.agg(count(lit(1)).as("nd"))))
+      .filter(col("rn") === ceil(col("nd") / 2).cast("long"))
+      .select(col("day").as("cutoff"))
+    val ref = ev.select(col("event_type"), dayOf.as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+      .crossJoin(broadcast(cutoff))
+      .filter(col("day") <= col("cutoff"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sum_x"), sum(col("x") * col("x")).as("sum_x2"),
+        count(lit(1)).as("n"))
+    // the streaming half: watermarked per-day volume profile
+    val src = eventsSource(spark, dir)
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val prof = drainToMemorySink(spark, agg, "graft_stream_cusum",
+        noDataBatches = false) // complete mode: no flush dependency
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rnD = col("rn").cast("double")
+    // degenerate reference: type absent from calibration (NULL), a
+    // single calibration day (0/0 -> NaN), or zero variance
+    val degenerate = col("std").isNull || isnan(col("std")) ||
+      col("std") === 0.0
+    val scored = prof
+      .crossJoin(broadcast(cutoff))
+      .filter(col("day") > col("cutoff"))
+      .withColumn("xsum", sum(col("x")).over(wc))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(ref), Seq("event_type"), "left")
+      .withColumn("mean",
+        col("sum_x").cast("double") / col("n").cast("double"))
+      .withColumn("std", sqrt(
+        (col("sum_x2").cast("double") -
+          col("sum_x").cast("double") * col("sum_x").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0))))
+      .withColumn("pu",
+        when(degenerate, rnD * lit(-slack))
+          .otherwise((col("xsum").cast("double") - rnD * col("mean")) /
+            col("std") - rnD * lit(slack)))
+      .withColumn("pd",
+        when(degenerate, rnD * lit(-slack))
+          .otherwise((rnD * col("mean") - col("xsum").cast("double")) /
+            col("std") - rnD * lit(slack)))
+    scored
+      .withColumn("splus", col("pu") - least(min(col("pu")).over(wc), lit(0.0)))
+      .withColumn("sminus", col("pd") - least(min(col("pd")).over(wc), lit(0.0)))
+      .select(col("event_type"), col("day"), col("x"),
+        round(col("splus"), 6).as("cusum_up"),
+        round(col("sminus"), 6).as("cusum_down"),
+        (col("splus") > alarm || col("sminus") > alarm).as("alarm"))
+  }
+
   /** Streaming stateful dedup chained into a streaming aggregation:
     * dropDuplicates keeps first-seen (user_id, event_type) in state, the
     * downstream count aggregates the deduped stream — two stateful

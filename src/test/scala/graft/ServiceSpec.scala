@@ -112,8 +112,10 @@ class ServiceSpec extends SparkSpec {
     val reps = 3
     (1 to reps).foreach(_ => svc.ask("warm.md", doc.getBytes("UTF-8"), q))
     val avgSec = (System.nanoTime() - t0) / 1e9 / reps
+    info(f"warm single-request latency: $avgSec%.3f s avg of $reps")
     // N=1 on a warm session must be interactive (reference answers one
-    // upload per request); generous bound to stay CI-stable
-    assert(avgSec < 2.0, f"warm single-request latency $avgSec%.2f s")
+    // upload per request, SURVEY 3.3); measured 0.42 s avg on the local[4]
+    // test session (PERF_NOTES r11) - the 1 s bound leaves CI headroom
+    assert(avgSec < 1.0, f"warm single-request latency $avgSec%.2f s")
   }
 }

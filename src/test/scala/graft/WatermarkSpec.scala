@@ -97,4 +97,27 @@ class WatermarkSpec extends SparkSpec {
         s"evicted key must re-emit (bounded state): $all")
     } finally q.stop()
   }
+
+  test("streaming CUSUM monitors exactly the post-cutoff half against " +
+      "frozen calibration params") {
+    val out = graft.streaming.StreamingOps
+      .cusumMonitor(spark, sf, slack = 0.5, alarm = 5.0).collect()
+    assert(out.nonEmpty, "expected monitoring rows")
+    // recompute the calendar split independently
+    val all = graft.core.Tables.load(spark, sf, "events")
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val cutoff = all(math.ceil(all.length / 2.0).toInt - 1)
+    val monitored = out.map(_.getAs[String]("day")).distinct.sorted
+    assert(monitored.forall(_ > cutoff),
+      s"calibration days leaked into monitoring: cutoff $cutoff")
+    assert(monitored.toSet == all.filter(_ > cutoff).toSet,
+      "every post-cutoff day with events must be monitored")
+    // CUSUM statistics are non-negative by construction
+    out.foreach { r =>
+      assert(r.getAs[Double]("cusum_up") >= 0.0 &&
+        r.getAs[Double]("cusum_down") >= 0.0, r.toString)
+    }
+  }
 }

@@ -94,4 +94,22 @@ class WinnowSpec extends SparkSpec {
     assert(r.getAs[Double]("score") === 1.0)
     assert(r.getAs[Long]("n_shared") === r.getAs[Long]("n_a"))
   }
+
+  test("density audit: observed distinct-selection density obeys the bounds") {
+    val rows = graft.queries.DedupQueries.winnowDensity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("density")
+      val theo = r.getAs[Double]("theoretical")
+      // every window selects SOME fingerprint and at least one window
+      // per doc contributes one -> density in (0, 1]; distinct-set
+      // counting keeps it near-or-under ~the 2/(w+1) selection rate
+      // (small slack: short docs select a larger share of their few
+      // windows)
+      assert(d > 0.0 && d <= 1.0, s"density $d out of range: $r")
+      assert(theo == 0.4)
+      assert(d <= theo * 2.0,
+        s"density $d far above the 2/(w+1) selection bound: $r")
+    }
+  }
 }
