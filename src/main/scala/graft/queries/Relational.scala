@@ -690,6 +690,48 @@ object Relational extends graft.QueryModule {
         (abs($"z") > 1.96).as("significant"))
   }
 
+  /** Day-of-week seasonal decomposition of order volume — the classical
+    * seasonality audit a time-series pipeline runs before modeling:
+    * per weekday, the mean daily order count and its seasonal index
+    * (weekday mean / overall daily mean), plus the global seasonal
+    * STRENGTH 1 − SSW/SST (share of daily-count variance explained by
+    * the weekday, the ANOVA decomposition) on every row. All
+    * accumulations are exact BIGINT (counts, squares); the only float
+    * fold is the 7-term within-weekday sum, ordered by weekday
+    * ([[graft.functions.TextFunctions.ordered_sum]] over unique keys —
+    * bit-replayable); everything else is pointwise. Weekday numbering
+    * pinned cross-engine: Spark dayofweek−1 == DuckDB dayofweek
+    * (0 = Sunday). */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("wd", (dayofweek(to_date($"day")) - 1).cast("int"))
+    val perWd = daily.groupBy($"wd")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("n_orders"),
+        sum($"x" * $"x").as("sum_x2"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum($"x").as("tx"),
+      sum($"x" * $"x").as("tx2"))
+    val ssw = perWd
+      .select($"wd", ($"sum_x2".cast("double") -
+        $"n_orders".cast("double") * $"n_orders".cast("double") /
+          $"n_days".cast("double")).as("ssw_w"))
+      .agg(graft.functions.TextFunctions.ordered_sum($"ssw_w", $"wd")
+        .as("ssw"))
+    val avgDaily = $"n_orders".cast("double") / $"n_days".cast("double")
+    val sst = $"tx2".cast("double") -
+      $"tx".cast("double") * $"tx".cast("double") / $"nd".cast("double")
+    perWd.crossJoin(broadcast(tot)).crossJoin(broadcast(ssw))
+      .select($"wd", $"n_days", $"n_orders",
+        round(avgDaily, 4).as("avg_daily"),
+        round(avgDaily / ($"tx".cast("double") / $"nd".cast("double")), 6)
+          .as("seasonal_idx"),
+        when(sst === 0.0, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - $"ssw" / sst, 6))
+          .as("seasonal_strength"))
+  }
+
   /** Benford first-digit audit over line-item prices — the classic
     * fabricated-numbers detector (fraud/anomaly screening; naturally-
     * occurring multiplicative quantities follow P(d) = log10(1+1/d)):
@@ -1719,6 +1761,7 @@ object Relational extends graft.QueryModule {
     "rel_kmv_union" -> kmvUnion,
     "rel_kmv_intersect" -> kmvIntersect,
     "rel_benford" -> benford,
+    "rel_seasonality" -> seasonality,
     "rel_ab_test" -> abTest,
     "rel_autocorr" -> autocorr,
     "rel_revenue_concentration" -> revenueConcentration,
@@ -2558,6 +2601,36 @@ object Relational extends graft.QueryModule {
          |    ELSE CAST(63 AS DOUBLE) * CAST(18446744073709551616 AS DOUBLE)
          |      / CAST(s.hk AS DOUBLE) END, 4) AS est_union
          |FROM e CROSS JOIN n LEFT JOIN s ON true""".stripMargin,
+    "rel_seasonality" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT day, x, dayofweek(CAST(day AS DATE)) AS wd FROM daily),
+        |pw AS (SELECT wd, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS n_orders,
+        |    CAST(sum(x * x) AS BIGINT) AS sum_x2
+        |  FROM d2 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(x) AS BIGINT) AS tx,
+        |    CAST(sum(x * x) AS BIGINT) AS tx2 FROM d2),
+        |sw AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(sum_x2 AS DOUBLE)
+        |      - CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |        / CAST(n_days AS DOUBLE) ORDER BY wd)),
+        |    (a, x) -> a + x) AS ssw FROM pw)
+        |SELECT CAST(pw.wd AS INT) AS wd, pw.n_days, pw.n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / CAST(n_days AS DOUBLE), 4)
+        |    AS avg_daily,
+        |  round((CAST(n_orders AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(tx AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS seasonal_idx,
+        |  CASE WHEN CAST(tx2 AS DOUBLE)
+        |      - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE) / CAST(nd AS DOUBLE)
+        |      = CAST(0.0 AS DOUBLE) THEN NULL
+        |    ELSE round(CAST(1.0 AS DOUBLE) - sw.ssw
+        |      / (CAST(tx2 AS DOUBLE)
+        |        - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE)
+        |          / CAST(nd AS DOUBLE)), 6) END AS seasonal_strength
+        |FROM pw, tot, sw""".stripMargin,
     // The literal three-branch UNION ALL the Spark side WRITES (before
     // the UnionAggToGroupingSets rule collapses it to one grouping-sets
     // pass): a hash match here proves the rewrite changed nothing.
