@@ -928,9 +928,12 @@ object Relational extends graft.QueryModule {
   }
 
   /** Quantile sketch (§2.7+ sketch family, with [[approxDistinct]]):
-    * approx_percentile's GK-sketch quantiles per group. Approximate —
-    * rows-only driver check; RelationalSpec pins the rank-error bound
-    * against the exact percentiles. */
+    * approx_percentile's GK-sketch quantiles per group. The ONE
+    * remaining `no_oracle` entry by design — Spark's internal sketch
+    * has partition-order-dependent merge state no other engine
+    * replays; RelationalSpec pins the rank-error bound against the
+    * exact percentiles instead. [[quantileSketch]] is the engine-owned
+    * DETERMINISTIC sibling that does hash-gate. */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "orders")
@@ -942,6 +945,55 @@ object Relational extends graft.QueryModule {
       .select($"o_orderpriority", $"n_rows",
         round(element_at($"approx_p", 1), 2).as("p50"),
         round(element_at($"approx_p", 2), 2).as("p95"))
+  }
+
+  // Engine quantile-sketch geometry: 16 log-domain sub-buckets per
+  // octave => within-bucket relative width 2^(1/16) ~ 4.4%, the
+  // estimator's error bound. ONE literal shared with the oracle.
+  private val QSketchScale = 16.0 / math.log(2.0)
+
+  /** ENGINE-OWNED quantile sketch — the deterministic, replayable
+    * member of the quantile family (the Spark-internal GK sketch behind
+    * [[approxPercentiles]] stays the documented `no_oracle` wrapper;
+    * THIS estimator hash-gates): a log-domain histogram — bucket =
+    * floor(ln(v)·[[QSketchScale]]), within-bucket (count, min, max) —
+    * estimates any quantile by cumulative counts + linear interpolation
+    * between the bucket's observed min/max, so no `exp` ever runs (the
+    * one transcendental is `ln`, the only one proven bit-identical
+    * across engines). Error ≤ the bucket's relative width (~4.4%),
+    * spec-pinned against exact percentiles.
+    *
+    * Scale shape: the sketch IS the (priority, bucket) cell table —
+    * map-side combined counts/min/max, a few hundred cells per group
+    * regardless of row count; cells MERGE (add counts, min/max of
+    * bounds), so per-partition sketches combine losslessly like the
+    * KMV/HLL/CMS family. The cumulative window runs over bucket CELLS
+    * (the ntileBy discipline), never rows. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val b = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority".as("prio"),
+        $"o_totalprice".cast("double").as("v"))
+      .withColumn("bkt", floor(log($"v") * QSketchScale).cast("long"))
+    val w = Window.partitionBy($"prio").orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.groupBy($"prio", $"bkt")
+      .agg(count(lit(1)).as("c"), min($"v").as("bmin"), max($"v").as("bmax"))
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("cumb", $"cum" - $"c")
+    val totals = b.groupBy($"prio").agg(count(lit(1)).as("n"))
+    val withN = cum.join(broadcast(totals), "prio")
+    def pick(q: Double, name: String) = withN
+      .withColumn("rq", ceil(lit(q) * $"n".cast("double")).cast("long"))
+      .filter($"cum" >= $"rq" && $"cumb" < $"rq")
+      .select($"prio", $"n",
+        round($"bmin" + ($"bmax" - $"bmin") *
+          (($"rq" - $"cumb" - 1).cast("double") /
+            greatest($"c" - 1, lit(1L)).cast("double")), 4).as(name))
+    pick(0.5, "p50_est").join(pick(0.95, "p95_est").drop("n"), "prio")
+      .select($"prio".as("o_orderpriority"), $"n".as("n_rows"),
+        $"p50_est", $"p95_est")
   }
 
   /** Deterministic train/val/test split (the dataset-assembly op every
@@ -1767,6 +1819,7 @@ object Relational extends graft.QueryModule {
     "rel_revenue_concentration" -> revenueConcentration,
     "rel_equidepth_hist" -> equidepthHist,
     "rel_approx_percentiles" -> approxPercentiles,
+    "rel_quantile_sketch" -> quantileSketch,
     "rel_dataset_split" -> datasetSplit,
     "rel_cube_agg" -> cubeAgg,
     "rel_percentiles" -> percentiles,
@@ -2601,6 +2654,38 @@ object Relational extends graft.QueryModule {
          |    ELSE CAST(63 AS DOUBLE) * CAST(18446744073709551616 AS DOUBLE)
          |      / CAST(s.hk AS DOUBLE) END, 4) AS est_union
          |FROM e CROSS JOIN n LEFT JOIN s ON true""".stripMargin,
+    // Cell-level replay of the engine quantile sketch: same ln-domain
+    // bucketing literal, same cumulative-cell rank walk, same
+    // min/max interpolation.
+    "rel_quantile_sketch" ->
+      s"""WITH b AS (SELECT o_orderpriority AS prio,
+         |    CAST(o_totalprice AS DOUBLE) AS v,
+         |    CAST(floor(ln(CAST(o_totalprice AS DOUBLE)) * $QSketchScale)
+         |      AS BIGINT) AS bkt
+         |  FROM orders),
+         |cells AS (SELECT prio, bkt, CAST(count(*) AS BIGINT) AS c,
+         |    min(v) AS bmin, max(v) AS bmax FROM b GROUP BY 1, 2),
+         |cum AS (SELECT prio, bkt, c, bmin, bmax, cum, cum - c AS cumb
+         |  FROM (SELECT *, CAST(sum(c) OVER (PARTITION BY prio ORDER BY bkt
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM cells)),
+         |tot AS (SELECT prio, CAST(count(*) AS BIGINT) AS n
+         |  FROM b GROUP BY 1),
+         |j AS (SELECT cum.*, tot.n FROM cum JOIN tot USING (prio)),
+         |p50 AS (SELECT prio, n,
+         |    round(bmin + (bmax - bmin) * (CAST(rq - cumb - 1 AS DOUBLE)
+         |      / CAST(greatest(c - 1, 1) AS DOUBLE)), 4) AS p50_est
+         |  FROM (SELECT j.*, CAST(ceil(CAST(0.5 AS DOUBLE)
+         |      * CAST(n AS DOUBLE)) AS BIGINT) AS rq FROM j)
+         |  WHERE cum >= rq AND cumb < rq),
+         |p95 AS (SELECT prio,
+         |    round(bmin + (bmax - bmin) * (CAST(rq - cumb - 1 AS DOUBLE)
+         |      / CAST(greatest(c - 1, 1) AS DOUBLE)), 4) AS p95_est
+         |  FROM (SELECT j.*, CAST(ceil(CAST(0.95 AS DOUBLE)
+         |      * CAST(n AS DOUBLE)) AS BIGINT) AS rq FROM j)
+         |  WHERE cum >= rq AND cumb < rq)
+         |SELECT p50.prio AS o_orderpriority, p50.n AS n_rows,
+         |  p50.p50_est, p95.p95_est
+         |FROM p50 JOIN p95 USING (prio)""".stripMargin,
     "rel_seasonality" ->
       """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
         |    CAST(count(*) AS BIGINT) AS x

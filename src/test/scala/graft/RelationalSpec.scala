@@ -32,6 +32,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("engine quantile sketch: estimates within one bucket's relative width") {
+    import org.apache.spark.sql.functions._
+    val est = Relational.quantileSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val tol = math.pow(2.0, 1.0 / 16) * (1 + 1e-9) // bucket ratio 2^(1/16)
+    est.foreach { case (prio, (p50, p95)) =>
+      val vals = orders.filter(col("o_orderpriority") === prio)
+        .select(col("o_totalprice").cast("double"))
+        .collect().map(_.getDouble(0)).sorted
+      def exact(q: Double) = vals(math.ceil(q * vals.length).toInt - 1)
+      // the rank-q value lives in the chosen bucket and the estimate
+      // interpolates inside the same bucket's [min, max], so the ratio
+      // is bounded by the bucket's relative width — a GUARANTEE, not
+      // sketch luck
+      assert(p50 >= exact(0.5) / tol && p50 <= exact(0.5) * tol,
+        s"$prio p50 $p50 vs exact ${exact(0.5)}")
+      assert(p95 >= exact(0.95) / tol && p95 <= exact(0.95) * tol,
+        s"$prio p95 $p95 vs exact ${exact(0.95)}")
+    }
+  }
+
   test("approx percentiles stay within the sketch's rank-error bound") {
     import org.apache.spark.sql.functions._
     val approx = Relational.approxPercentiles(spark, sf).collect()
