@@ -2360,6 +2360,36 @@ object AnalysisQueries extends graft.QueryModule {
     * OLS sums fold rank-ordered ([[graft.functions.TextFunctions
     * .ordered_sum]]) for cross-engine bit equality; degenerate variance
     * denominators null out via the same guard on both sides. */
+  /** Vocabulary richness per language — the OOV-planning audit for
+    * tokenizer training: Good-Turing unseen-mass estimate N₁/N (the
+    * probability the NEXT token is a never-seen type — how much
+    * vocabulary the corpus is still missing) and the bias-corrected
+    * Chao1 species-richness estimate V + N₁(N₁−1)/(2(N₂+1)) (the total
+    * vocabulary the corpus is sampling from; the +1 keeps the estimator
+    * defined when no doubletons exist). Everything is an exact integer
+    * aggregate over the term-count table (map-side `term_counts`
+    * kernel, the TF-IDF-family shuffle shape) until two pointwise
+    * divisions — trivially bit-replayable. */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val tc = Tables.loadSpread(spark, dir, "documents")
+      .select(col("lang"),
+        explode(tf.term_counts(col("text"))).as(Seq("term", "n")))
+      .groupBy(col("lang"), col("term")).agg(sum(col("n")).as("n"))
+    tc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("lang"), col("vocab"), col("n_tokens"), col("n1"),
+        col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("unseen_mass"),
+        round(col("vocab").cast("double") +
+          (col("n1") * (col("n1") - 1)).cast("double") /
+            (lit(2L) * (col("n2") + 1)).cast("double"), 4).as("chao1"))
+  }
+
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.loadSpread(spark, dir, "documents")
       .select(col("lang"),
@@ -2429,6 +2459,7 @@ object AnalysisQueries extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_zipf_fit" -> zipfFit,
+    "ta_vocab_richness" -> vocabRichness,
     "ta_charset_quality" -> charsetQuality,
     "ta_source_mix" -> sourceMix,
     "ta_k_anonymity" -> kAnonymity,
@@ -3001,6 +3032,24 @@ object AnalysisQueries extends graft.QueryModule {
          |SELECT p.term, min(coalesce(cl.cnt, 0)) AS est
          |FROM pcells p LEFT JOIN cells cl ON p.r = cl.r AND p.c = cl.c
          |GROUP BY p.term""".stripMargin,
+    "ta_vocab_richness" ->
+      s"""WITH toks AS (SELECT lang,
+         |    unnest(regexp_extract_all(text, '$re')) AS term
+         |  FROM documents),
+         |tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+         |  FROM toks GROUP BY 1, 2)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n) AS DOUBLE), 6) AS unseen_mass,
+         |  round(CAST(count(*) AS DOUBLE)
+         |    + CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+         |        * (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE)
+         |      / CAST(2 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1)
+         |        AS DOUBLE), 4) AS chao1
+         |FROM tc GROUP BY lang""".stripMargin,
     "ta_zipf_fit" ->
       s"""WITH toks AS (SELECT lang,
          |    unnest(regexp_extract_all(text, '${Tokenizer.DuckDbTokenRegex}'))

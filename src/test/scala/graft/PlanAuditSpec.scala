@@ -557,6 +557,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinIdx >= 0, plan)
   }
 
+  test("engine sketches: register/counter/cell tables are distributed partial aggregates") {
+    // HLL: the register table is a plain hash aggregation — nothing
+    // funnels to a single task; the row stream never sorts
+    val hll = graft.queries.Relational.approxDistinct(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!hll.contains("SinglePartition"), s"HLL plan funnels:\n$hll")
+    assert(!hll.contains("CartesianProduct"), hll)
+    // CMS: probe side broadcasts against the bounded counter table
+    val cms = graft.queries.AnalysisQueries.cmsCounts(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(cms.contains("BroadcastHashJoin"),
+      s"CMS probes must broadcast:\n$cms")
+    assert(!cms.contains("CartesianProduct"), cms)
+    // quantile sketch: the one cumulative window runs per-GROUP over
+    // bucket cells — no single-partition exchange anywhere
+    val qs = graft.queries.Relational.quantileSketch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!qs.contains("SinglePartition"),
+      s"quantile sketch plan funnels:\n$qs")
+    assert(!qs.contains("CartesianProduct"), qs)
+  }
+
   test("accuracy family: union of per-dim aggregates collapses to ONE grouping-sets pass") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
