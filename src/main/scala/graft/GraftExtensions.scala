@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => functions.WinnowFingerprints(es(0), es(1), es(2))))
     e.injectFunction((FunctionIdentifier("lcs_tokens"), info("lcs_tokens"),
       (es: Seq[Expression]) => functions.LcsTokens(es(0), es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("bigram_counts"), info("bigram_counts"),
+      (es: Seq[Expression]) => functions.BigramCounts(es.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      (es: Seq[Expression]) => functions.MinHashSig(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("hash64"), info("hash64"),
+      (es: Seq[Expression]) => functions.Hash64(es.head)))
+    e.injectFunction((FunctionIdentifier("hash_family"), info("hash_family"),
+      (es: Seq[Expression]) => functions.HashFamily(es(0), es(1))))
     e.injectOptimizerRule(_ => plans.TokenFilterStrengthen)
     e.injectOptimizerRule(_ => plans.UnionAggToGroupingSets)
   }

@@ -779,5 +779,13 @@ object TextFunctions {
       es => Hash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       es => WinnowFingerprints(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("hash_family",
+      es => HashFamily(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("bigram_counts",
+      es => BigramCounts(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lcs_tokens",
+      es => LcsTokens(es(0), es(1), es(2)), "scala_udf")
   }
 }

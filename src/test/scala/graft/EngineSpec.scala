@@ -108,6 +108,17 @@ class EngineSpec extends SparkSpec {
     val rs = gen.collect().map(_.getDouble(0))
     assert(rs(0) == graft.operators.FuzzyJoin.ratioFn("abcab", "bcab"))
     assert(rs(1) == 0.0 && rs(2) == 1.0)
+    // the r11 additions resolve from SQL and agree with their kernels
+    val h = spark.sql("SELECT hash64('abc') AS h, hash_family(hash64('abc'), 2) AS hf")
+      .collect()(0)
+    val base = graft.functions.HashKernel.xxh64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
+    assert(h.getLong(0) == base)
+    assert(h.getLong(1) ==
+      graft.functions.Mix.fmix64(base ^ (2L * 0x9E3779B97F4A7C15L)))
+    val lcs = spark.sql("SELECT lcs_tokens('a b c', 'a c', 10) AS l")
+      .collect()(0).getInt(0)
+    assert(lcs == 2)
   }
 
   test("judgment is format-invariant: plain's 0-100 scores normalize before the judge bands") {
