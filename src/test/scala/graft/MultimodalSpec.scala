@@ -311,6 +311,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePngPixels("GIF89a not a png".getBytes).isEmpty)
   }
 
+  test("fuzz: pixel decoder never throws on mutated or random streams") {
+    val rnd = new scala.util.Random(41)
+    val base = realPng(24, 16)
+    (0 until 300).foreach { i =>
+      val b = base.clone()
+      // mutate 1-8 bytes anywhere (signature, lengths, IDAT, filters)
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      val cut = if (rnd.nextBoolean()) b.take(8 + rnd.nextInt(b.length - 8))
+        else b
+      Multimodal.decodePngPixels(cut) match {
+        case Some(p) =>
+          // a surviving decode must be internally consistent
+          assert(p.pixels.length == p.width * p.height * p.channels,
+            s"iteration $i: inconsistent decode")
+        case None => () // rejected to the fake branch — fine
+      }
+    }
+    (0 until 100).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(512))(rnd.nextInt(256).toByte)
+      Multimodal.decodePngPixels(junk) // must not throw
+    }
+  }
+
   test("decodeMeta end-to-end: real media and text blobs in one frame") {
     val s = spark; import s.implicits._
     val rows = Seq(
