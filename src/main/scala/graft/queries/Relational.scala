@@ -891,6 +891,25 @@ object Relational extends graft.QueryModule {
     * partition contributes at most m rows per (group, metric) to the
     * shuffle regardless of row count; the classic distributed-HLL
     * merge (max per register) expressed as a plain Spark agg. */
+  /** The HLL register table over `df`'s `v` string column, keyed by
+    * `keys` — the mergeable sketch state of [[approxDistinct]]:
+    * registers over disjoint halves MERGE by per-index MAX into the
+    * direct table (the distributed-HLL law ReaggregateSpec pins, the
+    * [[graft.queries.AnalysisQueries.cmsCells]] discipline). */
+  private[graft] def hllRegisters(df: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val h = graft.functions.TextFunctions.hash64(col("v")).as("h")
+    val w = col("h").bitwiseAND(lit((1L << HllRhoBits) - 1))
+    val rho = when(w === lit(0L), lit(HllRhoMax))
+      .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1)
+    val kc = keys.map(col)
+    df.select(kc :+ h: _*)
+      .select(kc ++ Seq(shiftrightunsigned(col("h"), 64 - HllB).as("idx"),
+        rho.as("rho")): _*)
+      .groupBy(kc :+ col("idx"): _*)
+      .agg(max(col("rho")).as("r"))
+  }
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.load(spark, dir, "lineitem")
@@ -898,16 +917,7 @@ object Relational extends graft.QueryModule {
         explode(map(
           lit("p"), $"l_partkey".cast("string"),
           lit("s"), $"l_suppkey".cast("string"))).as(Seq("metric", "v")))
-      .select($"l_returnflag", $"metric",
-        graft.functions.TextFunctions.hash64($"v").as("h"))
-    val w = $"h".bitwiseAND(lit((1L << HllRhoBits) - 1))
-    val rho = when(w === 0L, lit(HllRhoMax))
-      .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1)
-    val regs = hashed
-      .select($"l_returnflag", $"metric",
-        shiftrightunsigned($"h", 64 - HllB).as("idx"), rho.as("rho"))
-      .groupBy($"l_returnflag", $"metric", $"idx")
-      .agg(max($"rho").as("r"))
+    val regs = hllRegisters(hashed, Seq("l_returnflag", "metric"))
     val z = $"spow" + (lit(HllM.toLong) - $"present") * lit(HllScale)
     val nz = (lit(HllM.toLong) - $"present").as("nz")
     val eRaw = lit(HllC) / z.cast("double")

@@ -75,6 +75,23 @@ class ReaggregateSpec extends SparkSpec {
     assert(merged == direct, "split-merge diverged from direct counter table")
   }
 
+  test("engine HLL: split-merge registers (per-index max) equal direct") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_partkey").cast("string").as("v"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.Relational.hllRegisters(df, Seq("l_returnflag"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val direct = regs(li)
+    val h1 = regs(li.filter(col("l_partkey") % 2 === 0))
+    val h2 = regs(li.filter(col("l_partkey") % 2 === 1))
+    val merged = (h1.keySet ++ h2.keySet).map(k =>
+      k -> math.max(h1.getOrElse(k, 0), h2.getOrElse(k, 0))).toMap
+    assert(merged == direct,
+      "disjoint-half registers must max-merge into the direct table")
+  }
+
   test("KMV intersection estimate: bounded inputs, sane estimate vs exact") {
     val r = graft.queries.Relational.kmvIntersect(spark, sf).collect().head
     val exact = r.getAs[Long]("exact_intersection")
