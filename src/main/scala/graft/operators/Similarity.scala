@@ -251,6 +251,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Stream-safe IVF top-k, up to the per-query aggregate: the same
+    * probes / bucket-restricted candidates as [[ivfTopK]], reoriented
+    * for Structured Streaming — the STREAM side (arriving queries)
+    * stays streaming (probe selection is a pure projection over the
+    * centroid literal), candidates attach stream-static on the bucket
+    * equi-key, and the per-query top-k is the bounded partial
+    * aggregate ([[graft.functions.TextFunctions.top_k_structs]] over
+    * (sim, −cand_id) structs — the (sim DESC, cand_id ASC) order)
+    * instead of a rank window (non-time windows are unsupported on
+    * streams; the partial agg is also the 100 TB shape — k structs per
+    * partition cross the shuffle). Returns the streaming aggregate
+    * (query_id, top); the caller drains it and explodes ranks
+    * batch-side. */
+  def ivfTopKStreamAgg(queries: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroidsLit(centroids)
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDoubleArray(col("embedding")).as("qv"))
+    val probes = q
+      .withColumn("p", explode(slice(array_sort(transform(cents, c =>
+        struct((-cosine(col("qv"), c("_2"))).as("neg_sim"),
+          c("_1").as("centroid_id")))), 1, nprobe)))
+      .select(col("query_id"), col("qv"),
+        col("p.centroid_id").as("centroid_id"))
+    val cand = assigned.select(col("vec_id").as("cand_id"),
+      toDoubleArray(col("embedding")).as("cv"), col("centroid_id"))
+    probes.join(cand, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TextFunctions.top_k_structs(
+        struct(col("sim"), (-col("cand_id")).as("neg_id")), k).as("top"))
+  }
+
   /** Product quantization encode (the IVF-PQ compression standard):
     * split each vector into `m` subspaces of `dim/m` dims, code each
     * subvector as the 1-based POSITION of its nearest codeword in that

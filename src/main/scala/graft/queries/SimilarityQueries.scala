@@ -694,6 +694,8 @@ object SimilarityQueries extends graft.QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ann" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingOps.annTopK(s, d, NQueries, K, nprobe = 3)),
     "sim_kmeans" -> kmeansAssign,
     "sim_cluster_purity" -> clusterPurity,
     "sim_cluster_sample" -> clusterSample,
@@ -1061,6 +1063,10 @@ object SimilarityQueries extends graft.QueryModule {
        |WHERE rank <= $K""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming ANN runs the SAME query set through the SAME IVF
+    // geometry as sim_ivf_topk — one oracle proves both plans (and that
+    // the stream-safe reorientation changed nothing)
+    "stream_ann" -> ivfOracle,
     "sim_pca_proj" -> pcaOracle,
     "sim_mmr" -> mmrOracle,
     "sim_topk_brute" -> bruteOracle,

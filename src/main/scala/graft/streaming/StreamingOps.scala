@@ -296,6 +296,34 @@ object StreamingOps {
         (col("splus") > alarm || col("sminus") > alarm).as("alarm"))
   }
 
+  /** Streaming ANN: arriving embedding queries probed against the
+    * STATIC IVF index ([[graft.operators.Similarity.ivfTopKStreamAgg]]
+    * — probes are a pure projection over the centroid literal,
+    * candidates join stream-static on the bucket key, and the per-query
+    * top-k is the bounded partial aggregate). The query set matches the
+    * batch `sim_ivf_topk` searcher exactly, so the SAME generated IVF
+    * oracle hash-gates the streaming plan — the proof the streaming
+    * reorientation changed nothing. Ranks explode on the DRAINED
+    * (queries × 1)-row aggregate, dimension-sized by construction. */
+  def annTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.core.Tables.loadSpread(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val qs = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") < nQueries)
+    val agg = Similarity.ivfTopKStreamAgg(qs, assigned, centroids, k, nprobe)
+    drainToMemorySink(spark, agg, "graft_stream_ann",
+        noDataBatches = false) // complete mode: no flush dependency
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (-col("t.neg_id")).as("cand_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.sim"), 6).as("sim"))
+  }
+
   /** Streaming stateful dedup chained into a streaming aggregation:
     * dropDuplicates keeps first-seen (user_id, event_type) in state, the
     * downstream count aggregates the deduped stream — two stateful
