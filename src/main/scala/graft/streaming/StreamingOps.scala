@@ -304,7 +304,14 @@ object StreamingOps {
     * batch `sim_ivf_topk` searcher exactly, so the SAME generated IVF
     * oracle hash-gates the streaming plan — the proof the streaming
     * reorientation changed nothing. Ranks explode on the DRAINED
-    * (queries × 1)-row aggregate, dimension-sized by construction. */
+    * (queries × 1)-row aggregate, dimension-sized by construction.
+    *
+    * At 100 TB the static index is STORED bucketed/partitioned by
+    * centroid_id (the `Tables.writeBucketed` discipline), so each
+    * micro-batch's join touches only the ≤ nprobe·|batch queries|
+    * probed buckets via partition pruning instead of rescanning the
+    * corpus — here the index is a derived frame and the join is the
+    * plain equi-key, which is the same plan minus the pruning. */
   def annTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       nprobe: Int): DataFrame = {
     import graft.operators.Similarity
