@@ -732,6 +732,83 @@ object Relational extends graft.QueryModule {
           .as("seasonal_strength"))
   }
 
+  /** Mann-Whitney U rank-sum test (banded) — does the urgent-priority
+    * price distribution stochastically dominate the rest? The
+    * nonparametric two-sample test the statistics tier was missing
+    * (the A/B z-test compares proportions; this compares whole
+    * distributions). Values are banded into 100-unit price cells (the
+    * [[revenueConcentration]] discipline — the one ordered walk runs
+    * over ~10³ CELLS, never rows), and the statistic is computed on the
+    * banded ranks with the standard mid-rank tie handling and the tie-
+    * corrected normal approximation. Everything accumulates as exact
+    * BIGINTs in the DOUBLED domain (2·R_a per cell = c_a·(2·below+c+1);
+    * ties as Σ(c³−c)), so the rank sums are order-free; z is pointwise
+    * at the end. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cells = Tables.load(spark, dir, "orders")
+      .select(floor($"o_totalprice" / 100).as("v"),
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("ga"))
+      .groupBy($"v")
+      .agg(sum($"ga").as("ca"), (count(lit(1)) - sum($"ga")).as("cb"))
+      .withColumn("c", $"ca" + $"cb")
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("below", coalesce(sum($"c").over(w), lit(0L)))
+    val agg = ranked.agg(
+      sum($"ca").as("n_a"), sum($"cb").as("n_b"),
+      sum($"ca" * (lit(2L) * $"below" + $"c" + 1)).as("r2a"),
+      sum($"c" * $"c" * $"c" - $"c").as("tsum"))
+    val nA = $"n_a".cast("double"); val nB = $"n_b".cast("double")
+    val n = ($"n_a" + $"n_b").cast("double")
+    val u2 = ($"r2a" - $"n_a" * ($"n_a" + 1)).cast("double") // 2*U_a
+    val sigma = sqrt(nA * nB / 12.0 *
+      (n + 1 - $"tsum".cast("double") / (n * (n - 1))))
+    agg.select($"n_a", $"n_b",
+      (u2 / 2).as("u_a"),
+      round((u2 - nA * nB) / (lit(2.0) * sigma), 6).as("z"),
+      (abs((u2 - nA * nB) / (lit(2.0) * sigma)) > 1.96).as("significant"))
+  }
+
+  /** χ² independence test between order priority and order status —
+    * the categorical-association audit (Benford's χ² is goodness-of-
+    * fit; this is the R×C contingency test). Observed counts and
+    * row/column/grand totals are exact BIGINTs; expected = rowT·colT/N
+    * and each cell's contribution are pointwise; the χ² fold runs
+    * (prio, status)-ordered over the bounded R×C grid
+    * ([[graft.functions.TextFunctions.ordered_sum]]) and rides every
+    * row with the degrees of freedom, the [[benford]] convention. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority".as("prio"), $"o_orderstatus".as("status"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = obs.groupBy($"prio").agg(sum($"n").as("rt"))
+    val colT = obs.groupBy($"status").agg(sum($"n").as("ct"))
+    val tot = obs.agg(sum($"n").as("nn"),
+      countDistinct($"prio").as("nr"), countDistinct($"status").as("nc"))
+    val exp = $"rt".cast("double") * $"ct".cast("double") /
+      $"nn".cast("double")
+    val cellcontrib = ($"n".cast("double") - exp) *
+      ($"n".cast("double") - exp) / exp
+    val cells = obs
+      .join(broadcast(rowT), "prio")
+      .join(broadcast(colT), "status")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", exp)
+      .withColumn("contrib", cellcontrib)
+    val chi2 = cells.agg(
+      graft.functions.TextFunctions.ordered_sum(
+        $"contrib", $"prio", $"status").as("chi2"))
+    cells.crossJoin(broadcast(chi2))
+      .select($"prio", $"status", $"n",
+        round($"expected", 4).as("expected"),
+        round($"contrib", 6).as("contrib"),
+        round($"chi2", 6).as("chi2"),
+        (($"nr" - 1) * ($"nc" - 1)).as("df"))
+  }
+
   /** Benford first-digit audit over line-item prices — the classic
     * fabricated-numbers detector (fraud/anomaly screening; naturally-
     * occurring multiplicative quantities follow P(d) = log10(1+1/d)):
@@ -1823,6 +1900,8 @@ object Relational extends graft.QueryModule {
     "rel_kmv_union" -> kmvUnion,
     "rel_kmv_intersect" -> kmvIntersect,
     "rel_benford" -> benford,
+    "rel_mann_whitney" -> mannWhitney,
+    "rel_chi2_independence" -> chi2Independence,
     "rel_seasonality" -> seasonality,
     "rel_ab_test" -> abTest,
     "rel_autocorr" -> autocorr,
@@ -2664,6 +2743,62 @@ object Relational extends graft.QueryModule {
          |    ELSE CAST(63 AS DOUBLE) * CAST(18446744073709551616 AS DOUBLE)
          |      / CAST(s.hk AS DOUBLE) END, 4) AS est_union
          |FROM e CROSS JOIN n LEFT JOIN s ON true""".stripMargin,
+    "rel_mann_whitney" ->
+      """WITH cells AS (
+        |  SELECT floor(o_totalprice / 100) AS v,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT v, ca, cb, ca + cb AS c,
+        |    CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below
+        |  FROM cells),
+        |ag AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * (2 * below + c + 1)) AS BIGINT) AS r2a,
+        |    CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+        |  FROM rk),
+        |st AS (SELECT n_a, n_b,
+        |    CAST(r2a - n_a * (n_a + 1) AS DOUBLE) AS u2,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS nab,
+        |    CAST(n_a + n_b AS DOUBLE) AS n,
+        |    CAST(tsum AS DOUBLE) AS ts
+        |  FROM ag)
+        |SELECT n_a, n_b, u2 / 2 AS u_a,
+        |  round((u2 - nab) / (CAST(2.0 AS DOUBLE) * sqrt(nab
+        |    / CAST(12.0 AS DOUBLE) * (n + 1 - ts / (n * (n - 1))))), 6) AS z,
+        |  (abs((u2 - nab) / (CAST(2.0 AS DOUBLE) * sqrt(nab
+        |    / CAST(12.0 AS DOUBLE) * (n + 1 - ts / (n * (n - 1))))))
+        |    > CAST(1.96 AS DOUBLE)) AS significant
+        |FROM st""".stripMargin,
+    "rel_chi2_independence" ->
+      """WITH obs AS (SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT prio, CAST(sum(n) AS BIGINT) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT status, CAST(sum(n) AS BIGINT) AS ct FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(count(DISTINCT prio) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT status) AS BIGINT) AS nc FROM obs),
+        |cells AS (SELECT obs.prio, obs.status, obs.n,
+        |    CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |      / CAST(tot.nn AS DOUBLE) AS expected,
+        |    tot.nr, tot.nc
+        |  FROM obs JOIN rt USING (prio) JOIN ct USING (status), tot),
+        |wc AS (SELECT *,
+        |    (CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+        |      / expected AS contrib
+        |  FROM cells),
+        |x2 AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(contrib ORDER BY prio, status)), (a, x) -> a + x) AS chi2
+        |  FROM wc)
+        |SELECT prio, status, n, round(expected, 4) AS expected,
+        |  round(contrib, 6) AS contrib, round(x2.chi2, 6) AS chi2,
+        |  (nr - 1) * (nc - 1) AS df
+        |FROM wc, x2""".stripMargin,
     // Cell-level replay of the engine quantile sketch: same ln-domain
     // bucketing literal, same cumulative-cell rank walk, same
     // min/max interpolation.
