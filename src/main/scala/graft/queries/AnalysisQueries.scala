@@ -2360,6 +2360,59 @@ object AnalysisQueries extends graft.QueryModule {
     * OLS sums fold rank-ordered ([[graft.functions.TextFunctions
     * .ordered_sum]]) for cross-engine bit equality; degenerate variance
     * denominators null out via the same guard on both sides. */
+  /** Heaps'-law vocabulary-growth fit per language — the tokenizer-
+    * planning companion of [[vocabRichness]]: walking the corpus in
+    * doc-id order, vocabulary grows as V(N) ≈ K·N^β (β ≈ 0.4–0.6 for
+    * natural language; β near 1 means the source never stops minting
+    * new types — ids/hashes/noise). The corpus walk is TEN CELLS, not
+    * a scan order: each doc's decile is pointwise integer arithmetic
+    * on doc_id (floor(id·10/(max+1))), per-decile token totals and
+    * FIRST-APPEARANCE vocabulary counts are exact integer aggregates,
+    * cumulative sums run over the 10-cell window per language, and the
+    * (ln N, ln V) OLS folds decile-ordered ([[zipfFit]]'s replay
+    * discipline — `ln` only, the intercept reported as ln K). */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.functions.TextFunctions
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    val terms = docs.crossJoin(broadcast(maxId))
+      .select(floor(col("doc_id") * 10 / (col("mx") + 1)).cast("int").as("d"),
+        col("lang"),
+        explode(tf.term_counts(col("text"))).as(Seq("term", "cnt")))
+    val tk = terms.groupBy(col("lang"), col("d"))
+      .agg(sum(col("cnt")).as("tk"))
+    val nv = terms.groupBy(col("lang"), col("term"))
+      .agg(min(col("d")).as("d"))
+      .groupBy(col("lang"), col("d")).agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pt = tk.join(nv, Seq("lang", "d"), "left")
+      .na.fill(0L, Seq("nv"))
+      .withColumn("cn", sum(col("tk")).over(w))
+      .withColumn("cv", sum(col("nv")).over(w))
+      .select(col("lang"), col("d"),
+        log(col("cn").cast("double")).as("lx"),
+        log(col("cv").cast("double")).as("ly"))
+    def os(v: Column) = tf.ordered_sum(v, col("d"))
+    val agg = pt.groupBy(col("lang")).agg(
+      count(lit(1)).cast("double").as("m"),
+      os(col("lx")).as("sx"), os(col("ly")).as("sy"),
+      os(col("lx") * col("lx")).as("sxx"),
+      os(col("ly") * col("ly")).as("syy"),
+      os(col("lx") * col("ly")).as("sxy"))
+    val covN = col("m") * col("sxy") - col("sx") * col("sy")
+    val varX = col("m") * col("sxx") - col("sx") * col("sx")
+    val varY = col("m") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varX
+    agg.select(col("lang"), col("m").cast("long").as("n_points"),
+      round(when(varX =!= 0.0, slope), 6).as("beta"),
+      round(when(varX =!= 0.0, (col("sy") - slope * col("sx")) / col("m")),
+        6).as("ln_k"),
+      round(when(varX =!= 0.0 && varY =!= 0.0,
+        covN * covN / (varX * varY)), 6).as("r2"))
+  }
+
   /** Vocabulary richness per language — the OOV-planning audit for
     * tokenizer training: Good-Turing unseen-mass estimate N₁/N (the
     * probability the NEXT token is a never-seen type — how much
@@ -2460,6 +2513,7 @@ object AnalysisQueries extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_zipf_fit" -> zipfFit,
     "ta_vocab_richness" -> vocabRichness,
+    "ta_heaps_law" -> heapsLaw,
     "ta_charset_quality" -> charsetQuality,
     "ta_source_mix" -> sourceMix,
     "ta_k_anonymity" -> kAnonymity,
@@ -3032,6 +3086,46 @@ object AnalysisQueries extends graft.QueryModule {
          |SELECT p.term, min(coalesce(cl.cnt, 0)) AS est
          |FROM pcells p LEFT JOIN cells cl ON p.r = cl.r AND p.c = cl.c
          |GROUP BY p.term""".stripMargin,
+    "ta_heaps_law" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |tok AS (SELECT CAST(floor(doc_id * 10.0 / (mx + 1)) AS INT) AS d,
+         |    lang, unnest(regexp_extract_all(text, '$re')) AS term
+         |  FROM documents, mx),
+         |tkc AS (SELECT lang, d, CAST(count(*) AS BIGINT) AS tk
+         |  FROM tok GROUP BY 1, 2),
+         |fdc AS (SELECT lang, term, min(d) AS d FROM tok GROUP BY 1, 2),
+         |nvc AS (SELECT lang, d, CAST(count(*) AS BIGINT) AS nv
+         |  FROM fdc GROUP BY 1, 2),
+         |cum AS (SELECT t.lang, t.d,
+         |    CAST(sum(t.tk) OVER (PARTITION BY t.lang ORDER BY t.d
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         |    CAST(sum(coalesce(v.nv, 0)) OVER (PARTITION BY t.lang
+         |      ORDER BY t.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cv
+         |  FROM tkc t LEFT JOIN nvc v ON t.lang = v.lang AND t.d = v.d),
+         |pt AS (SELECT lang, d, ln(CAST(cn AS DOUBLE)) AS lx,
+         |    ln(CAST(cv AS DOUBLE)) AS ly FROM cum),
+         |ag AS (SELECT lang, CAST(count(*) AS DOUBLE) AS m,
+         |    list_reduce(list_prepend(0.0, list(lx ORDER BY d)),
+         |      (a, x) -> a + x) AS sx,
+         |    list_reduce(list_prepend(0.0, list(ly ORDER BY d)),
+         |      (a, x) -> a + x) AS sy,
+         |    list_reduce(list_prepend(0.0, list(lx * lx ORDER BY d)),
+         |      (a, x) -> a + x) AS sxx,
+         |    list_reduce(list_prepend(0.0, list(ly * ly ORDER BY d)),
+         |      (a, x) -> a + x) AS syy,
+         |    list_reduce(list_prepend(0.0, list(lx * ly ORDER BY d)),
+         |      (a, x) -> a + x) AS sxy
+         |  FROM pt GROUP BY 1)
+         |SELECT lang, CAST(m AS BIGINT) AS n_points,
+         |  round(CASE WHEN m * sxx - sx * sx <> 0
+         |    THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END, 6) AS beta,
+         |  round(CASE WHEN m * sxx - sx * sx <> 0
+         |    THEN (sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m
+         |    END, 6) AS ln_k,
+         |  round(CASE WHEN m * sxx - sx * sx <> 0 AND m * syy - sy * sy <> 0
+         |    THEN (m * sxy - sx * sy) * (m * sxy - sx * sy)
+         |      / ((m * sxx - sx * sx) * (m * syy - sy * sy)) END, 6) AS r2
+         |FROM ag""".stripMargin,
     "ta_vocab_richness" ->
       s"""WITH toks AS (SELECT lang,
          |    unnest(regexp_extract_all(text, '$re')) AS term

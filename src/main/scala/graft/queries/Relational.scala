@@ -771,6 +771,47 @@ object Relational extends graft.QueryModule {
       (abs((u2 - nA * nB) / (lit(2.0) * sigma)) > 1.96).as("significant"))
   }
 
+  /** Spearman rank correlation (banded) between line-item quantity and
+    * 100-unit price bands — the monotone-association companion of the
+    * Pearson [[correlation]] query (rank correlation is what survives
+    * outliers and nonlinearity). Mid-ranks come from the two value-CELL
+    * walks (the [[mannWhitney]] doubled-domain trick: 2·midrank =
+    * 2·below + c + 1, exact BIGINT), each row joins its two broadcast
+    * cell-rank tables, and ρ is Pearson over the CENTERED doubled ranks
+    * u = 2r − (n+1) (zero-mean integers, |u| ≤ n): Σuv, Σu², Σv² are
+    * exact BIGINTs (≤ n³ — fine to ~2×10⁶ rows; past that, lift the
+    * three sums to DECIMAL(38,0)), and the single BIGINT→double
+    * conversion per sum is correctly rounded in both engines, so ρ is
+    * pointwise-deterministic. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rows = Tables.load(spark, dir, "lineitem")
+      .select(floor($"l_quantity").as("x"),
+        floor($"l_extendedprice" / 100).as("y"))
+    def rankTable(c: String) = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("below", coalesce(sum($"cnt").over(w), lit(0L)))
+        .select(col(c),
+          (lit(2L) * $"below" + $"cnt" + 1).as(s"m2$c"))
+    }
+    val n1 = $"n" + 1
+    val joined = rows
+      .join(broadcast(rankTable("x")), "x")
+      .join(broadcast(rankTable("y")), "y")
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("n"))))
+      .select(($"m2x" - n1).as("u"), ($"m2y" - n1).as("v"), $"n")
+    joined.groupBy($"n")
+      .agg(sum($"u" * $"v").as("suv"), sum($"u" * $"u").as("suu"),
+        sum($"v" * $"v").as("svv"))
+      .select($"n".as("n_rows"),
+        round($"suv".cast("double") /
+          sqrt($"suu".cast("double") * $"svv".cast("double")), 6)
+          .as("spearman_rho"))
+  }
+
   /** χ² independence test between order priority and order status —
     * the categorical-association audit (Benford's χ² is goodness-of-
     * fit; this is the R×C contingency test). Observed counts and
@@ -1901,6 +1942,7 @@ object Relational extends graft.QueryModule {
     "rel_kmv_intersect" -> kmvIntersect,
     "rel_benford" -> benford,
     "rel_mann_whitney" -> mannWhitney,
+    "rel_spearman" -> spearman,
     "rel_chi2_independence" -> chi2Independence,
     "rel_seasonality" -> seasonality,
     "rel_ab_test" -> abTest,
@@ -2774,6 +2816,31 @@ object Relational extends graft.QueryModule {
         |    / CAST(12.0 AS DOUBLE) * (n + 1 - ts / (n * (n - 1))))))
         |    > CAST(1.96 AS DOUBLE)) AS significant
         |FROM st""".stripMargin,
+    "rel_spearman" ->
+      """WITH rows_ AS (SELECT floor(l_quantity) AS x,
+        |    floor(l_extendedprice / 100) AS y FROM lineitem),
+        |rx AS (SELECT x, 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    + cnt + 1 AS m2x
+        |  FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM rows_ GROUP BY x)),
+        |ry AS (SELECT y, 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    + cnt + 1 AS m2y
+        |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM rows_ GROUP BY y)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rows_),
+        |uv AS (SELECT m2x - (n + 1) AS u, m2y - (n + 1) AS v, n
+        |  FROM rows_ JOIN rx USING (x) JOIN ry USING (y), tot),
+        |ag AS (SELECT n, CAST(sum(u * v) AS BIGINT) AS suv,
+        |    CAST(sum(u * u) AS BIGINT) AS suu,
+        |    CAST(sum(v * v) AS BIGINT) AS svv
+        |  FROM uv GROUP BY n)
+        |SELECT n AS n_rows,
+        |  round(CAST(suv AS DOUBLE)
+        |    / sqrt(CAST(suu AS DOUBLE) * CAST(svv AS DOUBLE)), 6)
+        |    AS spearman_rho
+        |FROM ag""".stripMargin,
     "rel_chi2_independence" ->
       """WITH obs AS (SELECT o_orderpriority AS prio, o_orderstatus AS status,
         |    CAST(count(*) AS BIGINT) AS n
