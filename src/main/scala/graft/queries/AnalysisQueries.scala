@@ -2360,6 +2360,65 @@ object AnalysisQueries extends graft.QueryModule {
     * OLS sums fold rank-ordered ([[graft.functions.TextFunctions
     * .ordered_sum]]) for cross-engine bit equality; degenerate variance
     * denominators null out via the same guard on both sides. */
+  private val TermJsTopV = 200
+
+  /** Pairwise Jensen-Shannon divergence between source TERM
+    * distributions — the vocabulary-level mixing audit ([[sourceLengthKl]]
+    * compares length shapes; this compares what the sources actually
+    * SAY). Distributions live on a bounded support: the global
+    * top-[[TermJsTopV]] terms (partial-top-k aggregate, (count DESC,
+    * term DESC) ties — the [[zipfFit]] rank discipline) plus one OOV
+    * bucket holding each source's remaining mass, so every downstream
+    * step is grid-sized (sources × 201) no matter the corpus.
+    * Probabilities are exact integer counts over exact source totals
+    * (one pointwise division); JS = Σ [p_a·ln(p_a/m) + p_b·ln(p_b/m)]/2
+    * with m the midpoint, zero-mass terms contributing zero; the fold
+    * runs term-ordered per pair (binary string order — identical in
+    * both engines). Symmetric, bounded by ln 2. */
+  def sourceTermJs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val counts = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"),
+        explode(tf.term_counts(col("text"))).as(Seq("term", "n")))
+      .groupBy(col("source"), col("term")).agg(sum(col("n")).as("n"))
+    val top = counts.groupBy(col("term")).agg(sum(col("n")).as("g"))
+      .agg(tf.top_k_structs(struct(col("g"), col("term")), TermJsTopV)
+        .as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.term").as("term"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+    val inTop = counts.join(broadcast(top), "term")
+    val oov = inTop.groupBy(col("source")).agg(sum(col("n")).as("topn"))
+      .join(totals, "source")
+      .select(col("source"), lit(" OOV").as("term"),
+        (col("tot") - col("topn")).as("n"))
+    // full (source x bucket) grid so absent terms carry zero mass
+    val grid = totals.select(col("source"), col("tot"))
+      .crossJoin(broadcast(
+        top.union(spark.range(1).select(lit(" OOV").as("term")))))
+      .join(inTop.select(col("source"), col("term"), col("n"))
+        .union(oov.select(col("source"), col("term"), col("n"))),
+        Seq("source", "term"), "left")
+      .na.fill(0L, Seq("n"))
+      .select(col("source"), col("term"),
+        col("n").cast("double") / col("tot").cast("double"))
+      .toDF("source", "term", "p")
+    val pa = col("a.p"); val pb = col("b.p")
+    val m = (pa + pb) / 2
+    val contrib =
+      when(pa > 0, pa * log(pa / m)).otherwise(lit(0.0)) +
+        when(pb > 0, pb * log(pb / m)).otherwise(lit(0.0))
+    grid.as("a").join(grid.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"),
+        col("b.source").as("source_b"), col("a.term").as("term"),
+        (contrib / 2).as("c"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(graft.functions.TextFunctions.ordered_sum(
+        col("c"), col("term")), 6).as("js"))
+  }
+
   /** Heaps'-law vocabulary-growth fit per language — the tokenizer-
     * planning companion of [[vocabRichness]]: walking the corpus in
     * doc-id order, vocabulary grows as V(N) ≈ K·N^β (β ≈ 0.4–0.6 for
@@ -2514,6 +2573,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_zipf_fit" -> zipfFit,
     "ta_vocab_richness" -> vocabRichness,
     "ta_heaps_law" -> heapsLaw,
+    "ta_source_term_js" -> sourceTermJs,
     "ta_charset_quality" -> charsetQuality,
     "ta_source_mix" -> sourceMix,
     "ta_k_anonymity" -> kAnonymity,
@@ -3086,6 +3146,43 @@ object AnalysisQueries extends graft.QueryModule {
          |SELECT p.term, min(coalesce(cl.cnt, 0)) AS est
          |FROM pcells p LEFT JOIN cells cl ON p.r = cl.r AND p.c = cl.c
          |GROUP BY p.term""".stripMargin,
+    "ta_source_term_js" ->
+      s"""WITH cnts AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT source,
+         |      unnest(regexp_extract_all(text, '$re')) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |topv AS (SELECT term FROM (
+         |    SELECT term, row_number() OVER
+         |      (ORDER BY sum(n) DESC, term DESC) AS rk
+         |    FROM cnts GROUP BY term) WHERE rk <= $TermJsTopV),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+         |  FROM cnts GROUP BY 1),
+         |intop AS (SELECT c.source, c.term, c.n
+         |  FROM cnts c JOIN topv USING (term)),
+         |oov AS (SELECT t.source, ' OOV' AS term,
+         |    t.tot - CAST(coalesce(sum(i.n), 0) AS BIGINT) AS n
+         |  FROM tot t LEFT JOIN intop i ON t.source = i.source
+         |  GROUP BY t.source, t.tot),
+         |buckets AS (SELECT term FROM topv UNION ALL SELECT ' OOV'),
+         |grid AS (SELECT t.source, b.term,
+         |    CAST(coalesce(u.n, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+         |  FROM tot t CROSS JOIN buckets b
+         |  LEFT JOIN (SELECT * FROM intop UNION ALL SELECT * FROM oov) u
+         |    ON u.source = t.source AND u.term = b.term),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    a.term,
+         |    ((CASE WHEN a.p > 0
+         |        THEN a.p * ln(a.p / ((a.p + b.p) / 2)) ELSE 0.0 END)
+         |     + (CASE WHEN b.p > 0
+         |        THEN b.p * ln(b.p / ((a.p + b.p) / 2)) ELSE 0.0 END)) / 2
+         |      AS c
+         |  FROM grid a JOIN grid b
+         |    ON a.term = b.term AND a.source < b.source)
+         |SELECT source_a, source_b,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(c ORDER BY term)), (x, y) -> x + y), 6) AS js
+         |FROM pairs GROUP BY 1, 2""".stripMargin,
     "ta_heaps_law" ->
       s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
          |tok AS (SELECT CAST(floor(doc_id * 10.0 / (mx + 1)) AS INT) AS d,
