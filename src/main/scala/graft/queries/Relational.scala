@@ -732,6 +732,35 @@ object Relational extends graft.QueryModule {
           .as("seasonal_strength"))
   }
 
+  /** Index of dispersion (Fano factor) of daily event volume per type —
+    * the Poisson-ness audit: variance/mean of the per-day counts is ≈1
+    * for memoryless arrivals, >1 for bursty traffic (bot storms,
+    * batched imports), <1 for throttled/metered flows. Daily counts,
+    * their sums and squares are exact BIGINTs (calendar-bounded cells);
+    * mean/variance/Fano are pointwise at the end; degenerate series
+    * (one day, zero mean) yield NULL in both engines. */
+  def dispersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val agg = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sx2"))
+    val nD = $"n_days".cast("double")
+    val mean = $"sx".cast("double") / nD
+    val variance = ($"sx2".cast("double") -
+      $"sx".cast("double") * $"sx".cast("double") / nD) / (nD - 1)
+    val fano = when($"n_days" > 1 && $"sx" > 0, variance / mean)
+      .otherwise(lit(null).cast("double"))
+    agg.select($"event_type", $"n_days",
+      round(mean, 4).as("mean_daily"),
+      round(when($"n_days" > 1, variance), 4).as("variance"),
+      round(fano, 6).as("fano"),
+      (fano > 2.0).as("overdispersed"))
+  }
+
   /** Mann-Whitney U rank-sum test (banded) — does the urgent-priority
     * price distribution stochastically dominate the rest? The
     * nonparametric two-sample test the statistics tier was missing
@@ -847,7 +876,10 @@ object Relational extends graft.QueryModule {
         round($"expected", 4).as("expected"),
         round($"contrib", 6).as("contrib"),
         round($"chi2", 6).as("chi2"),
-        (($"nr" - 1) * ($"nc" - 1)).as("df"))
+        (($"nr" - 1) * ($"nc" - 1)).as("df"),
+        // Cramér's V effect size: χ² normalized by n·min(R−1, C−1)
+        round(sqrt($"chi2" / ($"nn".cast("double") *
+          least($"nr" - 1, $"nc" - 1).cast("double"))), 6).as("cramers_v"))
   }
 
   /** Benford first-digit audit over line-item prices — the classic
@@ -1943,6 +1975,7 @@ object Relational extends graft.QueryModule {
     "rel_benford" -> benford,
     "rel_mann_whitney" -> mannWhitney,
     "rel_spearman" -> spearman,
+    "rel_dispersion" -> dispersion,
     "rel_chi2_independence" -> chi2Independence,
     "rel_seasonality" -> seasonality,
     "rel_ab_test" -> abTest,
@@ -2816,6 +2849,29 @@ object Relational extends graft.QueryModule {
         |    / CAST(12.0 AS DOUBLE) * (n + 1 - ts / (n * (n - 1))))))
         |    > CAST(1.96 AS DOUBLE)) AS significant
         |FROM st""".stripMargin,
+    "rel_dispersion" ->
+      """WITH daily AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sx2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS mean_daily,
+        |  round(CASE WHEN n_days > 1 THEN (CAST(sx2 AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(n_days AS DOUBLE) - 1) END, 4) AS variance,
+        |  round(CASE WHEN n_days > 1 AND sx > 0 THEN ((CAST(sx2 AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(n_days AS DOUBLE) - 1))
+        |    / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) END, 6) AS fano,
+        |  (CASE WHEN n_days > 1 AND sx > 0 THEN ((CAST(sx2 AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(n_days AS DOUBLE) - 1))
+        |    / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) END
+        |   > CAST(2.0 AS DOUBLE)) AS overdispersed
+        |FROM ag""".stripMargin,
     "rel_spearman" ->
       """WITH rows_ AS (SELECT floor(l_quantity) AS x,
         |    floor(l_extendedprice / 100) AS y FROM lineitem),
@@ -2853,7 +2909,7 @@ object Relational extends graft.QueryModule {
         |cells AS (SELECT obs.prio, obs.status, obs.n,
         |    CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
         |      / CAST(tot.nn AS DOUBLE) AS expected,
-        |    tot.nr, tot.nc
+        |    tot.nr, tot.nc, tot.nn
         |  FROM obs JOIN rt USING (prio) JOIN ct USING (status), tot),
         |wc AS (SELECT *,
         |    (CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
@@ -2864,7 +2920,9 @@ object Relational extends graft.QueryModule {
         |  FROM wc)
         |SELECT prio, status, n, round(expected, 4) AS expected,
         |  round(contrib, 6) AS contrib, round(x2.chi2, 6) AS chi2,
-        |  (nr - 1) * (nc - 1) AS df
+        |  (nr - 1) * (nc - 1) AS df,
+        |  round(sqrt(x2.chi2 / (CAST(nn AS DOUBLE)
+        |    * CAST(least(nr - 1, nc - 1) AS DOUBLE))), 6) AS cramers_v
         |FROM wc, x2""".stripMargin,
     // Cell-level replay of the engine quantile sketch: same ln-domain
     // bucketing literal, same cumulative-cell rank walk, same
