@@ -841,6 +841,57 @@ object Relational extends graft.QueryModule {
           .as("spearman_rho"))
   }
 
+  /** Kendall's τ-b (banded) between quantity and 100-unit price bands —
+    * the concordance companion of [[spearman]] (τ counts agreeing pair
+    * ORIENTATIONS; more robust to a few wild ranks). Concordant /
+    * discordant pair counts come from the DENSE banded contingency
+    * grid (distinct-x × distinct-y, dimension-sized) via 2D suffix
+    * sums: two window passes — within-row Σ_{l>j}, then across rows
+    * Σ_{k>i} — give each cell its "both-greater" mass N⁺⁺ (and
+    * "row-greater, col-smaller" N⁺⁻), so C = Σ n·N⁺⁺ and D = Σ n·N⁺⁻
+    * are exact BIGINTs (≤ n², fine to ~10⁹ rows; past that lift to
+    * DECIMAL(38,0)). Tie terms T₁/T₂ and T₀ = n(n−1)/2 are exact
+    * (t(t−1) is always even); τ-b = (C−D)/√((T₀−T₁)(T₀−T₂)) is
+    * pointwise. Every window runs over grid CELLS, never rows. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rows = Tables.load(spark, dir, "lineitem")
+      .select(floor($"l_quantity").as("x"),
+        floor($"l_extendedprice" / 100).as("y"))
+    val cells = rows.groupBy($"x", $"y").agg(count(lit(1)).as("n"))
+    val grid = cells.select($"x").distinct()
+      .crossJoin(cells.select($"y").distinct())
+      .join(cells, Seq("x", "y"), "left")
+      .na.fill(0L, Seq("n"))
+    val wyAfter = Window.partitionBy($"x").orderBy($"y")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wyBefore = Window.partitionBy($"x").orderBy($"y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wxAfter = Window.partitionBy($"y").orderBy($"x")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val suffixed = grid
+      .withColumn("s_gt", coalesce(sum($"n").over(wyAfter), lit(0L)))
+      .withColumn("s_lt", coalesce(sum($"n").over(wyBefore), lit(0L)))
+      .withColumn("npp", coalesce(sum($"s_gt").over(wxAfter), lit(0L)))
+      .withColumn("npm", coalesce(sum($"s_lt").over(wxAfter), lit(0L)))
+    val pairAgg = suffixed.agg(
+      sum($"n").as("nr"),
+      sum($"n" * $"npp").as("conc"),
+      sum($"n" * $"npm").as("disc"))
+    val tx = rows.groupBy($"x").agg(count(lit(1)).as("t"))
+      .agg(sum($"t" * ($"t" - 1) / 2).as("t1"))
+    val ty = rows.groupBy($"y").agg(count(lit(1)).as("t"))
+      .agg(sum($"t" * ($"t" - 1) / 2).as("t2"))
+    val t0 = $"nr" * ($"nr" - 1) / 2
+    val denom = sqrt((t0 - $"t1").cast("double") *
+      (t0 - $"t2").cast("double"))
+    pairAgg.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select($"nr".as("n_rows"), $"conc".as("concordant"),
+        $"disc".as("discordant"),
+        round(($"conc" - $"disc").cast("double") / denom, 6).as("tau_b"))
+  }
+
   /** χ² independence test between order priority and order status —
     * the categorical-association audit (Benford's χ² is goodness-of-
     * fit; this is the R×C contingency test). Observed counts and
@@ -1975,6 +2026,7 @@ object Relational extends graft.QueryModule {
     "rel_benford" -> benford,
     "rel_mann_whitney" -> mannWhitney,
     "rel_spearman" -> spearman,
+    "rel_kendall_tau" -> kendallTau,
     "rel_dispersion" -> dispersion,
     "rel_chi2_independence" -> chi2Independence,
     "rel_seasonality" -> seasonality,
@@ -2849,6 +2901,44 @@ object Relational extends graft.QueryModule {
         |    / CAST(12.0 AS DOUBLE) * (n + 1 - ts / (n * (n - 1))))))
         |    > CAST(1.96 AS DOUBLE)) AS significant
         |FROM st""".stripMargin,
+    "rel_kendall_tau" ->
+      """WITH rows_ AS (SELECT floor(l_quantity) AS x,
+        |    floor(l_extendedprice / 100) AS y FROM lineitem),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+        |  FROM rows_ GROUP BY 1, 2),
+        |grid AS (SELECT xs.x, ys.y, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT x FROM cells) xs
+        |  CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+        |  LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y),
+        |sfx AS (SELECT x, y, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY x ORDER BY y
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS s_gt,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY x ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s_lt
+        |  FROM grid),
+        |sfx2 AS (SELECT x, y, n,
+        |    CAST(coalesce(sum(s_gt) OVER (PARTITION BY y ORDER BY x
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS npp,
+        |    CAST(coalesce(sum(s_lt) OVER (PARTITION BY y ORDER BY x
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS npm
+        |  FROM sfx),
+        |pa AS (SELECT CAST(sum(n) AS BIGINT) AS nr,
+        |    CAST(sum(n * npp) AS BIGINT) AS conc,
+        |    CAST(sum(n * npm) AS BIGINT) AS disc
+        |  FROM sfx2),
+        |tx AS (SELECT sum(t * (t - 1) / 2) AS t1 FROM
+        |  (SELECT CAST(count(*) AS BIGINT) AS t FROM rows_ GROUP BY x)),
+        |ty AS (SELECT sum(t * (t - 1) / 2) AS t2 FROM
+        |  (SELECT CAST(count(*) AS BIGINT) AS t FROM rows_ GROUP BY y))
+        |SELECT nr AS n_rows, conc AS concordant, disc AS discordant,
+        |  round(CAST(conc - disc AS DOUBLE)
+        |    / sqrt((CAST(nr * (nr - 1) AS DOUBLE) / 2 - t1)
+        |      * (CAST(nr * (nr - 1) AS DOUBLE) / 2 - t2)), 6) AS tau_b
+        |FROM pa, tx, ty""".stripMargin,
     "rel_dispersion" ->
       """WITH daily AS (SELECT event_type,
         |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
