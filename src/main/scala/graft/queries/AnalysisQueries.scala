@@ -2360,6 +2360,41 @@ object AnalysisQueries extends graft.QueryModule {
     * OLS sums fold rank-ordered ([[graft.functions.TextFunctions
     * .ordered_sum]]) for cross-engine bit equality; degenerate variance
     * denominators null out via the same guard on both sides. */
+  /** Simpson's diversity index over the term distribution per source —
+    * the no-transcendentals companion of [[termEntropy]]: D =
+    * Σ nᵢ(nᵢ−1) / (N(N−1)) is the probability two tokens drawn without
+    * replacement are the SAME type (repeat-heaviness), and 1/D is the
+    * effective vocabulary size. Every quantity is an exact integer
+    * ratio — the numerator/denominator accumulate in DECIMAL(38,0)
+    * (headroom to ~10¹⁸ tokens per source; DuckDB folds the same sums
+    * as HUGEINT), and the one division is pointwise — so this oracle
+    * is exact arithmetic end to end, not merely replay-deterministic. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val dec = (e: Column) =>
+      e.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val counts = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"),
+        explode(tf.term_counts(col("text"))).as(Seq("term", "n")))
+      .groupBy(col("source"), col("term")).agg(sum(col("n")).as("n"))
+    counts.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("n")).as("n_tokens"),
+        sum(dec(col("n")) * (dec(col("n")) - 1)).as("num"))
+      // the DIVISION runs in double on both sides (decimal-division
+      // scale rules differ across engines); numerator/denominator stay
+      // exact integers and convert correctly-rounded below 2^53 —
+      // ~9×10^7 tokens per source; past that, pre-divide both by a
+      // common power of ten before the cast
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        round(col("num").cast("double") /
+          (dec(col("n_tokens")) * (dec(col("n_tokens")) - 1))
+            .cast("double"), 8).as("simpson"),
+        round((dec(col("n_tokens")) * (dec(col("n_tokens")) - 1))
+          .cast("double") / col("num").cast("double"), 4)
+          .as("effective_vocab"))
+  }
+
   private val TermJsTopV = 200
 
   /** Pairwise Jensen-Shannon divergence between source TERM
@@ -2574,6 +2609,7 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_vocab_richness" -> vocabRichness,
     "ta_heaps_law" -> heapsLaw,
     "ta_source_term_js" -> sourceTermJs,
+    "ta_simpson_diversity" -> simpsonDiversity,
     "ta_charset_quality" -> charsetQuality,
     "ta_source_mix" -> sourceMix,
     "ta_k_anonymity" -> kAnonymity,
@@ -3146,6 +3182,22 @@ object AnalysisQueries extends graft.QueryModule {
          |SELECT p.term, min(coalesce(cl.cnt, 0)) AS est
          |FROM pcells p LEFT JOIN cells cl ON p.r = cl.r AND p.c = cl.c
          |GROUP BY p.term""".stripMargin,
+    "ta_simpson_diversity" ->
+      s"""WITH cnts AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT source,
+         |      unnest(regexp_extract_all(text, '$re')) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    sum(n * (n - 1)) AS num
+         |  FROM cnts GROUP BY 1)
+         |SELECT source, vocab, n_tokens,
+         |  round(CAST(num AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
+         |    * CAST(n_tokens - 1 AS DOUBLE)), 8) AS simpson,
+         |  round((CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+         |    / CAST(num AS DOUBLE), 4) AS effective_vocab
+         |FROM ag""".stripMargin,
     "ta_source_term_js" ->
       s"""WITH cnts AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
          |  FROM (SELECT source,

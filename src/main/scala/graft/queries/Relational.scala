@@ -732,6 +732,47 @@ object Relational extends graft.QueryModule {
           .as("seasonal_strength"))
   }
 
+  /** Wald–Wolfowitz runs test on daily event volume per type — is the
+    * above/below-mean pattern RANDOM over the calendar, or does volume
+    * trend/oscillate (too few runs = regime persistence, too many =
+    * alternation)? The sign of each day is decided by the EXACT integer
+    * cross-multiplication x_d·n_days > Σx (no division, no float — a
+    * tie classifies as below, documented), the run count is a lag
+    * window over calendar-bounded day cells, and the normal
+    * approximation E[R] = 2n₁n₂/n + 1, Var[R] = 2n₁n₂(2n₁n₂−n)/
+    * (n²(n−1)) is pointwise from exact counts. One-arm series (all
+    * days on one side) yield NULL z in both engines. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("nd"), sum($"x").as("sx"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val signed = daily.join(broadcast(tot), "event_type")
+      .withColumn("s", ($"x" * $"nd" > $"sx").cast("int"))
+      .withColumn("flip",
+        when(lag($"s", 1).over(w).isNull, 1)
+          .when(lag($"s", 1).over(w) =!= $"s", 1).otherwise(0))
+    val agg = signed.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"s").as("n_above"),
+        (count(lit(1)) - sum($"s")).as("n_below"),
+        sum($"flip").as("runs"))
+    val n1 = $"n_above".cast("double"); val n2 = $"n_below".cast("double")
+    val n = $"n_days".cast("double")
+    val eR = lit(2.0) * n1 * n2 / n + 1
+    val varR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n) /
+      (n * n * (n - 1))
+    val z = when($"n_above" > 0 && $"n_below" > 0 && $"n_days" > 1,
+      ($"runs".cast("double") - eR) / sqrt(varR))
+      .otherwise(lit(null).cast("double"))
+    agg.select($"event_type", $"n_days", $"n_above", $"n_below", $"runs",
+      round(z, 6).as("z"), (abs(z) <= 1.96).as("random"))
+  }
+
   /** Index of dispersion (Fano factor) of daily event volume per type —
     * the Poisson-ness audit: variance/mean of the per-day counts is ≈1
     * for memoryless arrivals, >1 for bursty traffic (bot storms,
@@ -2028,6 +2069,7 @@ object Relational extends graft.QueryModule {
     "rel_spearman" -> spearman,
     "rel_kendall_tau" -> kendallTau,
     "rel_dispersion" -> dispersion,
+    "rel_runs_test" -> runsTest,
     "rel_chi2_independence" -> chi2Independence,
     "rel_seasonality" -> seasonality,
     "rel_ab_test" -> abTest,
@@ -2900,6 +2942,39 @@ object Relational extends graft.QueryModule {
         |  (abs((u2 - nab) / (CAST(2.0 AS DOUBLE) * sqrt(nab
         |    / CAST(12.0 AS DOUBLE) * (n + 1 - ts / (n * (n - 1))))))
         |    > CAST(1.96 AS DOUBLE)) AS significant
+        |FROM st""".stripMargin,
+    "rel_runs_test" ->
+      """WITH daily AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM daily GROUP BY 1),
+        |sg AS (SELECT d.event_type, d.day,
+        |    CASE WHEN d.x * t.nd > t.sx THEN 1 ELSE 0 END AS s
+        |  FROM daily d JOIN tot t USING (event_type)),
+        |fl AS (SELECT event_type, s,
+        |    CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+        |      IS DISTINCT FROM s THEN 1 ELSE 0 END AS flip
+        |  FROM sg),
+        |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(s) AS BIGINT) AS n_above,
+        |    CAST(count(*) - sum(s) AS BIGINT) AS n_below,
+        |    CAST(sum(flip) AS BIGINT) AS runs
+        |  FROM fl GROUP BY 1),
+        |st AS (SELECT *, CAST(n_above AS DOUBLE) AS n1,
+        |    CAST(n_below AS DOUBLE) AS n2, CAST(n_days AS DOUBLE) AS n
+        |  FROM ag)
+        |SELECT event_type, n_days, n_above, n_below, runs,
+        |  round(CASE WHEN n_above > 0 AND n_below > 0 AND n_days > 1
+        |    THEN (CAST(runs AS DOUBLE) - (2.0 * n1 * n2 / n + 1))
+        |      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+        |        / (n * n * (n - 1))) END, 6) AS z,
+        |  (abs(CASE WHEN n_above > 0 AND n_below > 0 AND n_days > 1
+        |    THEN (CAST(runs AS DOUBLE) - (2.0 * n1 * n2 / n + 1))
+        |      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+        |        / (n * n * (n - 1))) END)
+        |   <= CAST(1.96 AS DOUBLE)) AS random
         |FROM st""".stripMargin,
     "rel_kendall_tau" ->
       """WITH rows_ AS (SELECT floor(l_quantity) AS x,
