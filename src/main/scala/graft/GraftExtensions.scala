@@ -56,6 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => functions.Hash64(es.head)))
     e.injectFunction((FunctionIdentifier("hash_family"), info("hash_family"),
       (es: Seq[Expression]) => functions.HashFamily(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"), info("jaro_winkler"),
+      (es: Seq[Expression]) => functions.JaroWinkler(es(0), es(1))))
     e.injectOptimizerRule(_ => plans.TokenFilterStrengthen)
     e.injectOptimizerRule(_ => plans.UnionAggToGroupingSets)
   }

@@ -152,6 +152,52 @@ object TextKernels {
       new GenericArrayData(ks), new GenericArrayData(vs))
   }
 
+  /** Standard Jaro-Winkler (see [[graft.functions.JaroWinkler]]): Jaro
+    * over BMP chars (match window floor(max/2)−1, transpositions/2)
+    * plus the ≤4-char prefix boost at p=0.1 when jaro > 0.7. */
+  def jaroWinkler(sa: String, sb: String): Double = {
+    val la = sa.length; val lb = sb.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var done = false
+      while (j <= hi && !done) {
+        if (!mb(j) && sa.charAt(i) == sb.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (sa.charAt(i) != sb.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (m - t / 2).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val lmax = math.min(4, math.min(la, lb))
+      while (l < lmax && sa.charAt(l) == sb.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+
   def shingles(t: UTF8String, kv: Int): ArrayData = {
     val s = t.toString
     val offs = Tokenizer.tokenize(s)
@@ -671,6 +717,28 @@ case class WinnowFingerprints(text: Expression, k: Expression, w: Expression)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** `jaro_winkler(a, b)` — the record-linkage comparator (Winkler 1990):
+  * Jaro similarity (windowed matches + transpositions) with the
+  * common-prefix boost (≤ 4 chars, p = 0.1) applied when jaro > 0.7 —
+  * the rapidfuzz/DuckDB semantics, so the DuckDB builtin
+  * `jaro_winkler_similarity` IS the oracle (cross-engine agreement
+  * hash-gated on real data). Codegen scalar like [[SequenceRatio]]. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinkler(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.jaroWinkler($a.toString(), $b.toString())")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JaroWinkler = copy(l, r)
+  override def prettyName: String = "jaro_winkler"
+}
+
 /** Static forwarder for [[Hash64]] codegen (the [[TextKernels]]
   * discipline: one kernel shared by interpreted eval and Janino code). */
 object HashKernel {
@@ -743,6 +811,8 @@ object TextFunctions {
     col(LcsTokens(ex(a), ex(b), ex(maxT)))
   def hash64(c: Column): Column = col(Hash64(ex(c)))
   def hash_family(h: Column, j: Column): Column = col(HashFamily(ex(h), ex(j)))
+  def jaro_winkler(a: Column, b: Column): Column =
+    col(JaroWinkler(ex(a), ex(b)))
   def minhash_sig(c: Column, numHashes: Column): Column =
     col(MinHashSig(ex(c), ex(numHashes)))
 
@@ -787,5 +857,7 @@ object TextFunctions {
       es => MinHashSig(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lcs_tokens",
       es => LcsTokens(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      es => JaroWinkler(es(0), es(1)), "scala_udf")
   }
 }

@@ -510,7 +510,38 @@ object Advanced extends graft.QueryModule {
         (max(col("score")) > 0).as("matched"))
   }
 
+  /** Jaro-Winkler best match — the record-linkage comparator the
+    * Fellegi-Sunter pipeline composes with ([[recordLinkage]] uses
+    * exact field agreements; JW is THE standard fuzzy name comparator,
+    * Winkler 1990): each probe part (p_partkey < 100) takes its
+    * highest-JW neighbor among parts sharing its first name token
+    * (equi-key blocking — candidates never go quadratic), ties broken
+    * by lowest candidate id via the argmax struct max. The engine's
+    * [[graft.functions.JaroWinkler]] codegen kernel implements the
+    * rapidfuzz semantics EXACTLY, so DuckDB's builtin
+    * `jaro_winkler_similarity` is the oracle — a cross-IMPLEMENTATION
+    * agreement gate, not a replay of our own SQL. */
+  def jaroBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        element_at(split(col("p_name"), " "), 1).as("blk"))
+    val probes = p.filter(col("id") < 100)
+      .select(col("id").as("probe_id"), col("name").as("pname"),
+        col("blk"))
+    val cand = p.join(broadcast(probes), Seq("blk"))
+      .filter(col("probe_id") =!= col("id"))
+      .select(col("probe_id"),
+        struct(round(tf.jaro_winkler(col("pname"), col("name")), 6)
+          .as("jw"), (-col("id")).as("neg")).as("s"))
+    cand.groupBy(col("probe_id"))
+      .agg(max(col("s")).as("b"))
+      .select(col("probe_id"), (-col("b.neg")).as("best_id"),
+        col("b.jw").as("jw"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adv_jaro_best_match" -> jaroBestMatch,
     "adv_record_linkage" -> recordLinkage,
     "adv_session_window" -> sessionWindow,
     "adv_json_extract" -> jsonExtract,
@@ -539,6 +570,20 @@ object Advanced extends graft.QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB's own jaro_winkler_similarity scores the same blocked
+    // candidates — the hash gate proves the engine kernel agrees with
+    // an independent implementation on real data
+    "adv_jaro_best_match" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS name,
+        |    split_part(p_name, ' ', 1) AS blk FROM part),
+        |pr AS (SELECT id AS probe_id, name AS pname, blk FROM p
+        |  WHERE id < 100),
+        |cand AS (SELECT pr.probe_id,
+        |    {'jw': round(jaro_winkler_similarity(pr.pname, c.name), 6),
+        |     'neg': -c.id} AS s
+        |  FROM pr JOIN p c ON pr.blk = c.blk AND pr.probe_id <> c.id),
+        |best AS (SELECT probe_id, max(s) AS b FROM cand GROUP BY 1)
+        |SELECT probe_id, -b.neg AS best_id, b.jw AS jw FROM best""".stripMargin,
     "adv_record_linkage" ->
       """WITH base AS (SELECT c_custkey AS key, c_nationkey AS nat,
         |    c_mktsegment AS seg,

@@ -119,6 +119,15 @@ class EngineSpec extends SparkSpec {
     val lcs = spark.sql("SELECT lcs_tokens('a b c', 'a c', 10) AS l")
       .collect()(0).getInt(0)
     assert(lcs == 2)
+    // golden JW values (Winkler 1990 / rapidfuzz; DuckDB-verified)
+    val jw = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS a, " +
+        "jaro_winkler('dixon', 'dicksonx') AS b, " +
+        "jaro_winkler('', '') AS c, jaro_winkler('a', '') AS d")
+      .collect()(0)
+    assert(math.abs(jw.getDouble(0) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw.getDouble(1) - 0.8133333333333332) < 1e-15)
+    assert(jw.getDouble(2) == 1.0 && jw.getDouble(3) == 0.0)
   }
 
   test("judgment is format-invariant: plain's 0-100 scores normalize before the judge bands") {
