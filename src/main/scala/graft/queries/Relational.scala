@@ -1248,6 +1248,53 @@ object Relational extends graft.QueryModule {
         $"p50_est", $"p95_est")
   }
 
+  /** Format round-trip proof (the source/sink coverage entry): the
+    * documents table is WRITTEN as ORC and as multiline-quoted CSV,
+    * read back through Spark's native sources, and per-language
+    * integrity stats (count, total chars, an md5-derived checksum sum)
+    * are emitted FROM THE ORC-READ PATH with a `csv_matches` flag
+    * asserting the CSV path produced identical stats. The DuckDB oracle
+    * computes the same stats straight from the parquet truth — so the
+    * hash gate proves both round-trips preserved every row and byte
+    * (CSV quoting/escaping of embedded newlines and quotes is exactly
+    * what this catches). The tiny stats frame is materialized before
+    * the scratch dir is deleted; the checksum is the exact integer sum
+    * of each text's first 8 md5 hex digits (≤ 5·10³·2³² — BIGINT). */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"text")
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt")
+    def stats(df: DataFrame) = df.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text").cast("long")).as("total_chars"),
+        sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long"))
+          .as("checksum"))
+    try {
+      docs.write.mode("overwrite").orc(s"$base/orc")
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(s"$base/csv")
+      val orc = stats(spark.read.orc(s"$base/orc"))
+      val csv = stats(spark.read
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").schema(docs.schema).csv(s"$base/csv")
+        .select($"doc_id", $"lang", $"text"))
+      val out = orc.join(
+          csv.toDF("lang", "c_n", "c_chars", "c_sum"), Seq("lang"), "full")
+        .select($"lang", $"n_docs", $"total_chars", $"checksum",
+          ($"n_docs" <=> $"c_n" && $"total_chars" <=> $"c_chars" &&
+            $"checksum" <=> $"c_sum").as("csv_matches"))
+        .localCheckpoint(true)
+      out
+    } finally {
+      val walk = java.nio.file.Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Deterministic train/val/test split (the dataset-assembly op every
     * training pipeline ends with): bucket = first byte of md5(doc_id) —
     * engine-independent, reproducible, shuffle-free (pure projection;
@@ -2079,6 +2126,7 @@ object Relational extends graft.QueryModule {
     "rel_approx_percentiles" -> approxPercentiles,
     "rel_quantile_sketch" -> quantileSketch,
     "rel_dataset_split" -> datasetSplit,
+    "rel_format_roundtrip" -> formatRoundtrip,
     "rel_cube_agg" -> cubeAgg,
     "rel_percentiles" -> percentiles,
     "rel_running_total" -> runningTotal,
@@ -2943,6 +2991,14 @@ object Relational extends graft.QueryModule {
         |    / CAST(12.0 AS DOUBLE) * (n + 1 - ts / (n * (n - 1))))))
         |    > CAST(1.96 AS DOUBLE)) AS significant
         |FROM st""".stripMargin,
+    // the parquet TRUTH the ORC/CSV round-trips must reproduce
+    "rel_format_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS checksum,
+        |  true AS csv_matches
+        |FROM documents GROUP BY lang""".stripMargin,
     "rel_runs_test" ->
       """WITH daily AS (SELECT event_type,
         |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
