@@ -63,6 +63,17 @@ object UnionAggToGroupingSets extends Rule[LogicalPlan] {
   private def hasAgg(e: Expression): Boolean =
     e.exists(_.isInstanceOf[AggregateExpression])
 
+  /** Attributes referenced OUTSIDE any AggregateExpression subtree. A
+    * measure with such refs (e.g. concat(lang, count(*))) would, after
+    * the rewrite, reference a base attribute that is not among the new
+    * grouping expressions (dims + set id) — unbindable at physical
+    * planning — so positions with any are rejected as measures. */
+  private def attrsOutsideAgg(e: Expression): Seq[Attribute] = e match {
+    case _: AggregateExpression => Nil
+    case a: Attribute => Seq(a)
+    case other => other.children.flatMap(attrsOutsideAgg)
+  }
+
   /** Inline the branch's Project (when present) into its aggregate so
     * every branch is expressed directly over its base plan. Top-level
     * attribute results keep their exprId through a re-alias. */
@@ -109,7 +120,9 @@ object UnionAggToGroupingSets extends Rule[LogicalPlan] {
     if (bs.exists(_.results.length != nOut)) return None
 
     // classify each output position across branches
-    val isMeasure = (0 until nOut).map(i => bs.forall(b => hasAgg(b.results(i))))
+    val isMeasure = (0 until nOut).map(i => bs.forall(b =>
+      hasAgg(b.results(i)) &&
+        attrsOutsideAgg(trimAlias(b.results(i))).isEmpty))
     val isDim = (0 until nOut).map(i => bs.forall(b =>
       !hasAgg(b.results(i)) &&
         (isNullLit(b.results(i)) ||

@@ -2423,10 +2423,15 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("t.term").as("term"))
     val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("tot"))
     val inTop = counts.join(broadcast(top), "term")
-    val oov = inTop.groupBy(col("source")).agg(sum(col("n")).as("topn"))
-      .join(totals, "source")
+    // LEFT JOIN from totals (mirroring the oracle's `FROM tot LEFT JOIN
+    // intop` shape): a source with ZERO in-top occurrences still gets
+    // its OOV row — with all its mass — instead of an all-zero column
+    // that wouldn't be a distribution.
+    val oov = totals
+      .join(inTop.groupBy(col("source")).agg(sum(col("n")).as("topn")),
+        Seq("source"), "left")
       .select(col("source"), lit(" OOV").as("term"),
-        (col("tot") - col("topn")).as("n"))
+        (col("tot") - coalesce(col("topn"), lit(0L))).as("n"))
     // full (source x bucket) grid so absent terms carry zero mass
     val grid = totals.select(col("source"), col("tot"))
       .crossJoin(broadcast(

@@ -1179,14 +1179,68 @@ object Relational extends graft.QueryModule {
       .select($"l_returnflag", $"approx_parts", $"approx_supps", $"n_rows")
   }
 
-  /** Quantile sketch (§2.7+ sketch family, with [[approxDistinct]]):
-    * approx_percentile's GK-sketch quantiles per group. The ONE
-    * remaining `no_oracle` entry by design — Spark's internal sketch
-    * has partition-order-dependent merge state no other engine
-    * replays; RelationalSpec pins the rank-error bound against the
-    * exact percentiles instead. [[quantileSketch]] is the engine-owned
-    * DETERMINISTIC sibling that does hash-gate. */
+  // Deterministic-sample quantile geometry: per group keep the
+  // PctSampleK rows with the smallest fmix64(o_orderkey) — a seeded
+  // uniform hash sample whose membership is a pure function of the
+  // data, so any engine replays it. ONE literal shared with the oracle.
+  private val PctSampleK = 1024
+
+  /** Approximate percentiles (§2.7+ sketch family, with
+    * [[approxDistinct]]) — ENGINE-OWNED since r12: a bottom-k-by-hash
+    * uniform sample (the KMV selection discipline applied to SAMPLING
+    * instead of distinct-counting) followed by exact rank selection on
+    * the sample. Membership = the [[PctSampleK]] smallest
+    * fmix64(o_orderkey) per group (signed-long order), so the sample —
+    * and therefore every output bit — is deterministic and DuckDB
+    * replays it through the fmix64 SQL ([[graft.core.XxHashSql]]), a
+    * proper hash gate where the previous Spark-internal GK wrapper
+    * (kept as [[approxPercentilesBuiltin]], spec-pinned for API
+    * parity) was the catalog's one `no_oracle` floor.
+    *
+    * Scale shape: the sample IS a mergeable bounded sketch — the
+    * [[graft.functions.TopKStructs]] partial aggregate keeps ≤ k
+    * structs per (group, partition) and merges by re-taking the k
+    * hash-smallest, so only k·partitions rows per group cross the
+    * shuffle and nothing is ever fully sorted; the rank-selection
+    * window runs over ≤ k sampled rows per group (the ntileBy
+    * cells-not-rows discipline). Sampling error is the standard
+    * order-statistic bound (~1/√k rank error, spec-pinned against the
+    * exact percentiles); hash bias is none — fmix64 is a bijection, so
+    * distinct order keys never collide. */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val tf = graft.functions.TextFunctions
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority".as("prio"),
+        tf.hash_family($"o_orderkey", lit(0)).as("hf"),
+        $"o_totalprice".cast("double").as("v"))
+    val samp = o.groupBy($"prio")
+      .agg(tf.bottom_k_structs(struct($"hf", $"v"), PctSampleK).as("s"),
+        count(lit(1)).as("n_rows"))
+      .select($"prio", $"n_rows", explode($"s.v").as("v"))
+    val ranked = samp
+      .withColumn("r",
+        row_number().over(Window.partitionBy($"prio").orderBy($"v")))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy($"prio")))
+    // exact percentile OF THE SAMPLE: the value at ascending rank
+    // ceil(q·m) — deterministic in VALUE even under duplicate v (any
+    // tie permutation puts the same value at a given sorted position)
+    def pick(q: Double, name: String) = ranked
+      .filter($"r" ===
+        ceil(lit(q) * $"m".cast("double")).cast("int"))
+      .select($"prio", $"n_rows", round($"v", 2).as(name))
+    pick(0.5, "p50").join(pick(0.95, "p95").drop("n_rows"), "prio")
+      .select($"prio".as("o_orderpriority"), $"n_rows", $"p50", $"p95")
+  }
+
+  /** API-parity wrapper over Spark's built-in GK sketch
+    * (`approx_percentile`) — NOT a catalog entry: its merge state is
+    * partition-order-dependent, so no other engine replays it.
+    * RelationalSpec pins its rank-error bound against the exact
+    * percentiles; [[approxPercentiles]] is the engine-owned, oracled
+    * estimator users should reach for. */
+  def approxPercentilesBuiltin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "orders")
       .groupBy($"o_orderpriority")
@@ -1204,10 +1258,9 @@ object Relational extends graft.QueryModule {
   // estimator's error bound. ONE literal shared with the oracle.
   private val QSketchScale = 16.0 / math.log(2.0)
 
-  /** ENGINE-OWNED quantile sketch — the deterministic, replayable
-    * member of the quantile family (the Spark-internal GK sketch behind
-    * [[approxPercentiles]] stays the documented `no_oracle` wrapper;
-    * THIS estimator hash-gates): a log-domain histogram — bucket =
+  /** ENGINE-OWNED quantile sketch — the histogram-shaped member of the
+    * quantile family ([[approxPercentiles]] is the sample-shaped one;
+    * both hash-gate since r12): a log-domain histogram — bucket =
     * floor(ln(v)·[[QSketchScale]]), within-bucket (count, min, max) —
     * estimates any quantile by cumulative counts + linear interpolation
     * between the bucket's observed min/max, so no `exp` ever runs (the
@@ -3145,6 +3198,33 @@ object Relational extends graft.QueryModule {
         |  round(sqrt(x2.chi2 / (CAST(nn AS DOUBLE)
         |    * CAST(least(nr - 1, nc - 1) AS DOUBLE))), 6) AS cramers_v
         |FROM wc, x2""".stripMargin,
+    // Replay of the bottom-k-by-hash sample: same fmix64 (XxHashSql),
+    // same signed-order selection (sign-bit-flip on UBIGINT), same
+    // ceil(q*m) rank pick on the sample.
+    "rel_approx_percentiles" ->
+      s"""WITH hx AS (SELECT o_orderpriority AS prio,
+         |    CAST(o_totalprice AS DOUBLE) AS v,
+         |    ${graft.core.XxHashSql.fmixInline("CAST(o_orderkey AS UBIGINT)")} AS hf
+         |  FROM orders),
+         |samp AS (SELECT prio, v FROM (
+         |    SELECT prio, v, row_number() OVER (PARTITION BY prio
+         |      ORDER BY xor(hf, 9223372036854775808::UBIGINT)) AS rk FROM hx)
+         |  WHERE rk <= $PctSampleK),
+         |tot AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM hx GROUP BY 1),
+         |ranked AS (SELECT prio, v,
+         |    CAST(row_number() OVER (PARTITION BY prio ORDER BY v)
+         |      AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS m
+         |  FROM samp),
+         |p50 AS (SELECT prio, round(v, 2) AS p50 FROM ranked
+         |  WHERE r = CAST(ceil(CAST(0.5 AS DOUBLE) * CAST(m AS DOUBLE))
+         |    AS BIGINT)),
+         |p95 AS (SELECT prio, round(v, 2) AS p95 FROM ranked
+         |  WHERE r = CAST(ceil(CAST(0.95 AS DOUBLE) * CAST(m AS DOUBLE))
+         |    AS BIGINT))
+         |SELECT p50.prio AS o_orderpriority, tot.n_rows, p50.p50, p95.p95
+         |FROM p50 JOIN tot USING (prio) JOIN p95 USING (prio)""".stripMargin,
     // Cell-level replay of the engine quantile sketch: same ln-domain
     // bucketing literal, same cumulative-cell rank walk, same
     // min/max interpolation.

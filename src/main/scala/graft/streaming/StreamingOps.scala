@@ -119,24 +119,27 @@ object StreamingOps {
       if (java.nio.file.Files.isWritable(shm))
         Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
       else None
-    val q =
-      try {
-        var w = agg.writeStream.outputMode(outputMode)
-          .format("memory").queryName(name)
-        ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
-        w.start()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-        prevNd match {
-          case Some(v) => spark.conf.set(ndKey, v)
-          case None => spark.conf.unset(ndKey)
+    // Checkpoint cleanup sits in the OUTERMOST finally: if start()
+    // itself throws (analysis error, unsupported-operation check) the
+    // tmpfs directory must not leak — /dev/shm is a bounded resource
+    // and service mode calls this per request.
+    try {
+      val q =
+        try {
+          var w = agg.writeStream.outputMode(outputMode)
+            .format("memory").queryName(name)
+          ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
+          w.start()
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+          prevNd match {
+            case Some(v) => spark.conf.set(ndKey, v)
+            case None => spark.conf.unset(ndKey)
+          }
         }
-      }
-    try { q.processAllAvailable() } finally {
-      q.stop()
-      ckpt.foreach(rmTree)
-    }
-    spark.table(name).localCheckpoint(true)
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name).localCheckpoint(true)
+    } finally ckpt.foreach(rmTree)
   }
 
   /** Event-time tumbling-window aggregation, run as a REAL streaming query
