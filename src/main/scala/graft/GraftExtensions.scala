@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => functions.HashFamily(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("jaro_winkler"), info("jaro_winkler"),
       (es: Seq[Expression]) => functions.JaroWinkler(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("damerau_levenshtein"), info("damerau_levenshtein"),
+      (es: Seq[Expression]) => functions.DamerauLevenshtein(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("hamming_bytes"), info("hamming_bytes"),
+      (es: Seq[Expression]) => functions.HammingBytes(es(0), es(1))))
     e.injectOptimizerRule(_ => plans.TokenFilterStrengthen)
     e.injectOptimizerRule(_ => plans.UnionAggToGroupingSets)
   }

@@ -198,6 +198,71 @@ object TextKernels {
     } else jaro
   }
 
+  /** TRUE (unrestricted, Lowrance-Wagner) Damerau-Levenshtein distance
+    * over UTF-8 BYTES — DuckDB `damerau_levenshtein` semantics, probed:
+    * dl("CA","ABC") = 2 (OSA would say 3) and multi-byte chars count
+    * per byte, so the byte domain with a 256-entry last-seen table is
+    * exactly what the builtin computes and the builtin IS the oracle
+    * ([[graft.queries.Advanced.damerauBestMatch]]). O(|a|·|b|) time,
+    * O(|a|·|b|) ints — callers keep inputs short (names/titles). */
+  def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.getBytes; val b = ub.getBytes
+    val la = a.length; val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    val w = lb + 2 // d is (la+2) x (lb+2), row-major flattened
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    val da = new Array[Int](256) // last row where each byte occurred in a
+    i = 1
+    while (i <= la) {
+      var db = 0 // last column where b matched a(i-1) in THIS row
+      var jj = 1
+      while (jj <= lb) {
+        val k = da(b(jj - 1) & 0xff)
+        val l = db
+        var cost = 1
+        if (a(i - 1) == b(jj - 1)) { cost = 0; db = jj }
+        var m = d(i * w + jj) + cost // substitute / match
+        val ins = d((i + 1) * w + jj) + 1
+        if (ins < m) m = ins
+        val del = d(i * w + jj + 1) + 1
+        if (del < m) m = del
+        // transpose a(k-1)<->a(i-1) with (i-k-1) deletes + (jj-l-1) inserts
+        val tr = d(k * w + l) + (i - k - 1) + 1 + (jj - l - 1)
+        if (tr < m) m = tr
+        d((i + 1) * w + jj + 1) = m
+        jj += 1
+      }
+      da(a(i - 1) & 0xff) = i
+      i += 1
+    }
+    d((la + 1) * w + lb + 1)
+  }
+
+  /** Hamming distance over UTF-8 BYTES — DuckDB `hamming` semantics
+    * (byte domain, probed on multi-byte chars). DuckDB RAISES on
+    * length mismatch; a scalar that throws mid-scan is useless in a
+    * distributed pipeline, so this returns -1 there instead — callers
+    * gate on equal-length inputs (and the oracle queries only compare
+    * fixed-width strings, where the two behaviors coincide). */
+  def hammingBytes(ua: UTF8String, ub: UTF8String): Int = {
+    val la = ua.numBytes
+    if (la != ub.numBytes) return -1
+    var n = 0
+    var i = 0
+    while (i < la) {
+      if (ua.getByte(i) != ub.getByte(i)) n += 1
+      i += 1
+    }
+    n
+  }
+
   def shingles(t: UTF8String, kv: Int): ArrayData = {
     val s = t.toString
     val offs = Tokenizer.tokenize(s)
@@ -739,6 +804,44 @@ case class JaroWinkler(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler"
 }
 
+/** `damerau_levenshtein(a, b)` — TRUE Damerau-Levenshtein over UTF-8
+  * bytes ([[TextKernels.damerauLevenshtein]]); DuckDB's builtin of the
+  * same name is the cross-implementation oracle. Codegen scalar. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.damerauLevenshtein(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DamerauLevenshtein = copy(l, r)
+  override def prettyName: String = "damerau_levenshtein"
+}
+
+/** `hamming_bytes(a, b)` — byte Hamming distance, -1 on length mismatch
+  * ([[TextKernels.hammingBytes]]); DuckDB's `hamming` is the oracle on
+  * equal-width inputs. Codegen scalar. */
+case class HammingBytes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.hammingBytes(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.hammingBytes($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HammingBytes = copy(l, r)
+  override def prettyName: String = "hamming_bytes"
+}
+
 /** Static forwarder for [[Hash64]] codegen (the [[TextKernels]]
   * discipline: one kernel shared by interpreted eval and Janino code). */
 object HashKernel {
@@ -813,6 +916,10 @@ object TextFunctions {
   def hash_family(h: Column, j: Column): Column = col(HashFamily(ex(h), ex(j)))
   def jaro_winkler(a: Column, b: Column): Column =
     col(JaroWinkler(ex(a), ex(b)))
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    col(DamerauLevenshtein(ex(a), ex(b)))
+  def hamming_bytes(a: Column, b: Column): Column =
+    col(HammingBytes(ex(a), ex(b)))
   def minhash_sig(c: Column, numHashes: Column): Column =
     col(MinHashSig(ex(c), ex(numHashes)))
 
@@ -859,5 +966,9 @@ object TextFunctions {
       es => LcsTokens(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler",
       es => JaroWinkler(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      es => DamerauLevenshtein(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming_bytes",
+      es => HammingBytes(es(0), es(1)), "scala_udf")
   }
 }

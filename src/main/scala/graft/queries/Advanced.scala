@@ -540,8 +540,62 @@ object Advanced extends graft.QueryModule {
         col("b.jw").as("jw"))
   }
 
+  /** Damerau-Levenshtein best match — the [[jaroBestMatch]] shape with
+    * a DISTANCE (argmin) comparator: each probe part takes its
+    * lowest-DL neighbor among parts sharing its first name token, ties
+    * to the lowest candidate id via the lexicographic struct min. The
+    * engine's [[graft.functions.DamerauLevenshtein]] codegen kernel
+    * implements the TRUE (unrestricted) byte-domain DL that DuckDB's
+    * `damerau_levenshtein` builtin computes, so the builtin is the
+    * oracle — the cross-IMPLEMENTATION gate pattern. Blocking keeps
+    * candidates linear in block sizes; the per-probe argmin is a plain
+    * broadcast-join + groupBy(min) plan at any scale. */
+  def damerauBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        element_at(split(col("p_name"), " "), 1).as("blk"))
+    val probes = p.filter(col("id") < 100)
+      .select(col("id").as("probe_id"), col("name").as("pname"),
+        col("blk"))
+    p.join(broadcast(probes), Seq("blk"))
+      .filter(col("probe_id") =!= col("id"))
+      .select(col("probe_id"),
+        struct(tf.damerau_levenshtein(col("pname"), col("name")).as("d"),
+          col("id").as("cid")).as("s"))
+      .groupBy(col("probe_id"))
+      .agg(min(col("s")).as("b"))
+      .select(col("probe_id"), col("b.cid").as("best_id"),
+        col("b.d").as("dl_dist"))
+  }
+
+  /** Byte-Hamming near-id pairs — customers inside a (nation, segment)
+    * block whose FIXED-WIDTH names ('Customer#000000042') differ in at
+    * most 2 byte positions: near-collisions in the id space. The
+    * engine's [[graft.functions.HammingBytes]] kernel vs DuckDB's
+    * `hamming` builtin — the second cross-implementation gate (both
+    * compare bytes; the equal-width name format makes DuckDB's
+    * raise-on-mismatch and the kernel's -1 unreachable). The blocked
+    * self-join is the record-linkage candidate shape: quadratic only
+    * within a block, never across the table. */
+  def hammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        col("c_custkey").as("key"), col("c_name").as("name"))
+    c.as("a").join(c.as("b"),
+        col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg") &&
+          col("a.key") < col("b.key"))
+      .select(col("a.nat").as("nat"), col("a.seg").as("seg"),
+        col("a.key").as("key_a"), col("b.key").as("key_b"),
+        tf.hamming_bytes(col("a.name"), col("b.name")).as("hamming"))
+      .filter(col("hamming") <= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adv_jaro_best_match" -> jaroBestMatch,
+    "adv_damerau_best_match" -> damerauBestMatch,
+    "adv_hamming_pairs" -> hammingPairs,
     "adv_record_linkage" -> recordLinkage,
     "adv_session_window" -> sessionWindow,
     "adv_json_extract" -> jsonExtract,
@@ -584,6 +638,30 @@ object Advanced extends graft.QueryModule {
         |  FROM pr JOIN p c ON pr.blk = c.blk AND pr.probe_id <> c.id),
         |best AS (SELECT probe_id, max(s) AS b FROM cand GROUP BY 1)
         |SELECT probe_id, -b.neg AS best_id, b.jw AS jw FROM best""".stripMargin,
+    // DuckDB's own damerau_levenshtein over the same blocked candidates
+    // — second cross-implementation gate (TRUE byte-domain DL)
+    "adv_damerau_best_match" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS name,
+        |    split_part(p_name, ' ', 1) AS blk FROM part),
+        |pr AS (SELECT id AS probe_id, name AS pname, blk FROM p
+        |  WHERE id < 100),
+        |cand AS (SELECT pr.probe_id,
+        |    {'d': CAST(damerau_levenshtein(pr.pname, c.name) AS INT),
+        |     'cid': c.id} AS s
+        |  FROM pr JOIN p c ON pr.blk = c.blk AND pr.probe_id <> c.id),
+        |best AS (SELECT probe_id, min(s) AS b FROM cand GROUP BY 1)
+        |SELECT probe_id, b.cid AS best_id, b.d AS dl_dist FROM best""".stripMargin,
+    // DuckDB's own hamming over the same fixed-width blocked pairs —
+    // third cross-implementation gate (byte Hamming)
+    "adv_hamming_pairs" ->
+      """SELECT a.c_nationkey AS nat, a.c_mktsegment AS seg,
+        |  a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(hamming(a.c_name, b.c_name) AS INT) AS hamming
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE hamming(a.c_name, b.c_name) <= 2""".stripMargin,
     "adv_record_linkage" ->
       """WITH base AS (SELECT c_custkey AS key, c_nationkey AS nat,
         |    c_mktsegment AS seg,
