@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale-frame generator — the measurement companion of
+  * `docs/SCALE_NOTES.md`. Builds `<out>/<table>.parquet` as the UNION
+  * of `copies` key-offset copies of the source tables, so the heavy
+  * catalog queries can be timed at a REAL second scale point instead
+  * of arguing scalability from plan shapes alone.
+  *
+  * Replication discipline (what makes the 10× frame a fair ×10 of the
+  * workload rather than a degenerate blow-up):
+  *  - Every entity key is offset by `i · (max_key + 1)` per copy, with
+  *    FK columns offset by their REFERENCED entity's base, so each copy
+  *    is a disjoint, internally consistent sub-universe (graphs become
+  *    10 disjoint graphs; sessions stay per-user-sized).
+  *  - Name/text payloads are decorrelated across copies: verbatim
+  *    copies would make every string its twins' near-duplicate, and
+  *    pair-family outputs (edit pairs, near-dup pairs, Hamming pairs)
+  *    would scale ~copies²/2 instead of ×copies — measuring a
+  *    DIFFERENT workload, not a bigger one. Each copy gets an 8-hex
+  *    fmix64 tag (pairwise byte-distance ≥ 4, asserted): part names
+  *    get the tag appended (same-name cross-copy variants leave every
+  *    ≤2-edit radius), document texts get EVERY token suffixed (shingle
+  *    and n-gram spaces become copy-disjoint while within-copy overlap
+  *    structure is untouched), customer names are re-derived from the
+  *    new key (fixed-width format preserved).
+  *  - Embeddings get a deterministic per-(copy, dim) perturbation so
+  *    cross-copy vector twins separate in cosine space.
+  *  - Dimension tables (region, nation) are NOT replicated — at any
+  *    scale they stay the bounded broadcast side.
+  *
+  * Usage: `runMain graft.ScaleUp <srcSfDir> <outDir> [copies=10]`.
+  * Writes only under <outDir> (intended: /tmp — testdata is
+  * read-only). */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // pairwise-distant copy tags: same-payload variants across copies
+    // must not sit within the pair queries' small edit/Hamming radii
+    val tags = (0 until copies)
+      .map(i => f"${graft.functions.Mix.fmix64(i.toLong) & 0xFFFFFFFFL}%08x")
+    for (a <- tags.indices; b <- tags.indices if a < b) {
+      val h = tags(a).zip(tags(b)).count { case (x, y) => x != y }
+      require(h >= 4, s"copy tags ${tags(a)}/${tags(b)} too close ($h)")
+    }
+
+    def base(name: String, key: String): Long =
+      core.Tables.load(spark, src, name)
+        .agg(max(col(key))).head.getLong(0) + 1L
+
+    val custB = base("customer", "c_custkey")
+    val suppB = base("supplier", "s_suppkey")
+    val partB = base("part", "p_partkey")
+    val orderB = base("orders", "o_orderkey")
+    val eventB = base("events", "event_id")
+    val userB = base("events", "user_id")
+    val docB = base("documents", "doc_id")
+    val vecB = base("embeddings", "vec_id")
+
+    def replicate(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val df = core.Tables.load(spark, src, name)
+      val un = (0 until copies).map(i => f(df, i)).reduce(_ unionAll _)
+      un.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name x$copies written")
+    }
+
+    // dimension tables: pass through once
+    Seq("region", "nation").foreach { t =>
+      core.Tables.load(spark, src, t)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+
+    replicate("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * custB))
+        .withColumn("c_name",
+          format_string("Customer#%09d", col("c_custkey")))
+    }
+    replicate("supplier") { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppB))
+    }
+    replicate("part") { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * partB))
+        .withColumn("p_name", concat(col("p_name"), lit(" " + tags(i))))
+    }
+    replicate("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderB))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custB))
+    }
+    replicate("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderB))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * partB))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppB))
+    }
+    replicate("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * eventB))
+        .withColumn("user_id", col("user_id") + lit(i * userB))
+    }
+    // Per-copy character-rotation cipher: letters rotate by i within
+    // [a-z] / [A-Z], digits within [0-9]. Bijective per character class,
+    // so token boundaries, token/shingle COUNTS, and every within-copy
+    // equality structure are EXACTLY the original corpus's (copy 0 IS
+    // the original), while cross-copy token spaces are disjoint — the
+    // pair-family workloads scale ×copies, not ×copies²/2. (A suffix
+    // scheme fails both ways: the tokenizer's run-splitting turns the
+    // suffix into extra TOKENS, inflating shingle volume ~3-4×.)
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digit = "0123456789"
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    replicate("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * docB))
+        .withColumn("text", translate(col("text"),
+          lower + upper + digit,
+          rot(lower, i) + rot(upper, i) + rot(digit, i)))
+    }
+    replicate("embeddings") { (df, i) =>
+      // deterministic per-(copy, dim) jitter (±0.1): separates cross-copy
+      // twins in cosine space without changing the distribution's shape
+      df.withColumn("vec_id", col("vec_id") + lit(i * vecB))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, k) =>
+            (x + (pmod(hash(lit(i), k), lit(1000)).cast("double") / 1000.0
+              - 0.5) * 0.2).cast("float")))
+    }
+    println(s"[scaleup] done: $out (copies=$copies)")
+    spark.stop()
+  }
+}

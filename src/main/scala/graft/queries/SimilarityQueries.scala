@@ -46,10 +46,24 @@ object SimilarityQueries extends graft.QueryModule {
     Similarity.rpLshNearDups(
       Tables.loadSpread(spark, dir, "embeddings"), NearDupThreshold)
 
+  /** Trained-codebook discipline: an IVF/PQ codebook (centroid or
+    * anchor set) is a TRAINING-TIME constant — k chosen offline,
+    * ~sqrt(N) — not a function of serve-time corpus size. The fixture
+    * rule "every 50th vector" alone makes |codebook| ∝ N, which turns
+    * the assign/encode scans quadratic (N·C): the 10× scale frame
+    * measured sim_topk_ivfpq at 21× (SCALE_NOTES). The span cap bounds
+    * the codebook to the first [[CodebookSpan]] ids — NOT binding at
+    * the oracle SFs (vec_id < 2000 there, every gated result is
+    * byte-identical; the SQL oracles carry the same literal), binding
+    * at larger frames, where assign/encode become linear in N. */
+  private[graft] val CodebookSpan = 2000L
+  private def codebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < CodebookSpan)
+
   /** IVF approximate top-k: centroids = every 50th vector, nprobe=3. */
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadSpread(spark, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    val centroids = codebook(emb)
     val assigned = Similarity.ivfAssign(emb, centroids)
     Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries),
       assigned, centroids, K, nprobe = 3)
@@ -238,7 +252,7 @@ object SimilarityQueries extends graft.QueryModule {
     * deterministic searches on both sides, so the curve hash-gates. */
   def ivfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadSpread(spark, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    val centroids = codebook(emb)
     val assigned = Similarity.ivfAssign(emb, centroids)
       .localCheckpoint(true)
     val full = topkBrute(spark, dir)
@@ -306,7 +320,7 @@ object SimilarityQueries extends graft.QueryModule {
     * oracle-checkable; codes emitted as a dash-joined string. */
   def pqStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadSpread(spark, dir, "embeddings")
-    val anchors = emb.filter(col("vec_id") % 50 === 0)
+    val anchors = codebook(emb)
     Similarity.pqEncode(emb, anchors, PqM)
       .select(col("vec_id"),
         array_join(transform(col("codes"), c => c.cast("string")), "-")
@@ -319,7 +333,7 @@ object SimilarityQueries extends graft.QueryModule {
     * check + SimilaritySpec recall contract vs the exact L2 top-k. */
   def topkPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadSpread(spark, dir, "embeddings")
-    val anchors = emb.filter(col("vec_id") % 50 === 0)
+    val anchors = codebook(emb)
     Similarity.pqTopK(emb.filter(col("vec_id") < NQueries),
       Similarity.pqEncode(emb, anchors, PqM), anchors, K, PqM)
   }
@@ -467,7 +481,7 @@ object SimilarityQueries extends graft.QueryModule {
     * ADC scan restricted to the probed buckets). */
   def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadSpread(spark, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    val centroids = codebook(emb)
     val encoded = Similarity.pqEncode(emb, centroids, PqM)
       .join(Similarity.ivfAssign(emb, centroids)
         .select(col("vec_id"), col("centroid_id")), "vec_id")
@@ -758,7 +772,7 @@ object SimilarityQueries extends graft.QueryModule {
        |  FROM embeddings),
        |a AS MATERIALIZED (SELECT
        |       CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code,
-       |       v AS av FROM e WHERE vec_id % 50 = 0),
+       |       v AS av FROM e WHERE vec_id % 50 = 0 AND vec_id < $CodebookSpan),
        |$dists""".stripMargin
   }
 
@@ -831,7 +845,7 @@ object SimilarityQueries extends graft.QueryModule {
         s"JOIN qd$j ON qd$j.code = s$j.code AND qd$j.query_id = p.query_id")
     val dist = (0 until m).map(j => s"qd$j.qdist").mkString(" + ")
     s"""WITH $pqCodeCtes,
-       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0 AND vec_id < $CodebookSpan),
        |asgn AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
        |  SELECT e.vec_id, c.centroid_id, row_number() OVER
        |    (PARTITION BY e.vec_id
@@ -872,7 +886,7 @@ object SimilarityQueries extends graft.QueryModule {
     s"""e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0 AND vec_id < $CodebookSpan),
        |asgn AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
        |  SELECT e.vec_id, c.centroid_id, row_number() OVER
        |    (PARTITION BY e.vec_id

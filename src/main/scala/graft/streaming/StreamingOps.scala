@@ -36,15 +36,29 @@ object StreamingOps {
     * NTZ cast preserves wall time). Reading the new µs data through a
     * pinned LongType schema would *silently* yield timestamps 1000× too
     * small — this probe is what makes that impossible. */
+  /** Streaming file source over `$dir/$table.parquet`, layout-agnostic:
+    * a single parquet FILE (driver testdata) streams via a name-glob
+    * over the parent dir (the file source wants a directory); a
+    * DIRECTORY of part files — how any real dataset ships — streams
+    * directly. The glob-only form silently matched ZERO files on the
+    * directory layout (schema-inference error at best, an empty sink at
+    * worst), caught by the 10× scale frame (SCALE_NOTES). */
+  private def tableStream(spark: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    var reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.toString))
+    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    else reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   private def eventsSource(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val raw = withNanosAsLong(spark)(
       spark.read.parquet(s"$dir/events.parquet").schema)
-    var reader = spark.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-    maxFilesPerTrigger.foreach(n =>
-      reader = reader.option("maxFilesPerTrigger", n.toString))
-    val src = reader.parquet(dir)
+    val src = tableStream(spark, dir, "events", raw, maxFilesPerTrigger)
     normalizeTs(src, raw("ts").dataType)
   }
 
@@ -319,11 +333,13 @@ object StreamingOps {
       nprobe: Int): DataFrame = {
     import graft.operators.Similarity
     val emb = graft.core.Tables.loadSpread(spark, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    // trained-codebook cap (see SimilarityQueries.CodebookSpan): bounded
+    // centroid set keeps the assign scan linear in corpus size
+    val centroids = emb.filter(col("vec_id") % 50 === 0 &&
+      col("vec_id") < graft.queries.SimilarityQueries.CodebookSpan)
     val assigned = Similarity.ivfAssign(emb, centroids)
     val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    val qs = spark.readStream.schema(sch)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val qs = tableStream(spark, dir, "embeddings", sch)
       .filter(col("vec_id") < nQueries)
     val agg = Similarity.ivfTopKStreamAgg(qs, assigned, centroids, k, nprobe)
     drainToMemorySink(spark, agg, "graft_stream_ann",
@@ -385,9 +401,7 @@ object StreamingOps {
         .select(col("corpus_id"), col("corpus_sh"),
           posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     }
-    val stream = spark.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val stream = tableStream(spark, dir, "documents", docsSchema)
       .select(col("doc_id").as("stream_id"),
         Dedup.shingles(col("text"), shingleK).as("stream_sh"))
       .withColumn("bands", Dedup.minhashBands(col("stream_sh"), numHashes, bands))
@@ -435,9 +449,7 @@ object StreamingOps {
   def streamingCuration(spark: SparkSession, dir: String,
       corpusDigests: DataFrame, thresholds: DataFrame): DataFrame = {
     val feats = graft.operators.TextAnalysis.qualityFeatures(col("text")).toMap
-    val classified = spark.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val classified = tableStream(spark, dir, "documents", docsSchema)
       .filter(col("doc_id") % 5 === 4) // the arriving batch (incremental-dedup convention)
       .select(col("doc_id"), col("lang"), col("source"),
         md5(encode(col("text"), "UTF-8")).as("digest"),
@@ -543,8 +555,17 @@ object StreamingOps {
       gapSec: Long = 1800): DataFrame = withNanosAsLong(spark) {
     import java.nio.file.{Files, Paths}
     val stage = Files.createTempDirectory("graft_sessions_src")
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      stage.resolve("events.parquet"))
+    val srcPath = Paths.get(s"$dir/events.parquet")
+    if (Files.isDirectory(srcPath)) {
+      // directory-of-part-files layout: stage the data files flat
+      // (Files.copy on a directory copies only the EMPTY dir — the
+      // sentinel protocol then drains an empty source; caught by the
+      // 10× scale frame)
+      val ls = Files.list(srcPath)
+      try ls.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => Files.copy(p, stage.resolve(p.getFileName)))
+      finally ls.close()
+    } else Files.copy(srcPath, stage.resolve("events.parquet"))
     val batch = spark.read.parquet(stage.toString)
     val schema = batch.schema
     val tsType = schema("ts").dataType
@@ -624,10 +645,8 @@ object StreamingOps {
       cfg: MapReduceConfig): DataFrame = {
     val pipe = new MapReducePipeline(cfg)
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-    val src = spark.readStream.schema(docsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(docsDir)
+    val src = tableStream(spark, docsDir, "documents", docsSchema,
+      maxFilesPerTrigger = Some(1))
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         acc.add(pipe.answers(batch).localCheckpoint(true))
