@@ -152,4 +152,16 @@ class QaService(spark: SparkSession, model: TextModel = ExtractiveModel) {
     status = "healthy",
     timestamp = java.time.Instant.now().toString,
     version = "1.0")
+
+  // Idle cache maintenance: DfCache drains its deferred-release list on
+  // every lookup/insert, which covers active traffic — but a service
+  // whose tag set stabilizes and then goes idle gets no further cache
+  // calls, pinning evicted checkpoint blocks whose consumers are long
+  // GC'd. The daemon timer sweeps regardless of traffic (DfCacheSpec
+  // pins the idle-drain behavior on the store).
+  private val cacheSweeper = graft.core.DfCache.startSweeper(30000L)
+
+  /** Stops background maintenance (the daemon sweeper dies with the JVM
+    * anyway; explicit close keeps long-lived embedders tidy). */
+  def close(): Unit = cacheSweeper.cancel()
 }

@@ -44,6 +44,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Additive gate artifacts (OraclePrelude): shared CREATE TEMP TABLE
+    // DDL + substituted fast oracle variants. The driver keeps running
+    // the self-contained oracle_sql.json; check_oracle.py prefers the
+    // fast variants when these files are present.
+    Files.writeString(Paths.get(s"$outDir/oracle_prelude.json"),
+      OraclePrelude.statements.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_fast.json"),
+      OraclePrelude.fastOracles(SparkEntry.oracleSql)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -127,6 +127,22 @@ private[graft] class DfCacheStore(maxEntries: Int) {
     * maintenance hook. */
   private[graft] def sweepReleases(): Int = cache.synchronized(sweepLocked())
 
+  /** Timer-driven idle sweep: lookup- and insert-piggybacked sweeps
+    * cover every ACTIVE workload, but a long-lived service whose tag
+    * set stabilizes AND then goes idle gets no further cache traffic —
+    * evicted blocks whose consumers have been GC'd would stay pinned
+    * until the next request. A daemon timer drains the deferred-release
+    * list on a fixed cadence regardless of traffic. Caller owns the
+    * returned timer (cancel() on shutdown); the task holds only this
+    * store. */
+  private[graft] def startSweeper(periodMs: Long): java.util.Timer = {
+    val t = new java.util.Timer("graft-dfcache-sweep", /*daemon*/ true)
+    t.schedule(new java.util.TimerTask {
+      override def run(): Unit = sweepReleases()
+    }, periodMs, periodMs)
+    t
+  }
+
   private[graft] def pendingReleaseCount: Int =
     cache.synchronized(pending.length)
 

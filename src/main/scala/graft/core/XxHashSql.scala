@@ -159,25 +159,31 @@ object XxHashSql {
     * (document, band); docs with < shingleK tokens have no rows (the
     * kernel returns an empty signature for them). */
   def minhashBandCtes(re: String, shingleK: Int, numHashes: Int,
-      bands: Int): String = {
-    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0)
-    val r = numHashes / bands
-    val golden = java.lang.Long.parseUnsignedLong("9E3779B97F4A7C15", 16)
-    // per-band fold seed, computed by the kernel's own mix — the VALUES
-    // list is tiny (bands rows) and keeps the SQL free of another fmix
-    // replay of a constant
-    val bandInits = (0 until bands)
-      .map(b => s"($b, ${java.lang.Long.toUnsignedString(
-        graft.functions.Mix.fmix64(b + P3))}::UBIGINT)").mkString(", ")
-    val jk = s"CAST((CAST(j AS HUGEINT) * ${java.lang.Long.toUnsignedString(golden)}::HUGEINT) % $M AS UBIGINT)"
+      bands: Int): String =
+    s"""${minhashShingleCtes(re, shingleK)},
+       |${minhashMinCtes(numHashes)},
+       |${minhashFoldCtes(numHashes, bands)}""".stripMargin
+
+  /** The three [[minhashBandCtes]] segments, split so the gate prelude
+    * ([[graft.OraclePrelude]]) can materialize each stage's output table
+    * (g_msh / g_mmin / g_mbh) ONCE per run — dependent oracles then read
+    * the tables instead of re-expanding the whole chain per query.
+    * Segment boundaries are exactly the CTEs downstream oracles consume:
+    * `msh` (distinct shingles), `mmin` (per-(doc, j) family minima),
+    * `mbh` (banded hashes). */
+  def minhashShingleCtes(re: String, shingleK: Int): String =
     s"""msh0 AS (
        |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts FROM documents),
        |msh AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    [array_to_string(list_slice(ts, i, i + ${shingleK - 1}), ' ')
        |     for i in range(1, len(ts) - $shingleK + 2)])) AS t
-       |  FROM msh0 WHERE len(ts) >= $shingleK),
-       |${hash64Ctes("msh", "mbase", "mxx")},
+       |  FROM msh0 WHERE len(ts) >= $shingleK)""".stripMargin
+
+  def minhashMinCtes(numHashes: Int): String = {
+    val golden = java.lang.Long.parseUnsignedLong("9E3779B97F4A7C15", 16)
+    val jk = s"CAST((CAST(j AS HUGEINT) * ${java.lang.Long.toUnsignedString(golden)}::HUGEINT) % $M AS UBIGINT)"
+    s"""${hash64Ctes("msh", "mbase", "mxx")},
        |mhj AS (
        |  SELECT doc_id, ${xor("h64", jk)} AS h, j
        |  FROM mbase CROSS JOIN (SELECT unnest(range($numHashes)) AS j)),
@@ -190,8 +196,19 @@ object XxHashSql {
        |mmin AS (SELECT doc_id, j,
        |  xor(min(xor(h, 9223372036854775808::UBIGINT)),
        |      9223372036854775808::UBIGINT) AS mh
-       |  FROM mhf GROUP BY doc_id, j),
-       |mband AS (
+       |  FROM mhf GROUP BY doc_id, j)""".stripMargin
+  }
+
+  def minhashFoldCtes(numHashes: Int, bands: Int): String = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0)
+    val r = numHashes / bands
+    // per-band fold seed, computed by the kernel's own mix — the VALUES
+    // list is tiny (bands rows) and keeps the SQL free of another fmix
+    // replay of a constant
+    val bandInits = (0 until bands)
+      .map(b => s"($b, ${java.lang.Long.toUnsignedString(
+        graft.functions.Mix.fmix64(b + P3))}::UBIGINT)").mkString(", ")
+    s"""mband AS (
        |  SELECT doc_id, CAST(j // $r AS INTEGER) AS b, list(mh ORDER BY j) AS ms
        |  FROM mmin GROUP BY doc_id, j // $r),
        |mbinit(b, acc0) AS (VALUES $bandInits),

@@ -2963,9 +2963,12 @@ object AnalysisQueries extends graft.QueryModule {
   /** Shared DuckDB CTEs computing the per-doc quality features (`f`) —
     * replayed by ta_quality and as the difficulty signal of
     * ta_curriculum_shards. */
-  private[queries] def qualityFeatureCtes: String =
+  private[graft] def qualityTokenCte: String =
     s"""t AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
-       |           FROM documents),
+       |           FROM documents)""".stripMargin
+
+  private[graft] def qualityFeatureCtes: String =
+    s"""$qualityTokenCte,
        |f AS (SELECT doc_id,
        |  len(ts) AS n_tokens,
        |  CASE WHEN len(ts) > 0 THEN len(list_filter(ts,

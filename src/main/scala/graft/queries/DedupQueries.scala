@@ -544,7 +544,7 @@ object DedupQueries extends graft.QueryModule {
     graft.core.SplitHash.splitSql(idCol)
 
   /** Shared shingle CTE body (3-gram distinct shingles per doc). */
-  private lazy val ShingleCte =
+  private[graft] lazy val ShingleCte =
     s"""sh AS (
        |  SELECT doc_id, lang,
        |    CASE WHEN len(ts) >= 3 THEN list_distinct(
@@ -689,12 +689,9 @@ object DedupQueries extends graft.QueryModule {
          |FROM toks t LEFT JOIN cov c USING (doc_id)""".stripMargin,
     "dedup_sim_histogram" ->
       s"""WITH $ShingleCte,
-         |p AS (SELECT round(c * 1.0 / u, 6) AS jaccard FROM (
-         |    SELECT len(list_intersect(a.sh, b.sh)) AS c,
-         |      len(list_distinct(a.sh || b.sh)) AS u
-         |    FROM sh a JOIN sh b
-         |      ON a.lang = b.lang AND a.doc_id < b.doc_id)
-         |  WHERE c > 0 AND c * 1.0 / u >= $HistMinSim),
+         |$PairCte,
+         |p AS (SELECT round(c * 1.0 / u, 6) AS jaccard FROM jp
+         |  WHERE c * 1.0 / u >= $HistMinSim),
          |h AS (SELECT CAST(floor(jaccard * 20) AS INT) AS bucket,
          |    count(*) AS n_pairs
          |  FROM p GROUP BY 1)
@@ -741,23 +738,15 @@ object DedupQueries extends graft.QueryModule {
          |FROM wfp f JOIN wt s USING (doc_id)
          |GROUP BY s.source""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH $ShingleCte
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
-         |        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh)) > 0
-         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
-         |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold""".stripMargin,
+      s"""WITH $ShingleCte,
+         |$PairCte
+         |SELECT doc_a, doc_b, round(c * 1.0 / u, 6) AS jaccard
+         |FROM jp WHERE c * 1.0 / u >= $JaccardThreshold""".stripMargin,
     "dedup_split_leakage" ->
       s"""WITH $ShingleCte,
-         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
-         |        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh)) > 0
-         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
-         |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold)
+         |$PairCte,
+         |pr AS (SELECT doc_a, doc_b, round(c * 1.0 / u, 6) AS jaccard
+         |  FROM jp WHERE c * 1.0 / u >= $JaccardThreshold)
          |SELECT doc_a, doc_b, jaccard, ${splitCase("doc_a")} AS split_a,
          |  ${splitCase("doc_b")} AS split_b
          |FROM pr
@@ -897,17 +886,16 @@ object DedupQueries extends graft.QueryModule {
          |SELECT cl.doc_id, cl.cluster, nm.n_members,
          |  round(CAST(1 AS DOUBLE) / nm.n_members, 9) AS weight
          |FROM cl JOIN nm USING (cluster)""".stripMargin,
+    // predicate note: the original `na > 0 AND nb > 0 AND ratio >= 0.5`
+    // admits exactly the c > 0 pairs jp holds (c = 0 forces ratio 0)
     "dedup_containment" ->
-      s"""WITH $ShingleCte
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
-         |    / least(len(a.sh), len(b.sh)), 6) AS containment,
-         |  CASE WHEN len(a.sh) <= len(b.sh) THEN a.doc_id
-         |       ELSE b.doc_id END AS contained_id
-         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
-         |      / least(len(a.sh), len(b.sh)) >= 0.5""".stripMargin,
+      s"""WITH $ShingleCte,
+         |$PairCte
+         |SELECT doc_a, doc_b,
+         |  round(c * 1.0 / least(na, nb), 6) AS containment,
+         |  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_id
+         |FROM jp
+         |WHERE c * 1.0 / least(na, nb) >= 0.5""".stripMargin,
     "ta_dedup_aware_mix" ->
       s"""WITH RECURSIVE $ClusterCtes,
          |nm AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1),
@@ -946,19 +934,33 @@ object DedupQueries extends graft.QueryModule {
          |GROUP BY d.source""".stripMargin,
   )
 
+  /** Shared candidate-pair CTE over `sh` ([[ShingleCte]]): every
+    * same-lang doc pair with at least one shared shingle, carrying the
+    * raw intersection/union/side counts every pair-family oracle
+    * derives its measure from. Single-sourced so the gate's PRELUDE
+    * (`g_jp` in [[graft.OraclePrelude]]) can materialize exactly this
+    * text once per run instead of re-running the quadratic-in-block
+    * join per oracle. */
+  private[graft] lazy val PairCte =
+    """jp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.sh, b.sh)) AS c,
+      |    len(list_distinct(a.sh || b.sh)) AS u,
+      |    len(a.sh) AS na, len(b.sh) AS nb
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) > 0)""".stripMargin
+
   /** Shared transitive-closure CTEs for the cluster oracles: exact
     * Jaccard pairs -> recursive reachability -> min-label per doc;
     * `cl` is every document with its cluster id (singletons included).
     * MATERIALIZED because the survivorship oracle references `cl`
     * twice. Callers must open with `WITH RECURSIVE`. */
-  private lazy val ClusterCtes =
+  private[graft] lazy val ClusterCtes =
     s"""$ShingleCte,
+       |$PairCte,
        |p AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.sh, b.sh)) > 0
-       |    AND len(list_intersect(a.sh, b.sh)) * 1.0
-       |        / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold),
+       |  SELECT doc_a, doc_b FROM jp
+       |  WHERE c * 1.0 / u >= $JaccardThreshold),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
        |          UNION ALL SELECT doc_b, doc_a FROM p),
        |reach AS (
