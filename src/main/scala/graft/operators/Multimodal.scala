@@ -8,16 +8,17 @@ import org.apache.spark.sql.functions._
   *
   * The decode kernel ([[decodeKernel]]) parses REAL container headers in
   * pure JVM code — PNG IHDR, JPEG SOF, GIF logical screen + frame walk,
-  * and RIFF/WAVE fmt/data — and since r11 PNG PIXELS really decode too
-  * ([[decodePngPixels]]: Inflater + full None/Sub/Up/Average/Paeth
-  * defilter + palette expansion, zero new dependencies), feeding the
-  * real 8x8-luma aHash and pixel histograms. The clearly marked
+  * and RIFF/WAVE fmt/data — and PIXELS really decode for PNG (r11:
+  * [[decodePngPixels]], Inflater + full None/Sub/Up/Average/Paeth
+  * defilter + palette expansion) AND GIF (r12: [[decodeGifPixels]],
+  * pure-JVM LZW + interlace + palette), zero new dependencies, feeding
+  * the real 8x8-luma aHash and pixel histograms. The clearly marked
   * deterministic fake remains only for payloads needing codecs this
-  * environment can't ship (JPEG/GIF pixel entropy decode, audio/video
-  * sample decode, H.264, ...); swapping that seam in changes no
-  * dataflow. The Spark-side plumbing (schema, batch iteration,
-  * partition-local processing, metadata structs) is real and tested
-  * either way.
+  * environment can't ship (JPEG entropy decode, audio/video sample
+  * decode, H.264, ...) — THE permanent FFI boundary; swapping that
+  * seam in changes no dataflow. The Spark-side plumbing (schema, batch
+  * iteration, partition-local processing, metadata structs) is real
+  * and tested either way.
   *
   * Scale notes: blobs never shuffle — `decodeMeta` is mapPartitions over
   * the scan, metadata-only columns flow downstream. A real pipeline
@@ -330,6 +331,152 @@ object Multimodal {
     } else Some(PngPixels(w, h, channels, out))
   }
 
+  /** REAL pixel decode for GIF (first frame): header + block walk (the
+    * [[parseGifHeader]] structural strictness — printable magic means
+    * text CAN start with "GIF89a", so every structural check rejects to
+    * the fake branch), local-or-global palette, pure-JVM LZW
+    * (variable-width codes 3..12 bits, LSB-first bit packing, clear /
+    * end-of-information codes, the KwKwK self-reference case — GIF89a
+    * spec appendix F), optional 4-pass interlace reorder, palette
+    * expansion to RGB. Rejects (None) on any malformed stream: bad
+    * codes, over/underfull index planes, sub-block desync, palette
+    * overrun, or dimensions past the same 256 MB bomb guard PNG uses.
+    * Same no-new-dependency discipline as the PNG Inflate path; the
+    * deterministic fake now remains ONLY for JPEG/WAV payloads — the
+    * documented external-codec FFI boundary (reference analog:
+    * /root/reference/src/utils/document_processing.py:194-243). */
+  private[graft] def decodeGifPixels(b: Array[Byte]): Option[PngPixels] = {
+    if (parseGifHeader(b).isEmpty) return None // full structural walk
+    val w0 = le16(b, 6); val h0 = le16(b, 8)
+    if (w0.toLong * h0 * 3 > (1L << 28)) return None
+    val packed = b(10) & 0xff
+    val gctLen = if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0
+    val gct = if (gctLen > 0) {
+      if (13 + gctLen > b.length) return None
+      java.util.Arrays.copyOfRange(b, 13, 13 + gctLen)
+    } else null
+    var off = 13 + gctLen
+    // walk to the FIRST image descriptor (parseGifHeader proved the
+    // stream well-formed through the trailer, so bounds hold)
+    while (off < b.length && (b(off) & 0xff) == 0x21) {
+      var o = off + 2
+      while ((b(o) & 0xff) != 0) o += 1 + (b(o) & 0xff)
+      off = o + 1
+    }
+    if (off >= b.length || (b(off) & 0xff) != 0x2c) return None
+    val fw = le16(b, off + 5); val fh = le16(b, off + 7)
+    val lp = b(off + 9) & 0xff
+    if (fw <= 0 || fh <= 0) return None
+    val interlaced = (lp & 0x40) != 0
+    val lctLen = if ((lp & 0x80) != 0) 3 * (1 << ((lp & 7) + 1)) else 0
+    val pal = if (lctLen > 0)
+      java.util.Arrays.copyOfRange(b, off + 10, off + 10 + lctLen)
+    else gct
+    if (pal == null) return None
+    off += 10 + lctLen
+    val mcs = b(off) & 0xff
+    if (mcs < 2 || mcs > 8) return None
+    off += 1
+    // concatenate the LZW sub-block chain
+    val data = new java.io.ByteArrayOutputStream()
+    while ((b(off) & 0xff) != 0) {
+      val n = b(off) & 0xff
+      data.write(b, off + 1, n)
+      off += 1 + n
+    }
+    val bytes = data.toByteArray
+    // LZW decode (spec appendix F): prefix/suffix dictionary arrays,
+    // 4096 max codes, width grows at 2^width until 12 bits
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](fw * fh)
+    var nOut = 0
+    var free = clear + 2
+    var width = mcs + 1
+    var oldCode = -1
+    var bitPos = 0
+    val nBits = bytes.length * 8
+    var done = false
+    while (!done) {
+      if (bitPos + width > nBits) return None // ran out before EOI
+      // LSB-first variable-width read
+      var code = 0
+      var k = 0
+      while (k < width) {
+        val bit = bitPos + k
+        if ((bytes(bit >> 3) & (1 << (bit & 7))) != 0) code |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      if (code == clear) {
+        free = clear + 2; width = mcs + 1; oldCode = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        if (code > free || (code == free && oldCode < 0)) return None
+        var sp = 0
+        var cur = code
+        if (code == free) { // KwKwK: emit old + first(old)
+          if (oldCode < 0) return None
+          stack(sp) = 0; sp += 1 // placeholder for first(old), patched below
+          cur = oldCode
+        }
+        while (cur >= clear + 2) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+        val first = cur.toByte // root code = literal palette index
+        stack(sp) = first; sp += 1
+        if (code == free) stack(0) = first
+        if (nOut + sp > out.length) return None // overfull plane
+        var i = sp - 1
+        while (i >= 0) { out(nOut) = stack(i); nOut += 1; i -= 1 }
+        if (oldCode >= 0 && free < 4096) {
+          prefix(free) = oldCode; suffix(free) = first; free += 1
+          if (free < 4096 && (free & (free - 1)) == 0 && width < 12) width += 1
+        }
+        oldCode = code
+      }
+      if (nOut == out.length && !done) {
+        // plane full: accept only an immediate EOI (or stream end)
+        done = true
+      }
+    }
+    if (nOut < out.length) return None // underfull plane
+    val plane =
+      if (!interlaced) out
+      else {
+        // 4-pass interlace: rows 0,8,16.. then 4,12.. then 2,6.. then 1,3..
+        val re = new Array[Byte](out.length)
+        var src = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var y = start
+          while (y < fh) {
+            System.arraycopy(out, src * fw, re, y * fw, fw)
+            src += 1; y += step
+          }
+        }
+        re
+      }
+    val nColors = pal.length / 3
+    val px = new Array[Byte](fw * fh * 3)
+    var i = 0
+    while (i < fw * fh) {
+      val idx = plane(i) & 0xff
+      if (idx >= nColors) return None
+      px(3 * i) = pal(3 * idx)
+      px(3 * i + 1) = pal(3 * idx + 1)
+      px(3 * i + 2) = pal(3 * idx + 2)
+      i += 1
+    }
+    Some(PngPixels(fw, fh, 3, px))
+  }
+
+  /** First-succeeding pixel decoder across the pure-JVM codecs (PNG
+    * Inflate, GIF LZW) — the one seam the pixel consumers call. */
+  private[graft] def decodePixels(b: Array[Byte]): Option[PngPixels] =
+    decodePngPixels(b).orElse(decodeGifPixels(b))
+
   /** 8x8 mean-luma thumbnail of DECODED pixels — the real aHash grid:
     * integer Rec.601 luma per pixel (gray channel for types 0/4),
     * averaged over each cell's pixel block. */
@@ -456,7 +603,7 @@ object Multimodal {
     blobs.select(col("doc_id"), col("media_type"), col("blob"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, mt, b) =>
-        val thumb = decodePngPixels(b) match {
+        val thumb = decodePixels(b) match {
           case Some(p) => lumaGrid8(p)
           case None =>
             val cells = new Array[Long](64)
@@ -537,7 +684,7 @@ object Multimodal {
     blobs.select(col("doc_id"), col("media_type"), col("blob"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, mt, blob) =>
-        val bytes = decodePngPixels(blob).map(_.pixels).getOrElse(blob)
+        val bytes = decodePixels(blob).map(_.pixels).getOrElse(blob)
         val counts = new Array[Double](8)
         var i = 0
         while (i < bytes.length) { counts((bytes(i) & 0xff) >> 5) += 1; i += 1 }

@@ -580,12 +580,25 @@ object StreamingOps {
     }
     val out = StatefulSessions.sessionize(typed, gapSec)
     val name = "graft_stream_sessions"
+    // the one streaming entry that must KEEP no-data batches (the
+    // EventTimeTimeout EMIT after the sentinel) — but the other r11
+    // machinery amortizations apply: 4 state partitions for an
+    // O(users) key space, offset/commit logs on tmpfs when available
+    // (fsync on a bounded drain is pure machinery)
     val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (Files.isWritable(shm))
+        Some(Files.createTempDirectory(shm, "graft_sess_ckpt_"))
+      else None
     val q =
-      try out.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      try {
+        var w = out.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+        ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
+        w.start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
     try {
       q.processAllAvailable()
       // sentinel row: same on-disk schema, user_id -1, ts far past every
@@ -623,7 +636,10 @@ object StreamingOps {
       Files.move(part, stage.resolve("zz_sentinel.parquet"))
       rmTree(scratch)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      ckpt.foreach(rmTree)
+    }
     // snapshot BEFORE deleting the staged source (the memory sink may
     // hold lazy references) and before any later call re-registers the
     // sink name; then drop the per-call temp copies — without this every

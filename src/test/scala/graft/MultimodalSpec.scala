@@ -336,6 +336,173 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Real GIF via the JDK's own encoder (indexed image -> ImageIO
+    * "gif"): the decode ground truth is ImageIO's reader, an
+    * independent LZW implementation. */
+  private def realGif(w: Int, h: Int, seed: Int = 7): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    val rnd = new scala.util.Random(seed)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, rnd.nextInt(0x1000000))))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    bos.toByteArray
+  }
+
+  test("GIF pixels: bit-exact LZW decode vs ImageIO") {
+    val w = 41; val h = 19
+    val gif = realGif(w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    val p = Multimodal.decodeGifPixels(gif).getOrElse(
+      fail("encoder-produced GIF did not decode"))
+    assert(p.width == w && p.height == h && p.channels == 3)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert((p.pixels(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+          (p.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+          (p.pixels(o + 2) & 0xff) == (rgb & 0xff),
+          s"pixel ($x,$y) diverged from ImageIO")
+      }
+    }
+    // the combined seam picks it up too
+    assert(Multimodal.decodePixels(gif).nonEmpty)
+  }
+
+  test("GIF pixels: mean-pixel stats match a hand-computed value end-to-end") {
+    // 16x16 gray ramp, every byte value once: mean 127.5 per channel,
+    // uniform 8-bucket histogram, entropy ln 8 — same hand-derivable
+    // contract as the PNG ramp, through the GIF LZW path
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 16).foreach(x => (0 until 16).foreach(y =>
+      img.getRaster.setSample(x, y, 0, x * 16 + y)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val gif = bos.toByteArray
+    val p = Multimodal.decodeGifPixels(gif).getOrElse(
+      fail("gray ramp GIF did not decode"))
+    assert(p.channels == 3 && p.pixels.length == 768)
+    // gray palette: each pixel's three channels agree; all 256 values
+    val grays = (0 until 256).map(i => p.pixels(3 * i) & 0xff)
+    assert((0 until 256).forall(i =>
+      p.pixels(3 * i) == p.pixels(3 * i + 1) &&
+        p.pixels(3 * i) == p.pixels(3 * i + 2)))
+    assert(grays.sorted == (0 until 256))
+    assert(grays.map(_.toDouble).sum / 256 == 127.5)
+    val s = spark; import s.implicits._
+    val feats = Multimodal.extractFeatures(spark,
+        Seq((7L, "image", gif)).toDF("doc_id", "media_type", "blob"))
+      .collect().head
+    assert(feats.features.forall(f => math.abs(f - 0.125) < 1e-15),
+      s"histogram over DECODED pixels must be uniform: ${feats.features.toSeq}")
+    assert(math.abs(feats.entropy - math.log(8.0)) < 1e-12)
+  }
+
+  /** Minimal hand-rolled GIF encoder: every literal is preceded by a
+    * clear code, so the dictionary never grows and the code width stays
+    * mcs+1 — a VALID (if inefficient) LZW stream whose byte layout is
+    * fully hand-controlled, which is what lets the interlace flag be
+    * exercised deliberately (ImageIO's writer does not expose it). */
+  private def handGif(w: Int, h: Int, idx: Array[Int], mcs: Int,
+      interlaced: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0x80 | (mcs - 1)) // GCT present, 2^mcs entries
+    out.write(0); out.write(0)
+    (0 until (1 << mcs)).foreach { i => // gray palette g = i * step
+      val g = i * (255 / ((1 << mcs) - 1))
+      out.write(g); out.write(g); out.write(g)
+    }
+    out.write(0x2c) // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(mcs) // LZW minimum code size
+    val clear = 1 << mcs; val eoi = clear + 1; val width = mcs + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += width
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    idx.foreach { i => emit(clear); emit(i) }
+    emit(eoi)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    val data = bits.toByteArray
+    var o = 0
+    while (o < data.length) { // 255-byte sub-blocks
+      val n = math.min(255, data.length - o)
+      out.write(n); out.write(data, o, n); o += n
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  test("GIF pixels: interlaced stream reorders rows; KwKwK streams decode") {
+    // 4 wide x 8 tall, row y filled with index y; rows stored in
+    // interlace order (0,4,2,6,1,3,5,7 for h=8 -> passes 0/8,4/8,2/4,1/2)
+    val order = Seq(0, 4, 2, 6, 1, 3, 5, 7)
+    val stored = order.flatMap(y => Array.fill(4)(y)).toArray
+    val gif = handGif(4, 8, stored, mcs = 3, interlaced = true)
+    val p = Multimodal.decodeGifPixels(gif).getOrElse(
+      fail("hand-built interlaced GIF did not decode"))
+    val step = 255 / 7
+    (0 until 8).foreach { y =>
+      (0 until 4).foreach { x =>
+        assert((p.pixels((y * 4 + x) * 3) & 0xff) == y * step,
+          s"row $y not deinterlaced to its display position")
+      }
+    }
+    // KwKwK: the code-equals-next-free case via ImageIO cross-check —
+    // repetitive rows make the encoder hit it
+    val rep = new java.awt.image.BufferedImage(
+      64, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    (0 until 64).foreach(x => (0 until 8).foreach(y =>
+      rep.setRGB(x, y, if (((x / 3) + y) % 2 == 0) 0xffffff else 0)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rep, "gif", bos))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val q = Multimodal.decodeGifPixels(bos.toByteArray).getOrElse(
+      fail("repetitive GIF did not decode"))
+    (0 until 8).foreach(y => (0 until 64).foreach { x =>
+      assert((q.pixels((y * 64 + x) * 3) & 0xff) == ((img.getRGB(x, y) >> 16) & 0xff))
+    })
+  }
+
+  test("fuzz: GIF decoder never throws on mutated or random LZW streams") {
+    val rnd = new scala.util.Random(43)
+    val base = realGif(24, 16, seed = 9)
+    (0 until 300).foreach { i =>
+      val b = base.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      val cut = if (rnd.nextBoolean()) b.take(6 + rnd.nextInt(b.length - 6))
+        else b
+      Multimodal.decodeGifPixels(cut) match {
+        case Some(p) =>
+          assert(p.pixels.length == p.width * p.height * p.channels,
+            s"iteration $i: inconsistent decode")
+        case None => ()
+      }
+    }
+    (0 until 100).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(512))(rnd.nextInt(256).toByte)
+      Multimodal.decodeGifPixels(junk) // must not throw
+    }
+    // printable magic: ordinary text starting with the signature keeps
+    // the fake branch (what the mm_* oracle replays rely on)
+    assert(Multimodal.decodeGifPixels("GIF89a ordinary text".getBytes).isEmpty)
+  }
+
   test("decodeMeta end-to-end: real media and text blobs in one frame") {
     val s = spark; import s.implicits._
     val rows = Seq(
