@@ -2609,7 +2609,79 @@ object AnalysisQueries extends graft.QueryModule {
         round(os(col("ws_ratio")) / count(lit(1)), 6).as("avg_ws_ratio"))
   }
 
+  /** Gopher-style WITHIN-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models", Table A1 — the standard pre-training
+    * repetition filters, adapted to token units since this corpus has
+    * no line structure): per document,
+    *  - `top2_frac` — fraction of token positions covered by
+    *    occurrences of the MOST FREQUENT 2-gram (ties broken to the
+    *    lexicographically smallest gram; coverage is a position UNION,
+    *    so overlapping occurrences never double-count);
+    *  - `dup5_frac` — fraction of token positions covered by any
+    *    5-gram that occurs ≥ 2 times in the SAME document (the
+    *    within-doc sibling of [[graft.operators.Dedup.spanCoverage]]'s
+    *    cross-doc signal).
+    * Exact integer coverage over exact token counts (one pointwise
+    * division) — hash-gated.
+    *
+    * Scale shape: every stage is keyed by doc_id (the n-gram
+    * group-count, the argmax struct-min, the coverage distinct) — one
+    * shuffle per gram size, all partition-local per doc; the coverage
+    * explode is bounded by occurrence count × k. Nothing is
+    * corpus-global, so the plan is embarrassingly parallel over
+    * documents at any corpus size. */
+  def repetitionSignalsOver(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.functions.TextFunctions
+    val base = docs
+      .select(col("doc_id"), tf.regex_tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 5)
+    def grams(k: Int) = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ts")) - (k - 1)),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("ts"), i, lit(k))).as("g")))).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+    val nTok = base.select(col("doc_id"),
+      size(col("ts")).cast("long").as("n_tokens"))
+    val g2 = grams(2)
+    val top2 = g2.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("c")).as("negc"), col("g").as("g"))).as("t"))
+      .select(col("doc_id"), col("t.g").as("top2_gram"),
+        (-col("t.negc")).as("top2_n"))
+    val cov2 = g2
+      .join(top2.select(col("doc_id"), col("top2_gram")), Seq("doc_id"))
+      .filter(col("g") === col("top2_gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 1)).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cov2"))
+    val dup5 = grams(5)
+      .withColumn("c", count(lit(1))
+        .over(Window.partitionBy(col("doc_id"), col("g"))))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 4)).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup5"))
+    nTok.join(top2, Seq("doc_id"))
+      .join(cov2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("cov2", "dup5"))
+      .select(col("doc_id"), col("n_tokens"), col("top2_gram"),
+        col("top2_n"),
+        round(col("cov2").cast("double") / col("n_tokens"), 6)
+          .as("top2_frac"),
+        round(col("dup5").cast("double") / col("n_tokens"), 6)
+          .as("dup5_frac"))
+  }
+
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignalsOver(Tables.loadSpread(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_repetition" -> repetitionSignals,
     "ta_zipf_fit" -> zipfFit,
     "ta_vocab_richness" -> vocabRichness,
     "ta_heaps_law" -> heapsLaw,
@@ -3162,6 +3234,46 @@ object AnalysisQueries extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Positional n-gram replay of the Gopher repetition signals: same
+    // tokenizer, same union-of-positions coverage, same (-count, gram)
+    // struct-min argmax tie-break.
+    "ta_repetition" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ts
+         |  FROM documents),
+         |b AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n
+         |  FROM t WHERE len(ts) >= 5),
+         |g2 AS (SELECT doc_id,
+         |    unnest([array_to_string(list_slice(ts, i, i + 1), ' ')
+         |      for i in range(1, n)]) AS g,
+         |    unnest(range(1, n)) AS pos
+         |  FROM b),
+         |c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM g2 GROUP BY 1, 2),
+         |top2 AS (SELECT doc_id, min({'negc': -c, 'g': g}) AS t
+         |  FROM c2 GROUP BY 1),
+         |cov2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cov FROM (
+         |    SELECT DISTINCT g2.doc_id, g2.pos + r.d AS p
+         |    FROM g2 JOIN top2 USING (doc_id), range(2) r(d)
+         |    WHERE g2.g = top2.t.g) GROUP BY 1),
+         |g5 AS (SELECT doc_id,
+         |    unnest([array_to_string(list_slice(ts, i, i + 4), ' ')
+         |      for i in range(1, n - 3)]) AS g,
+         |    unnest(range(1, n - 3)) AS pos
+         |  FROM b),
+         |d5 AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2
+         |  HAVING count(*) >= 2),
+         |cov5 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cov FROM (
+         |    SELECT DISTINCT g5.doc_id, g5.pos + r.d AS p
+         |    FROM g5 JOIN d5 USING (doc_id, g), range(5) r(d)) GROUP BY 1)
+         |SELECT b.doc_id, b.n AS n_tokens, top2.t.g AS top2_gram,
+         |  CAST(-top2.t.negc AS BIGINT) AS top2_n,
+         |  round(CAST(coalesce(cov2.cov, 0) AS DOUBLE)
+         |    / CAST(b.n AS DOUBLE), 6) AS top2_frac,
+         |  round(CAST(coalesce(cov5.cov, 0) AS DOUBLE)
+         |    / CAST(b.n AS DOUBLE), 6) AS dup5_frac
+         |FROM b JOIN top2 USING (doc_id)
+         |LEFT JOIN cov2 USING (doc_id)
+         |LEFT JOIN cov5 USING (doc_id)""".stripMargin,
     // Counter-level replay of the engine CMS ([[cmsCounts]]): XXH64 each
     // DISTINCT term once (the shared CTE chain), derive the CmsDepth row
     // hashes with the staged fmix64, rebuild the (r, c) counter table

@@ -8,6 +8,35 @@ import graft.queries.AnalysisQueries
   * checks: decontamination, sequence packing, unigram-LM scoring. */
 class TrainingDataSpec extends SparkSpec {
 
+  test("repetition signals match hand-computed positional coverage") {
+    val s = spark; import s.implicits._
+    // doc 1: "a b" occurs at pos 1,3,5 (count 3) -> covers {1..6} of 7;
+    // all 5-grams distinct -> dup5 = 0
+    // doc 2: "x y" and "y z" tie at 3 -> lexicographically smaller
+    // "x y" wins, covers {1,2,4,5,7,8} of 11; 5-grams at pos 1&4 and
+    // 2&5 repeat -> covered union {1..9} of 11
+    val docs = Seq(
+      (1L, "a b a b a b c"),
+      (2L, "x y z x y z x y z w w")).toDF("doc_id", "text")
+    val got = AnalysisQueries.repetitionSignalsOver(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_tokens") == 7)
+    assert(r1.getAs[String]("top2_gram") == "a b")
+    assert(r1.getAs[Long]("top2_n") == 3)
+    assert(r1.getAs[Double]("top2_frac") == 0.857143) // round(6/7, 6)
+    assert(r1.getAs[Double]("dup5_frac") == 0.0)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_tokens") == 11)
+    assert(r2.getAs[String]("top2_gram") == "x y")
+    assert(r2.getAs[Long]("top2_n") == 3)
+    assert(r2.getAs[Double]("top2_frac") == 0.545455) // round(6/11, 6)
+    assert(r2.getAs[Double]("dup5_frac") == 0.818182) // round(9/11, 6)
+    // a doc below the 5-token floor is excluded, not NULL-padded
+    val tiny = Seq((3L, "a b c")).toDF("doc_id", "text")
+    assert(AnalysisQueries.repetitionSignalsOver(tiny).count() == 0)
+  }
+
   test("decontaminate: benchmark docs excluded, flag consistent, hits real") {
     val rows = AnalysisQueries.decontaminate(spark, sf).collect()
     assert(rows.nonEmpty)
