@@ -62,6 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => functions.DamerauLevenshtein(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("hamming_bytes"), info("hamming_bytes"),
       (es: Seq[Expression]) => functions.HammingBytes(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("jaccard_bytes"), info("jaccard_bytes"),
+      (es: Seq[Expression]) => functions.JaccardBytes(es(0), es(1))))
     e.injectOptimizerRule(_ => plans.TokenFilterStrengthen)
     e.injectOptimizerRule(_ => plans.UnionAggToGroupingSets)
   }

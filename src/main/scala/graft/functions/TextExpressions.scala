@@ -245,6 +245,33 @@ object TextKernels {
     d((la + 1) * w + lb + 1)
   }
 
+  /** Byte-SET Jaccard — DuckDB `jaccard` semantics, probed: set (not
+    * multiset) of UTF-8 BYTES ('aab' vs 'ab' = 1.0; 'Üß' vs 'Ü' = 2/3,
+    * so bytes, not characters), case-sensitive. 256-bit bitmap +
+    * popcount. Where DuckDB RAISES on an empty argument, this returns
+    * the set-theoretic values (both empty → 1, one empty → 0) —
+    * callers gating against the builtin compare non-empty inputs,
+    * where the two agree. */
+  def jaccardBytes(ua: UTF8String, ub: UTF8String): Double = {
+    val sa = new Array[Long](4); val sb = new Array[Long](4)
+    var i = 0
+    while (i < ua.numBytes) {
+      val v = ua.getByte(i) & 0xff; sa(v >> 6) |= 1L << (v & 63); i += 1
+    }
+    i = 0
+    while (i < ub.numBytes) {
+      val v = ub.getByte(i) & 0xff; sb(v >> 6) |= 1L << (v & 63); i += 1
+    }
+    var inter = 0; var union = 0
+    i = 0
+    while (i < 4) {
+      inter += java.lang.Long.bitCount(sa(i) & sb(i))
+      union += java.lang.Long.bitCount(sa(i) | sb(i))
+      i += 1
+    }
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** Hamming distance over UTF-8 BYTES — DuckDB `hamming` semantics
     * (byte domain, probed on multi-byte chars). DuckDB RAISES on
     * length mismatch; a scalar that throws mid-scan is useless in a
@@ -842,6 +869,25 @@ case class HammingBytes(left: Expression, right: Expression)
   override def prettyName: String = "hamming_bytes"
 }
 
+/** `jaccard_bytes(a, b)` — byte-set Jaccard
+  * ([[TextKernels.jaccardBytes]]); DuckDB's `jaccard` builtin is the
+  * cross-implementation oracle. Codegen scalar. */
+case class JaccardBytes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardBytes(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.jaccardBytes($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JaccardBytes = copy(l, r)
+  override def prettyName: String = "jaccard_bytes"
+}
+
 /** Static forwarder for [[Hash64]] codegen (the [[TextKernels]]
   * discipline: one kernel shared by interpreted eval and Janino code). */
 object HashKernel {
@@ -920,6 +966,8 @@ object TextFunctions {
     col(DamerauLevenshtein(ex(a), ex(b)))
   def hamming_bytes(a: Column, b: Column): Column =
     col(HammingBytes(ex(a), ex(b)))
+  def jaccard_bytes(a: Column, b: Column): Column =
+    col(JaccardBytes(ex(a), ex(b)))
   def minhash_sig(c: Column, numHashes: Column): Column =
     col(MinHashSig(ex(c), ex(numHashes)))
 
@@ -970,5 +1018,7 @@ object TextFunctions {
       es => DamerauLevenshtein(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hamming_bytes",
       es => HammingBytes(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_bytes",
+      es => JaccardBytes(es(0), es(1)), "scala_udf")
   }
 }

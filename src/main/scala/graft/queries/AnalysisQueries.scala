@@ -2680,8 +2680,30 @@ object AnalysisQueries extends graft.QueryModule {
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
     repetitionSignalsOver(Tables.loadSpread(spark, dir, "documents"))
 
+  // ONE literal pair shared with the oracle (byte-set profiles)
+  private val AlphaRef = "abcdefghijklmnopqrstuvwxyz "
+  private val DigitRef = "0123456789"
+
+  /** Byte-set Jaccard profile per document — the charset-coverage
+    * quality signal (how much of the lowercase alphabet a document's
+    * bytes span, and whether digits intrude), computed by the engine's
+    * [[graft.functions.JaccardBytes]] codegen kernel and gated against
+    * DuckDB's OWN `jaccard` builtin (probed byte-set semantics) — the
+    * fourth cross-implementation oracle. A pure projection: no shuffle,
+    * no state, linear scan at any corpus size. */
+  def byteJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        round(tf.jaccard_bytes(col("text"), lit(AlphaRef)), 6)
+          .as("alpha_jaccard"),
+        round(tf.jaccard_bytes(col("text"), lit(DigitRef)), 6)
+          .as("digit_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_repetition" -> repetitionSignals,
+    "ta_byte_jaccard" -> byteJaccard,
     "ta_zipf_fit" -> zipfFit,
     "ta_vocab_richness" -> vocabRichness,
     "ta_heaps_law" -> heapsLaw,
@@ -3234,6 +3256,13 @@ object AnalysisQueries extends graft.QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB's own jaccard builtin over the same literals — the engine
+    // kernel vs an independent byte-set implementation on real data
+    "ta_byte_jaccard" ->
+      s"""SELECT doc_id, lang,
+         |  round(jaccard(text, '$AlphaRef'), 6) AS alpha_jaccard,
+         |  round(jaccard(text, '$DigitRef'), 6) AS digit_jaccard
+         |FROM documents""".stripMargin,
     // Positional n-gram replay of the Gopher repetition signals: same
     // tokenizer, same union-of-positions coverage, same (-count, gram)
     // struct-min argmax tie-break.

@@ -103,6 +103,29 @@ class ComparatorSpec extends SparkSpec {
     }
   }
 
+  private def jac(a: String, b: String): Double =
+    TextKernels.jaccardBytes(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("byte-set jaccard matches probed DuckDB values and a set-based reference") {
+    // probed: set not multiset; bytes not chars; case-sensitive
+    assert(jac("abc", "abd") == 0.5)
+    assert(jac("aab", "ab") == 1.0)
+    assert(jac("abc", "cba") == 1.0)
+    assert(jac("ab", "AB") == 0.0)
+    assert(math.abs(jac("Üß", "Ü") - 2.0 / 3) < 1e-15)
+    assert(jac("", "") == 1.0) // engine extension; DuckDB raises there
+    assert(jac("", "a") == 0.0)
+    val sGen = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    forAll(Gen.zip(sGen, sGen), 300) { case (a, b) =>
+      val sa = a.getBytes("UTF-8").toSet; val sb = b.getBytes("UTF-8").toSet
+      val expect = if ((sa ++ sb).isEmpty) 1.0
+        else sa.intersect(sb).size.toDouble / (sa ++ sb).size
+      assert(jac(a, b) == expect, s"jac($a, $b)")
+    }
+  }
+
   test("hamming fuzz: equals positionwise mismatch count on equal-length strings") {
     val sGen = Gen.choose(0, 12).flatMap(n =>
       Gen.zip(Gen.listOfN(n, Gen.alphaNumChar), Gen.listOfN(n, Gen.alphaNumChar)))
