@@ -38,7 +38,18 @@ def table_rows(tbl, cols):
     return zip(*[tbl.column(c).to_pylist() for c in cols]) if cols else []
 
 def main(sf_dir, out_dir, only=()):
+    import os
     con = duckdb.connect()
+    # bound DuckDB so a runaway oracle raises OutOfMemoryException
+    # (caught per-query below) instead of drawing the OS OOM killer,
+    # which kills the WHOLE gate with no output (observed r12 on
+    # adv_composite_match at sf0.1)
+    con.execute("SET memory_limit='24GB'")
+    # known-infeasible oracles (documented policy, e.g. the
+    # composite-match recursion OOMs DuckDB at sf0.1): skip by name via
+    # GRAFT_ORACLE_SKIP=a,b — the driver's sf0.01 gate runs everything
+    skip = set(filter(None,
+        os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")))
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -69,6 +80,9 @@ def main(sf_dir, out_dir, only=()):
         print(f"ERROR unknown query name(s): {', '.join(unknown)}")
         return 2
     names = [n for n in sorted(oracle) if not only or n in only]
+    for n in [n for n in names if n in skip]:
+        print(f"SKIP  {n} (GRAFT_ORACLE_SKIP policy)")
+    names = [n for n in names if n not in skip]
     # per-oracle DuckDB wall seconds, dumped next to the results so
     # gen_query_docs.py can publish them (the full-catalog sf0.1 gate's
     # cost is dominated by a handful of generated-CTE oracles — measure,

@@ -2701,9 +2701,43 @@ object AnalysisQueries extends graft.QueryModule {
           .as("digit_jaccard"))
   }
 
+  /** Temperature-based source mixing — the data-mixing step a
+    * pre-training pipeline runs after curation (sampling weights
+    * ∝ tokens^α flatten the source distribution; multilingual-LM
+    * practice, e.g. the exponent-smoothed sampling in XLM-R/mT5). Uses
+    * α = 1/2, so the reweighting is a pure `sqrt` — with `ln`, the
+    * only transcendentals proven bit-identical across engines (a
+    * general pow would route through exp). Per source: exact token
+    * counts, natural share, smoothed weight w_s = √t_s / Σ√t, and the
+    * sampling boost w_s / share_s (= epochs over one natural-epoch
+    * budget). The Σ√t denominator is an ordered fold over the BOUNDED
+    * source set — sources are dozens at any corpus size, so the fold
+    * never grows with data; everything upstream is one
+    * map-side-combined aggregate over the scan. */
+  def mixSqrt(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val per = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"), size(tf.regex_tokens(col("text"))).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("n_tokens"))
+    val denom = per.agg(
+      tf.ordered_sum(sqrt(col("n_tokens").cast("double")), col("source"))
+        .as("d"),
+      sum(col("n_tokens")).cast("long").as("total"))
+    val share = col("n_tokens").cast("double") / col("total").cast("double")
+    val w = sqrt(col("n_tokens").cast("double")) / col("d")
+    per.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(share, 6).as("natural_share"),
+        round(w, 6).as("weight"),
+        round(w / share, 6).as("boost"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_repetition" -> repetitionSignals,
     "ta_byte_jaccard" -> byteJaccard,
+    "ta_mix_sqrt" -> mixSqrt,
     "ta_zipf_fit" -> zipfFit,
     "ta_vocab_richness" -> vocabRichness,
     "ta_heaps_law" -> heapsLaw,
@@ -3263,6 +3297,25 @@ object AnalysisQueries extends graft.QueryModule {
          |  round(jaccard(text, '$AlphaRef'), 6) AS alpha_jaccard,
          |  round(jaccard(text, '$DigitRef'), 6) AS digit_jaccard
          |FROM documents""".stripMargin,
+    // Exact-count replay of the sqrt-temperature mix: same ordered
+    // sqrt fold over the bounded source set, pointwise divisions
+    "ta_mix_sqrt" ->
+      s"""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(text, '$re'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+         |    (a, x) -> a + x) AS d,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         |    AS natural_share,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / d, 6) AS weight,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / d
+         |    / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+         |    AS boost
+         |FROM per, d""".stripMargin,
     // Positional n-gram replay of the Gopher repetition signals: same
     // tokenizer, same union-of-positions coverage, same (-count, gram)
     // struct-min argmax tie-break.
