@@ -1223,14 +1223,18 @@ object Relational extends graft.QueryModule {
       .withColumn("r",
         row_number().over(Window.partitionBy($"prio").orderBy($"v")))
       .withColumn("m", count(lit(1)).over(Window.partitionBy($"prio")))
-    // exact percentile OF THE SAMPLE: the value at ascending rank
-    // ceil(q·m) — deterministic in VALUE even under duplicate v (any
-    // tie permutation puts the same value at a given sorted position)
-    def pick(q: Double, name: String) = ranked
-      .filter($"r" ===
-        ceil(lit(q) * $"m".cast("double")).cast("int"))
-      .select($"prio", $"n_rows", round($"v", 2).as(name))
-    pick(0.5, "p50").join(pick(0.95, "p95").drop("n_rows"), "prio")
+    // exact percentiles OF THE SAMPLE in ONE pass: the values at
+    // ascending ranks ceil(q·m) — deterministic in VALUE even under
+    // duplicate v (any tie permutation puts the same value at a given
+    // sorted position). Both ranks ride the same windowed frame (two
+    // independent pick-joins would aggregate the sample twice).
+    ranked
+      .withColumn("r50", ceil(lit(0.5) * $"m".cast("double")).cast("int"))
+      .withColumn("r95", ceil(lit(0.95) * $"m".cast("double")).cast("int"))
+      .filter($"r" === $"r50" || $"r" === $"r95")
+      .groupBy($"prio", $"n_rows")
+      .agg(round(max(when($"r" === $"r50", $"v")), 2).as("p50"),
+        round(max(when($"r" === $"r95", $"v")), 2).as("p95"))
       .select($"prio".as("o_orderpriority"), $"n_rows", $"p50", $"p95")
   }
 
