@@ -592,10 +592,52 @@ object Advanced extends graft.QueryModule {
       .filter(col("hamming") <= 2)
   }
 
+  // ONE window literal shared with the oracle
+  private val SnmWindow = 4
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995 — the
+    * classic record-linkage candidate generator alongside
+    * [[recordLinkage]]'s exact-agreement blocking and
+    * [[jaroBestMatch]]'s equi-key blocking): sort each segment by a
+    * composite key (account-balance bucket, id), slide a
+    * [[SnmWindow]]-row window, and compare only records whose sorted
+    * ranks are within the window — candidates are O(n·w) regardless of
+    * how skewed the key distribution is, THE property that makes SNM
+    * the scale-safe alternative to value-blocking on skewed keys.
+    * Comparator: the engine's Jaro-Winkler kernel, so DuckDB's own
+    * `jaro_winkler_similarity` replays the scores (cross-impl gate).
+    * The rank join is an equi-join on (seg, rn + d), d ∈ 1..w — no
+    * range scan, no cartesian; at production scale the per-segment
+    * sort becomes a range-partitioned global sort and everything else
+    * is unchanged. */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.functions.TextFunctions
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_mktsegment").as("seg"), col("c_custkey").as("key"),
+      col("c_name").as("name"),
+      floor(col("c_acctbal")).cast("long").as("bal"))
+    val rn = c.withColumn("rn", row_number()
+      .over(Window.partitionBy(col("seg")).orderBy(col("bal"), col("key"))))
+    val right = rn.select(col("seg"), col("rn").as("rn_b"),
+      col("key").as("key_b"), col("name").as("name_b"),
+      col("bal").as("bal_b"))
+    rn.select(col("seg"), col("rn"), col("key").as("key_a"),
+        col("name").as("name_a"), col("bal").as("bal_a"),
+        explode(sequence(lit(1), lit(SnmWindow))).as("d"))
+      .withColumn("rn_b", col("rn") + col("d"))
+      .join(right, Seq("seg", "rn_b"))
+      .select(col("seg"), col("key_a"), col("key_b"),
+        (col("bal_b") - col("bal_a")).as("bal_gap"),
+        round(tf.jaro_winkler(col("name_a"), col("name_b")), 6).as("jw"))
+      .filter(col("jw") >= 0.93)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adv_jaro_best_match" -> jaroBestMatch,
     "adv_damerau_best_match" -> damerauBestMatch,
     "adv_hamming_pairs" -> hammingPairs,
+    "adv_sorted_neighborhood" -> sortedNeighborhood,
     "adv_record_linkage" -> recordLinkage,
     "adv_session_window" -> sessionWindow,
     "adv_json_extract" -> jsonExtract,
@@ -651,6 +693,23 @@ object Advanced extends graft.QueryModule {
         |  FROM pr JOIN p c ON pr.blk = c.blk AND pr.probe_id <> c.id),
         |best AS (SELECT probe_id, min(s) AS b FROM cand GROUP BY 1)
         |SELECT probe_id, b.cid AS best_id, b.d AS dl_dist FROM best""".stripMargin,
+    // Same sorted ranks (tie-broken by key), same window equi-join,
+    // DuckDB's own jaro_winkler_similarity as the comparator
+    "adv_sorted_neighborhood" ->
+      s"""WITH c AS (SELECT c_mktsegment AS seg, c_custkey AS key,
+         |    c_name AS name, CAST(floor(c_acctbal) AS BIGINT) AS bal
+         |  FROM customer),
+         |r AS (SELECT seg, key, name, bal,
+         |    CAST(row_number() OVER (PARTITION BY seg ORDER BY bal, key)
+         |      AS BIGINT) AS rn
+         |  FROM c)
+         |SELECT a.seg, a.key AS key_a, b.key AS key_b,
+         |  b.bal - a.bal AS bal_gap,
+         |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+         |FROM r a JOIN r b
+         |  ON a.seg = b.seg AND b.rn - a.rn BETWEEN 1 AND $SnmWindow
+         |WHERE round(jaro_winkler_similarity(a.name, b.name), 6)
+         |  >= CAST(0.93 AS DOUBLE)""".stripMargin,
     // DuckDB's own hamming over the same fixed-width blocked pairs —
     // third cross-implementation gate (byte Hamming)
     "adv_hamming_pairs" ->
