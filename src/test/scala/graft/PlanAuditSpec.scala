@@ -545,6 +545,35 @@ class PlanAuditSpec extends SparkSpec {
       "df-cap observe metric missing from the plan")
   }
 
+  test("comparator family: blocked equi-joins, never a cartesian or range scan") {
+    // SNM: the window join must be the (seg, rn + d) HASH equi-join,
+    // not a BETWEEN range join — that is the whole point of sorting
+    val snm = graft.queries.Advanced.sortedNeighborhood(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!snm.contains("CartesianProduct"), snm)
+    assert(!snm.contains("BroadcastNestedLoopJoin"),
+      s"SNM rank join must stay an equi-join:\n$snm")
+    // Hamming pairs: blocked self-join on (nation, segment)
+    val ham = graft.queries.Advanced.hammingPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ham.contains("CartesianProduct"), ham)
+    assert(!ham.contains("BroadcastNestedLoopJoin"), ham)
+    // Damerau best-match: probes broadcast onto the blocked candidates
+    val dam = graft.queries.Advanced.damerauBestMatch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(dam.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n$dam")
+    assert(!dam.contains("CartesianProduct"), dam)
+  }
+
+  test("repetition signals: every stage keys on doc_id, no global funnel") {
+    val plan = graft.queries.AnalysisQueries.repetitionSignals(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"repetition plan funnels to one task:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("attribution: user-keyed join with the window in the condition, no cartesian") {
     val plan = graft.queries.Relational.attribution(spark, sf)
       .queryExecution.executedPlan.toString
