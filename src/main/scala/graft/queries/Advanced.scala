@@ -607,18 +607,28 @@ object Advanced extends graft.QueryModule {
     * Comparator: the engine's Jaro-Winkler kernel, so DuckDB's own
     * `jaro_winkler_similarity` replays the scores (cross-impl gate).
     * The rank join is an equi-join on (seg, rn + d), d ∈ 1..w — no
-    * range scan, no cartesian; at production scale the per-segment
-    * sort becomes a range-partitioned global sort and everything else
-    * is unchanged. */
+    * range scan, no cartesian.
+    *
+    * Ranking is scale-safe: a `Window.partitionBy(seg)` row_number
+    * would funnel EVERY row of a segment through one task (segments
+    * are few and huge — the exact single-task cliff the README bans),
+    * so ranks come from [[graft.operators.GlobalOrder.withRowNumber]]
+    * — one range-partitioned sort on (seg, bal, key) — rebased per
+    * segment by subtracting the segment's min global rank (a
+    * segments-sized broadcast). Same ranks, no task ever holds more
+    * than one range. */
   def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = graft.functions.TextFunctions
     val c = Tables.load(spark, dir, "customer").select(
       col("c_mktsegment").as("seg"), col("c_custkey").as("key"),
       col("c_name").as("name"),
       floor(col("c_acctbal")).cast("long").as("bal"))
-    val rn = c.withColumn("rn", row_number()
-      .over(Window.partitionBy(col("seg")).orderBy(col("bal"), col("key"))))
+    val ordered = graft.operators.GlobalOrder.withRowNumber(
+      c, struct(col("seg"), col("bal"), col("key")), "grn")
+    val segBase = ordered.groupBy(col("seg")).agg(min(col("grn")).as("base"))
+    val rn = ordered.join(broadcast(segBase), "seg")
+      .withColumn("rn", (col("grn") - col("base") + 1L).cast("int"))
+      .drop("grn", "base")
     val right = rn.select(col("seg"), col("rn").as("rn_b"),
       col("key").as("key_b"), col("name").as("name_b"),
       col("bal").as("bal_b"))

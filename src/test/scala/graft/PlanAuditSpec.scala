@@ -553,6 +553,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!snm.contains("CartesianProduct"), snm)
     assert(!snm.contains("BroadcastNestedLoopJoin"),
       s"SNM rank join must stay an equi-join:\n$snm")
+    // ranking rides GlobalOrder (range partition + local offsets) —
+    // never a single-task per-segment window sort
+    assert(!snm.contains("SinglePartition"),
+      s"SNM ranking funnels to one task:\n$snm")
     // Hamming pairs: blocked self-join on (nation, segment)
     val ham = graft.queries.Advanced.hammingPairs(spark, sf)
       .queryExecution.executedPlan.toString
