@@ -47,6 +47,10 @@ object OraclePrelude {
     s"CREATE TEMP TABLE g_mmin AS WITH msh AS (SELECT * FROM g_msh), ${XxHashSql.minhashMinCtes(32)} SELECT * FROM mmin",
     s"CREATE TEMP TABLE g_mbh AS WITH mmin AS (SELECT * FROM g_mmin), ${XxHashSql.minhashFoldCtes(32, 16)} SELECT * FROM mbh",
     s"CREATE TEMP TABLE g_qf AS WITH ${AnalysisQueries.qualityFeatureCtes} SELECT * FROM f",
+    s"CREATE TEMP TABLE g_whash AS WITH ${XxHashSql.winnowShingleCtes(re,
+        DedupQueries.WinnowK, DedupQueries.WinnowW)}, ${XxHashSql
+        .hash64Ctes("wdis", "whash", "gwx")} SELECT * FROM whash",
+    s"CREATE TEMP TABLE g_bw AS WITH ${AnalysisQueries.poissonWeightCtes} SELECT doc_id, b, w FROM bw",
   )
 
   /** Longest-chain-first substitutions (ClusterCtes embeds ShingleCte
@@ -58,6 +62,15 @@ object OraclePrelude {
     DedupQueries.ShingleCte -> "sh AS (SELECT * FROM g_sh)",
     AnalysisQueries.qualityFeatureCtes ->
       s"${AnalysisQueries.qualityTokenCte},\nf AS (SELECT * FROM g_qf)",
+    // both winnow oracles share one XXH64 table over the distinct
+    // shingles; their upstream wdis CTEs stay defined but unused
+    XxHashSql.hash64Ctes("wdis", "whash", "wxx") ->
+      "whash AS (SELECT * FROM g_whash)",
+    XxHashSql.hash64Ctes("wdis", "whash", "wdx") ->
+      "whash AS (SELECT * FROM g_whash)",
+    AnalysisQueries.poissonWeightCtes ->
+      ("bdoc AS (SELECT doc_id, n_chars FROM documents),\n" +
+        "bw AS (SELECT * FROM g_bw)"),
   )
 
   /** Fast variants for every oracle a substitution applies to. */

@@ -293,10 +293,12 @@ object XxHashSql {
     * kernel's SIGNED long min — the `mmin` discipline), distinct the
     * selected values, and run the same postings-cap pair join. Emits
     * (doc_a, doc_b, n_shared, n_a, n_b, score). */
-  def winnowingPairsSql(re: String, k: Int, w: Int, minShared: Int,
-      dfCap: Int): String = {
-    val flip = "9223372036854775808::UBIGINT"
-    s"""WITH wt AS (
+  /** The winnow chain's shared prefix (token lists → duplicate-keeping
+    * k-shingles → distinct shingle strings), exposed so the gate
+    * prelude can materialize the XXH64 table over `wdis` once for both
+    * winnow oracles. */
+  def winnowShingleCtes(re: String, k: Int, w: Int): String =
+    s"""wt AS (
        |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts FROM documents),
        |wsh AS (
        |  SELECT doc_id,
@@ -305,7 +307,12 @@ object XxHashSql {
        |  FROM wt WHERE len(ts) >= ${k + w - 1}),
        |wdis AS (
        |  SELECT DISTINCT 0 AS doc_id, t
-       |  FROM (SELECT unnest(ss) AS t FROM wsh)),
+       |  FROM (SELECT unnest(ss) AS t FROM wsh))""".stripMargin
+
+  def winnowingPairsSql(re: String, k: Int, w: Int, minShared: Int,
+      dfCap: Int): String = {
+    val flip = "9223372036854775808::UBIGINT"
+    s"""WITH ${winnowShingleCtes(re, k, w)},
        |${hash64Ctes("wdis", "whash", "wxx")},
        |wpos AS (
        |  SELECT doc_id, unnest(ss) AS t,

@@ -1855,7 +1855,7 @@ object AnalysisQueries extends graft.QueryModule {
   /** Shared DuckDB CTE chain for the Poisson-bootstrap family: ends in
     * `bdoc(doc_id, n_chars)` and `bw(doc_id, b, w)` — the per-(doc,
     * replicate) Poisson(1) weights replayed from the keyed hash. */
-  private def poissonWeightCtes: String = {
+  private[graft] def poissonWeightCtes: String = {
     val cases = PoissonCdf.zipWithIndex
       .map { case (c, k) => s"WHEN u < CAST($c AS DOUBLE) THEN $k" }
       .mkString("\n         |      ")

@@ -83,8 +83,8 @@ object DedupQueries extends graft.QueryModule {
     Dedup.ngramContainmentPairs(Tables.loadSpread(spark, dir, "documents"),
       "doc_id", "text", "lang", k = 3, threshold = 0.5)
 
-  private val WinnowK = 4
-  private val WinnowW = 4
+  private[graft] val WinnowK = 4
+  private[graft] val WinnowW = 4
   private val WinnowMinShared = 2
   private val WinnowDfCap = 256
   // expected winnow selection density 2/(w+1), 6-dp — ONE value
