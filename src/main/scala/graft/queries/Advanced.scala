@@ -576,8 +576,13 @@ object Advanced extends graft.QueryModule {
     * `hamming` builtin — the second cross-implementation gate (both
     * compare bytes; the equal-width name format makes DuckDB's
     * raise-on-mismatch and the kernel's -1 unreachable). The blocked
-    * self-join is the record-linkage candidate shape: quadratic only
-    * within a block, never across the table. */
+    * self-join is quadratic only within a block — but note the block
+    * KEY set here (nation × segment) is FIXED, so block sizes grow
+    * with the corpus and in-block work grows ~N²/|blocks| (measured:
+    * 2.5 s at the 10× frame — fine absolutely, not the scale path).
+    * This entry exists for the cross-implementation Hamming gate; for
+    * linkage at scale use [[sortedNeighborhood]], whose candidate count
+    * is O(n·w) regardless of key cardinality. */
   def hammingPairs(spark: SparkSession, dir: String): DataFrame = {
     val tf = graft.functions.TextFunctions
     val c = Tables.load(spark, dir, "customer")
