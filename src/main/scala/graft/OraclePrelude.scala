@@ -63,7 +63,12 @@ object OraclePrelude {
     AnalysisQueries.qualityFeatureCtes ->
       s"${AnalysisQueries.qualityTokenCte},\nf AS (SELECT * FROM g_qf)",
     // both winnow oracles share one XXH64 table over the distinct
-    // shingles; their upstream wdis CTEs stay defined but unused
+    // shingles; their upstream wdis CTEs stay defined but unused.
+    // CONTRACT: this substitution keys on the hash-chain TEXT, which is
+    // k-independent — it is only sound while every oracle's wdis is the
+    // WinnowK/WinnowW shingle set g_whash materializes (true today: one
+    // pairs oracle, one density oracle, same constants). An oracle
+    // introducing a different-k wdis must use a different CTE name.
     XxHashSql.hash64Ctes("wdis", "whash", "wxx") ->
       "whash AS (SELECT * FROM g_whash)",
     XxHashSql.hash64Ctes("wdis", "whash", "wdx") ->
