@@ -60,7 +60,7 @@ object ScaleUp {
 
     def base(name: String, key: String): Long =
       core.Tables.load(spark, src, name)
-        .agg(max(col(key))).head.getLong(0) + 1L
+        .agg(max(col(key))).head().getLong(0) + 1L
 
     val custB = base("customer", "c_custkey")
     val suppB = base("supplier", "s_suppkey")

@@ -143,7 +143,7 @@ object Similarity {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val remaining =
-      scala.collection.mutable.LinkedHashMap(pool.map(p => p._1 -> p): _*)
+      scala.collection.mutable.LinkedHashMap(pool.map(p => p._1 -> p).toIndexedSeq: _*)
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val sel = Seq.newBuilder[(Int, Long, Double, Double)]
     var r = 1

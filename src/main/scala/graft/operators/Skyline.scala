@@ -84,6 +84,6 @@ object Skyline {
     df.join(gtTable, xCol)
       .filter(!((col("gt").isNotNull && col("gt") >= col(yCol))
         || col("maxy") > col(yCol)))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }
