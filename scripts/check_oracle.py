@@ -43,8 +43,14 @@ def main(sf_dir, out_dir, only=()):
     # bound DuckDB so a runaway oracle raises OutOfMemoryException
     # (caught per-query below) instead of drawing the OS OOM killer,
     # which kills the WHOLE gate with no output (observed r12 on
-    # adv_composite_match at sf0.1)
-    con.execute("SET memory_limit='24GB'")
+    # adv_composite_match at sf0.1). Default = 60% of physical RAM so
+    # smaller hosts stay inside the guard; GRAFT_ORACLE_MEMLIMIT
+    # overrides (e.g. '24GB').
+    memlimit = os.environ.get("GRAFT_ORACLE_MEMLIMIT")
+    if not memlimit:
+        pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        memlimit = f"{max(1, int(pages * 0.6) >> 30)}GB"
+    con.execute(f"SET memory_limit='{memlimit}'")
     # known-infeasible oracles (documented policy, e.g. the
     # composite-match recursion OOMs DuckDB at sf0.1): skip by name via
     # GRAFT_ORACLE_SKIP=a,b — the driver's sf0.01 gate runs everything
@@ -60,7 +66,6 @@ def main(sf_dir, out_dir, only=()):
     # materialization of that exact chain text, so it is equivalent by
     # construction; GRAFT_ORACLE_SLOW=1 forces the self-contained SQL
     # (what the driver runs) for cross-checking.
-    import os
     if os.environ.get("GRAFT_ORACLE_SLOW") != "1":
         try:
             prelude = json.load(open(f"{out_dir}/oracle_prelude.json"))

@@ -157,11 +157,18 @@ class QaService(spark: SparkSession, model: TextModel = ExtractiveModel) {
   // every lookup/insert, which covers active traffic — but a service
   // whose tag set stabilizes and then goes idle gets no further cache
   // calls, pinning evicted checkpoint blocks whose consumers are long
-  // GC'd. The daemon timer sweeps regardless of traffic (DfCacheSpec
-  // pins the idle-drain behavior on the store).
-  private val cacheSweeper = graft.core.DfCache.startSweeper(30000L)
+  // GC'd. The sweeper is REFERENCE-COUNTED on the global store: every
+  // service instance sweeps the same cache, so one shared daemon timer
+  // serves them all — instances created without close() no longer
+  // accumulate redundant threads (DfCacheSpec pins idle-drain and the
+  // refcount).
+  graft.core.DfCache.acquireSweeper(30000L)
+  private var closed = false
 
   /** Stops background maintenance (the daemon sweeper dies with the JVM
-    * anyway; explicit close keeps long-lived embedders tidy). */
-  def close(): Unit = cacheSweeper.cancel()
+    * anyway; explicit close keeps long-lived embedders tidy). Safe to
+    * call more than once. */
+  def close(): Unit = synchronized {
+    if (!closed) { closed = true; graft.core.DfCache.releaseSweeper() }
+  }
 }

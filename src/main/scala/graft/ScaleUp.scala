@@ -109,23 +109,54 @@ object ScaleUp {
       df.withColumn("event_id", col("event_id") + lit(i * eventB))
         .withColumn("user_id", col("user_id") + lit(i * userB))
     }
-    // Per-copy character-rotation cipher: letters rotate by i within
-    // [a-z] / [A-Z], digits within [0-9]. Bijective per character class,
-    // so token boundaries, token/shingle COUNTS, and every within-copy
-    // equality structure are EXACTLY the original corpus's (copy 0 IS
-    // the original), while cross-copy token spaces are disjoint — the
-    // pair-family workloads scale ×copies, not ×copies²/2. (A suffix
-    // scheme fails both ways: the tokenizer's run-splitting turns the
-    // suffix into extra TOKENS, inflating shingle volume ~3-4×.)
+    // Per-copy substitution cipher: each copy applies its OWN seeded
+    // permutation of [a-z] (mirrored onto [A-Z]) and of [0-9].
+    // Bijective per character class, so token boundaries, token/shingle
+    // COUNTS, and every within-copy equality structure are EXACTLY the
+    // original corpus's (copy 0 IS the original), while cross-copy
+    // token spaces are statistically disjoint — the pair-family
+    // workloads scale ×copies, not ×copies²/2. (A suffix scheme fails
+    // both ways: the tokenizer's run-splitting turns the suffix into
+    // extra TOKENS, inflating shingle volume ~3-4×.) Permutations come
+    // from a counter-based fmix64 Fisher-Yates, NOT rotation-by-i:
+    // rot(lower, 26) is the identity, so a rotation cipher silently
+    // re-duplicates copies ≥ 26 against copies 0.. — the 30× frame
+    // would include quadratic cross-copy near-dup work the generator
+    // is documented to exclude. Pairwise distinctness is asserted.
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     val digit = "0123456789"
-    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    def fmix64(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    // copy 0 = identity (copy 0 IS the original corpus)
+    def perm(s: String, copy: Int, cls: Int): String =
+      if (copy == 0) s
+      else {
+        val a = s.toCharArray
+        var j = a.length - 1
+        while (j > 0) {
+          val r = fmix64((copy.toLong << 32) | (cls.toLong << 16) | j)
+          val k = java.lang.Math.floorMod(r, j + 1L).toInt
+          val t = a(j); a(j) = a(k); a(k) = t
+          j -= 1
+        }
+        new String(a)
+      }
+    val cipherMaps = (0 until copies)
+      .map(i => perm(lower, i, 0) + perm(digit, i, 1))
+    require(cipherMaps.distinct.length == copies,
+      s"per-copy cipher permutations must be pairwise distinct " +
+        s"(copies=$copies collided)")
     replicate("documents") { (df, i) =>
+      val pl = perm(lower, i, 0)
       df.withColumn("doc_id", col("doc_id") + lit(i * docB))
         .withColumn("text", translate(col("text"),
           lower + upper + digit,
-          rot(lower, i) + rot(upper, i) + rot(digit, i)))
+          pl + pl.toUpperCase + perm(digit, i, 1)))
     }
     replicate("embeddings") { (df, i) =>
       // deterministic per-(copy, dim) jitter (±0.1): separates cross-copy

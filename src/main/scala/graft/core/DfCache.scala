@@ -143,6 +143,33 @@ private[graft] class DfCacheStore(maxEntries: Int) {
     t
   }
 
+  // Reference-counted SHARED sweeper: every QaService instance sweeps
+  // the same global store, so per-instance timers are pure redundancy
+  // (instances created without close() would each leave a daemon
+  // thread behind). One timer serves all acquirers; the last release
+  // cancels it.
+  private[this] var sharedSweeper: java.util.Timer = null
+  private[this] var sweeperRefs = 0
+
+  /** Acquires the shared idle sweeper (starting it on first acquire);
+    * pair with [[releaseSweeper]]. The period is fixed by the first
+    * acquirer until refs drain to zero. */
+  private[graft] def acquireSweeper(periodMs: Long): Unit = synchronized {
+    if (sweeperRefs == 0) sharedSweeper = startSweeper(periodMs)
+    sweeperRefs += 1
+  }
+
+  /** Releases one reference on the shared sweeper, cancelling the timer
+    * when the last reference drains. Extra releases are no-ops. */
+  private[graft] def releaseSweeper(): Unit = synchronized {
+    if (sweeperRefs > 0) {
+      sweeperRefs -= 1
+      if (sweeperRefs == 0) { sharedSweeper.cancel(); sharedSweeper = null }
+    }
+  }
+
+  private[graft] def sweeperRefCount: Int = synchronized(sweeperRefs)
+
   private[graft] def pendingReleaseCount: Int =
     cache.synchronized(pending.length)
 

@@ -438,7 +438,18 @@ object Multimodal {
         oldCode = code
       }
       if (nOut == out.length && !done) {
-        // plane full: accept only an immediate EOI (or stream end)
+        // plane full: accept only an immediate EOI (or exact stream
+        // end — fewer than `width` bits of zero padding left)
+        if (bitPos + width <= nBits) {
+          var next = 0
+          var kk = 0
+          while (kk < width) {
+            val bit = bitPos + kk
+            if ((bytes(bit >> 3) & (1 << (bit & 7))) != 0) next |= 1 << kk
+            kk += 1
+          }
+          if (next != eoi) return None // desynced/truncated stream
+        }
         done = true
       }
     }

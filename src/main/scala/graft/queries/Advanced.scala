@@ -575,26 +575,59 @@ object Advanced extends graft.QueryModule {
     * engine's [[graft.functions.HammingBytes]] kernel vs DuckDB's
     * `hamming` builtin — the second cross-implementation gate (both
     * compare bytes; the equal-width name format makes DuckDB's
-    * raise-on-mismatch and the kernel's -1 unreachable). The blocked
-    * self-join is quadratic only within a block — but note the block
-    * KEY set here (nation × segment) is FIXED, so block sizes grow
-    * with the corpus and in-block work grows ~N²/|blocks| (measured:
-    * 2.5 s at the 10× frame — fine absolutely, not the scale path).
-    * This entry exists for the cross-implementation Hamming gate; for
-    * linkage at scale use [[sortedNeighborhood]], whose candidate count
-    * is O(n·w) regardless of key cardinality. */
-  def hammingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val tf = graft.functions.TextFunctions
-    val c = Tables.load(spark, dir, "customer")
+    * raise-on-mismatch unreachable, and `between(0, 2)` excludes the
+    * kernel's -1 width-mismatch sentinel should widths ever diverge).
+    *
+    * Candidates come from BANDED blocking, not an in-block self-join
+    * (the block KEY set (nation × segment) is fixed, so a blocked
+    * self-join grows ~N²/|blocks| — the one quadratic the r12 sweep
+    * measured, ~7× at the 10× frame). The pigeonhole discipline is
+    * [[graft.operators.Multimodal]]'s `mm_phash_pairs` 4×16 banding:
+    * with 3 bands and ≤ 2 differing byte positions, at most 2 bands
+    * can be corrupted, so every Hamming ≤ 2 pair agrees EXACTLY on at
+    * least one band — an equi-join on (band index, band value) finds
+    * every candidate. Bands are INTERLEAVED over the 9-digit suffix
+    * (band j = digit positions j, j+3, j+6): the name's 'Customer#'
+    * prefix is constant and sequential ids leave high digits nearly
+    * constant, so CONTIGUOUS 3-byte bands would give one degenerate
+    * band value shared by every row (full N² again); interleaving puts
+    * one high, one mid, one low digit in every band, spreading band
+    * cardinality. Differences in the constant prefix (impossible in
+    * TPC-H data, but harmless) sit outside every band and only make
+    * band agreement more likely — recall stays exact. Candidate pairs
+    * are distinct-ed (a pair can agree on 2-3 bands) then verified
+    * with [[graft.functions.HammingBytes]]: work is linear in band
+    * collisions, not block size. */
+  /** Banded-blocking candidate pairs: distinct (nat, seg, key_a, key_b,
+    * name_a, name_b) rows whose names agree on at least one interleaved
+    * digit band. Exposed (pre-verify) so the PlanAudit amplification
+    * bound can assert candidates stay far below the in-block pair count
+    * the banding replaces. */
+  def hammingCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Tables.load(spark, dir, "customer")
       .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
-        col("c_custkey").as("key"), col("c_name").as("name"))
-    c.as("a").join(c.as("b"),
+        col("c_custkey").as("key"), col("c_name").as("name"),
+        posexplode(array((0 until 3).map { j =>
+          concat(substring(col("c_name"), 10 + j, 1),
+            substring(col("c_name"), 13 + j, 1),
+            substring(col("c_name"), 16 + j, 1))
+        }: _*)).as(Seq("band", "sig")))
+    banded.as("a").join(banded.as("b"),
         col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg") &&
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.key") < col("b.key"))
       .select(col("a.nat").as("nat"), col("a.seg").as("seg"),
         col("a.key").as("key_a"), col("b.key").as("key_b"),
-        tf.hamming_bytes(col("a.name"), col("b.name")).as("hamming"))
-      .filter(col("hamming") <= 2)
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+  }
+
+  def hammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    hammingCandidates(spark, dir)
+      .select(col("nat"), col("seg"), col("key_a"), col("key_b"),
+        tf.hamming_bytes(col("name_a"), col("name_b")).as("hamming"))
+      .filter(col("hamming").between(0, 2))
   }
 
   // ONE window literal shared with the oracle

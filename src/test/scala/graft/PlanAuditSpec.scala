@@ -557,7 +557,8 @@ class PlanAuditSpec extends SparkSpec {
     // never a single-task per-segment window sort
     assert(!snm.contains("SinglePartition"),
       s"SNM ranking funnels to one task:\n$snm")
-    // Hamming pairs: blocked self-join on (nation, segment)
+    // Hamming pairs: banded candidates ride a hash equi-join on
+    // (nat, seg, band, sig) — never a cartesian/range scan
     val ham = graft.queries.Advanced.hammingPairs(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!ham.contains("CartesianProduct"), ham)
@@ -568,6 +569,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(dam.contains("BroadcastHashJoin"),
       s"probe side must broadcast:\n$dam")
     assert(!dam.contains("CartesianProduct"), dam)
+  }
+
+  test("hamming pairs: banded blocking — exact recall, bounded candidate amplification") {
+    import org.apache.spark.sql.functions.{col, sum, expr}
+    val dir = "/root/testdata/sf0.01" // sf0.001's 150 keys leave the
+    // digit bands nearly constant; amplification is only meaningful
+    // once band cardinality is realistic
+    // exact recall: the banded pipeline must equal the naive in-block
+    // quadratic it replaces, row for row
+    val tf = graft.functions.TextFunctions
+    val c = graft.core.Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        col("c_custkey").as("key"), col("c_name").as("name"))
+    val naive = c.as("a").join(c.as("b"),
+        col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg") &&
+          col("a.key") < col("b.key"))
+      .select(col("a.nat").as("nat"), col("a.seg").as("seg"),
+        col("a.key").as("key_a"), col("b.key").as("key_b"),
+        tf.hamming_bytes(col("a.name"), col("b.name")).as("hamming"))
+      .filter(col("hamming").between(0, 2))
+    val banded = graft.queries.Advanced.hammingPairs(spark, dir)
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty,
+      "banded blocking must have exact recall vs the naive quadratic")
+    // amplification bound: the verify set must stay well below the
+    // in-block pair count the banding replaces — THE property that
+    // makes the entry linear in band collisions instead of N²/|blocks|
+    val cand = graft.queries.Advanced.hammingCandidates(spark, dir).count()
+    val blockPairs = c.groupBy(col("nat"), col("seg")).count()
+      .select(sum(expr("count * (count - 1) / 2")).cast("long"))
+      .first().getLong(0)
+    info(s"candidates=$cand blockPairs=$blockPairs " +
+      f"ratio=${cand.toDouble / blockPairs}%.3f")
+    assert(cand * 2 <= blockPairs,
+      s"banding must prune at least half the quadratic: " +
+        s"cand=$cand blockPairs=$blockPairs")
   }
 
   test("repetition signals: every stage keys on doc_id, no global funnel") {
