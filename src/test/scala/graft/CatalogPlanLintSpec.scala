@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Catalog-wide plan lint: ONE spec that builds every registered
+  * query's physical plan at sf0.001 and asserts the no-scale-killer
+  * invariants the per-query PlanAudit/Plan specs pin individually —
+  * so a FUTURE entry can't regress them silently:
+  *
+  *   1. no `Exchange SinglePartition` — the single-task funnel that
+  *      caps an operator at one core regardless of cluster size
+  *      (whitelist: empty, none expected);
+  *   2. no `CartesianProduct` (whitelist: empty), and
+  *      `BroadcastNestedLoopJoin` ONLY when the broadcast side is
+  *      PROVABLY bounded: its subtree ends in a global aggregate
+  *      (no grouping keys → exactly 1 row) or a literal local table /
+  *      small Range (a value-cell or dimension grid). The bound is
+  *      checked STRUCTURALLY, not by name, so a future entry crossing
+  *      an unbounded frame fails even if its name is new;
+  *   3. no `WindowExec` with an empty partition spec UNLESS its input
+  *      is already an aggregated frame (an AggregateExec strictly
+  *      below the window): every such site in the catalog windows over
+  *      a bounded group domain — value cells, quantile buckets,
+  *      judgment classes, calendar weeks — whose cardinality the
+  *      per-query specs pin; an unpartitioned window directly over
+  *      table rows (the real single-task sort cliff) still fails.
+  *
+  * The lint reads `queryExecution.sparkPlan` (the pre-AQE physical
+  * plan, including subquery plans): what OUR code declares, before
+  * runtime re-planning can mask a funnel at test scale. `stream_*`
+  * entries are excluded — invoking them drains a real micro-batch
+  * stream and the returned memory-sink frame's plan is a
+  * LocalTableScan (their micro-batch plans are linted in the streaming
+  * specs). The residual name whitelist is exact and must stay small;
+  * an UNUSED entry fails the lint too, so it can only shrink or be
+  * consciously re-justified.
+  */
+class CatalogPlanLintSpec extends SparkSpec {
+
+  // (queries, rule, why this occurrence is bounded — WITH the bound).
+  // Every entry must fire or the lint fails; keep it ≤ 10 entries.
+  private val whitelist: Seq[(Set[String], String, String)] = Seq(
+    (Set("sim_topk_brute", "sim_topk_pq", "sim_ivf_recall", "sim_ivf_ndcg",
+      "sim_knn_classify", "sim_matryoshka_recall", "sim_pq_recall",
+      "sim_sq8_recall", "sim_hard_negatives"), "nested-loop-join-unbounded",
+      "crosses the fixed ANN probe set: vec_id < PROBE_N (=10) pushed to " +
+        "the parquet scan — ≤ 10 rows by the query's own literal"),
+    (Set("rel_ab_test"), "nested-loop-join-unbounded",
+      "crosses a 2-row arm LocalTableScan left-joined to per-arm unique " +
+        "aggregates — ≤ 2 rows"),
+    (Set("rel_kendall_tau"), "nested-loop-join-unbounded",
+      "crosses the y value-cell grid floor(l_extendedprice/100) — " +
+        "≤ ~1.1k cells by the TPC-H price domain [900, 104950]"),
+    (Set("rel_kmv_intersect"), "nested-loop-join-unbounded",
+      "crosses the per-quarter KMV sketch table — ≤ 2 quarter rows, " +
+        "each a k=64 bottom-k array"),
+    (Set("ta_hybrid_related"), "nested-loop-join-unbounded",
+      "crosses two 1-row probe lookups (vec_id = 0 / doc_id = 0 " +
+        "equality filters on unique ids)"),
+    (Set("ta_source_length_kl"), "nested-loop-join-unbounded",
+      "crosses the length-histogram grid least(n_chars div 100, 49) — " +
+        "≤ 50 buckets by the least() literal"),
+    (Set("ta_source_term_js"), "nested-loop-join-unbounded",
+      "crosses a union of two exploded GLOBAL top-k(200) vocab lists — " +
+        "≤ 400 rows by the top_k_structs literal"),
+  )
+
+  /** Max rows a broadcast-side subtree can produce, when that is
+    * statically provable: an aggregate with no grouping keys — or only
+    * FOLDABLE ones (`groupBy(lit(0))`) — is at most 1 row; a limit is
+    * its literal; a local relation or Range is its literal size; other
+    * unary nodes can only keep or shrink row count (project/filter/
+    * sort/exchange/agg). */
+  private def boundedRows(p: SparkPlan): Option[Long] = {
+    // Alias never reports foldable — strip it so groupBy(lit(0))'s
+    // partial-agg keys (`0 AS 0#n`) prove the ≤1-group bound
+    def stripAlias(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+      e match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => stripAlias(a.child)
+        case other => other
+      }
+    def aggBound(grouping: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Option[Long] =
+      if (grouping.forall(stripAlias(_).foldable)) Some(1L) else None
+    p match {
+      case a: HashAggregateExec => aggBound(a.groupingExpressions)
+        .orElse(a.children.headOption.flatMap(boundedRows))
+      case a: SortAggregateExec => aggBound(a.groupingExpressions)
+        .orElse(a.children.headOption.flatMap(boundedRows))
+      case a: ObjectHashAggregateExec => aggBound(a.groupingExpressions)
+        .orElse(a.children.headOption.flatMap(boundedRows))
+      case l: org.apache.spark.sql.execution.GlobalLimitExec =>
+        Some(l.limit.toLong)
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        Some(t.limit.toLong)
+      case r: org.apache.spark.sql.execution.RangeExec => Some(r.numElements.toLong)
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => Some(l.rows.size.toLong)
+      case other if other.children.size == 1 => boundedRows(other.children.head)
+      case _ => None
+    }
+  }
+
+  private def hasAggBelow(p: SparkPlan): Boolean =
+    p.exists {
+      case _: HashAggregateExec | _: SortAggregateExec |
+           _: ObjectHashAggregateExec => true
+      case _ => false
+    }
+
+  test("every batch catalog entry: no single-partition exchange, no unbounded product, no unpartitioned window over raw rows") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("stream_"))
+    val violations = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val fired = scala.collection.mutable.Set.empty[Int]
+    var bnljBounded = 0
+    var windowsOverAggs = 0
+    for (name <- names) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      val hits = plan.collectWithSubqueries {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+          Some("single-partition-exchange")
+        case _: CartesianProductExec => Some("cartesian")
+        case j: BroadcastNestedLoopJoinExec =>
+          val bcast = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }
+          boundedRows(bcast) match {
+            // a 1-row or literal-grid broadcast side bounds the product
+            // at |stream| × bound — a column-append, not a blow-up
+            case Some(bound) if bound <= 256 => bnljBounded += 1; None
+            case _ => Some("nested-loop-join-unbounded")
+          }
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          if (hasAggBelow(w.child)) { windowsOverAggs += 1; None }
+          else Some("unpartitioned-window-over-raw-rows")
+      }
+      hits.flatten.distinct.foreach { rule =>
+        val wl = whitelist.indexWhere { case (qs, r, _) => qs(name) && r == rule }
+        if (wl >= 0) fired += wl else violations += ((name, rule))
+      }
+    }
+    info(s"${names.size} plans linted; $bnljBounded bounded-broadcast " +
+      s"crossings, $windowsOverAggs unpartitioned windows over aggregated frames; " +
+      s"${whitelist.size} whitelist entries, all fired: ${fired.size == whitelist.size}")
+    assert(violations.isEmpty,
+      s"plan-lint violations (whitelist ONLY with a stated bound):\n  " +
+        violations.map { case (n, r) => s"$n: $r" }.mkString("\n  "))
+    val unfired = whitelist.indices.filterNot(fired)
+    assert(unfired.isEmpty, s"stale whitelist entries (never fired): " +
+      unfired.map(whitelist(_)._1).mkString(", "))
+  }
+}
