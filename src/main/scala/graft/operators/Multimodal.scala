@@ -8,17 +8,19 @@ import org.apache.spark.sql.functions._
   *
   * The decode kernel ([[decodeKernel]]) parses REAL container headers in
   * pure JVM code — PNG IHDR, JPEG SOF, GIF logical screen + frame walk,
-  * and RIFF/WAVE fmt/data — and PIXELS really decode for PNG (r11:
+  * and RIFF/WAVE fmt/data — and PAYLOADS really decode for PNG (r11:
   * [[decodePngPixels]], Inflater + full None/Sub/Up/Average/Paeth
-  * defilter + palette expansion) AND GIF (r12: [[decodeGifPixels]],
-  * pure-JVM LZW + interlace + palette), zero new dependencies, feeding
-  * the real 8x8-luma aHash and pixel histograms. The clearly marked
-  * deterministic fake remains only for payloads needing codecs this
-  * environment can't ship (JPEG entropy decode, audio/video sample
-  * decode, H.264, ...) — THE permanent FFI boundary; swapping that
-  * seam in changes no dataflow. The Spark-side plumbing (schema, batch
-  * iteration, partition-local processing, metadata structs) is real
-  * and tested either way.
+  * defilter + palette expansion), GIF (r12: [[decodeGifPixels]],
+  * pure-JVM LZW + interlace + palette) and WAV PCM (r13:
+  * [[decodeWavSamples]], 16-bit LE / 8-bit unsigned linear PCM), zero
+  * new dependencies, feeding the real 8x8-luma aHash, the PCM envelope
+  * hash and pixel/amplitude histograms. The clearly marked
+  * deterministic fake remains ONLY for baseline-JPEG payloads — JPEG
+  * entropy decode needs a codec this environment can't ship, and that
+  * is the ONE permanent FFI boundary, closed by design; swapping a
+  * real codec into that seam changes no dataflow. The Spark-side
+  * plumbing (schema, batch iteration, partition-local processing,
+  * metadata structs) is real and tested either way.
   *
   * Scale notes: blobs never shuffle — `decodeMeta` is mapPartitions over
   * the scan, metadata-only columns flow downstream. A real pipeline
@@ -341,9 +343,10 @@ object Multimodal {
     * expansion to RGB. Rejects (None) on any malformed stream: bad
     * codes, over/underfull index planes, sub-block desync, palette
     * overrun, or dimensions past the same 256 MB bomb guard PNG uses.
-    * Same no-new-dependency discipline as the PNG Inflate path; the
-    * deterministic fake now remains ONLY for JPEG/WAV payloads — the
-    * documented external-codec FFI boundary (reference analog:
+    * Same no-new-dependency discipline as the PNG Inflate path; with
+    * [[decodeWavSamples]] (r13) the deterministic fake now remains
+    * ONLY for JPEG payloads — the one permanent external-codec FFI
+    * boundary (reference analog:
     * /root/reference/src/utils/document_processing.py:194-243). */
   private[graft] def decodeGifPixels(b: Array[Byte]): Option[PngPixels] = {
     if (parseGifHeader(b).isEmpty) return None // full structural walk
@@ -488,6 +491,108 @@ object Multimodal {
   private[graft] def decodePixels(b: Array[Byte]): Option[PngPixels] =
     decodePngPixels(b).orElse(decodeGifPixels(b))
 
+  /** REAL sample decode for WAV PCM (r13 — the third and last pure-JVM
+    * payload codec after PNG and GIF): RIFF/WAVE chunk walk, linear PCM
+    * only (`fmt` audio format tag 1), 16-bit little-endian signed or
+    * 8-bit unsigned (widened to signed 16: (v − 128) << 8, the PCM
+    * convention), interleaved channels returned as-is. STRICT accept,
+    * same discipline as the pixel decoders — any of these rejects to
+    * the deterministic-fake branch: non-PCM format tag, bits outside
+    * {8, 16}, a declared `data` size the buffer does not fully contain,
+    * a data size not a multiple of the frame stride, or a missing
+    * fmt/data chunk. With this, the deterministic fake remains ONLY for
+    * JPEG payloads — baseline JPEG entropy decode is the one PERMANENT
+    * FFI seam (reference analog: the external `marker_single` boundary,
+    * /root/reference/src/utils/document_processing.py:194-243). */
+  private[graft] def decodeWavSamples(b: Array[Byte]): Option[Array[Short]] = {
+    if (parseWavHeader(b).isEmpty) return None // structural walk + rate/align checks
+    var off = 12
+    var fmtTag = -1; var channels = -1; var bits = -1; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1L
+    while (off + 8 <= b.length && (fmtTag < 0 || dataOff < 0)) {
+      val size = le32(b, off + 4)
+      if (tagAt(b, off, "fmt ") && size >= 16 && off + 8 + 16 <= b.length) {
+        fmtTag = le16(b, off + 8)
+        channels = le16(b, off + 10)
+        bits = le16(b, off + 22)
+        blockAlign = le16(b, off + 20)
+      } else if (tagAt(b, off, "data")) {
+        dataOff = off + 8
+        dataLen = size
+      }
+      val next = off.toLong + 8L + size + (size & 1L)
+      off = if (next > b.length) b.length else next.toInt
+    }
+    if (fmtTag != 1 || channels <= 0 || dataOff < 0) return None
+    if (bits != 8 && bits != 16) return None
+    val stride = channels * (bits / 8)
+    if (blockAlign != stride) return None
+    // the declared payload must be FULLY present and frame-aligned —
+    // a truncated data chunk decodes to silence-padded garbage in
+    // lenient readers; we reject instead
+    if (dataLen < 0 || dataOff + dataLen > b.length || dataLen % stride != 0)
+      return None
+    val nSamples = (dataLen / (bits / 8)).toInt
+    val out = new Array[Short](nSamples)
+    var i = 0
+    if (bits == 16) {
+      while (i < nSamples) {
+        out(i) = ((b(dataOff + 2 * i) & 0xff) |
+          (b(dataOff + 2 * i + 1) << 8)).toShort
+        i += 1
+      }
+    } else {
+      while (i < nSamples) {
+        out(i) = (((b(dataOff + i) & 0xff) - 128) << 8).toShort
+        i += 1
+      }
+    }
+    Some(out)
+  }
+
+  /** 64-cell mean-|amplitude| envelope of decoded PCM samples, scaled
+    * to bytes — the audio analog of [[lumaGrid8]]: cell c averages the
+    * absolute amplitude of its sample span, mapped to 0..255 by >> 7
+    * (max |s16| = 32768 → 256). Feeds the same [[aHashBytes]]
+    * threshold, so a WAV payload gets a REAL envelope hash with the
+    * identical banding/verification downstream. Empty sample arrays
+    * return the all-zero thumbnail (hashes to 0 — no distribution). */
+  private[graft] def envelopeGrid64(samples: Array[Short]): Array[Byte] = {
+    val cells = new Array[Byte](64)
+    val n = samples.length
+    if (n == 0) return cells
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val c = (i.toLong * 64 / n).toInt
+      sums(c) += math.abs(samples(i).toInt)
+      cnts(c) += 1
+      i += 1
+    }
+    var c = 0
+    while (c < 64) {
+      if (cnts(c) > 0) cells(c) = math.min(255L, (sums(c) / cnts(c)) >> 7).toByte
+      c += 1
+    }
+    cells
+  }
+
+  /** Amplitude bytes for the feature histogram: each PCM sample mapped
+    * to its unsigned-byte magnitude class ((s + 32768) >> 8), so
+    * [[extractFeatures]]' 8-bucket histogram becomes a REAL amplitude
+    * distribution (bucket 3/4 straddle silence; loud audio fills the
+    * tails) instead of a histogram of container bytes. */
+  private[graft] def amplitudeBytes(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length)
+    var i = 0
+    while (i < samples.length) {
+      out(i) = (((samples(i).toInt + 32768) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** 8x8 mean-luma thumbnail of DECODED pixels — the real aHash grid:
     * integer Rec.601 luma per pixel (gray channel for types 0/4),
     * averaged over each cell's pixel block. */
@@ -598,9 +703,11 @@ object Multimodal {
   }
 
   /** Partition-local perceptual hashing (the [[decodeMeta]] iterator
-    * contract): a PNG payload in the supported profile is REALLY decoded
-    * ([[decodePngPixels]]) and hashed over its 8x8 mean-luma grid
-    * ([[lumaGrid8]]) — the genuine average-hash. Everything else takes
+    * contract): a PNG/GIF payload in the supported profile is REALLY
+    * decoded ([[decodePixels]]) and hashed over its 8x8 mean-luma grid
+    * ([[lumaGrid8]]) — the genuine average-hash; a WAV PCM payload is
+    * decoded ([[decodeWavSamples]]) and hashed over its 64-cell
+    * amplitude envelope ([[envelopeGrid64]]). Everything else takes
     * the documented deterministic fake (64-cell XXH64 token-slot
     * thumbnail of the payload — the synthetic corpus' UTF-8 stand-ins
     * always land here: 0x89 cannot begin UTF-8 text, which is what
@@ -614,8 +721,9 @@ object Multimodal {
     blobs.select(col("doc_id"), col("media_type"), col("blob"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, mt, b) =>
-        val thumb = decodePixels(b) match {
-          case Some(p) => lumaGrid8(p)
+        val thumb = decodePixels(b).map(lumaGrid8)
+            .orElse(decodeWavSamples(b).map(envelopeGrid64)) match {
+          case Some(grid) => grid
           case None =>
             val cells = new Array[Long](64)
             graft.functions.Tokenizer.tokens(new String(b, "UTF-8")).foreach { t =>
@@ -679,10 +787,12 @@ object Multimodal {
 
   /** Feature extraction — the shape of an embedding/fingerprint kernel
     * over a binary column: one partition-local pass computing a
-    * normalized 8-bucket histogram + its entropy. For a PNG in the
+    * normalized 8-bucket histogram + its entropy. For a PNG/GIF in the
     * supported profile the histogram runs over the DECODED PIXEL bytes
-    * ([[decodePngPixels]] — real intensity distribution, verified
-    * against hand-computed stats in MultimodalSpec); any other payload
+    * ([[decodePixels]] — real intensity distribution, verified
+    * against hand-computed stats in MultimodalSpec); for a WAV PCM
+    * payload it runs over DECODED SAMPLE amplitude classes
+    * ([[amplitudeBytes]] — a real loudness distribution); any other payload
     * keeps the raw-byte histogram (the documented stand-in — a richer
     * extractor such as a CLIP embedding or mel spectrogram replaces the
     * loop body; the iterator/schema/partitioning contract is identical).
@@ -695,7 +805,9 @@ object Multimodal {
     blobs.select(col("doc_id"), col("media_type"), col("blob"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, mt, blob) =>
-        val bytes = decodePixels(blob).map(_.pixels).getOrElse(blob)
+        val bytes = decodePixels(blob).map(_.pixels)
+          .orElse(decodeWavSamples(blob).map(amplitudeBytes))
+          .getOrElse(blob)
         val counts = new Array[Double](8)
         var i = 0
         while (i < bytes.length) { counts((bytes(i) & 0xff) >> 5) += 1; i += 1 }

@@ -503,6 +503,94 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGifPixels("GIF89a ordinary text".getBytes).isEmpty)
   }
 
+  /** WAV through the INDEPENDENT JDK encoder (javax.sound.sampled) —
+    * the PNG/GIF-vs-ImageIO discipline for audio: our decoder must
+    * return bit-exactly the samples AudioSystem encoded. */
+  private def jdkWav(samples: Array[Short], channels: Int, rate: Float): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+      /*signed*/ true, /*bigEndian*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WAV samples: bit-exact decode vs the JDK AudioSystem encoder") {
+    val sine = Array.tabulate(400)(i =>
+      (math.sin(i * 2 * math.Pi / 50) * 12000).toShort)
+    val mono = Multimodal.decodeWavSamples(jdkWav(sine, 1, 8000f))
+    assert(mono.exists(_.sameElements(sine)), "mono 16-bit mismatch")
+    // stereo interleave survives untouched
+    val stereo = Array.tabulate(200)(i => (i * 37 - 3000).toShort)
+    val st = Multimodal.decodeWavSamples(jdkWav(stereo, 2, 44100f))
+    assert(st.exists(_.sameElements(stereo)), "stereo 16-bit mismatch")
+  }
+
+  test("WAV samples: 8-bit unsigned widens per the PCM convention") {
+    val wav8 = realWav(8000, 1, 8, 5) // data bytes are (i * 13).toByte
+    val got = Multimodal.decodeWavSamples(wav8)
+    val expect = Array.tabulate(5)(i =>
+      ((((i * 13).toByte & 0xff) - 128) << 8).toShort)
+    assert(got.exists(_.sameElements(expect)), s"got $got")
+  }
+
+  test("WAV samples: features and phash ride the decoded amplitudes") {
+    val s = spark; import s.implicits._
+    // half silence, half loud square wave: the envelope thumbnail's
+    // first 32 cells sit below the mean, the last 32 above -> aHash
+    // must be exactly the high-32-bits mask; the amplitude histogram
+    // must concentrate in the silence buckets (3,4) + the square's
+    // extremes, NOT the container-byte distribution
+    val samples = Array.tabulate(6400)(i =>
+      if (i < 3200) 0.toShort
+      else if ((i / 25) % 2 == 0) 20000.toShort else (-20000).toShort)
+    val wav = jdkWav(samples, 1, 8000f)
+    val grid = Multimodal.envelopeGrid64(samples)
+    assert(grid.take(32).forall(_ == 0) && grid.drop(32).forall(b => (b & 0xff) > 100))
+    val df = Seq((7L, "audio", wav)).toDF("doc_id", "media_type", "blob")
+    val ph = Multimodal.perceptualHashes(spark, df).collect().head.getLong(2)
+    assert(ph == (0xFFFFFFFFL << 32), f"envelope hash $ph%016x")
+    val feats = Multimodal.extractFeatures(spark, df).collect().head
+    // hand-computed: silence -> bucket 4 ((0+32768)>>8 = 128 -> >>5 = 4);
+    // +20000 -> bucket 6; -20000 -> bucket 1; square halves split evenly
+    assert(math.abs(feats.features(4) - 0.5) < 1e-9, feats.features.mkString(","))
+    assert(math.abs(feats.features(6) - 0.25) < 1e-9)
+    assert(math.abs(feats.features(1) - 0.25) < 1e-9)
+  }
+
+  test("WAV samples: non-PCM, odd widths, truncation and misalignment reject") {
+    val good = jdkWav(Array.tabulate(100)(i => (i * 7).toShort), 1, 8000f)
+    assert(Multimodal.decodeWavSamples(good).nonEmpty)
+    // truncated data chunk: declared size no longer contained
+    assert(Multimodal.decodeWavSamples(good.dropRight(3)).isEmpty)
+    // float PCM (format tag 3) must reject even with a valid layout
+    val f = good.clone()
+    val fmtOff = 12 + 8 // "fmt " tag + size -> tag field
+    f(fmtOff) = 3
+    assert(Multimodal.decodeWavSamples(f).isEmpty)
+    // 24-bit: outside the supported {8, 16}
+    val w24 = realWav(8000, 1, 24, 4)
+    assert(Multimodal.decodeWavSamples(w24).isEmpty)
+    // adversarial fuzz: random + mutated streams never throw
+    val rnd = new scala.util.Random(13)
+    (0 until 200).foreach { _ =>
+      val m = good.clone()
+      (0 until 8).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      Multimodal.decodeWavSamples(m)
+      Multimodal.decodeWavSamples(
+        Array.fill(rnd.nextInt(256))(rnd.nextInt(256).toByte))
+    }
+    // printable prefix on ordinary text keeps the fake branch
+    assert(Multimodal.decodeWavSamples("RIFFxxxxWAVE just text".getBytes).isEmpty)
+  }
+
   test("decodeMeta end-to-end: real media and text blobs in one frame") {
     val s = spark; import s.implicits._
     val rows = Seq(
