@@ -41,6 +41,94 @@ object TextMetrics {
     }
   }
 
+  /** A REAL (deterministic) embedding model through the
+    * [[EmbeddingScorer]] seam — the BERTScore-shaped dataflow with a
+    * seeded random-projection token embedding instead of transformer
+    * weights (which are offline-unavailable; swapping them in changes
+    * only [[mask]]). Each distinct token embeds to a `dims`-bit
+    * Rademacher sign vector: bit k is the low bit of the engine's
+    * hash-family derivation fmix64(xxh64(token) ^ k·GOLDEN) — the SAME
+    * mix the MinHash/CMS kernels use, so DuckDB replays the embedding
+    * bit-for-bit through the existing [[graft.core.XxHashSql]] chains.
+    * Scores are BERTScore's greedy alignment: precision = mean over
+    * candidate tokens of the max cosine to any reference token (recall
+    * symmetric, F1 harmonic). For ±1 vectors, cos(c, r) =
+    * (dims − 2·popcount(mask_c xor mask_r)) / dims — integer
+    * arithmetic until one final division, which is what keeps the
+    * cross-engine replay exact. Scores live in [−1, 1] like raw
+    * (un-baselined) BERTScore. */
+  final class RandomProjectionScorer(dims: Int) extends EmbeddingScorer {
+    require(dims >= 1 && dims <= 64, "mask packs into one Long")
+
+    private def mask(t: String): Long = {
+      val base = graft.functions.HashKernel.xxh64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      var m = 0L
+      var k = 0
+      while (k < dims) {
+        if ((graft.functions.Mix.fmix64(
+            base ^ (k * 0x9E3779B97F4A7C15L)) & 1L) == 0L) m |= 1L << k
+        k += 1
+      }
+      m
+    }
+
+    /** sum over `a` of max-dot against `b`, divided once at the end —
+      * the only float op, mirrored verbatim by the oracle SQL. */
+    private def side(a: Array[Long], b: Array[Long]): Double = {
+      var s = 0L
+      var i = 0
+      while (i < a.length) {
+        var minH = dims
+        var j = 0
+        while (j < b.length) {
+          val h = java.lang.Long.bitCount(a(i) ^ b(j))
+          if (h < minH) minH = h
+          j += 1
+        }
+        s += dims - 2 * minH
+        i += 1
+      }
+      s / (dims.toDouble * a.length)
+    }
+
+    def score(candidate: String, reference: String): (Double, Double, Double) = {
+      val ct = Tokenizer.tokens(candidate).distinct
+      val rt = Tokenizer.tokens(reference).distinct
+      if (ct.isEmpty || rt.isEmpty) return (0.0, 0.0, 0.0)
+      val cm = ct.map(mask).toArray
+      val rm = rt.map(mask).toArray
+      val p = side(cm, rm)
+      val r = side(rm, cm)
+      val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+      (p, r, f1)
+    }
+  }
+
+  /** Per-pair scores through the mapPartitions seam, keyed — the
+    * [[scoreAnswersWith]] dataflow WITHOUT the aggregation, so callers
+    * can fold the means in a fixed key order (replay-exact across
+    * engines/partitionings). */
+  def scorePairsWith(scorer: EmbeddingScorer, answers: DataFrame,
+      candidateCol: String, referenceCol: String,
+      keyCol: String): DataFrame = {
+    val spark = answers.sparkSession
+    import spark.implicits._
+    answers
+      .select(col(keyCol).cast("long"),
+        coalesce(col(candidateCol).cast("string"), lit("")),
+        coalesce(col(referenceCol).cast("string"), lit("")))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        // per-partition scorer init point (weights load would go here)
+        it.map { case (k, c, r) =>
+          val (p, rec, f1) = scorer.score(c, r)
+          (k, p, rec, f1)
+        }
+      }
+      .toDF(keyCol, "precision", "recall", "f1")
+  }
+
   /** Column form of the lexical scorer (codegen-free but set-based —
     * fine off the hot path; model scorers would use mapPartitions). */
   def lexicalPRF(candidate: Column, reference: Column): Column = {

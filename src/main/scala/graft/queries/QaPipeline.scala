@@ -130,6 +130,41 @@ object QaPipeline extends graft.QueryModule {
       cand.join(refs, "doc_id"), "llm_answer", "ref_text", col("doc_id"))
   }
 
+  private[queries] val EmbedDims = 16
+
+  /** §5 model-scorer dataflow, REAL end-to-end (reference:
+    * text_evaluation_metrics.py:71-189, the BERTScore shape): the same
+    * answer/reference pairing as [[answerPrf]] scored through the
+    * [[graft.operators.TextMetrics.EmbeddingScorer]] mapPartitions
+    * seam with the deterministic random-projection embedding
+    * ([[graft.operators.TextMetrics.RandomProjectionScorer]]) — token
+    * sign vectors from the engine's hash-family mix, greedy max-cosine
+    * alignment, per-doc P/R/F1 in [−1, 1]. Proves the BERTScore-shaped
+    * dataflow is one weight file away: a transformer scorer replaces
+    * the kernel, nothing else moves. Means fold doc_id-ordered so the
+    * floats replay exactly; the DuckDB oracle re-derives the embedding
+    * bit-for-bit via the XxHashSql xxh64 + fmix64 chains. */
+  def embedScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val refs = docs
+      .withColumn("t", truncate_tokens(col("text"), lit(TruncMax), lit("start")))
+      .select(col("doc_id"), col("t.text").as("ref_text"))
+    val cand = pipe.answers(docs).select(col("doc_id"), col("llm_answer"))
+    val scored = graft.operators.TextMetrics.scorePairsWith(
+      new graft.operators.TextMetrics.RandomProjectionScorer(EmbedDims),
+      cand.join(refs, "doc_id"), "llm_answer", "ref_text", "doc_id")
+      .select(col("doc_id"), round(col("precision"), 6).as("p"),
+        round(col("recall"), 6).as("r"), round(col("f1"), 6).as("f"))
+    scored.agg(
+      count(lit(1)).as("n"),
+      round(ordered_sum(col("p"), col("doc_id")) / count(lit(1)), 6)
+        .as("mean_precision"),
+      round(ordered_sum(col("r"), col("doc_id")) / count(lit(1)), 6)
+        .as("mean_recall"),
+      round(ordered_sum(col("f"), col("doc_id")) / count(lit(1)), 6)
+        .as("mean_f1"))
+  }
+
   private[queries] val RougeMax = 64
 
   /** ROUGE-L answer scoring (Lin, 2004) — the sequence-aware companion
@@ -257,6 +292,7 @@ object QaPipeline extends graft.QueryModule {
     "qa_truncation" -> truncation,
     "qa_truncation_summary" -> truncationSummary,
     "qa_answer_prf" -> answerPrf,
+    "qa_embed_score" -> embedScore,
     "qa_rouge_l" -> rougeL,
     "qa_bleu" -> bleu,
   )
@@ -555,6 +591,85 @@ object QaPipeline extends graft.QueryModule {
          |  FROM (SELECT doc_id,
          |          list_distinct(regexp_extract_all(llm_answer, '$re')) AS ctoks
          |        FROM answers) a JOIN refs USING (doc_id)
+         |), prf2 AS (
+         |  SELECT doc_id, round(p, 6) AS p, round(r, 6) AS r,
+         |    round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+         |               ELSE 0.0 END, 6) AS f1
+         |  FROM prf
+         |)
+         |SELECT count(*) AS n,
+         |  round(list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
+         |    (a, b) -> a + b) / count(*), 6) AS mean_precision,
+         |  round(list_reduce(list_prepend(0.0, list(r ORDER BY doc_id)),
+         |    (a, b) -> a + b) / count(*), 6) AS mean_recall,
+         |  round(list_reduce(list_prepend(0.0, list(f1 ORDER BY doc_id)),
+         |    (a, b) -> a + b) / count(*), 6) AS mean_f1
+         |FROM prf2""".stripMargin,
+    // The random-projection embedding replayed bit-for-bit: xxh64 per
+    // distinct token (XxHashSql chain), 16 family hashes via the
+    // k·GOLDEN xor + fmix64 mix, low bits packed into a 16-bit mask;
+    // cos(c, r) = (16 − 2·bit_count(xor)) / 16, greedy max alignment
+    // per side, one float division per doc side — the engine kernel's
+    // exact arithmetic (RandomProjectionScorer).
+    "qa_embed_score" ->
+      s"""$scoredCte, answers AS ($answersSelect),
+         |refs AS (
+         |  SELECT doc_id, list_distinct(list_slice(ts, 1,
+         |    least(len(ts), $TruncMax))) AS rtoks
+         |  FROM toks
+         |), cset AS (
+         |  SELECT doc_id,
+         |    list_distinct(regexp_extract_all(llm_answer, '$re')) AS ctoks
+         |  FROM answers
+         |), bothd AS (
+         |  SELECT c.doc_id AS doc_id, ctoks, rtoks
+         |  FROM cset c JOIN refs USING (doc_id)
+         |), vt0 AS (
+         |  SELECT DISTINCT 0::BIGINT AS doc_id, t FROM (
+         |    SELECT unnest(ctoks) AS t FROM bothd
+         |    UNION ALL SELECT unnest(rtoks) AS t FROM bothd)
+         |),
+         |${graft.core.XxHashSql.hash64Ctes("vt0", "vbase", "ex")},
+         |vkj AS (
+         |  SELECT t, xor(h64, CAST((CAST(k AS HUGEINT) *
+         |      ${java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)}::HUGEINT) %
+         |      18446744073709551616::HUGEINT AS UBIGINT)) AS h, k
+         |  FROM vbase CROSS JOIN (SELECT unnest(range($EmbedDims)) AS k)),
+         |${graft.core.XxHashSql.fmixCtes("vkf", "vkj", "vkfo", Seq("t", "k"))},
+         |vmask AS (
+         |  SELECT t, CAST(sum(CASE WHEN (h & 1::UBIGINT) = 0::UBIGINT
+         |    THEN (1::BIGINT << k) ELSE 0::BIGINT END) AS UBIGINT) AS m
+         |  FROM vkfo GROUP BY t),
+         |cm AS (SELECT doc_id, ct, m FROM
+         |  (SELECT doc_id, unnest(ctoks) AS ct FROM bothd) cu
+         |  JOIN vmask ON cu.ct = vmask.t),
+         |rmk AS (SELECT doc_id, rt, m FROM
+         |  (SELECT doc_id, unnest(rtoks) AS rt FROM bothd) ru
+         |  JOIN vmask ON ru.rt = vmask.t),
+         |bestc AS (
+         |  SELECT cm.doc_id AS doc_id, cm.ct,
+         |    min(bit_count(xor(cm.m, rmk.m))) AS minh
+         |  FROM cm JOIN rmk ON cm.doc_id = rmk.doc_id
+         |  GROUP BY cm.doc_id, cm.ct),
+         |bestr AS (
+         |  SELECT rmk.doc_id AS doc_id, rmk.rt,
+         |    min(bit_count(xor(rmk.m, cm.m))) AS minh
+         |  FROM rmk JOIN cm ON rmk.doc_id = cm.doc_id
+         |  GROUP BY rmk.doc_id, rmk.rt),
+         |pdoc AS (SELECT doc_id,
+         |    sum($EmbedDims - 2 * minh) / ($EmbedDims.0 * count(*)) AS p
+         |  FROM bestc GROUP BY doc_id),
+         |rdoc AS (SELECT doc_id,
+         |    sum($EmbedDims - 2 * minh) / ($EmbedDims.0 * count(*)) AS r
+         |  FROM bestr GROUP BY doc_id),
+         |prf AS (
+         |  SELECT b.doc_id AS doc_id,
+         |    CASE WHEN len(ctoks) = 0 OR len(rtoks) = 0 THEN 0.0
+         |         ELSE pdoc.p END AS p,
+         |    CASE WHEN len(ctoks) = 0 OR len(rtoks) = 0 THEN 0.0
+         |         ELSE rdoc.r END AS r
+         |  FROM bothd b LEFT JOIN pdoc USING (doc_id)
+         |    LEFT JOIN rdoc USING (doc_id)
          |), prf2 AS (
          |  SELECT doc_id, round(p, 6) AS p, round(r, 6) AS r,
          |    round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)

@@ -172,4 +172,35 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(sw.getAs[Double]("mean_precision") - 0.25) < 1e-9)
     assert(math.abs(sw.getAs[Double]("mean_f1") - 0.375) < 1e-9)
   }
+
+  test("RandomProjectionScorer: BERTScore-shaped contract on the deterministic embedding") {
+    val sc = new TextMetrics.RandomProjectionScorer(16)
+    // identical texts: every token's best match is itself (cos 1)
+    val (ip, ir, if1) = sc.score("net income rose sharply", "net income rose sharply")
+    assert(ip == 1.0 && ir == 1.0 && if1 == 1.0, s"identity: ($ip, $ir, $if1)")
+    // empty / blank sides score (0,0,0) like the lexical path
+    assert(sc.score("", "x") == ((0.0, 0.0, 0.0)))
+    assert(sc.score("x", "   ") == ((0.0, 0.0, 0.0)))
+    // precision/recall swap under argument swap (greedy alignment is
+    // side-symmetric); f1 invariant
+    val (p1, r1, f1a) = sc.score("total revenue was high", "revenue was low today")
+    val (p2, r2, f1b) = sc.score("revenue was low today", "total revenue was high")
+    assert(p1 == r2 && r1 == p2 && f1a == f1b)
+    // scores are bounded like raw BERTScore
+    assert(p1 >= -1.0 && p1 <= 1.0 && r1 >= -1.0 && r1 <= 1.0)
+    // a shared token strictly raises precision over disjoint text
+    val (pShared, _, _) = sc.score("revenue up", "revenue down")
+    val (pDisjoint, _, _) = sc.score("alpha beta", "gamma delta")
+    assert(pShared > pDisjoint,
+      s"shared-token alignment must dominate: $pShared <= $pDisjoint")
+    // per-partition seam: keyed pair scores land row-per-pair with the
+    // kernel's exact values
+    val sess = spark
+    import sess.implicits._
+    val pairs = Seq((7L, "net income rose", "net income rose"),
+      (9L, "", "x")).toDF("doc_id", "cand", "ref")
+    val rows = TextMetrics.scorePairsWith(sc, pairs, "cand", "ref", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(7L) == 1.0 && rows(9L) == 0.0)
+  }
 }
