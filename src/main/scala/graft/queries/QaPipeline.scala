@@ -165,6 +165,24 @@ object QaPipeline extends graft.QueryModule {
         .as("mean_f1"))
   }
 
+  // ONE literal pair shared by the rate-source entry and its oracle
+  private val RateQaRows = 2000
+  private val RateQaPerBatch = 500
+
+  /** Rate-limit throttle on a REAL unbounded source: `rate-micro-batch`
+    * request ids → admission gate (observe'd per-batch counts) →
+    * stream-static join to documents → the QA map-stage chunk scorer as
+    * column HOFs → complete-mode per-doc agg
+    * ([[graft.streaming.StreamingOps.rateThrottledQa]]). Oracle = the
+    * batch equivalent over range([[RateQaRows]]): request ids are
+    * 0..n−1 regardless of batch timing, so the result is deterministic
+    * while the SOURCE is genuinely unbounded (the drain polls the sink
+    * and stops the query; it can never exhaust the source). */
+  def streamRateQa(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.rateThrottledQa(spark, dir,
+      cfg.chunkSize, cfg.overlap, cfg.question.split(" ").toSeq,
+      rowsPerBatch = RateQaPerBatch, totalRows = RateQaRows)._1
+
   private[queries] val RougeMax = 64
 
   /** ROUGE-L answer scoring (Lin, 2004) — the sequence-aware companion
@@ -293,6 +311,7 @@ object QaPipeline extends graft.QueryModule {
     "qa_truncation_summary" -> truncationSummary,
     "qa_answer_prf" -> answerPrf,
     "qa_embed_score" -> embedScore,
+    "stream_rate_qa" -> streamRateQa,
     "qa_rouge_l" -> rougeL,
     "qa_bleu" -> bleu,
   )
@@ -684,6 +703,35 @@ object QaPipeline extends graft.QueryModule {
          |  round(list_reduce(list_prepend(0.0, list(f1 ORDER BY doc_id)),
          |    (a, b) -> a + b) / count(*), 6) AS mean_f1
          |FROM prf2""".stripMargin,
+    // batch replay of the rate-source drive: request ids 0..n−1 route
+    // v % |documents|; per-doc chunk windows at `stride`, distinct-token
+    // overlap with the question terms capped at 10 — the map-stage
+    // scorer formula the streaming column HOFs compute
+    "stream_rate_qa" ->
+      s"""WITH reqs AS (
+         |  SELECT CAST(v % (SELECT count(*) FROM documents) AS BIGINT) AS doc_id
+         |  FROM (SELECT unnest(range($RateQaRows)) AS v)
+         |), rc AS (
+         |  SELECT doc_id, count(*) AS n_requests FROM reqs GROUP BY doc_id
+         |), toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$re') AS ts FROM documents
+         |), per AS (
+         |  SELECT doc_id, len(ts) AS token_count,
+         |    CASE WHEN len(ts) <= ${cfg.chunkSize} THEN 1
+         |         ELSE 1 + CAST(ceil((len(ts) - ${cfg.chunkSize}) / $stride.0) AS INT)
+         |    END AS n_chunks, ts
+         |  FROM toks
+         |), chunked AS (
+         |  SELECT doc_id, token_count, n_chunks,
+         |    list_max([least(10, len(list_intersect(
+         |        list_distinct(list_slice(ts, (i - 1) * $stride + 1,
+         |          (i - 1) * $stride + ${cfg.chunkSize})), $qlist)))
+         |      for i in range(1, n_chunks + 1)]) AS best_score
+         |  FROM per
+         |)
+         |SELECT rc.doc_id AS doc_id, n_requests, token_count, n_chunks,
+         |  best_score
+         |FROM rc JOIN chunked USING (doc_id)""".stripMargin,
     "qa_truncation_summary" ->
       s"""WITH toks AS (
          |  SELECT doc_id, len(regexp_extract_all(text, '$re')) AS n FROM documents

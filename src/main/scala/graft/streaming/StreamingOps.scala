@@ -679,4 +679,101 @@ object StreamingOps {
       pipe.answers(emptyDocs)
     } else dfs.reduce(_.unionAll(_))
   }
+
+  /** The rate-limit throttle analog on a REAL unbounded source
+    * (reference: the dual token bucket of async_llm_client.py:269-352):
+    * Spark's `rate-micro-batch` source emits EXACTLY `rowsPerBatch`
+    * request ids per trigger tick — the deterministic form of the
+    * `rowsPerSecond` token-bucket knob, so the per-batch admission
+    * pattern is assertable instead of wall-clock-flaky — and each
+    * request drives the QA MAP-STAGE over its document: a
+    * stream-static join to `documents` plus the chunk/score graph as
+    * per-row column HOFs (slice windows of `chunkSize` tokens at
+    * `stride`, distinct-token overlap with the question terms, capped
+    * at 10 — the MapReduce scorer's exact formula, expressed without a
+    * generator so the streaming plan needs ONE stateful agg).
+    *
+    * The admission gate (`value < totalRows`, the bounded-drain bucket)
+    * carries an `observe`d per-batch `admitted` count — the metric a
+    * production throttle exports; full batches report exactly
+    * `rowsPerBatch`. The unbounded source never ends, so the drain
+    * POLLS the complete-mode sink until all `totalRows` requests are
+    * reflected, then stops — processAllAvailable would never return.
+    *
+    * Returns (per-doc result, per-batch admitted counts). Result:
+    * doc_id, n_requests, token_count, n_chunks, best_score —
+    * deterministic because request ids are 0..totalRows−1 regardless
+    * of batch timing; the DuckDB oracle replays it from `range(n)`. */
+  def rateThrottledQa(spark: SparkSession, dir: String,
+      chunkSize: Int, overlap: Int, question: Seq[String],
+      rowsPerBatch: Int, totalRows: Int): (DataFrame, Seq[Long]) = {
+    val stride = chunkSize - overlap
+    require(stride > 0, "overlap must be smaller than chunkSize")
+    val docs = graft.core.Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    // group count for the modulo routing: one bounded driver scalar
+    val nDocs = docs.count()
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("numPartitions", "4")
+      .option("startTimestamp", "0")
+      .load()
+    val admitted = src
+      .filter(col("value") < totalRows) // the token-bucket admission gate
+      .observe("graft_rate_admission", count(lit(1)).as("admitted"))
+      .select(pmod(col("value"), lit(nDocs)).as("doc_id"))
+    val toks = graft.functions.TextFunctions.regex_tokens(col("text"))
+    val qarr = array(question.map(lit): _*)
+    val n = size(toks)
+    val k = when(n <= chunkSize, lit(1)).otherwise(
+      (lit(1) + ceil((n - lit(chunkSize)).cast("double") / stride)).cast("int"))
+    val best = array_max(transform(sequence(lit(1), col("n_chunks")), i =>
+      least(lit(10), size(array_intersect(
+        array_distinct(slice(toks, (i - 1) * stride + 1, lit(chunkSize))), qarr)))))
+    val perReq = admitted.join(docs, "doc_id")
+      .withColumn("token_count", n)
+      .withColumn("n_chunks", k)
+      .withColumn("best_score", best)
+    val agg = perReq.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_requests"),
+      max(col("token_count")).as("token_count"),
+      max(col("n_chunks")).as("n_chunks"),
+      max(col("best_score")).as("best_score"))
+    val name = "graft_stream_rate_qa"
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isWritable(shm))
+        Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
+      else None
+    try {
+      val q =
+        try {
+          var w = agg.writeStream.outputMode("complete")
+            .format("memory").queryName(name)
+          ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
+          w.start()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      try {
+        // poll-drain: stop once every admitted request is reflected in
+        // the sink (the source itself never exhausts)
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        var total = 0L
+        while (total < totalRows && System.nanoTime() < deadline) {
+          val r = spark.table(name)
+            .agg(coalesce(sum(col("n_requests")), lit(0L))).collect()(0)
+          total = r.getLong(0)
+          if (total < totalRows) Thread.sleep(50)
+        }
+        require(total == totalRows,
+          s"drain timed out: $total of $totalRows requests reflected")
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val perBatch = q.recentProgress.toSeq
+        .flatMap(p => p.observedMetrics.asScala.get("graft_rate_admission"))
+        .map(_.getAs[Long]("admitted"))
+      (spark.table(name).localCheckpoint(true), perBatch)
+    } finally ckpt.foreach(rmTree)
+  }
 }
