@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** 10× scale-frame generator — the measurement companion of
@@ -31,15 +31,29 @@ import org.apache.spark.sql.functions._
   *  - Dimension tables (region, nation) are NOT replicated — at any
   *    scale they stay the bounded broadcast side.
   *
-  * Usage: `runMain graft.ScaleUp <srcSfDir> <outDir> [copies=10]`.
+  * Usage: `runMain graft.ScaleUp <srcSfDir> <outDir> [copies=10] [skew]`.
   * Writes only under <outDir> (intended: /tmp — testdata is
-  * read-only). */
+  * read-only).
+  *
+  * Skew mode (`skew` = `zipf`): the key-offset frame is uniform by
+  * construction, so salting/AQE-skew claims would stay semantics-only
+  * on it. `zipf` realizes the head of a zipf FK distribution — the
+  * straggler shape that matters: per copy, a deterministic 30% of
+  * orders collapse `o_custkey` onto ONE hot customer, 30% of lineitems
+  * collapse `l_partkey` onto ONE hot part, and 30% of events collapse
+  * `user_id` onto ONE hot user (selection keyed on fmix-hashed row
+  * ids, so it is reproducible and uncorrelated with the payload).
+  * Referential integrity holds — the hot key is the copy's offset of
+  * the source table's MINIMUM key, which always exists. Used by
+  * [[SkewBench]]; not an oracle frame (the FK distribution is
+  * deliberately not the testdata's). */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "zipf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,6 +85,21 @@ object ScaleUp {
     val docB = base("documents", "doc_id")
     val vecB = base("embeddings", "vec_id")
 
+    def minKey(name: String, key: String): Long =
+      core.Tables.load(spark, src, name)
+        .agg(min(col(key))).head().getLong(0)
+    // zipf head: 30% of FK rows collapse onto the copy's hot key (the
+    // offset of the source MINIMUM key — guaranteed to exist). The
+    // selector hashes the row's own PK so it is deterministic and
+    // independent of the FK value being replaced.
+    def zipfed(fk: Column, hotKey: Column, idCols: Column*): Column =
+      if (!skew) fk
+      else when(pmod(hash(idCols: _*), lit(10)) < lit(3), hotKey)
+        .otherwise(fk)
+    val custMin = if (skew) minKey("customer", "c_custkey") else 0L
+    val partMin = if (skew) minKey("part", "p_partkey") else 0L
+    val userMin = if (skew) minKey("events", "user_id") else 0L
+
     def replicate(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val df = core.Tables.load(spark, src, name)
       val un = (0 until copies).map(i => f(df, i)).reduce(_ unionAll _)
@@ -98,16 +127,23 @@ object ScaleUp {
     }
     replicate("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderB))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * custB))
+        .withColumn("o_custkey",
+          zipfed(col("o_custkey") + lit(i * custB),
+            lit(i * custB + custMin), col("o_orderkey")))
     }
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderB))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * partB))
+        .withColumn("l_partkey",
+          zipfed(col("l_partkey") + lit(i * partB),
+            lit(i * partB + partMin),
+            col("l_orderkey"), col("l_linenumber")))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppB))
     }
     replicate("events") { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * eventB))
-        .withColumn("user_id", col("user_id") + lit(i * userB))
+        .withColumn("user_id",
+          zipfed(col("user_id") + lit(i * userB),
+            lit(i * userB + userMin), col("event_id")))
     }
     // Per-copy substitution cipher: each copy applies its OWN seeded
     // permutation of [a-z] (mirrored onto [A-Z]) and of [0-9].
@@ -151,6 +187,23 @@ object ScaleUp {
     require(cipherMaps.distinct.length == copies,
       s"per-copy cipher permutations must be pairwise distinct " +
         s"(copies=$copies collided)")
+    // Distinct maps still agree on INDIVIDUAL characters (two random
+    // permutations share ~1-2 fixed points), so short tokens can map
+    // identically across copies. Bound the overlap instead of assuming
+    // it away: any two copies may agree on at most 9 of the 36 mapped
+    // characters (measured max for this cipher through copies=40:
+    // 7/36, 5 letters-only), so a length-k all-letter token collides
+    // across a pair with rate ≤ (5/26)^k — <0.8% at k=3, <0.2% at
+    // k=4. Cross-copy token spaces are quantifiably near-disjoint;
+    // the residual re-admitted pair work is per-pair O(collision-rate)
+    // and cannot bend the ×copies scaling measurably.
+    for (a <- cipherMaps.indices; b <- cipherMaps.indices if a < b) {
+      val agree = cipherMaps(a).zip(cipherMaps(b))
+        .count { case (x, y) => x == y }
+      require(agree <= 9,
+        s"copies $a/$b share $agree character mappings (>9): cross-copy " +
+          s"token spaces would overlap materially")
+    }
     replicate("documents") { (df, i) =>
       val pl = perm(lower, i, 0)
       df.withColumn("doc_id", col("doc_id") + lit(i * docB))

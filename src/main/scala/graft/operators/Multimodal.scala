@@ -441,18 +441,33 @@ object Multimodal {
         oldCode = code
       }
       if (nOut == out.length && !done) {
-        // plane full: accept only an immediate EOI (or exact stream
-        // end — fewer than `width` bits of zero padding left)
-        if (bitPos + width <= nBits) {
-          var next = 0
-          var kk = 0
-          while (kk < width) {
-            val bit = bitPos + kk
-            if ((bytes(bit >> 3) & (1 << (bit & 7))) != 0) next |= 1 << kk
-            kk += 1
+        // plane full: accept EOI or exact stream end (fewer than
+        // `width` bits of zero padding left), optionally preceded by
+        // CLEAR codes — spec-legal encoders may emit a dictionary
+        // reset between the last pixel code and EOI (each CLEAR drops
+        // the code width back to mcs+1); any OTHER code here means a
+        // desynced/truncated stream
+        var w = width
+        var bp = bitPos
+        var ok = false
+        var halt = false
+        while (!halt) {
+          if (bp + w > nBits) { ok = true; halt = true } // stream end
+          else {
+            var next = 0
+            var kk = 0
+            while (kk < w) {
+              val bit = bp + kk
+              if ((bytes(bit >> 3) & (1 << (bit & 7))) != 0) next |= 1 << kk
+              kk += 1
+            }
+            bp += w
+            if (next == eoi) { ok = true; halt = true }
+            else if (next == clear) w = mcs + 1
+            else halt = true
           }
-          if (next != eoi) return None // desynced/truncated stream
         }
+        if (!ok) return None
         done = true
       }
     }

@@ -598,13 +598,23 @@ object Advanced extends graft.QueryModule {
     * are distinct-ed (a pair can agree on 2-3 bands) then verified
     * with [[graft.functions.HammingBytes]]: work is linear in band
     * collisions, not block size. */
-  /** Banded-blocking candidate pairs: distinct (nat, seg, key_a, key_b,
-    * name_a, name_b) rows whose names agree on at least one interleaved
-    * digit band. Exposed (pre-verify) so the PlanAudit amplification
-    * bound can assert candidates stay far below the in-block pair count
-    * the banding replaces. */
-  def hammingCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val banded = Tables.load(spark, dir, "customer")
+  /** Per-row interleaved band signatures (3 rows per customer, one per
+    * band). Exposed so the PlanAudit amplification bound can compute
+    * Σ per-(nat, seg, band, sig) collision pairs — the EXACT upper
+    * bound on the candidate count (candidates are the dedup of the
+    * union of per-band self-joins).
+    *
+    * Density limit, stated as the contract: each band carries ~∛K of
+    * the used key space K's entropy (one high, one mid, one low
+    * digit), so the candidate/blockPairs ratio behaves like
+    * ~3/∛K — 0.25 measured at K=1.5k (sf0.01), ~0.03 at K=1M, ~0.003
+    * at the full 9-digit space. The band space is FINITE, so as K
+    * approaches 10⁹ the number of true ≤2-Hamming matches is itself
+    * quadratic in block density — the plan is output-sensitive
+    * (linear in band collisions ≥ matches), which is the best
+    * achievable shape for this query. */
+  def hammingBanded(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
       .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
         col("c_custkey").as("key"), col("c_name").as("name"),
         posexplode(array((0 until 3).map { j =>
@@ -612,6 +622,13 @@ object Advanced extends graft.QueryModule {
             substring(col("c_name"), 13 + j, 1),
             substring(col("c_name"), 16 + j, 1))
         }: _*)).as(Seq("band", "sig")))
+
+  /** Banded-blocking candidate pairs: distinct (nat, seg, key_a, key_b,
+    * name_a, name_b) rows whose names agree on at least one interleaved
+    * digit band. Exposed (pre-verify) so the PlanAudit amplification
+    * bound can pin candidates against the per-band collision count. */
+  def hammingCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val banded = hammingBanded(spark, dir)
     banded.as("a").join(banded.as("b"),
         col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg") &&
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

@@ -20,6 +20,27 @@ import graft.pipeline.{MapReduceConfig, MapReducePipeline}
   */
 object StreamingOps {
 
+  /** Executed micro-batch plan of the most recent drain, per memory-sink
+    * query name — populated by EVERY drain path (bounded drains, the
+    * sessionize two-phase drain, the foreachBatch QA fan-out, the
+    * unbounded rate-source poll drain) so the streaming plan lint
+    * (StreamPlanLintSpec) can assert the no-scale-killer invariants on
+    * the plans that actually RUN: a catalog stream entry returns a
+    * memory-sink frame whose own plan is just a LocalTableScan.
+    * Test observability only; bounded at one plan per sink name. */
+  private[graft] val lastMicroBatchPlans =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.execution.SparkPlan]()
+
+  private def recordPlan(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        val le = w.streamingQuery.lastExecution
+        if (le != null) lastMicroBatchPlans.put(name, le.executedPlan)
+      case _ => ()
+    } catch { case _: Throwable => () } // observability must never fail a drain
+
   /** documents.parquet schema for streaming file sources (readStream
     * requires an explicit schema) — ONE definition; a column change is
     * a one-place edit, not a drift across three inlined copies. */
@@ -151,7 +172,7 @@ object StreamingOps {
             case None => spark.conf.unset(ndKey)
           }
         }
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.processAllAvailable(); recordPlan(name, q) } finally q.stop()
       spark.table(name).localCheckpoint(true)
     } finally ckpt.foreach(rmTree)
   }
@@ -636,6 +657,7 @@ object StreamingOps {
       Files.move(part, stage.resolve("zz_sentinel.parquet"))
       rmTree(scratch)
       q.processAllAvailable()
+      recordPlan(name, q)
     } finally {
       q.stop()
       ckpt.foreach(rmTree)
@@ -665,11 +687,18 @@ object StreamingOps {
       maxFilesPerTrigger = Some(1))
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        acc.add(pipe.answers(batch).localCheckpoint(true))
+        val out = pipe.answers(batch)
+        // the work plan of this entry is the per-batch BATCH graph the
+        // foreachBatch body runs — record it (the wrapper query's own
+        // plan is only the source scan feeding the sink)
+        lastMicroBatchPlans.put("graft_stream_qa_answers",
+          out.queryExecution.sparkPlan) // pre-AQE, same as the batch lint
+        acc.add(out.localCheckpoint(true))
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    try { q.processAllAvailable(); recordPlan("graft_stream_qa_answers_src", q) }
+    finally { q.stop() }
     val dfs = acc.toArray(Array.empty[DataFrame])
     if (dfs.isEmpty) {
       // zero micro-batches: still return the ANSWERS schema (a schemaless
@@ -768,6 +797,7 @@ object StreamingOps {
         }
         require(total == totalRows,
           s"drain timed out: $total of $totalRows requests reflected")
+        recordPlan(name, q)
       } finally q.stop()
       import scala.jdk.CollectionConverters._
       val perBatch = q.recentProgress.toSeq

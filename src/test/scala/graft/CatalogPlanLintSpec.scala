@@ -33,10 +33,11 @@ import org.apache.spark.sql.execution.window.WindowExec
   * The lint reads `queryExecution.sparkPlan` (the pre-AQE physical
   * plan, including subquery plans): what OUR code declares, before
   * runtime re-planning can mask a funnel at test scale. `stream_*`
-  * entries are excluded — invoking them drains a real micro-batch
-  * stream and the returned memory-sink frame's plan is a
-  * LocalTableScan (their micro-batch plans are linted in the streaming
-  * specs). The residual name whitelist is exact and must stay small;
+  * entries are linted by the sibling [[StreamPlanLintSpec]], which
+  * drains each one and asserts the same invariants on the REAL
+  * micro-batch executed plans (the memory-sink frame an entry returns
+  * is just a LocalTableScan — lint-blind by construction).
+  * The residual name whitelist is exact and must stay small;
   * an UNUSED entry fails the lint too, so it can only shrink or be
   * consciously re-justified.
   */
@@ -53,6 +54,12 @@ class CatalogPlanLintSpec extends SparkSpec {
     (Set("rel_ab_test"), "nested-loop-join-unbounded",
       "crosses a 2-row arm LocalTableScan left-joined to per-arm unique " +
         "aggregates — ≤ 2 rows"),
+    (Set("rel_gap_fill"), "nested-loop-join-unbounded",
+      "crosses the calendar grid explode(sequence(min(day), max(day))) " +
+        "over a global 1-row aggregate — ≤ ~2.4k days by the TPC-H " +
+        "order-date span [1992-01-01, 1998-08-02] (the Generate above " +
+        "the 1-row agg is row-expanding, so boundedRows correctly " +
+        "refuses to prove it; the bound is the date-domain literal)"),
     (Set("rel_kendall_tau"), "nested-loop-join-unbounded",
       "crosses the y value-cell grid floor(l_extendedprice/100) — " +
         "≤ ~1.1k cells by the TPC-H price domain [900, 104950]"),
@@ -70,46 +77,10 @@ class CatalogPlanLintSpec extends SparkSpec {
         "≤ 400 rows by the top_k_structs literal"),
   )
 
-  /** Max rows a broadcast-side subtree can produce, when that is
-    * statically provable: an aggregate with no grouping keys — or only
-    * FOLDABLE ones (`groupBy(lit(0))`) — is at most 1 row; a limit is
-    * its literal; a local relation or Range is its literal size; other
-    * unary nodes can only keep or shrink row count (project/filter/
-    * sort/exchange/agg). */
-  private def boundedRows(p: SparkPlan): Option[Long] = {
-    // Alias never reports foldable — strip it so groupBy(lit(0))'s
-    // partial-agg keys (`0 AS 0#n`) prove the ≤1-group bound
-    def stripAlias(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
-      e match {
-        case a: org.apache.spark.sql.catalyst.expressions.Alias => stripAlias(a.child)
-        case other => other
-      }
-    def aggBound(grouping: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Option[Long] =
-      if (grouping.forall(stripAlias(_).foldable)) Some(1L) else None
-    p match {
-      case a: HashAggregateExec => aggBound(a.groupingExpressions)
-        .orElse(a.children.headOption.flatMap(boundedRows))
-      case a: SortAggregateExec => aggBound(a.groupingExpressions)
-        .orElse(a.children.headOption.flatMap(boundedRows))
-      case a: ObjectHashAggregateExec => aggBound(a.groupingExpressions)
-        .orElse(a.children.headOption.flatMap(boundedRows))
-      case l: org.apache.spark.sql.execution.GlobalLimitExec =>
-        Some(l.limit.toLong)
-      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
-        Some(t.limit.toLong)
-      case r: org.apache.spark.sql.execution.RangeExec => Some(r.numElements.toLong)
-      case l: org.apache.spark.sql.execution.LocalTableScanExec => Some(l.rows.size.toLong)
-      case other if other.children.size == 1 => boundedRows(other.children.head)
-      case _ => None
-    }
-  }
-
-  private def hasAggBelow(p: SparkPlan): Boolean =
-    p.exists {
-      case _: HashAggregateExec | _: SortAggregateExec |
-           _: ObjectHashAggregateExec => true
-      case _ => false
-    }
+  // "provably bounded" / "agg below" proofs shared with the streaming
+  // lint — ONE definition in [[PlanLint]] so the two specs cannot drift
+  private def boundedRows(p: SparkPlan): Option[Long] = PlanLint.boundedRows(p)
+  private def hasAggBelow(p: SparkPlan): Boolean = PlanLint.hasAggBelow(p)
 
   test("every batch catalog entry: no single-partition exchange, no unbounded product, no unpartitioned window over raw rows") {
     val names = SparkEntry.queries.keys.toSeq.sorted

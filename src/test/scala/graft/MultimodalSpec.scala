@@ -407,7 +407,7 @@ class MultimodalSpec extends SparkSpec {
     * fully hand-controlled, which is what lets the interlace flag be
     * exercised deliberately (ImageIO's writer does not expose it). */
   private def handGif(w: Int, h: Int, idx: Array[Int], mcs: Int,
-      interlaced: Boolean): Array[Byte] = {
+      interlaced: Boolean, trailingClears: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     out.write(w & 0xff); out.write(w >> 8)
@@ -432,6 +432,9 @@ class MultimodalSpec extends SparkSpec {
       while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
     }
     idx.foreach { i => emit(clear); emit(i) }
+    // spec-legal: an encoder may reset the dictionary after the last
+    // pixel code — exercises the plane-full CLEAR-before-EOI path
+    (0 until trailingClears).foreach(_ => emit(clear))
     emit(eoi)
     if (nAcc > 0) bits.write((acc & 0xff).toInt)
     val data = bits.toByteArray
@@ -475,6 +478,26 @@ class MultimodalSpec extends SparkSpec {
     (0 until 8).foreach(y => (0 until 64).foreach { x =>
       assert((q.pixels((y * 64 + x) * 3) & 0xff) == ((img.getRGB(x, y) >> 16) & 0xff))
     })
+  }
+
+  test("GIF pixels: CLEAR between last pixel and EOI is spec-legal and decodes") {
+    // a dictionary reset emitted at plane-full (last pixel already
+    // out) must not knock the file onto the fake branch — the decoder
+    // accepts CLEAR* then EOI/stream-end there
+    val idx = Array.tabulate(4 * 2)(i => i % 4)
+    val plain = handGif(4, 2, idx, mcs = 2, interlaced = false)
+    val p0 = Multimodal.decodeGifPixels(plain).getOrElse(
+      fail("baseline hand GIF did not decode"))
+    Seq(1, 3).foreach { n =>
+      val gif = handGif(4, 2, idx, mcs = 2, interlaced = false,
+        trailingClears = n)
+      val p = Multimodal.decodeGifPixels(gif).getOrElse(
+        fail(s"GIF with $n trailing CLEAR(s) before EOI did not decode"))
+      assert(p.pixels.sameElements(p0.pixels),
+        "trailing CLEARs must not change decoded pixels")
+    }
+    // (the fuzz test below covers the reject path — a non-CLEAR,
+    // non-EOI code at plane-full still desyncs to None)
   }
 
   test("fuzz: GIF decoder never throws on mutated or random LZW streams") {
