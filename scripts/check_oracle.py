@@ -51,9 +51,12 @@ def main(sf_dir, out_dir, only=()):
         pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
         memlimit = f"{max(1, int(pages * 0.6) >> 30)}GB"
     con.execute(f"SET memory_limit='{memlimit}'")
-    # known-infeasible oracles (documented policy, e.g. the
-    # composite-match recursion OOMs DuckDB at sf0.1): skip by name via
-    # GRAFT_ORACLE_SKIP=a,b — the driver's sf0.01 gate runs everything
+    # escape hatch for known-infeasible oracles: skip by name via
+    # GRAFT_ORACLE_SKIP=a,b. Since r14 the set is EMPTY — the last
+    # exception (adv_composite_match's recursion OOMed DuckDB at sf0.1)
+    # is gone: the prelude materializes the matching-block recursion as
+    # an iterative worklist (g_cm_*), and the full sf0.1 gate runs with
+    # zero skips
     skip = set(filter(None,
         os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")))
     for t in ["region","nation","customer","supplier","part","orders",

@@ -262,29 +262,52 @@ object XxHashSql {
     * the bands surface, and the bands are replayed exactly. */
   def minhashPairsSql(re: String, shingleK: Int, numHashes: Int, bands: Int,
       threshold: Double, bucketCap: Option[Int]): String = {
-    val cap = bucketCap.map(c => s" AND count(*) <= $c").getOrElse("")
+    val capFilter = bucketCap.map(_ => "in_capped AND ").getOrElse("")
     s"""WITH ${minhashBandCtes(re, shingleK, numHashes, bands)},
-       |mbuck AS (
-       |  SELECT b, bh, list(doc_id) AS ids FROM mbh GROUP BY b, bh
-       |  HAVING count(*) > 1$cap),
+       |${minhashVerifyCtes(CappedBucketLimit)}
+       |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+       |FROM mver WHERE ${capFilter}jaccard >= $threshold""".stripMargin
+  }
+
+  /** The hot-bucket cap the capped LSH kernels share
+    * ([[graft.operators.Dedup.lshCandidates]]'s 1000) — ONE literal so
+    * the verify chain below and every capped oracle agree. */
+  val CappedBucketLimit: Int = 1000
+
+  /** Candidate generation + exact-Jaccard verify over the band table —
+    * the EXPENSIVE common stage of the three minhash oracles
+    * (`dedup_minhash_lsh` capped, `stream_neardup_join` uncapped,
+    * `dedup_minhash_est` capped + signature agreement), factored to ONE
+    * text so the gate prelude materializes it once (`g_mver`). `mver`
+    * carries every UNCAPPED candidate pair with its exact shingle
+    * Jaccard plus `in_capped` = whether some ≤cap bucket surfaced the
+    * pair: the capped candidate set is exactly the `in_capped` subset
+    * (a pair survives the cap iff at least one of its colliding buckets
+    * is small enough), so both variants project from the same table. */
+  def minhashVerifyCtes(cap: Int): String =
+    s"""mbuck AS (
+       |  SELECT b, bh, count(*) AS nb, list(doc_id) AS ids FROM mbh
+       |  GROUP BY b, bh HAVING count(*) > 1),
        |mcand AS (
-       |  SELECT DISTINCT ia.a AS doc_a, ib.a AS doc_b
+       |  SELECT ia.a AS doc_a, ib.a AS doc_b, bool_or(nb <= $cap) AS in_capped
        |  FROM mbuck, unnest(ids) AS ia(a), unnest(ids) AS ib(a)
-       |  WHERE ia.a < ib.a),
+       |  WHERE ia.a < ib.a GROUP BY 1, 2),
        |mcnt AS (SELECT doc_id, count(*) AS n FROM msh GROUP BY doc_id),
        |mint AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
        |  FROM mcand c
        |  JOIN msh a ON a.doc_id = c.doc_a
        |  JOIN msh b ON b.doc_id = c.doc_b AND a.t = b.t
-       |  GROUP BY c.doc_a, c.doc_b)
-       |SELECT m.doc_a, m.doc_b,
-       |  round(m.inter * 1.0 / (ca.n + cb.n - m.inter), 6) AS jaccard
-       |FROM mint m
-       |JOIN mcnt ca ON ca.doc_id = m.doc_a
-       |JOIN mcnt cb ON cb.doc_id = m.doc_b
-       |WHERE m.inter * 1.0 / (ca.n + cb.n - m.inter) >= $threshold""".stripMargin
-  }
+       |  GROUP BY c.doc_a, c.doc_b),
+       |mver AS (
+       |  SELECT c.doc_a, c.doc_b, c.in_capped,
+       |    coalesce(m.inter, 0) AS inter, ca.n AS n_a, cb.n AS n_b,
+       |    coalesce(m.inter, 0) * 1.0
+       |      / (ca.n + cb.n - coalesce(m.inter, 0)) AS jaccard
+       |  FROM mcand c
+       |  LEFT JOIN mint m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+       |  JOIN mcnt ca ON ca.doc_id = c.doc_a
+       |  JOIN mcnt cb ON cb.doc_id = c.doc_b)""".stripMargin
 
   /** Full SQL replaying [[graft.operators.Dedup.winnowingPairs]]: ordered
     * (duplicate-keeping) k-shingles, XXH64 each DISTINCT shingle string

@@ -257,6 +257,100 @@ object Advanced extends graft.QueryModule {
       .select(col("order_a"), col("best_match"), round(col("sim"), 6).as("sim"))
   }
 
+  /** adv_composite_match oracle, single-sourced fragments. The oracle
+    * entry assembles them into the self-contained `WITH RECURSIVE`
+    * form (what the driver's gate runs); [[graft.OraclePrelude]]
+    * materializes the SAME texts as an iterative breadth-first
+    * worklist (`g_cm_*` temp tables, one bounded step per statement)
+    * so the sf0.1 gate no longer needs the monolithic recursion that
+    * OOMs DuckDB — per-step memory is bounded by the live pair count,
+    * not the whole recursion tree. */
+  private[graft] val CompositePrCtes: String =
+    """t AS (
+      |  SELECT o_custkey, o_orderkey, year(o_orderdate) AS yr,
+      |    'Order ' || o_orderkey || ' total $' ||
+      |    CAST(floor(o_totalprice) AS BIGINT) || ' approx ' ||
+      |    CAST(floor(o_totalprice / 1000) AS BIGINT) || ' thousand in ' ||
+      |    year(o_orderdate) || ' priority ' || o_orderpriority AS txt
+      |  FROM orders),
+      |e AS (
+      |  SELECT o_custkey, o_orderkey, yr,
+      |    trim(regexp_replace(regexp_replace(lower(txt), '[,.()$%]', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS nrm,
+      |    list_distinct(regexp_extract_all(txt, '\b(?:19|20)\d{2}\b')) AS years,
+      |    list_distinct(list_transform(
+      |      regexp_extract_all(txt,
+      |        '(?i)\$\s*\d+(?:[,.]\d+)*(?:\s*(?:million|billion|thousand))?|\b\d+(?:[,.]\d+)*\s*(?:million|billion|thousand)\b'),
+      |      x -> regexp_replace(lower(x), '[$,\s]', '', 'g'))) AS amounts,
+      |    list_filter(
+      |      list_distinct(list_transform(
+      |        regexp_extract_all(txt,
+      |          '\b\d+(?:[,.]\d+)*(?:[eE][+-]?\d+)?\b|\d+(?:\.\d+)?\s*%'),
+      |        x -> regexp_replace(x, '[$%,\s]', '', 'g'))),
+      |      x -> NOT list_contains(
+      |        regexp_extract_all(txt, '\b(?:19|20)\d{2}\b'), x)) AS others
+      |  FROM t),
+      |pr AS (
+      |  SELECT a.o_orderkey AS oa, b.o_orderkey AS ob,
+      |    a.nrm AS sa0, b.nrm AS sb0,
+      |    length(a.nrm) + length(b.nrm) AS tot,
+      |    CASE WHEN len(a.years) > 0 AND len(b.years) > 0
+      |      THEN CAST(len(list_intersect(a.years, b.years)) AS DOUBLE)
+      |           / len(list_distinct(a.years || b.years))
+      |      ELSE CAST(0.0 AS DOUBLE) END AS ysim,
+      |    CASE WHEN len(a.amounts) > 0 AND len(b.amounts) > 0
+      |      THEN CAST(len(list_intersect(a.amounts, b.amounts)) AS DOUBLE)
+      |           / len(list_distinct(a.amounts || b.amounts))
+      |      ELSE CAST(0.0 AS DOUBLE) END AS asim,
+      |    CASE WHEN len(a.others) > 0 AND len(b.others) > 0
+      |      THEN CAST(len(list_intersect(a.others, b.others)) AS DOUBLE)
+      |           / len(list_distinct(a.others || b.others))
+      |      ELSE CAST(0.0 AS DOUBLE) END AS osim
+      |  FROM e a JOIN e b
+      |    ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |   AND abs(a.yr - b.yr) <= 1)""".stripMargin
+
+  /** One breadth-first step of difflib's matching-block recursion: the
+    * L/R children of every `src` row's first-longest common block —
+    * EXACTLY the recursive CTE's body text with the source relation as
+    * a parameter, so the iterative prelude steps and the recursive
+    * oracle are the same computation by construction. */
+  private[graft] def compositeStepSql(src: String): String =
+    s"""SELECT oa, ob, rid || c.tag AS rid, c.csa AS sa, c.csb AS sb,
+       |    c.m AS mlen
+       |  FROM (
+       |    SELECT oa, ob, rid, sa, sb,
+       |      min({'nrl': -rl, 'i': i, 'j': j}) AS b
+       |    FROM (
+       |      SELECT oa, ob, rid, sa, sb, u.i AS i, v.j AS j,
+       |        coalesce(
+       |          nullif(list_position(
+       |            list_transform(range(least(length(sa) - u.i, length(sb) - v.j) + 1),
+       |              k -> substr(sa, u.i + k, 1) != substr(sb, v.j + k, 1)),
+       |            true), 0) - 1,
+       |          least(length(sa) - u.i, length(sb) - v.j) + 1) AS rl
+       |      FROM $src,
+       |        UNNEST(range(1, length(sa) + 1)) AS u(i),
+       |        UNNEST(range(1, length(sb) + 1)) AS v(j)
+       |      WHERE substr(sa, u.i, 1) = substr(sb, v.j, 1)
+       |        AND (u.i = 1 OR v.j = 1 OR substr(sa, u.i - 1, 1) != substr(sb, v.j - 1, 1))
+       |    )
+       |    GROUP BY oa, ob, rid, sa, sb
+       |  ), UNNEST([
+       |      {'tag': 'L', 'csa': substr(sa, 1, b.i - 1),
+       |       'csb': substr(sb, 1, b.j - 1), 'm': -b.nrl},
+       |      {'tag': 'R', 'csa': substr(sa, b.i - b.nrl),
+       |       'csb': substr(sb, b.j - b.nrl), 'm': 0}
+       |    ]) AS w(c)""".stripMargin
+
+  private[graft] val CompositeBlocksMmCtes: String =
+    s"""blocks(oa, ob, rid, sa, sb, mlen) AS (
+       |  SELECT oa, ob, 'r', sa0, sb0, 0 FROM pr
+       |  UNION ALL
+       |  ${compositeStepSql("blocks")}),
+       |mm AS (
+       |  SELECT oa, ob, CAST(sum(mlen) AS BIGINT) AS m FROM blocks GROUP BY oa, ob)""".stripMargin
+
   /** P11: number-family extraction from text columns. */
   def numberExtraction(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "part")
@@ -956,81 +1050,8 @@ object Advanced extends graft.QueryModule {
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
     "adv_composite_match" ->
-      """WITH RECURSIVE
-        |t AS (
-        |  SELECT o_custkey, o_orderkey, year(o_orderdate) AS yr,
-        |    'Order ' || o_orderkey || ' total $' ||
-        |    CAST(floor(o_totalprice) AS BIGINT) || ' approx ' ||
-        |    CAST(floor(o_totalprice / 1000) AS BIGINT) || ' thousand in ' ||
-        |    year(o_orderdate) || ' priority ' || o_orderpriority AS txt
-        |  FROM orders),
-        |e AS (
-        |  SELECT o_custkey, o_orderkey, yr,
-        |    trim(regexp_replace(regexp_replace(lower(txt), '[,.()$%]', ' ', 'g'),
-        |      '\s+', ' ', 'g')) AS nrm,
-        |    list_distinct(regexp_extract_all(txt, '\b(?:19|20)\d{2}\b')) AS years,
-        |    list_distinct(list_transform(
-        |      regexp_extract_all(txt,
-        |        '(?i)\$\s*\d+(?:[,.]\d+)*(?:\s*(?:million|billion|thousand))?|\b\d+(?:[,.]\d+)*\s*(?:million|billion|thousand)\b'),
-        |      x -> regexp_replace(lower(x), '[$,\s]', '', 'g'))) AS amounts,
-        |    list_filter(
-        |      list_distinct(list_transform(
-        |        regexp_extract_all(txt,
-        |          '\b\d+(?:[,.]\d+)*(?:[eE][+-]?\d+)?\b|\d+(?:\.\d+)?\s*%'),
-        |        x -> regexp_replace(x, '[$%,\s]', '', 'g'))),
-        |      x -> NOT list_contains(
-        |        regexp_extract_all(txt, '\b(?:19|20)\d{2}\b'), x)) AS others
-        |  FROM t),
-        |pr AS (
-        |  SELECT a.o_orderkey AS oa, b.o_orderkey AS ob,
-        |    a.nrm AS sa0, b.nrm AS sb0,
-        |    length(a.nrm) + length(b.nrm) AS tot,
-        |    CASE WHEN len(a.years) > 0 AND len(b.years) > 0
-        |      THEN CAST(len(list_intersect(a.years, b.years)) AS DOUBLE)
-        |           / len(list_distinct(a.years || b.years))
-        |      ELSE CAST(0.0 AS DOUBLE) END AS ysim,
-        |    CASE WHEN len(a.amounts) > 0 AND len(b.amounts) > 0
-        |      THEN CAST(len(list_intersect(a.amounts, b.amounts)) AS DOUBLE)
-        |           / len(list_distinct(a.amounts || b.amounts))
-        |      ELSE CAST(0.0 AS DOUBLE) END AS asim,
-        |    CASE WHEN len(a.others) > 0 AND len(b.others) > 0
-        |      THEN CAST(len(list_intersect(a.others, b.others)) AS DOUBLE)
-        |           / len(list_distinct(a.others || b.others))
-        |      ELSE CAST(0.0 AS DOUBLE) END AS osim
-        |  FROM e a JOIN e b
-        |    ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
-        |   AND abs(a.yr - b.yr) <= 1),
-        |blocks(oa, ob, rid, sa, sb, mlen) AS (
-        |  SELECT oa, ob, 'r', sa0, sb0, 0 FROM pr
-        |  UNION ALL
-        |  SELECT oa, ob, rid || c.tag, c.csa, c.csb, c.m
-        |  FROM (
-        |    SELECT oa, ob, rid, sa, sb,
-        |      min({'nrl': -rl, 'i': i, 'j': j}) AS b
-        |    FROM (
-        |      SELECT oa, ob, rid, sa, sb, u.i AS i, v.j AS j,
-        |        coalesce(
-        |          nullif(list_position(
-        |            list_transform(range(least(length(sa) - u.i, length(sb) - v.j) + 1),
-        |              k -> substr(sa, u.i + k, 1) != substr(sb, v.j + k, 1)),
-        |            true), 0) - 1,
-        |          least(length(sa) - u.i, length(sb) - v.j) + 1) AS rl
-        |      FROM blocks,
-        |        UNNEST(range(1, length(sa) + 1)) AS u(i),
-        |        UNNEST(range(1, length(sb) + 1)) AS v(j)
-        |      WHERE substr(sa, u.i, 1) = substr(sb, v.j, 1)
-        |        AND (u.i = 1 OR v.j = 1 OR substr(sa, u.i - 1, 1) != substr(sb, v.j - 1, 1))
-        |    )
-        |    GROUP BY oa, ob, rid, sa, sb
-        |  ), UNNEST([
-        |      {'tag': 'L', 'csa': substr(sa, 1, b.i - 1),
-        |       'csb': substr(sb, 1, b.j - 1), 'm': -b.nrl},
-        |      {'tag': 'R', 'csa': substr(sa, b.i - b.nrl),
-        |       'csb': substr(sb, b.j - b.nrl), 'm': 0}
-        |    ]) AS w(c)),
-        |mm AS (
-        |  SELECT oa, ob, CAST(sum(mlen) AS BIGINT) AS m FROM blocks GROUP BY oa, ob),
-        |scored AS (
+      (s"WITH RECURSIVE\n$CompositePrCtes,\n$CompositeBlocksMmCtes,\n" +
+      """scored AS (
         |  SELECT oa, ob,
         |    CASE WHEN ysim > 0 THEN least(CAST(1.0 AS DOUBLE),
         |        s * CAST(0.1 AS DOUBLE) + ysim * CAST(0.6 AS DOUBLE)
@@ -1054,7 +1075,7 @@ object Advanced extends graft.QueryModule {
         |  SELECT owner, cand, sim, row_number() OVER
         |    (PARTITION BY owner ORDER BY sim DESC, cand ASC) AS rn
         |  FROM orient)
-        |WHERE rn = 1 AND sim >= CAST(0.4 AS DOUBLE)""".stripMargin,
+        |WHERE rn = 1 AND sim >= CAST(0.4 AS DOUBLE)""".stripMargin),
     "adv_composite_components" ->
       """WITH t AS (
         |  SELECT o_custkey, o_orderkey,

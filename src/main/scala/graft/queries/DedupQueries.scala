@@ -785,40 +785,28 @@ object DedupQueries extends graft.QueryModule {
     // sketch-error audit: the same replayed signature, compared
     // component-wise (mmin) against the exact shingle Jaccard per
     // candidate pair
+    // rides the SAME verify chain as the lsh/neardup oracles (mver
+    // carries the exact jaccard; the capped candidate set is its
+    // in_capped subset) — only the 32-row-per-pair signature agreement
+    // is computed here
     "dedup_minhash_est" ->
       s"""WITH ${graft.core.XxHashSql.minhashBandCtes(re, 3, 32, 16)},
-         |mbuck AS (
-         |  SELECT b, bh, list(doc_id) AS ids FROM mbh GROUP BY b, bh
-         |  HAVING count(*) > 1 AND count(*) <= 1000),
-         |mcand AS (
-         |  SELECT DISTINCT ia.a AS doc_a, ib.a AS doc_b
-         |  FROM mbuck, unnest(ids) AS ia(a), unnest(ids) AS ib(a)
-         |  WHERE ia.a < ib.a),
+         |${graft.core.XxHashSql.minhashVerifyCtes(
+          graft.core.XxHashSql.CappedBucketLimit)},
          |magree AS (
          |  SELECT c.doc_a, c.doc_b,
          |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_eq
-         |  FROM mcand c
+         |  FROM (SELECT doc_a, doc_b FROM mver WHERE in_capped) c
          |  JOIN mmin a ON a.doc_id = c.doc_a
          |  JOIN mmin b ON b.doc_id = c.doc_b AND a.j = b.j
-         |  GROUP BY 1, 2),
-         |mcnt AS (SELECT doc_id, count(*) AS n FROM msh GROUP BY doc_id),
-         |mint AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM mcand c
-         |  JOIN msh a ON a.doc_id = c.doc_a
-         |  JOIN msh b ON b.doc_id = c.doc_b AND a.t = b.t
          |  GROUP BY 1, 2)
          |SELECT g.doc_a, g.doc_b,
          |  round(g.n_eq / 32.0, 6) AS est_jaccard,
-         |  round(coalesce(m.inter, 0) * 1.0
-         |    / (ca.n + cb.n - coalesce(m.inter, 0)), 6) AS jaccard,
-         |  round(abs(g.n_eq / 32.0 - coalesce(m.inter, 0) * 1.0
-         |    / (ca.n + cb.n - coalesce(m.inter, 0))), 6) AS abs_err
+         |  round(v.jaccard, 6) AS jaccard,
+         |  round(abs(g.n_eq / 32.0 - v.jaccard), 6) AS abs_err
          |FROM magree g
-         |LEFT JOIN mint m ON m.doc_a = g.doc_a AND m.doc_b = g.doc_b
-         |JOIN mcnt ca ON ca.doc_id = g.doc_a
-         |JOIN mcnt cb ON cb.doc_id = g.doc_b""".stripMargin,
+         |JOIN mver v ON v.doc_a = g.doc_a AND v.doc_b = g.doc_b""".stripMargin,
     // the streaming variant joins band collisions directly (no bucket
     // cap); batch-replaying it is exact for the same reason
     "stream_neardup_join" -> graft.core.XxHashSql.minhashPairsSql(
