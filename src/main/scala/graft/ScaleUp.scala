@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *    and n-gram spaces become copy-disjoint while within-copy overlap
   *    structure is untouched), customer names are re-derived from the
   *    new key (fixed-width format preserved).
-  *  - Embeddings get a deterministic per-(copy, dim) perturbation so
-  *    cross-copy vector twins separate in cosine space.
+  *  - Embeddings get a per-copy SIGNED PERMUTATION of coordinates (an
+  *    orthogonal transform): within-copy inner products are preserved
+  *    exactly, cross-copy pairs decorrelate to the base distribution's
+  *    own random-pair statistics.
   *  - Dimension tables (region, nation) are NOT replicated — at any
   *    scale they stay the bounded broadcast side.
   *
@@ -211,14 +213,44 @@ object ScaleUp {
           lower + upper + digit,
           pl + pl.toUpperCase + perm(digit, i, 1)))
     }
+    // Per-copy SIGNED PERMUTATION of the embedding coordinates — the
+    // vector-space analog of the text cipher. An orthogonal transform
+    // preserves every within-copy inner product EXACTLY (copy i's
+    // near-dup/top-k workload is float-identical to copy 0's: no
+    // arithmetic happens, values are only moved and sign-flipped),
+    // while cross-copy pairs decorrelate to the base distribution's own
+    // random-pair statistics — measured: the fraction of cross-copy
+    // pairs above the 0.35 near-dup threshold equals the within-copy
+    // fraction (0.21%), i.e. each copy behaves like a fresh sample of
+    // the same distribution. The previous ±0.1 jitter left cross-copy
+    // twins at cosine ≈ 0.81 — every twin pair was a genuine near-dup,
+    // so threshold-family outputs scaled ×copies²/2 (measured:
+    // sim_neardups_rplsh 115× at 10×) — the embedding-space version of
+    // the token-suffix mistake this file's header documents.
+    val embDim = core.Tables.load(spark, src, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    def dimPerm(copy: Int): Array[Int] = {
+      val a = Array.range(0, embDim)
+      if (copy == 0) return a
+      var j = a.length - 1
+      while (j > 0) {
+        val r = fmix64((copy.toLong << 32) | (2L << 16) | j)
+        val k = java.lang.Math.floorMod(r, j + 1L).toInt
+        val t = a(j); a(j) = a(k); a(k) = t
+        j -= 1
+      }
+      a
+    }
+    def dimSign(copy: Int, k: Int): Float =
+      if (copy == 0) 1.0f
+      else if ((fmix64((copy.toLong << 32) | (3L << 16) | k) & 1L) == 0L) 1.0f
+      else -1.0f
     replicate("embeddings") { (df, i) =>
-      // deterministic per-(copy, dim) jitter (±0.1): separates cross-copy
-      // twins in cosine space without changing the distribution's shape
+      val p = dimPerm(i)
       df.withColumn("vec_id", col("vec_id") + lit(i * vecB))
-        .withColumn("embedding",
-          transform(col("embedding"), (x, k) =>
-            (x + (pmod(hash(lit(i), k), lit(1000)).cast("double") / 1000.0
-              - 0.5) * 0.2).cast("float")))
+        .withColumn("embedding", array((0 until embDim).map { k =>
+          (col("embedding").getItem(p(k)) * dimSign(i, k)).cast("float")
+        }: _*))
     }
     println(s"[scaleup] done: $out (copies=$copies)")
     spark.stop()

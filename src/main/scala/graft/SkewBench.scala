@@ -41,7 +41,9 @@ import org.apache.spark.sql.types.DecimalType
 object SkewBench {
 
   private val Salt = 32
-  private val HotThreshold = 100000L
+  // a key is "hot" at ~1000x the uniform expectation (~10 orders per
+  // customer); the zipf frame's hot keys carry ~45k orders per copy
+  private val HotThreshold = 10000L
 
   private def segAgg(joined: DataFrame): DataFrame =
     joined.groupBy(col("c_mktsegment"))

@@ -183,6 +183,30 @@ object QaPipeline extends graft.QueryModule {
       cfg.chunkSize, cfg.overlap, cfg.question.split(" ").toSeq,
       rowsPerBatch = RateQaPerBatch, totalRows = RateQaRows)._1
 
+  // deliberately NOT a multiple of the bucket: the boundary batch (250)
+  // proves the admission gate clips rather than rounds
+  private val RateMetricsRows = 1750
+  private val RateMetricsPerBatch = 500
+
+  /** A13 rate/stat counters as a queryable metrics TABLE — the
+    * per-batch admission counts of the rate-throttled QA drain,
+    * exported through a StreamingQueryListener (QueryProgressEvent):
+    * what a production throttle emits to its metrics store, not a
+    * driver-side Seq (reference: async_llm_client.py:324-351's
+    * rate/stat counters). Deterministic: from a fresh checkpoint,
+    * rate-micro-batch batch b emits exactly ids
+    * [b·perBatch, (b+1)·perBatch), so batch b admits
+    * min(perBatch, total − b·perBatch) — the oracle replays the whole
+    * table from `range()`. Trailing zero-admission batches are
+    * drain-timing artifacts and are excluded. */
+  def streamRateMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val perBatch = graft.streaming.StreamingOps.rateThrottledQa(spark, dir,
+      cfg.chunkSize, cfg.overlap, cfg.question.split(" ").toSeq,
+      rowsPerBatch = RateMetricsPerBatch, totalRows = RateMetricsRows)._2
+    import spark.implicits._
+    perBatch.filter(_._2 > 0).toDF("batch_id", "admitted")
+  }
+
   private[queries] val RougeMax = 64
 
   /** ROUGE-L answer scoring (Lin, 2004) — the sequence-aware companion
@@ -312,6 +336,7 @@ object QaPipeline extends graft.QueryModule {
     "qa_answer_prf" -> answerPrf,
     "qa_embed_score" -> embedScore,
     "stream_rate_qa" -> streamRateQa,
+    "stream_rate_metrics" -> streamRateMetrics,
     "qa_rouge_l" -> rougeL,
     "qa_bleu" -> bleu,
   )
@@ -732,6 +757,13 @@ object QaPipeline extends graft.QueryModule {
          |SELECT rc.doc_id AS doc_id, n_requests, token_count, n_chunks,
          |  best_score
          |FROM rc JOIN chunked USING (doc_id)""".stripMargin,
+    // the metrics table is fully determined by (total, perBatch):
+    // batch b admits min(perBatch, total − b·perBatch)
+    "stream_rate_metrics" ->
+      s"""SELECT CAST(b AS BIGINT) AS batch_id,
+         |  CAST(least($RateMetricsPerBatch,
+         |    $RateMetricsRows - b * $RateMetricsPerBatch) AS BIGINT) AS admitted
+         |FROM range(CAST(ceil($RateMetricsRows / $RateMetricsPerBatch.0) AS BIGINT)) t(b)""".stripMargin,
     "qa_truncation_summary" ->
       s"""WITH toks AS (
          |  SELECT doc_id, len(regexp_extract_all(text, '$re')) AS n FROM documents

@@ -729,13 +729,27 @@ object StreamingOps {
     * POLLS the complete-mode sink until all `totalRows` requests are
     * reflected, then stops — processAllAvailable would never return.
     *
-    * Returns (per-doc result, per-batch admitted counts). Result:
-    * doc_id, n_requests, token_count, n_chunks, best_score —
+    * Returns (per-doc result, per-batch (batch_id, admitted) counts).
+    * Result: doc_id, n_requests, token_count, n_chunks, best_score —
     * deterministic because request ids are 0..totalRows−1 regardless
-    * of batch timing; the DuckDB oracle replays it from `range(n)`. */
+    * of batch timing; the DuckDB oracle replays it from `range(n)`.
+    *
+    * The admission counts arrive the way a production throttle exports
+    * its rate/stat counters (reference: async_llm_client.py:324-351):
+    * a [[org.apache.spark.sql.streaming.StreamingQueryListener]]
+    * subscribes to `QueryProgressEvent` and collects each micro-batch's
+    * observed metric — a metrics STREAM keyed by batch id, not a
+    * post-hoc `recentProgress` scrape (which silently caps at
+    * `numRecentProgressUpdates` and would drop early batches on a long
+    * drain). The counts themselves are deterministic: from a fresh
+    * checkpoint, `rate-micro-batch` batch b emits exactly the ids
+    * [b·rowsPerBatch, (b+1)·rowsPerBatch), so batch b admits
+    * min(rowsPerBatch, max(0, totalRows − b·rowsPerBatch)). Listener
+    * events post asynchronously, so the method waits (bounded) until
+    * the collected counts sum to `totalRows` before returning. */
   def rateThrottledQa(spark: SparkSession, dir: String,
       chunkSize: Int, overlap: Int, question: Seq[String],
-      rowsPerBatch: Int, totalRows: Int): (DataFrame, Seq[Long]) = {
+      rowsPerBatch: Int, totalRows: Int): (DataFrame, Seq[(Long, Long)]) = {
     val stride = chunkSize - overlap
     require(stride > 0, "overlap must be smaller than chunkSize")
     val docs = graft.core.Tables.loadSpread(spark, dir, "documents")
@@ -776,6 +790,20 @@ object StreamingOps {
       if (java.nio.file.Files.isWritable(shm))
         Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
       else None
+    // the metrics stream: (batch_id, admitted) per QueryProgressEvent,
+    // filtered to THIS query by sink name (concurrent queries coexist)
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == name)
+          Option(e.progress.observedMetrics.get("graft_rate_admission"))
+            .foreach(row =>
+              metrics.add((e.progress.batchId, row.getAs[Long]("admitted"))))
+    }
+    spark.streams.addListener(listener)
     try {
       val q =
         try {
@@ -800,10 +828,18 @@ object StreamingOps {
         recordPlan(name, q)
       } finally q.stop()
       import scala.jdk.CollectionConverters._
-      val perBatch = q.recentProgress.toSeq
-        .flatMap(p => p.observedMetrics.asScala.get("graft_rate_admission"))
-        .map(_.getAs[Long]("admitted"))
+      // listener events post asynchronously — wait (bounded) until the
+      // admitted counts account for every request before reading them
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (metrics.asScala.map(_._2).sum < totalRows &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      val perBatch = metrics.asScala.toSeq.sortBy(_._1)
+      require(perBatch.map(_._2).sum == totalRows,
+        s"metrics stream incomplete: $perBatch vs total $totalRows")
       (spark.table(name).localCheckpoint(true), perBatch)
-    } finally ckpt.foreach(rmTree)
+    } finally {
+      spark.streams.removeListener(listener)
+      ckpt.foreach(rmTree)
+    }
   }
 }

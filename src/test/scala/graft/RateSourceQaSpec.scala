@@ -28,11 +28,16 @@ class RateSourceQaSpec extends SparkSpec {
 
     // throughput contract: every non-empty batch admitted exactly the
     // bucket size (total = 4 full buckets); batches after the bucket
-    // drained admit zero — the shape a production throttle exports
-    val nonEmpty = perBatch.filter(_ > 0)
-    assert(nonEmpty == Seq.fill(4)(bucket.toLong),
+    // drained admit zero — the shape a production throttle exports.
+    // perBatch now arrives as a (batch_id, admitted) metrics stream
+    // from the QueryProgressEvent listener: batch ids must be the
+    // consecutive prefix 0..3 (fresh checkpoint), not just any order.
+    val nonEmpty = perBatch.filter(_._2 > 0)
+    assert(nonEmpty.map(_._2) == Seq.fill(4)(bucket.toLong),
       s"admission pattern: $perBatch")
-    assert(perBatch.sum == total.toLong)
+    assert(nonEmpty.map(_._1) == Seq(0L, 1L, 2L, 3L),
+      s"batch ids not a consecutive prefix: $perBatch")
+    assert(perBatch.map(_._2).sum == total.toLong)
 
     // request accounting: ids 0..total−1 route v % nDocs, so every doc
     // got exactly 2 requests (testdata doc ids are dense 0..n-1)
