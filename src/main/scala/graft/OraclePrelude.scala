@@ -2,7 +2,7 @@ package graft
 
 import graft.core.XxHashSql
 import graft.functions.Tokenizer
-import graft.queries.{Advanced, AnalysisQueries, DedupQueries}
+import graft.queries.{Advanced, AnalysisQueries, DedupQueries, SimilarityQueries}
 
 /** Shared DuckDB replay tables for the oracle gate.
   *
@@ -54,6 +54,12 @@ object OraclePrelude {
         DedupQueries.WinnowK, DedupQueries.WinnowW)}, ${XxHashSql
         .hash64Ctes("wdis", "whash", "gwx")} SELECT * FROM whash",
     s"CREATE TEMP TABLE g_bw AS WITH ${AnalysisQueries.poissonWeightCtes} SELECT doc_id, b, w FROM bw",
+    // the covariance/PCA moment matrix: the n·d² product fold runs once
+    // per gate instead of once per consumer (sim_covariance +
+    // sim_pca_proj share it); si's n·d chain is separate so neither
+    // statement drags the other's heavy CTE
+    s"CREATE TEMP TABLE g_cov_sij AS WITH ${SimilarityQueries.covPCte},\n${SimilarityQueries.covSijCtes} SELECT * FROM sij",
+    s"CREATE TEMP TABLE g_cov_si AS WITH ${SimilarityQueries.covPCte},\n${SimilarityQueries.covSiCtes} SELECT * FROM si",
   ) ++ compositeStatements
 
   /** The matching-block recursion of `adv_composite_match`, unrolled as
@@ -123,6 +129,12 @@ object OraclePrelude {
     AnalysisQueries.poissonWeightCtes ->
       ("bdoc AS (SELECT doc_id, n_chars FROM documents),\n" +
         "bw AS (SELECT * FROM g_bw)"),
+    // p stays defined (the PCA projection folds over it); the heavy
+    // pr/bsij and bsi chains collapse to the materialized tables
+    SimilarityQueries.covMomentCtes ->
+      (s"${SimilarityQueries.covPCte},\n" +
+        "sij AS (SELECT * FROM g_cov_sij),\n" +
+        "si AS (SELECT * FROM g_cov_si)"),
     // composite match: swap the pair chain + recursion for the
     // iteratively-materialized tables. mm must still cover EVERY pair
     // (the recursive blocks CTE seeds each pair with mlen=0), so

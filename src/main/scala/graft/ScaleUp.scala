@@ -40,15 +40,20 @@ import org.apache.spark.sql.functions._
   * Skew mode (`skew` = `zipf`): the key-offset frame is uniform by
   * construction, so salting/AQE-skew claims would stay semantics-only
   * on it. `zipf` realizes the head of a zipf FK distribution — the
-  * straggler shape that matters: per copy, a deterministic 30% of
-  * orders collapse `o_custkey` onto ONE hot customer, 30% of lineitems
-  * collapse `l_partkey` onto ONE hot part, and 30% of events collapse
-  * `user_id` onto ONE hot user (selection keyed on fmix-hashed row
-  * ids, so it is reproducible and uncorrelated with the payload).
-  * Referential integrity holds — the hot key is the copy's offset of
-  * the source table's MINIMUM key, which always exists. Used by
-  * [[SkewBench]]; not an oracle frame (the FK distribution is
-  * deliberately not the testdata's). */
+  * straggler shape that matters: a deterministic 30% of ALL orders
+  * collapse `o_custkey` onto ONE GLOBAL hot customer, 30% of lineitems
+  * onto one hot part, 30% of events onto one hot user (selection keyed
+  * on fmix-hashed row ids, so it is reproducible and uncorrelated with
+  * the payload). GLOBAL, not per-copy: a per-copy hot key carries
+  * rows/copies ≈ one average shuffle partition, so hash partitioning
+  * absorbs it and there is no straggler to measure (first version of
+  * this mode; SkewBench's direct join measured flat). One key holding
+  * 30% of the fact table cannot be absorbed by any partition count —
+  * that is the shape salting/AQE exist for. Referential integrity
+  * holds — the hot key is copy 0's offset of the source table's
+  * MINIMUM key, which always exists. Used by [[SkewBench]]; not an
+  * oracle frame (the FK distribution is deliberately not the
+  * testdata's, and copies share the hot entity). */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
@@ -90,8 +95,8 @@ object ScaleUp {
     def minKey(name: String, key: String): Long =
       core.Tables.load(spark, src, name)
         .agg(min(col(key))).head().getLong(0)
-    // zipf head: 30% of FK rows collapse onto the copy's hot key (the
-    // offset of the source MINIMUM key — guaranteed to exist). The
+    // zipf head: 30% of FK rows collapse onto THE global hot key
+    // (copy 0's source MINIMUM key — guaranteed to exist). The
     // selector hashes the row's own PK so it is deterministic and
     // independent of the FK value being replaced.
     def zipfed(fk: Column, hotKey: Column, idCols: Column*): Column =
@@ -131,13 +136,13 @@ object ScaleUp {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderB))
         .withColumn("o_custkey",
           zipfed(col("o_custkey") + lit(i * custB),
-            lit(i * custB + custMin), col("o_orderkey")))
+            lit(custMin), col("o_orderkey")))
     }
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderB))
         .withColumn("l_partkey",
           zipfed(col("l_partkey") + lit(i * partB),
-            lit(i * partB + partMin),
+            lit(partMin),
             col("l_orderkey"), col("l_linenumber")))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppB))
     }
@@ -145,7 +150,7 @@ object ScaleUp {
       df.withColumn("event_id", col("event_id") + lit(i * eventB))
         .withColumn("user_id",
           zipfed(col("user_id") + lit(i * userB),
-            lit(i * userB + userMin), col("event_id")))
+            lit(userMin), col("event_id")))
     }
     // Per-copy substitution cipher: each copy applies its OWN seeded
     // permutation of [a-z] (mirrored onto [A-Z]) and of [0-9].

@@ -50,25 +50,26 @@ object SkewBench {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
 
-  /** Two-path hot-key salting: fact rows on hot keys get a salt from
-    * their own PK, the dimension replicates Salt× for hot keys only,
-    * cold rows join unchanged — identical output, no straggler. */
-  private def saltedJoin(orders: DataFrame, cust: DataFrame): DataFrame = {
-    val hotKeys = orders.groupBy(col("o_custkey")).count()
-      .filter(col("count") > HotThreshold)
-      .select(col("o_custkey")).collect().map(_.getLong(0)).toSeq
-    require(hotKeys.nonEmpty, "skew frame has no hot keys — wrong input?")
-    val isHotO = col("o_custkey").isin(hotKeys: _*)
-    val hot = orders.filter(isHotO)
-      .withColumn("salt", pmod(col("o_orderkey"), lit(Salt)).cast("int"))
-    val dimHot = cust.filter(col("c_custkey").isin(hotKeys: _*))
-      .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
-    val hotJoined = hot.join(dimHot,
-      hot("o_custkey") === dimHot("c_custkey") && hot("salt") === dimHot("salt"))
-    val coldJoined = orders.filter(!isHotO)
-      .join(cust, col("o_custkey") === col("c_custkey"))
-    segAgg(hotJoined.select(col("c_mktsegment"), col("o_totalprice"))
-      .unionByName(coldJoined.select(col("c_mktsegment"), col("o_totalprice"))))
+  /** Single-join hot-key salting: fact rows on hot keys get a salt from
+    * their own PK (cold rows ride salt 0), the dimension row for a hot
+    * key replicates Salt× (cold dimension rows keep one salt-0 row), and
+    * ONE equi-join on (key, salt) covers both populations — identical
+    * output, no straggler, one fact scan. (A two-path hot/cold split
+    * join was measured first: its second scan of the fact table plus the
+    * union cost it most of the salting win.) The hot-key discovery count
+    * pass is timed as its own `discover` term — a pipeline that re-runs
+    * the join amortizes it to zero, one that doesn't pays it once. */
+  private def saltedJoin(orders: DataFrame, cust: DataFrame,
+      hotKeys: Seq[Long]): DataFrame = {
+    val fact = orders.withColumn("salt",
+      when(col("o_custkey").isin(hotKeys: _*),
+        pmod(col("o_orderkey"), lit(Salt))).otherwise(lit(0)).cast("int"))
+    val dim = cust.withColumn("salt", explode(
+      when(col("c_custkey").isin(hotKeys: _*),
+        sequence(lit(0), lit(Salt - 1))).otherwise(array(lit(0)))))
+    segAgg(fact.join(dim,
+        fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .select(col("c_mktsegment"), col("o_totalprice")))
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,16 +93,46 @@ object SkewBench {
     def aqe(on: Boolean): Unit = {
       spark.conf.set("spark.sql.adaptive.enabled", on.toString)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on.toString)
+      // AQE's skew split only engages on partitions over
+      // skewedPartitionThresholdInBytes (default 256 MB — sized for
+      // real-cluster shuffles). The frame's hot partition is tens of MB,
+      // so with defaults the "mitigation on" run silently measures the
+      // same straggler as the baseline (observed: 4.51 s vs 4.77 s
+      // direct at the 100× frame). Lower the engage thresholds to this
+      // frame's scale — exactly the tuning a real cluster applies when
+      // its skewed partitions sit under the default threshold.
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        if (on) "8MB" else "256MB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        if (on) "4MB" else "64MB")
     }
+    // min-of-2 per variant: one-shot timings on a 32-thread local mode
+    // move with the host band more than the variants differ
     def timed(f: => DataFrame): (Double, Seq[(String, Long, java.math.BigDecimal)]) = {
-      val t0 = System.nanoTime()
-      val rows = f.collect().map(r => (r.getString(0), r.getLong(1),
-        r.getDecimal(2))).sortBy(_._1).toSeq
-      ((System.nanoTime() - t0) / 1e9, rows)
+      def once(): (Double, Seq[(String, Long, java.math.BigDecimal)]) = {
+        val t0 = System.nanoTime()
+        val rows = f.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2))).sortBy(_._1).toSeq
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val a = once(); val b = once()
+      (math.min(a._1, b._1), a._2)
     }
 
     // warm the reader/codegen once so variant 1 isn't charged setup
     orders.count(); cust.count()
+
+    // hot-key discovery, timed SEPARATELY from the salted join: a
+    // pipeline that re-runs the same join amortizes the count pass to
+    // zero, one that doesn't pays it once — report both terms and let
+    // the reader add them
+    val tHot0 = System.nanoTime()
+    val hotKeys = orders.groupBy(col("o_custkey")).count()
+      .filter(col("count") > HotThreshold)
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSeq
+    val tDiscover = (System.nanoTime() - tHot0) / 1e9
+    require(hotKeys.nonEmpty, "skew frame has no hot keys — wrong input?")
 
     aqe(on = false)
     val (tDirect, rDirect) = timed(
@@ -110,7 +141,7 @@ object SkewBench {
     val (tAqe, rAqe) = timed(
       segAgg(orders.join(cust, col("o_custkey") === col("c_custkey"))))
     aqe(on = false)
-    val (tSalted, rSalted) = timed(saltedJoin(orders, cust))
+    val (tSalted, rSalted) = timed(saltedJoin(orders, cust, hotKeys))
     require(rDirect == rAqe && rDirect == rSalted,
       s"variants disagree:\n$rDirect\n$rAqe\n$rSalted")
 
@@ -139,12 +170,11 @@ object SkewBench {
     }
     require(nAggDirect == nAggSalted, "agg variants disagree on group count")
 
-    val nHot = orders.groupBy(col("o_custkey")).count()
-      .filter(col("count") > HotThreshold).count()
     println(f"""{"metric":"skew_join","direct":$tDirect%.2f,""" +
       f""""aqe_skew":$tAqe%.2f,"salted":$tSalted%.2f,""" +
+      f""""discover":$tDiscover%.2f,""" +
       f""""agg_direct":$tAggDirect%.2f,"agg_salted":$tAggSalted%.2f,""" +
-      s""""rows":${rDirect.map(_._2).sum},"hot_keys":$nHot,"sf":"$sfDir"}""")
+      s""""rows":${rDirect.map(_._2).sum},"hot_keys":${hotKeys.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -498,9 +498,24 @@ object Similarity {
     // Bucket join on IDS ONLY: carrying the vector payload through the
     // 32-table explode would shuffle each embedding 32× and then move
     // BOTH vectors with every collision row into the dedup exchange —
-    // measured 122 s at the 10× frame vs ids-only + re-attach. The
-    // candidate set (and therefore the result) is unchanged; vectors
-    // re-join once per DISTINCT pair endpoint after the dedup.
+    // measured 122 s at the 10× frame vs ids-only. The re-attach must
+    // not undo this: a shuffle join on vec_b would move every candidate
+    // row ALREADY CARRYING va through a second exchange (measured ~12 GB
+    // at the 10× frame — 33 s for a query whose only real work is
+    // n·L signature rows plus the per-candidate cosine). So the vector
+    // table re-attaches by BROADCAST (it is the by-construction small
+    // side: one row per vector, not per candidate), and the pair dedup
+    // runs AFTER the threshold filter — identical output (sim is a pure
+    // function of the pair, so distinct-then-verify and
+    // verify-then-distinct commute), but the distinct's exchange is
+    // output-sized instead of candidate-sized. Re-verified multiplicity
+    // is the per-pair table-collision count — ~1.1× for random
+    // collisions, bounded by L. The remaining scale knob is `bits`:
+    // random-collision candidates are L·n²/2^bits, so a 100 TB corpus
+    // tunes bits ≈ log2(n) (and L for recall) — candidate volume, and
+    // with it every downstream cost, is an index-tuning constant, not a
+    // plan shape. Oracled via the sf-gate DuckDB replay; recall vs the
+    // exact quadratic pinned in DedupSpec.
     val v = base
       .select(col("vec_id"), posexplode(rpLshSig(col("dv"), tables, bits))
         .as(Seq("tbl", "sig")))
@@ -508,12 +523,14 @@ object Similarity {
       .join(v.select(col("tbl"), col("sig"), col("vec_id").as("vec_b")),
         Seq("tbl", "sig"))
       .filter(col("vec_a") < col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
     cand
-      .join(base.select(col("vec_id").as("vec_a"), col("dv").as("va")), "vec_a")
-      .join(base.select(col("vec_id").as("vec_b"), col("dv").as("vb")), "vec_b")
+      .join(broadcast(base.select(col("vec_id").as("vec_a"),
+        col("dv").as("va"))), "vec_a")
+      .join(broadcast(base.select(col("vec_id").as("vec_b"),
+        col("dv").as("vb"))), "vec_b")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") > threshold)
+      .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
@@ -646,5 +663,100 @@ object Similarity {
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") > threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Blocked second-moment partials for covariance/PCA — the
+    * scale-correct replacement for the exploded d×d self-join.
+    *
+    * The naive formulation (posexplode → self-join on vec_id →
+    * `ordered_sum` per (i, j) cell) shuffles n·d²/2 product rows and
+    * buffers an n-element `collect_list` per cell — per-group state
+    * grows with the corpus, the by-construction cliff at scale
+    * (measured: the 30× frame's first run spent most of its time in
+    * collect-buffer GC). Here every moment contribution is folded
+    * LOCALLY: vectors are hash-partitioned by `blk = vec_id div block`,
+    * sorted (blk, vec_id) within partitions, and a per-partition kernel
+    * folds each block's d(d+1)/2 upper-triangle products plus its d
+    * per-dim sums in vec_id order into a fixed d²-sized accumulator.
+    * Only (n/block)·d² partial rows reach the final per-cell fold — the
+    * shuffle shrinks by ~block× and task state is O(d²), corpus-size
+    * independent.
+    *
+    * Float-order contract (what keeps the DuckDB replay bit-exact):
+    * within a block, each cell folds its contributions in ascending
+    * vec_id order (every row of a block lives in exactly one partition,
+    * so the partition sort fixes the order under any partition count or
+    * AQE re-plan); across blocks, callers fold the partials with
+    * `ordered_sum(s, blk)` — a two-level fixed fold tree, the
+    * [[graft.operators.LinearModel]] / centroid-drift discipline applied
+    * to the d² moment matrix.
+    *
+    * Output rows: `(blk, i, j, s)` with 1-based dims; `j >= 1` rows are
+    * upper-triangle product sums Σ x_i·x_j, and `j = 0` marks the
+    * per-dim plain sums Σ x_i (both needed by the covariance; emitting
+    * them from the same pass saves a second scan). */
+  def blockedMoments(emb: DataFrame, block: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
+      .select(expr(s"vec_id div $block").as("blk"), col("vec_id"),
+        col("embedding"))
+      .repartition(col("blk"))
+      .sortWithinPartitions(col("blk"), col("vec_id"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[(Long, Int, Int, Double)] {
+          private var pending: Iterator[(Long, Int, Int, Double)] =
+            Iterator.empty
+          def hasNext: Boolean = pending.hasNext || buf.hasNext
+          def next(): (Long, Int, Int, Double) = {
+            if (!pending.hasNext) {
+              val blk = buf.head._1
+              var d = -1
+              var tri: Array[Double] = null
+              var sums: Array[Double] = null
+              while (buf.hasNext && buf.head._1 == blk) {
+                val e = buf.next()._3
+                if (d < 0) {
+                  d = e.length
+                  tri = new Array[Double](d * (d + 1) / 2)
+                  sums = new Array[Double](d)
+                }
+                require(e.length == d, s"ragged embedding dim: ${e.length} != $d")
+                // same arithmetic as the exploded form: each float is
+                // cast to double once, then multiplied — cell (i, j)
+                // receives its contributions in ascending vec_id order
+                var i = 0
+                var t = 0
+                while (i < d) {
+                  val xi = e(i).toDouble
+                  sums(i) += xi
+                  var j = i
+                  while (j < d) { tri(t) += xi * e(j).toDouble; t += 1; j += 1 }
+                  i += 1
+                }
+              }
+              val dd = d
+              val triOut = tri
+              val sumOut = sums
+              pending =
+                Iterator.tabulate(dd)(i => (blk, i + 1, 0, sumOut(i))) ++
+                  new Iterator[(Long, Int, Int, Double)] {
+                    private var i = 0; private var j = 0; private var t = 0
+                    def hasNext: Boolean = t < triOut.length
+                    def next(): (Long, Int, Int, Double) = {
+                      val r = (blk, i + 1, i + j + 1, triOut(t))
+                      t += 1; j += 1
+                      if (i + j == dd) { i += 1; j = 0 }
+                      r
+                    }
+                  }
+            }
+            pending.next()
+          }
+        }
+      }
+      .toDF("blk", "i", "j", "s")
   }
 }

@@ -492,27 +492,42 @@ object SimilarityQueries extends graft.QueryModule {
   /** Embedding covariance matrix (upper triangle): exact moment
     * computation — cov(i,j) = (S_ij - S_i·S_j/n) / (n-1) — the
     * whitening/PCA prep step for embedding columns. Every float fold
-    * runs vec_id-ordered so the matrix is engine-reproducible; at
-    * production scale the folds become plain map-side-combined `sum`s
-    * (order tolerance acceptable there) and the shuffle carries n·d²/2
-    * moment contributions aggregated down to d² cells. */
+    * runs on a FIXED two-level tree (vec_id order within
+    * [[CovBlock]]-sized blocks, blk order across) so the matrix is
+    * engine-reproducible AND scale-correct at once — see
+    * [[Similarity.blockedMoments]]. */
+  /** Block size for the covariance/PCA moment fold — also the constant
+    * the DuckDB replay interpolates, so both engines share one fold
+    * tree. 256 keeps the cross-block fold EXERCISED by the hash gate
+    * (embeddings are 500 vectors at sf0.01 → 2 blocks, 2000 at sf0.1 →
+    * 8), which is what proves the two-level tree bit-equal across
+    * engines; at production scale the constant rises (any power of two
+    * ≤ executor comfort works — per-cell cross-block list length is
+    * n/block). */
+  private[graft] val CovBlock = 256L
+
   /** Shared covariance plumbing: (sij upper-triangle sums, si per-dim
     * sums, n) with order-stable folds — the parts both [[covariance]]
-    * and [[pcaProjection]] derive from. */
+    * and [[pcaProjection]] derive from.
+    *
+    * Scale shape: [[Similarity.blockedMoments]] folds each
+    * [[CovBlock]]-sized vec_id block's d(d+1)/2 products locally (one
+    * pass over the partition-sorted vectors, O(d²) task state), so the
+    * only shuffled rows are (n/[[CovBlock]])·d² block partials — the
+    * previous exploded self-join shuffled n·d² product rows into
+    * per-cell `collect_list` buffers that grew with the corpus. The
+    * cross-block fold is `ordered_sum(s, blk)`: a fixed two-level fold
+    * tree the oracle replays bit-for-bit. */
   private def covParts(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val p = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), (col("pos") + 1).as("i"),
-        col("x").cast("double").as("x"))
-    val a = p.select(col("vec_id"), col("i"), col("x").as("xa"))
-    val b = p.select(col("vec_id"), col("i").as("j"), col("x").as("xb"))
-    val sij = a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
+    val m = Similarity.blockedMoments(emb, CovBlock)
+    val sij = m.filter(col("j") >= 1)
       .groupBy(col("i"), col("j"))
       .agg(graft.functions.TextFunctions.ordered_sum(
-        col("xa") * col("xb"), col("vec_id")).as("s_ij"))
-    val si = p.groupBy(col("i"))
+        col("s"), col("blk")).as("s_ij"))
+    val si = m.filter(col("j") === 0)
+      .groupBy(col("i"))
       .agg(graft.functions.TextFunctions.ordered_sum(
-        col("x"), col("vec_id")).as("s"))
+        col("s"), col("blk")).as("s"))
     (sij, si, emb.agg(count(lit(1)).as("n")))
   }
 
@@ -1016,7 +1031,41 @@ object SimilarityQueries extends graft.QueryModule {
           .mkString(" UNION ALL ")})""".stripMargin
   }
 
-  /** DuckDB replay of [[pcaProjection]]: unrounded covariance CTEs, the
+  /** Single-sourced DuckDB replay of [[covParts]]'s blocked moment
+    * chain — the exploded vector table, then the TWO-LEVEL fold
+    * [[Similarity.blockedMoments]] fixes: per-(blk, cell) partials in
+    * vec_id order, per-cell totals in blk order. Compositional pieces
+    * so [[graft.OraclePrelude]] can materialize `sij`/`si` once per
+    * gate run without re-deriving the other's chain. */
+  private[graft] val covPCte: String =
+    s"""p AS (SELECT vec_id, vec_id // $CovBlock AS blk,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings)""".stripMargin
+  private[graft] val covSijCtes: String =
+    """pr AS (SELECT a.vec_id, a.blk, a.i, b.i AS j, a.x * b.x AS xy
+      |  FROM p a JOIN p b ON a.vec_id = b.vec_id AND a.i <= b.i),
+      |bsij AS (SELECT blk, i, j,
+      |    list_reduce(list_prepend(0.0, list(xy ORDER BY vec_id)),
+      |      (u, v) -> u + v) AS s
+      |  FROM pr GROUP BY 1, 2, 3),
+      |sij AS MATERIALIZED (SELECT i, j,
+      |    list_reduce(list_prepend(0.0, list(s ORDER BY blk)),
+      |      (u, v) -> u + v) AS s_ij
+      |  FROM bsij GROUP BY 1, 2)""".stripMargin
+  private[graft] val covSiCtes: String =
+    """bsi AS (SELECT blk, i,
+      |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+      |      (u, v) -> u + v) AS s
+      |  FROM p GROUP BY 1, 2),
+      |si AS MATERIALIZED (SELECT i,
+      |    list_reduce(list_prepend(0.0, list(s ORDER BY blk)),
+      |      (u, v) -> u + v) AS s
+      |  FROM bsi GROUP BY 1)""".stripMargin
+  private[graft] val covMomentCtes: String =
+    s"$covPCte,\n$covSijCtes,\n$covSiCtes"
+
+  /** DuckDB replay of [[pcaProjection]]: blocked moment CTEs, the
     * mirrored full matrix, one generated (w, norm, v) CTE triple per
     * power-iteration round (ascending-index folds matching the driver
     * loops bit-for-bit), then the grouped projection fold. */
@@ -1031,19 +1080,7 @@ object SimilarityQueries extends graft.QueryModule {
          |v$k AS MATERIALIZED (SELECT i, w / nrm AS v
          |  FROM w$k CROSS JOIN n$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-       |    generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
-       |pr AS (SELECT a.vec_id, a.i, b.i AS j, a.x * b.x AS xy
-       |  FROM p a JOIN p b ON a.vec_id = b.vec_id AND a.i <= b.i),
-       |sij AS MATERIALIZED (SELECT i, j,
-       |    list_reduce(list_prepend(0.0, list(xy ORDER BY vec_id)),
-       |      (u, v) -> u + v) AS s_ij
-       |  FROM pr GROUP BY 1, 2),
-       |si AS MATERIALIZED (SELECT i,
-       |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
-       |      (u, v) -> u + v) AS s
-       |  FROM p GROUP BY 1),
+    s"""WITH $covMomentCtes,
        |nn AS (SELECT count(*) AS n FROM embeddings),
        |cvu AS (SELECT s.i, s.j, (s.s_ij - a.s * b.s / n.n) / (n.n - 1) AS cov
        |  FROM sij s JOIN si a ON s.i = a.i JOIN si b ON s.j = b.i
@@ -1299,19 +1336,7 @@ object SimilarityQueries extends graft.QueryModule {
     "sim_topk_pq" -> pqTopkOracle,
     "sim_topk_ivfpq" -> ivfPqOracle,
     "sim_covariance" ->
-      """WITH p AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |    generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |pr AS (SELECT a.vec_id, a.i, b.i AS j, a.x * b.x AS xy
-        |  FROM p a JOIN p b ON a.vec_id = b.vec_id AND a.i <= b.i),
-        |sij AS (SELECT i, j,
-        |    list_reduce(list_prepend(0.0, list(xy ORDER BY vec_id)),
-        |      (u, v) -> u + v) AS s_ij
-        |  FROM pr GROUP BY 1, 2),
-        |si AS (SELECT i,
-        |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
-        |      (u, v) -> u + v) AS s
-        |  FROM p GROUP BY 1),
+      s"""WITH $covMomentCtes,
         |n AS (SELECT count(*) AS n FROM embeddings)
         |SELECT s.i, s.j,
         |  round((s.s_ij - a.s * b.s / n.n) / (n.n - 1), 6) + 0.0 AS cov

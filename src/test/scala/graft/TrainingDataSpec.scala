@@ -425,13 +425,21 @@ class TrainingDataSpec extends SparkSpec {
       .sortBy(_._1)
     val n = emb.length
     val d = emb.head._2.length
-    // ordered folds by vec_id — the ordered_sum contract
+    // the engine's TWO-LEVEL fold tree (blockedMoments + ordered_sum):
+    // vec_id order within CovBlock-sized blocks, blk order across —
+    // at 500 vectors and CovBlock=256 this really spans 2 blocks, so
+    // the cross-block level is exercised, not degenerate
     def foldSum(xs: Seq[Double]): Double = xs.foldLeft(0.0)(_ + _)
-    val si = Array.tabulate(d)(i => foldSum(emb.map(_._2(i)).toSeq))
+    def blockFold(vals: Seq[(Long, Double)]): Double =
+      foldSum(vals.groupBy(_._1 / graft.queries.SimilarityQueries.CovBlock)
+        .toSeq.sortBy(_._1)
+        .map { case (_, xs) => foldSum(xs.sortBy(_._1).map(_._2)) })
+    val si = Array.tabulate(d)(i =>
+      blockFold(emb.map(e => e._1 -> e._2(i)).toSeq))
     val mu = si.map(_ / n)
     val cm = Array.tabulate(d, d) { (i, j) =>
       val (a, b) = (math.min(i, j), math.max(i, j))
-      val sij = foldSum(emb.map(e => e._2(a) * e._2(b)).toSeq)
+      val sij = blockFold(emb.map(e => e._1 -> e._2(a) * e._2(b)).toSeq)
       (sij - si(a) * si(b) / n) / (n - 1)
     }
     var v = Array.fill(d)(1.0)
