@@ -82,6 +82,22 @@ object XxHashSql {
        |$out AS (SELECT $k, ${xor("h", "h >> 33")} AS h FROM ${pfx}d)""".stripMargin
   }
 
+  /** Derive the j = 0..k-1 hash family fmix64(h64 xor j·GOLDEN)
+    * ([[graft.functions.HashFamily]]) for every row of
+    * `$inp(keep..., h64)`: emits `$out(keep..., j, h)`. This is the
+    * Kirsch–Mitzenmacher-style construction — k probes derived from ONE
+    * string hash — so each extra probe costs two wrap-multiplies
+    * instead of a full per-byte XXH64 replay. */
+  def familyCtes(pfx: String, inp: String, out: String, k: Int,
+      keep: Seq[String]): String = {
+    val golden = java.lang.Long.parseUnsignedLong("9E3779B97F4A7C15", 16)
+    val jg = s"CAST((CAST(j AS HUGEINT) * ${java.lang.Long.toUnsignedString(golden)}::HUGEINT) % $M AS UBIGINT)"
+    val ks = keep.mkString(", ")
+    s"""${pfx}j AS (SELECT $ks, j, ${xor("h64", jg)} AS h
+       |  FROM $inp CROSS JOIN (SELECT unnest(range($k)) AS j)),
+       |${fmixCtes(pfx, pfx + "j", out, keep :+ "j")}""".stripMargin
+  }
+
   /** Murmur fmix64 as one inline expression of `v` (for lambda bodies,
     * where `v` is a cheap variable reference — inlining a complex
     * expression here would blow the SQL up ~70x). */
