@@ -61,9 +61,9 @@ def main(outdir: str, times_path: str = "") -> None:
           "[oracle_times.json] > docs/QUERIES.md`.")
     if times:
         print("\nThe `oracle s` column is the DuckDB wall time of each "
-              "oracle at the\nrecorded scale (sf0.1 full-catalog gate) — "
-              "the gate's cost budget.\nOracles past the sampled-gate "
-              "threshold are policy-marked in PERF_NOTES.")
+              "oracle in the\ngate run the times file came from (fast-path "
+              "prelude variant when\npresent) — the gate's cost budget. "
+              "Gate-cost policy notes live in\nPERF_NOTES.")
     seen = set()
     for prefix, title in FAMILIES:
         names = sorted(n for n in rows if n.startswith(prefix))
