@@ -216,9 +216,9 @@ object QaPipeline extends graft.QueryModule {
     * to [[answerPrf]]'s bag-of-tokens P/R/F1: per doc, the token-level
     * LCS between the pipeline's answer and the document prefix, with
     * precision lcs/|cand|, recall lcs/|ref| and the LCS F-measure. Both
-    * sides cap at [[RougeMax]] tokens — answers are chunk-sized by
-    * construction, and the cap is what keeps the oracle's recursive DP
-    * replay (one DP-row list per candidate token) tractable. The scalar
+    * sides cap at [[RougeMax]] = 64 tokens — answers are chunk-sized by
+    * construction, and the cap puts the oracle's whole bit-parallel DP
+    * row in ONE 64-bit word (see the oracle SQL below). The scalar
     * is the codegen [[graft.functions.LcsTokens]] expression: the scan
     * stays in WholeStageCodegen; per-doc work is O(RougeMax^2) flat. */
   def rougeL(spark: SparkSession, dir: String): DataFrame = {
