@@ -563,7 +563,12 @@ object Similarity {
     *  - assignment: L2 argmin as `min(struct(dist, cluster))` — a plain
     *    aggregation with partial combine (map-side argmin), never a
     *    row_number window; ties break to the smallest cluster id;
-    *  - update: per-dimension mean folded in vec_id order (the
+    *  - update: per-dimension TWO-LEVEL mean fold — vec_id order within
+    *    [[KmBlock]]-sized blocks, blk order across — so the
+    *    `ordered_sum` collect buffers are block-bounded, never
+    *    corpus-bounded (the same fixed-fold-tree discipline as
+    *    [[blockedMoments]]; a flat per-(cluster, dim) fold buffers
+    *    n/k elements per group, which grows with the corpus) (the
     *    [[graft.queries.SimilarityQueries.centroidDist]] discipline), so
     *    float sums are identical across engines and partitionings;
     *  - each round's centroids (k x dim doubles) round-trip through the
@@ -573,6 +578,11 @@ object Similarity {
     * Clusters that lose all members simply drop out of the centroid
     * table (both engines agree). Returns the final assignment
     * (vec_id, cluster, dist). */
+  /** Block size of the Lloyd-update mean fold — shared with the DuckDB
+    * replay, and small enough that the gate SFs really exercise the
+    * cross-block level (500 vectors at sf0.001/sf0.01 = 2 blocks). */
+  private[graft] val KmBlock = 256L
+
   def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     // each Lloyd round plus the final assignment is its own action over
     // the same projected vectors — cache them once (k x dim doubles per
@@ -634,10 +644,14 @@ object Similarity {
       // member drop out here, same as the oracle's join semantics.
       val means = e
         .select(col("vec_id"), best.getField("cluster").as("cluster"),
+          expr(s"vec_id div $KmBlock").as("blk"),
           posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"), col("blk"))
+        .agg(graft.functions.TextFunctions.ordered_sum(
+          col("x"), col("vec_id")).as("s"), count(lit(1)).as("n"))
         .groupBy(col("cluster"), col("pos"))
         .agg((graft.functions.TextFunctions.ordered_sum(
-          col("x"), col("vec_id")) / count(lit(1))).as("c"))
+          col("s"), col("blk")) / sum(col("n"))).as("c"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       cent = means.groupBy(_._1).toSeq.map { case (cl, xs) =>
         cl -> xs.sortBy(_._2).map(_._3).toSeq

@@ -952,13 +952,18 @@ object SimilarityQueries extends graft.QueryModule {
          |  FROM $dist) WHERE rn = 1)""".stripMargin
     def updateCte(pAlias: String, mAlias: String, cAlias: String,
         assign: String) =
-      s"""$pAlias AS (SELECT a.cluster, e.vec_id, unnest(e.v) AS x,
+      s"""$pAlias AS (SELECT a.cluster, e.vec_id,
+         |  e.vec_id // ${Similarity.KmBlock} AS blk, unnest(e.v) AS x,
          |  generate_subscripts(e.v, 1) AS pos
          |  FROM e JOIN $assign a USING (vec_id)),
-         |$mAlias AS (SELECT cluster, pos,
+         |${pAlias}b AS (SELECT cluster, pos, blk,
          |  list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
-         |    (a, b) -> a + b) / count(*) AS c
-         |  FROM $pAlias GROUP BY 1, 2),
+         |    (a, b) -> a + b) AS s, count(*) AS n
+         |  FROM $pAlias GROUP BY 1, 2, 3),
+         |$mAlias AS (SELECT cluster, pos,
+         |  list_reduce(list_prepend(0.0, list(s ORDER BY blk)),
+         |    (a, b) -> a + b) / CAST(sum(n) AS DOUBLE) AS c
+         |  FROM ${pAlias}b GROUP BY 1, 2),
          |$cAlias AS (SELECT cluster, list(c ORDER BY pos) AS cv
          |  FROM $mAlias GROUP BY 1)""".stripMargin
     s"""WITH e AS (SELECT vec_id,

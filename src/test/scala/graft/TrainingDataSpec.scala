@@ -314,12 +314,20 @@ class TrainingDataSpec extends SparkSpec {
         .groupBy(_._1)
       cent = (0 until k).map { c =>
         byCluster.get(c).map { members =>
-          val sorted = members.sortBy(_._2)
-          val dim = sorted.head._3.length
+          val dim = members.head._3.length
+          // the engine's TWO-LEVEL fold: vec_id order within
+          // KmBlock-sized blocks, blk order across (500 vectors and
+          // KmBlock = 256 -> the cross-block level really runs)
+          val byBlk = members.groupBy(_._2 / 256L).toSeq.sortBy(_._1)
+            .map { case (_, ms) => ms.sortBy(_._2) }
           Array.tabulate(dim) { i =>
             var s = 0.0
-            sorted.foreach(m => s += m._3(i)) // vec_id-ordered fold
-            s / sorted.length
+            byBlk.foreach { ms =>
+              var bs = 0.0
+              ms.foreach(m => bs += m._3(i))
+              s += bs
+            }
+            s / members.length
           }
         }.getOrElse(cent(c))
       }.toArray
