@@ -163,19 +163,36 @@ object Graph {
     (edges, edges.select(col("src").as("node")).distinct(), degC)
   }
 
+  /** Block size of the per-destination rank fold — shared with the
+    * DuckDB replays. Bounds the `ordered_sum` collect buffer at a hub:
+    * a celebrity node's in-contributions fold per src-block first
+    * (≤ [[RankBlock]] sources per block by construction), then across
+    * blocks — per-group state is block-bounded instead of
+    * in-degree-bounded, the [[Similarity.blockedMoments]] fixed-fold-
+    * tree discipline applied to iterative graph rounds. */
+  private[graft] val RankBlock = 256L
+
   /** One power-iteration round over the [[rankBase]] cache:
-    * pr'(v) = teleport(v) + d · fold_{u in N(v), src-ordered}(pr(u)/deg(u)).
-    * The group runs on the bare `dst` attribute (an alias in the
-    * grouping key would defeat the partitioning match and re-add an
-    * Exchange); `teleport` may reference `dst` (the PPR seed mass). */
+    * pr'(v) = teleport(v) + d · fold(pr(u)/deg(u)) over u ∈ N(v), with
+    * the fold src-ordered within [[RankBlock]]-sized src-blocks and
+    * blk-ordered across (two-level, replayed bit-for-bit by the
+    * oracles). BOTH aggregation levels group on expressions whose
+    * clustering the cached dst-partitioning already satisfies
+    * ({dst} ⊆ {dst, blk}), so neither adds an Exchange — the
+    * shuffle-free round contract is pinned by GraphSpec. `teleport`
+    * may reference `dst` (the PPR seed mass). */
   private def rankRound(edges: DataFrame, broadcastRanks: Boolean,
       damping: Double, teleport: Column)(pr: DataFrame): DataFrame = {
     val ranks = if (broadcastRanks) broadcast(pr) else pr
     edges.join(ranks, edges("src") === ranks("node"))
-      .select(col("dst"), col("src"), (col("pr") / col("d")).as("contrib"))
+      .select(col("dst"), col("src"), expr(s"src div $RankBlock").as("blk"),
+        (col("pr") / col("d")).as("contrib"))
+      .groupBy(col("dst"), col("blk"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("contrib"), col("src")).as("s"))
       .groupBy(col("dst"))
       .agg((teleport + lit(damping) *
-        graft.functions.TextFunctions.ordered_sum(col("contrib"), col("src")))
+        graft.functions.TextFunctions.ordered_sum(col("s"), col("blk")))
         .as("pr"))
       .withColumnRenamed("dst", "node")
   }

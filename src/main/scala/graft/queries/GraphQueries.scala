@@ -278,14 +278,19 @@ object GraphQueries extends graft.QueryModule {
     // otherwise fold (1.0 - 0.85) in exact DECIMAL (0.15) while Spark
     // subtracts doubles (0.15000000000000002) — a 1-ulp teleport
     // divergence that the bit-equality contract can't absorb
+    // two-level contribution fold (src order within RankBlock-sized
+    // src-blocks, blk order across) — the engine's rankRound tree
     def iterCte(alias: String, prev: String) =
-      s"""$alias AS (SELECT e.dst AS node,
+      s"""$alias AS (SELECT node,
          |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn FROM n)
          |  + CAST(0.85 AS DOUBLE) * list_reduce(
-         |    list_prepend(0.0, list(p.pr / e.d ORDER BY e.src)),
-         |    (a, b) -> a + b) AS pr
-         |  FROM edges e JOIN $prev p ON e.src = p.node
-         |  GROUP BY e.dst)""".stripMargin
+         |    list_prepend(0.0, list(s ORDER BY blk)), (a, b) -> a + b) AS pr
+         |  FROM (SELECT e.dst AS node, e.src // ${Graph.RankBlock} AS blk,
+         |      list_reduce(list_prepend(0.0, list(p.pr / e.d ORDER BY e.src)),
+         |        (a, b) -> a + b) AS s
+         |    FROM edges e JOIN $prev p ON e.src = p.node
+         |    GROUP BY 1, 2)
+         |  GROUP BY node)""".stripMargin
     val rounds = (1 to Iters)
       .map(i => iterCte(s"it$i", if (i == 1) "pr0" else s"it${i - 1}"))
       .mkString(",\n")
@@ -313,18 +318,23 @@ object GraphQueries extends graft.QueryModule {
     // divide by the ACTUAL seed count like the operator (identical when
     // the graph has >= PprSeeds nodes, exact even when it doesn't)
     val seedTele =
-      s"""CASE WHEN e.dst IN (SELECT src FROM seeds)
+      s"""CASE WHEN node IN (SELECT src FROM seeds)
          |  THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
          |       / CAST((SELECT count(*) FROM seeds) AS DOUBLE)
          |  ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    // same two-level src-block fold as the pagerank replay; the seed
+    // teleport tests the grouped `node` at the outer level
     def iterCte(alias: String, prev: String) =
-      s"""$alias AS (SELECT e.dst AS node,
+      s"""$alias AS (SELECT node,
          |  $seedTele
          |  + CAST(0.85 AS DOUBLE) * list_reduce(
-         |    list_prepend(0.0, list(p.pr / e.d ORDER BY e.src)),
-         |    (a, b) -> a + b) AS pr
-         |  FROM edges e JOIN $prev p ON e.src = p.node
-         |  GROUP BY e.dst)""".stripMargin
+         |    list_prepend(0.0, list(s ORDER BY blk)), (a, b) -> a + b) AS pr
+         |  FROM (SELECT e.dst AS node, e.src // ${Graph.RankBlock} AS blk,
+         |      list_reduce(list_prepend(0.0, list(p.pr / e.d ORDER BY e.src)),
+         |        (a, b) -> a + b) AS s
+         |    FROM edges e JOIN $prev p ON e.src = p.node
+         |    GROUP BY 1, 2)
+         |  GROUP BY node)""".stripMargin
     val rounds = (1 to Iters)
       .map(i => iterCte(s"it$i", if (i == 1) "pr0" else s"it${i - 1}"))
       .mkString(",\n")
