@@ -147,26 +147,51 @@ object TextMetrics {
       round(f1, 6).as("f1"))
   }
 
+  /** Block size of the ordered corpus-mean fold — shared with the
+    * DuckDB replays of the qa_answer_prf / qa_embed_score means. */
+  private[graft] val MeanBlock = 256L
+
   /** Score answers against references and aggregate (the reference's
     * metric-summary shape: mean P/R/F1 over the dataset).
     *
-    * With `orderCols` the means fold in that fixed order
-    * ([[graft.functions.TextFunctions.ordered_sum]] — keys must be
-    * unique per group), making the float result reproducible across
-    * engines/partitionings; without, plain order-tolerant `avg`. */
+    * With an order column the means fold on a fixed TWO-LEVEL tree —
+    * id order within [[MeanBlock]]-sized id blocks, blk order across —
+    * so the float result is reproducible across engines/partitionings
+    * AND no fold buffers the whole corpus (a single global
+    * `ordered_sum` group collects one struct per answer — the
+    * corpus-proportional-state cliff). Without an order column: plain
+    * order-tolerant `avg`, the 100 TB default. */
   def scoreAnswers(answers: DataFrame, candidateCol: String,
       referenceCol: String, orderCols: Column*): DataFrame = {
-    def mean(c: Column) =
-      if (orderCols.isEmpty) avg(c)
-      else graft.functions.TextFunctions.ordered_sum(c, orderCols: _*) /
-        count(lit(1))
-    answers
+    val m = answers
       .withColumn("m", lexicalPRF(col(candidateCol), col(referenceCol)))
-      .agg(
+    if (orderCols.isEmpty)
+      m.agg(
         count(lit(1)).as("n"),
-        round(mean(col("m.precision")), 6).as("mean_precision"),
-        round(mean(col("m.recall")), 6).as("mean_recall"),
-        round(mean(col("m.f1")), 6).as("mean_f1"))
+        round(avg(col("m.precision")), 6).as("mean_precision"),
+        round(avg(col("m.recall")), 6).as("mean_recall"),
+        round(avg(col("m.f1")), 6).as("mean_f1"))
+    else {
+      require(orderCols.length == 1,
+        "ordered corpus mean needs exactly one unique id column")
+      val id = orderCols.head
+      import graft.functions.TextFunctions.ordered_sum
+      // ids are non-negative longs, so long/long division truncating
+      // toward zero IS integer div
+      m.groupBy((id.cast("long") / lit(MeanBlock)).cast("long").as("blk"))
+        .agg(count(lit(1)).as("bn"),
+          ordered_sum(col("m.precision"), id).as("bp"),
+          ordered_sum(col("m.recall"), id).as("br"),
+          ordered_sum(col("m.f1"), id).as("bf"))
+        .agg(
+          sum(col("bn")).as("n"),
+          round(ordered_sum(col("bp"), col("blk")) / sum(col("bn")), 6)
+            .as("mean_precision"),
+          round(ordered_sum(col("br"), col("blk")) / sum(col("bn")), 6)
+            .as("mean_recall"),
+          round(ordered_sum(col("bf"), col("blk")) / sum(col("bn")), 6)
+            .as("mean_f1"))
+    }
   }
 
   /** The model-scorer path: the same pairing/aggregation dataflow with a

@@ -138,11 +138,21 @@ object AnalysisQueries extends graft.QueryModule {
     scored
       .withColumn("bin",
         least(floor(col("p") * 10), lit(9.0)).cast("int"))
+      // two-level mean-p fold (doc_id within LinearModel.BlockSize-d
+      // blocks, blk across): a bin's membership is corpus/10, so a flat
+      // doc_id fold buffers corpus-proportional state
+      .withColumn("blk", expr(
+        s"doc_id div ${graft.operators.LinearModel.BlockSize}"))
+      .groupBy(col("bin"), col("blk"))
+      .agg(count(lit(1)).as("bn"),
+        graft.functions.TextFunctions.ordered_sum(
+          col("p"), col("doc_id")).as("bp"),
+        sum(col("label")).as("bl"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("bn")).as("n"),
         round(graft.functions.TextFunctions.ordered_sum(
-          col("p"), col("doc_id")) / count(lit(1)), 6).as("mean_p"),
-        round(sum(col("label")) * lit(1.0) / count(lit(1)), 6)
+          col("bp"), col("blk")) / sum(col("bn")), 6).as("mean_p"),
+        round(sum(col("bl")) * lit(1.0) / sum(col("bn")), 6)
           .as("frac_pos"))
       .select(col("bin"), round(col("bin") / 10.0, 1).as("p_lo"),
         col("n"), col("mean_p"), col("frac_pos"),
@@ -4202,14 +4212,19 @@ object AnalysisQueries extends graft.QueryModule {
     "ta_quality_calibration" ->
       s"""WITH lr AS ($qualityLrOracle),
          |b AS (SELECT CAST(least(floor(p * 10), 9.0) AS INT) AS bin,
-         |    doc_id, p, label
+         |    doc_id, doc_id // ${LinearModel.BlockSize} AS blk, p, label
          |  FROM lr),
-         |g AS (SELECT bin, count(*) AS n,
-         |    round(list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
-         |      (a, x) -> a + x) / count(*), 6) AS mean_p,
-         |    round(CAST(sum(label) AS BIGINT) * 1.0 / count(*), 6)
+         |gb AS (SELECT bin, blk, count(*) AS bn,
+         |    list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
+         |      (a, x) -> a + x) AS bp,
+         |    CAST(sum(label) AS BIGINT) AS bl
+         |  FROM b GROUP BY 1, 2),
+         |g AS (SELECT bin, CAST(sum(bn) AS BIGINT) AS n,
+         |    round(list_reduce(list_prepend(0.0, list(bp ORDER BY blk)),
+         |      (a, x) -> a + x) / CAST(sum(bn) AS DOUBLE), 6) AS mean_p,
+         |    round(CAST(sum(bl) AS BIGINT) * 1.0 / sum(bn), 6)
          |      AS frac_pos
-         |  FROM b GROUP BY 1)
+         |  FROM gb GROUP BY 1)
          |SELECT bin, round(bin / 10.0, 1) AS p_lo, n, mean_p, frac_pos,
          |  round(abs(mean_p - frac_pos), 6) AS gap
          |FROM g""".stripMargin,

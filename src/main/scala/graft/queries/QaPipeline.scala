@@ -155,14 +155,23 @@ object QaPipeline extends graft.QueryModule {
       cand.join(refs, "doc_id"), "llm_answer", "ref_text", "doc_id")
       .select(col("doc_id"), round(col("precision"), 6).as("p"),
         round(col("recall"), 6).as("r"), round(col("f1"), 6).as("f"))
-    scored.agg(
-      count(lit(1)).as("n"),
-      round(ordered_sum(col("p"), col("doc_id")) / count(lit(1)), 6)
-        .as("mean_precision"),
-      round(ordered_sum(col("r"), col("doc_id")) / count(lit(1)), 6)
-        .as("mean_recall"),
-      round(ordered_sum(col("f"), col("doc_id")) / count(lit(1)), 6)
-        .as("mean_f1"))
+    // two-level corpus-mean fold (doc_id within MeanBlock-sized blocks,
+    // blk across) — the TextMetrics.scoreAnswers discipline: the flat
+    // global ordered fold would buffer one struct per answer
+    scored.groupBy((col("doc_id") / lit(
+        graft.operators.TextMetrics.MeanBlock)).cast("long").as("blk"))
+      .agg(count(lit(1)).as("bn"),
+        ordered_sum(col("p"), col("doc_id")).as("bp"),
+        ordered_sum(col("r"), col("doc_id")).as("br"),
+        ordered_sum(col("f"), col("doc_id")).as("bf"))
+      .agg(
+        sum(col("bn")).as("n"),
+        round(ordered_sum(col("bp"), col("blk")) / sum(col("bn")), 6)
+          .as("mean_precision"),
+        round(ordered_sum(col("br"), col("blk")) / sum(col("bn")), 6)
+          .as("mean_recall"),
+        round(ordered_sum(col("bf"), col("blk")) / sum(col("bn")), 6)
+          .as("mean_f1"))
   }
 
   // ONE literal pair shared by the rate-source entry and its oracle
@@ -649,19 +658,30 @@ object QaPipeline extends graft.QueryModule {
          |          list_distinct(regexp_extract_all(llm_answer, '$re')) AS ctoks
          |        FROM answers) a JOIN refs USING (doc_id)
          |), prf2 AS (
-         |  SELECT doc_id, round(p, 6) AS p, round(r, 6) AS r,
+         |  SELECT doc_id, doc_id // ${graft.operators.TextMetrics.MeanBlock}
+         |      AS blk,
+         |    round(p, 6) AS p, round(r, 6) AS r,
          |    round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
          |               ELSE 0.0 END, 6) AS f1
          |  FROM prf
+         |), prfb AS (
+         |  SELECT blk, count(*) AS bn,
+         |    list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
+         |      (a, b) -> a + b) AS bp,
+         |    list_reduce(list_prepend(0.0, list(r ORDER BY doc_id)),
+         |      (a, b) -> a + b) AS br,
+         |    list_reduce(list_prepend(0.0, list(f1 ORDER BY doc_id)),
+         |      (a, b) -> a + b) AS bf
+         |  FROM prf2 GROUP BY blk
          |)
-         |SELECT count(*) AS n,
-         |  round(list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
-         |    (a, b) -> a + b) / count(*), 6) AS mean_precision,
-         |  round(list_reduce(list_prepend(0.0, list(r ORDER BY doc_id)),
-         |    (a, b) -> a + b) / count(*), 6) AS mean_recall,
-         |  round(list_reduce(list_prepend(0.0, list(f1 ORDER BY doc_id)),
-         |    (a, b) -> a + b) / count(*), 6) AS mean_f1
-         |FROM prf2""".stripMargin,
+         |SELECT CAST(sum(bn) AS BIGINT) AS n,
+         |  round(list_reduce(list_prepend(0.0, list(bp ORDER BY blk)),
+         |    (a, b) -> a + b) / CAST(sum(bn) AS DOUBLE), 6) AS mean_precision,
+         |  round(list_reduce(list_prepend(0.0, list(br ORDER BY blk)),
+         |    (a, b) -> a + b) / CAST(sum(bn) AS DOUBLE), 6) AS mean_recall,
+         |  round(list_reduce(list_prepend(0.0, list(bf ORDER BY blk)),
+         |    (a, b) -> a + b) / CAST(sum(bn) AS DOUBLE), 6) AS mean_f1
+         |FROM prfb""".stripMargin,
     // The random-projection embedding replayed bit-for-bit: xxh64 per
     // distinct token (XxHashSql chain), 16 family hashes via the
     // k·GOLDEN xor + fmix64 mix, low bits packed into a 16-bit mask;
@@ -728,19 +748,30 @@ object QaPipeline extends graft.QueryModule {
          |  FROM bothd b LEFT JOIN pdoc USING (doc_id)
          |    LEFT JOIN rdoc USING (doc_id)
          |), prf2 AS (
-         |  SELECT doc_id, round(p, 6) AS p, round(r, 6) AS r,
+         |  SELECT doc_id, doc_id // ${graft.operators.TextMetrics.MeanBlock}
+         |      AS blk,
+         |    round(p, 6) AS p, round(r, 6) AS r,
          |    round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
          |               ELSE 0.0 END, 6) AS f1
          |  FROM prf
+         |), prfb AS (
+         |  SELECT blk, count(*) AS bn,
+         |    list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
+         |      (a, b) -> a + b) AS bp,
+         |    list_reduce(list_prepend(0.0, list(r ORDER BY doc_id)),
+         |      (a, b) -> a + b) AS br,
+         |    list_reduce(list_prepend(0.0, list(f1 ORDER BY doc_id)),
+         |      (a, b) -> a + b) AS bf
+         |  FROM prf2 GROUP BY blk
          |)
-         |SELECT count(*) AS n,
-         |  round(list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
-         |    (a, b) -> a + b) / count(*), 6) AS mean_precision,
-         |  round(list_reduce(list_prepend(0.0, list(r ORDER BY doc_id)),
-         |    (a, b) -> a + b) / count(*), 6) AS mean_recall,
-         |  round(list_reduce(list_prepend(0.0, list(f1 ORDER BY doc_id)),
-         |    (a, b) -> a + b) / count(*), 6) AS mean_f1
-         |FROM prf2""".stripMargin,
+         |SELECT CAST(sum(bn) AS BIGINT) AS n,
+         |  round(list_reduce(list_prepend(0.0, list(bp ORDER BY blk)),
+         |    (a, b) -> a + b) / CAST(sum(bn) AS DOUBLE), 6) AS mean_precision,
+         |  round(list_reduce(list_prepend(0.0, list(br ORDER BY blk)),
+         |    (a, b) -> a + b) / CAST(sum(bn) AS DOUBLE), 6) AS mean_recall,
+         |  round(list_reduce(list_prepend(0.0, list(bf ORDER BY blk)),
+         |    (a, b) -> a + b) / CAST(sum(bn) AS DOUBLE), 6) AS mean_f1
+         |FROM prfb""".stripMargin,
     // batch replay of the rate-source drive: request ids 0..n−1 route
     // v % |documents|; per-doc chunk windows at `stride`, distinct-token
     // overlap with the question terms capped at 10 — the map-stage

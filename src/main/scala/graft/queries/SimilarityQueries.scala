@@ -349,16 +349,24 @@ object SimilarityQueries extends graft.QueryModule {
   }
 
   /** Per-label mean vectors `(label, cv array<double>)` — every
-    * component sum is a vec_id-ordered fold so the centroid is
-    * bit-identical across engines and partitionings (the
-    * [[Similarity.kmeans]] discipline). Tiny output (labels × dim),
-    * always broadcast or collected by consumers. */
+    * component sum is a TWO-LEVEL fold (vec_id order within
+    * [[Similarity.KmBlock]]-sized blocks, blk order across) so the
+    * centroid is bit-identical across engines and partitionings AND the
+    * collect buffers stay block-bounded — a popular label's members
+    * are corpus-proportional, so a flat per-(label, pos) fold is the
+    * same state cliff the Lloyd-update fix removed. Tiny output
+    * (labels × dim), always broadcast or collected by consumers. */
   private def labelCentroids(emb: DataFrame): DataFrame = {
     val pos = emb.select(col("vec_id"), col("label"),
+      expr(s"vec_id div ${Similarity.KmBlock}").as("blk"),
       posexplode(col("embedding")).as(Seq("pos", "x")))
-    val cent0 = pos.groupBy(col("label"), col("pos"))
+    val cent0 = pos.groupBy(col("label"), col("pos"), col("blk"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("x").cast("double"), col("vec_id")).as("s"),
+        count(lit(1)).as("cnt"))
+      .groupBy(col("label"), col("pos"))
       .agg((graft.functions.TextFunctions.ordered_sum(
-        col("x").cast("double"), col("vec_id")) / count(lit(1))).as("c"))
+        col("s"), col("blk")) / sum(col("cnt"))).as("c"))
     cent0.groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cv"))
@@ -399,15 +407,25 @@ object SimilarityQueries extends graft.QueryModule {
     * it), each broadcast back; the z compare runs on the ROUNDED z so
     * the kept set is engine-exact. */
   def labelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // both population folds run the two-level block tree (the
+    // labelCentroids discipline): per-label member counts are
+    // corpus-proportional, so flat folds would buffer them whole
     val d = centroidDist(spark, dir)
-    val mu = d.groupBy(col("label"))
+      .withColumn("blk", expr(s"vec_id div ${Similarity.KmBlock}"))
+    val mu = d.groupBy(col("label"), col("blk"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("dist"), col("vec_id")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
       .agg((graft.functions.TextFunctions.ordered_sum(
-        col("dist"), col("vec_id")) / count(lit(1))).as("mu"))
+        col("s"), col("blk")) / sum(col("cnt"))).as("mu"))
     val dm = d.join(broadcast(mu), "label")
-    val sg = dm.groupBy(col("label"))
-      .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
+    val sg = dm.groupBy(col("label"), col("blk"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
         (col("dist") - col("mu")) * (col("dist") - col("mu")),
-        col("vec_id")) / count(lit(1))).as("sigma"))
+        col("vec_id")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(sqrt(graft.functions.TextFunctions.ordered_sum(
+        col("s"), col("blk")) / sum(col("cnt"))).as("sigma"))
     // sigma = 0 (singleton label / all-equidistant members) has no
     // defined z; the guard keeps the degenerate stratum out on BOTH
     // engines (Spark's 0/0 is NULL while DuckDB's is NaN-sorts-high —
@@ -449,25 +467,37 @@ object SimilarityQueries extends graft.QueryModule {
     * cross-engine bit-equality; at production scale plain `sum` suffices. */
   def diversity(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadSpread(spark, dir, "embeddings")
-    // sum_i x_i per (label, dim), vec_id-ordered fold
+    // sum_i x_i per (label, dim) — two-level fold (vec_id within
+    // KmBlock-sized blocks, blk across): per-label membership is
+    // corpus-proportional, so the flat fold would buffer it whole
     val pos = emb.select(col("vec_id"), col("label"),
+      expr(s"vec_id div ${Similarity.KmBlock}").as("blk"),
       posexplode(col("embedding")).as(Seq("pos", "x")))
-    val sv = pos.groupBy(col("label"), col("pos"))
+    val sv = pos.groupBy(col("label"), col("pos"), col("blk"))
       .agg(graft.functions.TextFunctions.ordered_sum(
-        col("x").cast("double"), col("vec_id")).as("s"))
-    // ||sum_i x_i||^2 per label, dim-ordered fold of s^2
+        col("x").cast("double"), col("vec_id")).as("bs"))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.functions.TextFunctions.ordered_sum(
+        col("bs"), col("blk")).as("s"))
+    // ||sum_i x_i||^2 per label, dim-ordered fold of s^2 (d terms —
+    // dimension-bounded, no blocking needed)
     val nsq = sv.groupBy(col("label"))
       .agg(graft.functions.TextFunctions.ordered_sum(
         col("s") * col("s"), col("pos")).as("nsq"))
-    // sum_i ||x_i||^2 per label, vec_id-ordered fold of per-vector norms
+    // sum_i ||x_i||^2 per label — same two-level tree
     val norms = emb.select(col("label"), col("vec_id"),
+      expr(s"vec_id div ${Similarity.KmBlock}").as("blk"),
       aggregate(transform(col("embedding"),
           x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, v) => acc + v).as("nrm"))
-    val ssq = norms.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"),
+    val ssq = norms.groupBy(col("label"), col("blk"))
+      .agg(count(lit(1)).as("bn"),
         graft.functions.TextFunctions.ordered_sum(
-          col("nrm"), col("vec_id")).as("ssq"))
+          col("nrm"), col("vec_id")).as("bssq"))
+      .groupBy(col("label"))
+      .agg(sum(col("bn")).as("n"),
+        graft.functions.TextFunctions.ordered_sum(
+          col("bssq"), col("blk")).as("ssq"))
     val nd = col("n").cast("double")
     ssq.join(nsq, "label")
       .select(col("label"), col("n"),
@@ -1397,26 +1427,37 @@ object SimilarityQueries extends graft.QueryModule {
          |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
          |  FROM km) WHERE rn <= 20""".stripMargin,
     "sim_diversity" ->
-      """WITH p AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      s"""WITH p AS (SELECT vec_id, label,
+        |    vec_id // ${Similarity.KmBlock} AS blk,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x,
         |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
-        |sv AS (SELECT label, pos,
+        |svb AS (SELECT label, pos, blk,
         |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+        |      (a, b) -> a + b) AS bs
+        |  FROM p GROUP BY 1, 2, 3),
+        |sv AS (SELECT label, pos,
+        |    list_reduce(list_prepend(0.0, list(bs ORDER BY blk)),
         |      (a, b) -> a + b) AS s
-        |  FROM p GROUP BY 1, 2),
+        |  FROM svb GROUP BY 1, 2),
         |nsq AS (SELECT label,
         |    list_reduce(list_prepend(0.0,
         |      list_transform(list(s ORDER BY pos), v -> v * v)),
         |      (a, b) -> a + b) AS nsq
         |  FROM sv GROUP BY 1),
         |norms AS (SELECT label, vec_id,
+        |    vec_id // ${Similarity.KmBlock} AS blk,
         |    list_reduce(list_prepend(0.0, list_transform(embedding,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
         |      (a, b) -> a + b) AS nrm
         |  FROM embeddings),
-        |ssq AS (SELECT label, count(*) AS n,
+        |ssqb AS (SELECT label, blk, count(*) AS bn,
         |    list_reduce(list_prepend(0.0, list(nrm ORDER BY vec_id)),
+        |      (a, b) -> a + b) AS bssq
+        |  FROM norms GROUP BY 1, 2),
+        |ssq AS (SELECT label, CAST(sum(bn) AS BIGINT) AS n,
+        |    list_reduce(list_prepend(0.0, list(bssq ORDER BY blk)),
         |      (a, b) -> a + b) AS ssq
-        |  FROM norms GROUP BY 1)
+        |  FROM ssqb GROUP BY 1)
         |SELECT s.label, s.n,
         |  round(2.0 * (CAST(s.n AS DOUBLE) * s.ssq - q.nsq)
         |    / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1.0)), 6)
@@ -1451,15 +1492,23 @@ object SimilarityQueries extends graft.QueryModule {
          |WHERE rank <= $K""".stripMargin,
     "sim_label_outliers" ->
       s"""WITH $centroidDistCtes,
-         |mu AS (SELECT label,
+         |mub AS (SELECT label, vec_id // ${Similarity.KmBlock} AS blk,
          |  list_reduce(list_prepend(0.0, list(dist ORDER BY vec_id)),
-         |    (acc, v) -> acc + v) / count(*) AS mu
-         |  FROM dist GROUP BY label),
-         |sg AS (SELECT d.label,
-         |  sqrt(list_reduce(list_prepend(0.0,
+         |    (acc, v) -> acc + v) AS s, count(*) AS cnt
+         |  FROM dist GROUP BY 1, 2),
+         |mu AS (SELECT label,
+         |  list_reduce(list_prepend(0.0, list(s ORDER BY blk)),
+         |    (acc, v) -> acc + v) / CAST(sum(cnt) AS DOUBLE) AS mu
+         |  FROM mub GROUP BY label),
+         |sgb AS (SELECT d.label, d.vec_id // ${Similarity.KmBlock} AS blk,
+         |  list_reduce(list_prepend(0.0,
          |    list((d.dist - m.mu) * (d.dist - m.mu) ORDER BY d.vec_id)),
-         |    (acc, v) -> acc + v) / count(*)) AS sigma
-         |  FROM dist d JOIN mu m USING (label) GROUP BY d.label)
+         |    (acc, v) -> acc + v) AS s, count(*) AS cnt
+         |  FROM dist d JOIN mu m USING (label) GROUP BY 1, 2),
+         |sg AS (SELECT label,
+         |  sqrt(list_reduce(list_prepend(0.0, list(s ORDER BY blk)),
+         |    (acc, v) -> acc + v) / CAST(sum(cnt) AS DOUBLE)) AS sigma
+         |  FROM sgb GROUP BY label)
          |SELECT d.vec_id, d.label, d.dist,
          |  round((d.dist - m.mu) / s.sigma, 4) AS z
          |FROM dist d JOIN mu m USING (label) JOIN sg s ON d.label = s.label
@@ -1471,14 +1520,18 @@ object SimilarityQueries extends graft.QueryModule {
     * (ordered folds per (label, pos), components reassembled in pos
     * order). MATERIALIZED: consumers reference `cent` from joins. */
   private def centroidCtes: String =
-    """p AS (SELECT vec_id, label,
+    s"""p AS (SELECT vec_id, label, vec_id // ${Similarity.KmBlock} AS blk,
       |    CAST(unnest(embedding) AS DOUBLE) AS x,
       |    generate_subscripts(embedding, 1) AS pos
       |  FROM embeddings),
-      |cent0 AS (SELECT label, pos,
+      |centb AS (SELECT label, pos, blk,
       |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
-      |      (acc, v) -> acc + v) / count(*) AS c
-      |  FROM p GROUP BY label, pos),
+      |      (acc, v) -> acc + v) AS s, count(*) AS cnt
+      |  FROM p GROUP BY label, pos, blk),
+      |cent0 AS (SELECT label, pos,
+      |    list_reduce(list_prepend(0.0, list(s ORDER BY blk)),
+      |      (acc, v) -> acc + v) / CAST(sum(cnt) AS DOUBLE) AS c
+      |  FROM centb GROUP BY label, pos),
       |cent AS MATERIALIZED (SELECT label, list(c ORDER BY pos) AS cv
       |         FROM cent0 GROUP BY label)""".stripMargin
 
