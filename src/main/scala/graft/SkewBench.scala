@@ -170,10 +170,15 @@ object SkewBench {
     }
     require(nAggDirect == nAggSalted, "agg variants disagree on group count")
 
+    // the aqe_skew number is measured under TUNED engage thresholds (see
+    // aqe() above) — emit them so the line is self-describing and can't
+    // be read as default-config AQE
     println(f"""{"metric":"skew_join","direct":$tDirect%.2f,""" +
       f""""aqe_skew":$tAqe%.2f,"salted":$tSalted%.2f,""" +
       f""""discover":$tDiscover%.2f,""" +
       f""""agg_direct":$tAggDirect%.2f,"agg_salted":$tAggSalted%.2f,""" +
+      s""""aqe_skew_thresholds":{"skewedPartitionThresholdInBytes":"8MB",""" +
+      s""""advisoryPartitionSizeInBytes":"4MB"},""" +
       s""""rows":${rDirect.map(_._2).sum},"hot_keys":${hotKeys.length},"sf":"$sfDir"}""")
     spark.stop()
   }

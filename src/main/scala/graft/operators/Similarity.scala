@@ -491,6 +491,12 @@ object Similarity {
     * scored — never an all-pairs product. Recall follows the sign-LSH
     * collision curve (high for true near-dups, best-effort at moderate
     * thresholds — DedupSpec pins the bound on the planted data). */
+  /** Broadcast ceiling for the [[rpLshNearDups]] vector re-attach: the
+    * id→vector table is broadcast only while its estimated serialized
+    * size stays under this — n-proportional broadcasts need an explicit
+    * ceiling, however candidate-independent they are. */
+  private[graft] val RpLshBroadcastCeiling = 256L << 20
+
   def rpLshNearDups(vectors: DataFrame, threshold: Double,
       tables: Int = 32, bits: Int = 8): DataFrame = {
     val base = vectors.select(col("vec_id"),
@@ -503,8 +509,13 @@ object Similarity {
     // row ALREADY CARRYING va through a second exchange (measured ~12 GB
     // at the 10× frame — 33 s for a query whose only real work is
     // n·L signature rows plus the per-candidate cosine). So the vector
-    // table re-attaches by BROADCAST (it is the by-construction small
-    // side: one row per vector, not per candidate), and the pair dedup
+    // table re-attaches by BROADCAST while its measured size estimate
+    // fits [[RpLshBroadcastCeiling]] — it is candidate-count independent
+    // (one row per vector, not per collision) but still n-proportional,
+    // so an unconditional hint would blow the executor/broadcast memory
+    // ceiling long before 100 TB; past the ceiling the hint is dropped
+    // and the planner's shuffle join pays the candidate-sized exchange
+    // that `bits` (below) keeps bounded — and the pair dedup
     // runs AFTER the threshold filter — identical output (sim is a pure
     // function of the pair, so distinct-then-verify and
     // verify-then-distinct commute), but the distinct's exchange is
@@ -523,10 +534,19 @@ object Similarity {
       .join(v.select(col("tbl"), col("sig"), col("vec_id").as("vec_b")),
         Seq("tbl", "sig"))
       .filter(col("vec_a") < col("vec_b"))
+    // one cheap agg job sizes the broadcast gate: rows × (8·dim payload
+    // + row overhead) against the ceiling — measured, not stats-derived,
+    // so a projection the planner can't size never forces a bad hint
+    val st = base.agg(count(lit(1)).as("n"), max(size(col("dv"))).as("d"))
+      .head
+    val estBytes = st.getLong(0) *
+      (8L * (if (st.isNullAt(1)) 0 else st.getInt(1)) + 32L)
+    def reattach(side: DataFrame): DataFrame =
+      if (estBytes <= RpLshBroadcastCeiling) broadcast(side) else side
     cand
-      .join(broadcast(base.select(col("vec_id").as("vec_a"),
+      .join(reattach(base.select(col("vec_id").as("vec_a"),
         col("dv").as("va"))), "vec_a")
-      .join(broadcast(base.select(col("vec_id").as("vec_b"),
+      .join(reattach(base.select(col("vec_id").as("vec_b"),
         col("dv").as("vb"))), "vec_b")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") > threshold)
@@ -554,6 +574,11 @@ object Similarity {
     (scale, qs, maxErr)
   }
 
+  /** Block size of the Lloyd-update mean fold — shared with the DuckDB
+    * replay, and small enough that the gate SFs really exercise the
+    * cross-block level (500 vectors at sf0.001/sf0.01 = 2 blocks). */
+  private[graft] val KmBlock = 256L
+
   /** Deterministic Lloyd k-means over the embedding column — the topic-
     * clustering step of a corpus pipeline (cluster-then-sample /
     * cluster-balance curation). Engine-reproducible by construction, so
@@ -578,11 +603,6 @@ object Similarity {
     * Clusters that lose all members simply drop out of the centroid
     * table (both engines agree). Returns the final assignment
     * (vec_id, cluster, dist). */
-  /** Block size of the Lloyd-update mean fold — shared with the DuckDB
-    * replay, and small enough that the gate SFs really exercise the
-    * cross-block level (500 vectors at sf0.001/sf0.01 = 2 blocks). */
-  private[graft] val KmBlock = 256L
-
   def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     // each Lloyd round plus the final assignment is its own action over
     // the same projected vectors — cache them once (k x dim doubles per
@@ -723,17 +743,22 @@ object Similarity {
         new Iterator[(Long, Int, Int, Double)] {
           private var pending: Iterator[(Long, Int, Int, Double)] =
             Iterator.empty
+          // first-seen dim is PARTITION-scoped, not block-scoped: a
+          // corpus whose dim changes between blocks (uniform within
+          // each) must fail as loudly as one ragged within a block —
+          // a per-block reset would silently merge mixed-dim partials
+          // into the same (i, j) cells
+          private var d = -1
           def hasNext: Boolean = pending.hasNext || buf.hasNext
           def next(): (Long, Int, Int, Double) = {
             if (!pending.hasNext) {
               val blk = buf.head._1
-              var d = -1
               var tri: Array[Double] = null
               var sums: Array[Double] = null
               while (buf.hasNext && buf.head._1 == blk) {
                 val e = buf.next()._3
-                if (d < 0) {
-                  d = e.length
+                if (d < 0) d = e.length
+                if (tri == null) {
                   tri = new Array[Double](d * (d + 1) / 2)
                   sums = new Array[Double](d)
                 }

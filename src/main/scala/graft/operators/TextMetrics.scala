@@ -176,9 +176,9 @@ object TextMetrics {
         "ordered corpus mean needs exactly one unique id column")
       val id = orderCols.head
       import graft.functions.TextFunctions.ordered_sum
-      // ids are non-negative longs, so long/long division truncating
-      // toward zero IS integer div
-      m.groupBy((id.cast("long") / lit(MeanBlock)).cast("long").as("blk"))
+      // integer `div` keeps the block id exact for any non-negative long id
+      // (double-division would lose precision above 2^53)
+      m.groupBy(call_function("div", id.cast("long"), lit(MeanBlock)).as("blk"))
         .agg(count(lit(1)).as("bn"),
           ordered_sum(col("m.precision"), id).as("bp"),
           ordered_sum(col("m.recall"), id).as("br"),

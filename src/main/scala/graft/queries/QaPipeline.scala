@@ -158,8 +158,9 @@ object QaPipeline extends graft.QueryModule {
     // two-level corpus-mean fold (doc_id within MeanBlock-sized blocks,
     // blk across) — the TextMetrics.scoreAnswers discipline: the flat
     // global ordered fold would buffer one struct per answer
-    scored.groupBy((col("doc_id") / lit(
-        graft.operators.TextMetrics.MeanBlock)).cast("long").as("blk"))
+    scored.groupBy(expr(
+        s"cast(doc_id as bigint) div ${graft.operators.TextMetrics.MeanBlock}")
+        .as("blk"))
       .agg(count(lit(1)).as("bn"),
         ordered_sum(col("p"), col("doc_id")).as("bp"),
         ordered_sum(col("r"), col("doc_id")).as("br"),
