@@ -1354,33 +1354,63 @@ object AnalysisQueries extends graft.QueryModule {
     out
   }
 
+  /** Hash-bucket geometry for the vocabulary-keyed corpus folds
+    * ([[termEntropy]] / [[entropyRate]] / [[mutualInfo]]): terms bucket
+    * by `xxh64(term) & VocabFineMask` (2^24 fine buckets), fine ids roll
+    * up by `fine div VocabCoarseDiv` (4096 coarse ids, ≤ 4096 fine per
+    * coarse). The three fold levels then buffer at most
+    * max(V/2^24, 4096) elements per task — corpus-size independent for
+    * any practical vocabulary (a 16M-term vocab still folds ~1 element
+    * per fine bucket), where the previous single term-ordered fold
+    * buffered the whole per-source vocabulary. Both constants are
+    * interpolated into the DuckDB oracles so the fold tree replays
+    * bit-for-bit. */
+  private[graft] val VocabFineMask = (1L << 24) - 1
+  private[graft] val VocabCoarseDiv = 4096L
+
   /** Shannon entropy of each source's term distribution — the
     * "vocabulary richness / repetitiveness" corpus signal (a collapsed
     * source has low entropy; a diverse one approaches ln|V|). Counts
-    * aggregate map-side; the per-source entropy folds term-ordered for
-    * cross-engine equality. */
+    * aggregate map-side; the per-source entropy folds through the
+    * three-level [[VocabFineMask]] hash-bucket tree (term order within
+    * a fine bucket, fine order within a coarse bucket, coarse order
+    * across) for cross-engine equality WITHOUT a vocabulary-sized
+    * aggregation buffer — the flat term-ordered fold collected one
+    * element per distinct term per source, the last state shape that
+    * grew with the corpus. */
   def termEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tfn = graft.functions.TextFunctions
     val tc = Tables.loadSpread(spark, dir, "documents")
       .select(col("source"),
-        explode(graft.functions.TextFunctions.term_counts(col("text")))
-          .as(Seq("term", "tf")))
+        explode(tfn.term_counts(col("text"))).as(Seq("term", "tf")))
       .groupBy(col("source"), col("term")).agg(sum(col("tf")).as("c"))
     val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val p = col("c").cast("double") / col("n")
     tc.join(broadcast(tot), "source")
-      .select(col("source"), col("term"), (p * log(p)).as("t"))
+      .select(col("source"), col("term"),
+        tfn.hash64(col("term")).bitwiseAND(lit(VocabFineMask)).as("fine"),
+        (p * log(p)).as("t"))
+      .groupBy(col("source"), col("fine"))
+      .agg(count(lit(1)).as("bn"),
+        tfn.ordered_sum(col("t"), col("term")).as("bt"))
+      .groupBy(col("source"), expr(s"fine div $VocabCoarseDiv").as("coarse"))
+      .agg(sum(col("bn")).as("bn"),
+        tfn.ordered_sum(col("bt"), col("fine")).as("bt"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_terms"),
-        round(-graft.functions.TextFunctions.ordered_sum(
-          col("t"), col("term")), 6).as("entropy"))
+      .agg(sum(col("bn")).as("n_terms"),
+        round(-tfn.ordered_sum(col("bt"), col("coarse")), 6).as("entropy"))
   }
 
   /** Mutual information between two categorical columns (lang x source)
     * — the "how much does provenance predict language" curation signal.
     * Everything derives from one contingency-table aggregation (25ish
     * cells) + margins computed FROM the cells (no second scan); the MI
-    * sum folds cells in (lang, source) order for cross-engine equality. */
+    * sum folds through the [[VocabFineMask]] hash-bucket tree keyed by
+    * `lang:source` (cell order within fine, fine within coarse, coarse
+    * across) so even a category product that grows with the corpus
+    * never sizes an aggregation buffer. */
   def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val tfn = graft.functions.TextFunctions
     val cells = Tables.loadSpread(spark, dir, "documents")
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1393,10 +1423,18 @@ object AnalysisQueries extends graft.QueryModule {
           * (col("n_y").cast("double") / col("n"))))
     val out = cells.join(broadcast(mx), "lang").join(broadcast(my), "source")
       .crossJoin(broadcast(nn))
-      .select(col("lang"), col("source"), term.as("t"))
-      .agg(count(lit(1)).as("n_cells"),
-        round(graft.functions.TextFunctions.ordered_sum(
-          col("t"), col("lang"), col("source")), 6).as("mi"))
+      .select(col("lang"), col("source"),
+        tfn.hash64(concat(col("lang"), lit(":"), col("source")))
+          .bitwiseAND(lit(VocabFineMask)).as("fine"),
+        term.as("t"))
+      .groupBy(col("fine"))
+      .agg(count(lit(1)).as("bn"),
+        tfn.ordered_sum(col("t"), col("lang"), col("source")).as("bt"))
+      .groupBy(expr(s"fine div $VocabCoarseDiv").as("coarse"))
+      .agg(sum(col("bn")).as("bn"),
+        tfn.ordered_sum(col("bt"), col("fine")).as("bt"))
+      .agg(sum(col("bn")).as("n_cells"),
+        round(tfn.ordered_sum(col("bt"), col("coarse")), 6).as("mi"))
       .localCheckpoint(true)
     cells.unpersist(blocking = false)
     out
@@ -2039,13 +2077,15 @@ object AnalysisQueries extends graft.QueryModule {
     * text far above): joint bigram entropy H(X,Y), the first-token
     * marginal H(X), and the conditional entropy rate
     * H(Y|X) = H(X,Y) − H(X), all from exact BIGINT bigram counts with
-    * every −Σ p·ln p folded in cell order (the [[termEntropy]]
-    * vocabulary-fold precedent; ln is the proven transcendental). Map
-    * side emits per-doc bigram count MAPS ([[graft.functions
-    * .BigramCounts]]), so the shuffle carries one row per distinct
-    * (source, bigram). */
+    * every −Σ p·ln p folded through the [[VocabFineMask]] hash-bucket
+    * tree (bigram order within fine, fine within coarse, coarse across
+    * — the [[termEntropy]] discipline, so the bigram-vocabulary fold
+    * never sizes an aggregation buffer; ln is the proven
+    * transcendental). Map side emits per-doc bigram count MAPS
+    * ([[graft.functions.BigramCounts]]), so the shuffle carries one row
+    * per distinct (source, bigram). */
   def entropyRate(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{bigram_counts, ordered_sum}
+    import graft.functions.TextFunctions.{bigram_counts, hash64, ordered_sum}
     val bg = Tables.loadSpread(spark, dir, "documents")
       .select(col("source"),
         explode(bigram_counts(col("text"))).as(Seq("bg", "c")))
@@ -2053,16 +2093,30 @@ object AnalysisQueries extends graft.QueryModule {
     val tot = bg.groupBy(col("source")).agg(sum(col("c")).as("n2"))
     val p2 = col("c").cast("double") / col("n2").cast("double")
     val hJoint = bg.join(tot, "source")
+      .select(col("source"), col("bg"),
+        hash64(col("bg")).bitwiseAND(lit(VocabFineMask)).as("fine"),
+        (-p2 * log(p2)).as("t"))
+      .groupBy(col("source"), col("fine"))
+      .agg(ordered_sum(col("t"), col("bg")).as("bt"))
+      .groupBy(col("source"), expr(s"fine div $VocabCoarseDiv").as("coarse"))
+      .agg(ordered_sum(col("bt"), col("fine")).as("bt"))
       .groupBy(col("source"))
-      .agg(ordered_sum(-p2 * log(p2), col("bg")).as("h_joint"))
+      .agg(ordered_sum(col("bt"), col("coarse")).as("h_joint"))
     val mx = bg
       .select(col("source"), substring_index(col("bg"), " ", 1).as("x"),
         col("c"))
       .groupBy(col("source"), col("x")).agg(sum(col("c")).as("c"))
     val px = col("c").cast("double") / col("n2").cast("double")
     val hMarg = mx.join(tot, "source")
+      .select(col("source"), col("x"),
+        hash64(col("x")).bitwiseAND(lit(VocabFineMask)).as("fine"),
+        (-px * log(px)).as("t"))
+      .groupBy(col("source"), col("fine"))
+      .agg(ordered_sum(col("t"), col("x")).as("bt"))
+      .groupBy(col("source"), expr(s"fine div $VocabCoarseDiv").as("coarse"))
+      .agg(ordered_sum(col("bt"), col("fine")).as("bt"))
       .groupBy(col("source"))
-      .agg(ordered_sum(-px * log(px), col("x")).as("h_marginal"))
+      .agg(ordered_sum(col("bt"), col("coarse")).as("h_marginal"))
     hJoint.join(hMarg, "source").join(tot, "source")
       .select(col("source"), col("n2").as("n_bigrams"),
         round(col("h_joint"), 6).as("h_joint"),
@@ -2596,6 +2650,10 @@ object AnalysisQueries extends graft.QueryModule {
         covN * covN / (varX * varY)), 6).as("r2"))
   }
 
+  /** Id-block size of the [[charsetQuality]] two-level ratio fold —
+    * small enough that the gate SFs exercise the cross-block level. */
+  private[graft] val CharsetBlock = 256L
+
   /** Byte-level charset / encoding-quality signals per (source, lang):
     * multibyte overhead (UTF-8 bytes beyond one per char — the
     * mojibake / wrong-charset tell when it spikes for a nominally-ASCII
@@ -2603,8 +2661,11 @@ object AnalysisQueries extends graft.QueryModule {
     * counts. The cheap first-pass curation screen that runs BEFORE
     * tokenization — pure per-row projections (octet_length / length /
     * one regexp class strip), one partial-combinable aggregate, no
-    * joins. Ratio sums fold doc_id-ordered for cross-engine bit
-    * equality. */
+    * joins. Ratio sums fold doc_id-ordered within [[CharsetBlock]]-sized
+    * id blocks and blk-ordered across (the standard two-level fixed fold
+    * tree) for cross-engine bit equality — the flat doc_id fold buffered
+    * every document of a (source, lang) cell, corpus-proportional
+    * aggregation state hiding behind a grid-sized group count. */
   def charsetQuality(spark: SparkSession, dir: String): DataFrame = {
     val bytes = octet_length(col("text")).cast("double")
     val chars = length(col("text")).cast("double")
@@ -2620,13 +2681,20 @@ object AnalysisQueries extends graft.QueryModule {
         classRatio("[ \\t\\n\\r]").as("ws_ratio"))
     def os(v: Column) =
       graft.functions.TextFunctions.ordered_sum(v, col("doc_id"))
-    perDoc.groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        round(os(col("mb_ratio")) / count(lit(1)), 6).as("avg_mb_ratio"),
-        round(max(col("mb_ratio")), 6).as("max_mb_ratio"),
-        round(os(col("digit_ratio")) / count(lit(1)), 6)
-          .as("avg_digit_ratio"),
-        round(os(col("ws_ratio")) / count(lit(1)), 6).as("avg_ws_ratio"))
+    def os2(v: Column) =
+      graft.functions.TextFunctions.ordered_sum(v, col("blk"))
+    perDoc
+      .groupBy(col("source"), col("lang"),
+        expr(s"doc_id div $CharsetBlock").as("blk"))
+      .agg(count(lit(1)).as("bn"),
+        os(col("mb_ratio")).as("bmb"), max(col("mb_ratio")).as("bmaxmb"),
+        os(col("digit_ratio")).as("bd"), os(col("ws_ratio")).as("bw"))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("bn")).as("n_docs"),
+        round(os2(col("bmb")) / sum(col("bn")), 6).as("avg_mb_ratio"),
+        round(max(col("bmaxmb")), 6).as("max_mb_ratio"),
+        round(os2(col("bd")) / sum(col("bn")), 6).as("avg_digit_ratio"),
+        round(os2(col("bw")) / sum(col("bn")), 6).as("avg_ws_ratio"))
   }
 
   /** Gopher-style WITHIN-document repetition signals (Rae et al. 2021,
@@ -3551,7 +3619,7 @@ object AnalysisQueries extends graft.QueryModule {
          |      / ((m * sxx - sx * sx) * (m * syy - sy * sy)) END, 6) AS r2
          |FROM ag""".stripMargin,
     "ta_charset_quality" ->
-      """WITH d AS (SELECT doc_id, source, lang,
+      s"""WITH d AS (SELECT doc_id, source, lang,
         |    CAST(strlen(text) AS DOUBLE) AS bytes,
         |    CAST(length(text) AS DOUBLE) AS chars,
         |    CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
@@ -3566,19 +3634,29 @@ object AnalysisQueries extends graft.QueryModule {
         |      ELSE 0.0 END AS digit_ratio,
         |    CASE WHEN chars > 0 THEN (chars - nw) / chars
         |      ELSE 0.0 END AS ws_ratio
-        |  FROM d)
-        |SELECT source, lang, count(*) AS n_docs,
+        |  FROM d),
+        |c1 AS (SELECT source, lang, doc_id // $CharsetBlock AS blk,
+        |    count(*) AS bn,
+        |    list_reduce(list_prepend(0.0,
+        |      list(mb_ratio ORDER BY doc_id)), (a, x) -> a + x) AS bmb,
+        |    max(mb_ratio) AS bmaxmb,
+        |    list_reduce(list_prepend(0.0,
+        |      list(digit_ratio ORDER BY doc_id)), (a, x) -> a + x) AS bd,
+        |    list_reduce(list_prepend(0.0,
+        |      list(ws_ratio ORDER BY doc_id)), (a, x) -> a + x) AS bw
+        |  FROM pd GROUP BY 1, 2, 3)
+        |SELECT source, lang, CAST(sum(bn) AS BIGINT) AS n_docs,
         |  round(list_reduce(list_prepend(0.0,
-        |      list(mb_ratio ORDER BY doc_id)), (a, x) -> a + x)
-        |    / count(*), 6) AS avg_mb_ratio,
-        |  round(max(mb_ratio), 6) AS max_mb_ratio,
+        |      list(bmb ORDER BY blk)), (a, x) -> a + x)
+        |    / sum(bn), 6) AS avg_mb_ratio,
+        |  round(max(bmaxmb), 6) AS max_mb_ratio,
         |  round(list_reduce(list_prepend(0.0,
-        |      list(digit_ratio ORDER BY doc_id)), (a, x) -> a + x)
-        |    / count(*), 6) AS avg_digit_ratio,
+        |      list(bd ORDER BY blk)), (a, x) -> a + x)
+        |    / sum(bn), 6) AS avg_digit_ratio,
         |  round(list_reduce(list_prepend(0.0,
-        |      list(ws_ratio ORDER BY doc_id)), (a, x) -> a + x)
-        |    / count(*), 6) AS avg_ws_ratio
-        |FROM pd GROUP BY 1, 2""".stripMargin,
+        |      list(bw ORDER BY blk)), (a, x) -> a + x)
+        |    / sum(bn), 6) AS avg_ws_ratio
+        |FROM c1 GROUP BY 1, 2""".stripMargin,
     "ta_source_mix" ->
       s"""WITH t AS (SELECT source,
          |    CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 AS tier,
@@ -3678,24 +3756,49 @@ object AnalysisQueries extends graft.QueryModule {
          |  GROUP BY 1, 2),
          |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n2
          |  FROM bg GROUP BY 1),
-         |hj AS (
-         |  SELECT b.source,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(-(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE)) *
-         |           ln(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE))
-         |           ORDER BY bg)), (a, x) -> a + x) AS h_joint
-         |  FROM bg b JOIN tot USING (source) GROUP BY b.source),
          |mx AS (
          |  SELECT source, split_part(bg, ' ', 1) AS x,
          |    CAST(sum(c) AS BIGINT) AS c
          |  FROM bg GROUP BY 1, 2),
-         |hm AS (
-         |  SELECT m.source,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(-(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE)) *
-         |           ln(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE))
-         |           ORDER BY x)), (a, x2) -> a + x2) AS h_marginal
-         |  FROM mx m JOIN tot USING (source) GROUP BY m.source)
+         |erv AS (SELECT DISTINCT bg AS t, 0 AS doc_id FROM bg
+         |        UNION SELECT DISTINCT x AS t, 0 AS doc_id FROM mx),
+         |${graft.core.XxHashSql.hash64Ctes("erv", "erh", "erx")},
+         |hjt AS (
+         |  SELECT b.source, b.bg,
+         |    CAST(h.h64 % ${VocabFineMask + 1} AS BIGINT) AS fine,
+         |    -(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+         |      ln(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE)) AS t
+         |  FROM bg b JOIN tot USING (source) JOIN erh h ON h.t = b.bg),
+         |hj1 AS (SELECT source, fine,
+         |    list_reduce(list_prepend(0.0, list(t ORDER BY bg)),
+         |      (a, v) -> a + v) AS bt
+         |  FROM hjt GROUP BY 1, 2),
+         |hj2 AS (SELECT source, fine // $VocabCoarseDiv AS coarse,
+         |    list_reduce(list_prepend(0.0, list(bt ORDER BY fine)),
+         |      (a, v) -> a + v) AS bt
+         |  FROM hj1 GROUP BY 1, 2),
+         |hj AS (SELECT source,
+         |    list_reduce(list_prepend(0.0, list(bt ORDER BY coarse)),
+         |      (a, v) -> a + v) AS h_joint
+         |  FROM hj2 GROUP BY source),
+         |hmt AS (
+         |  SELECT m.source, m.x,
+         |    CAST(h.h64 % ${VocabFineMask + 1} AS BIGINT) AS fine,
+         |    -(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+         |      ln(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE)) AS t
+         |  FROM mx m JOIN tot USING (source) JOIN erh h ON h.t = m.x),
+         |hm1 AS (SELECT source, fine,
+         |    list_reduce(list_prepend(0.0, list(t ORDER BY x)),
+         |      (a, v) -> a + v) AS bt
+         |  FROM hmt GROUP BY 1, 2),
+         |hm2 AS (SELECT source, fine // $VocabCoarseDiv AS coarse,
+         |    list_reduce(list_prepend(0.0, list(bt ORDER BY fine)),
+         |      (a, v) -> a + v) AS bt
+         |  FROM hm1 GROUP BY 1, 2),
+         |hm AS (SELECT source,
+         |    list_reduce(list_prepend(0.0, list(bt ORDER BY coarse)),
+         |      (a, v) -> a + v) AS h_marginal
+         |  FROM hm2 GROUP BY source)
          |SELECT hj.source, tot.n2 AS n_bigrams,
          |  round(hj.h_joint, 6) AS h_joint,
          |  round(hm.h_marginal, 6) AS h_marginal,
@@ -4432,12 +4535,26 @@ object AnalysisQueries extends graft.QueryModule {
       s"""WITH tc AS (SELECT source, term, count(*) AS c FROM
          |    (SELECT source, unnest(regexp_extract_all(text, '$re')) AS term
          |     FROM documents) GROUP BY 1, 2),
-         |tot AS (SELECT source, sum(c) AS n FROM tc GROUP BY 1)
-         |SELECT source, count(*) AS n_terms,
-         |  round(-list_reduce(list_prepend(0.0,
-         |    list((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
-         |      ORDER BY term)), (a, v) -> a + v), 6) AS entropy
-         |FROM tc JOIN tot USING (source) GROUP BY source""".stripMargin,
+         |tot AS (SELECT source, sum(c) AS n FROM tc GROUP BY 1),
+         |tev AS (SELECT DISTINCT term AS t, 0 AS doc_id FROM tc),
+         |${graft.core.XxHashSql.hash64Ctes("tev", "teh", "tex")},
+         |tb AS (SELECT tc.source, tc.term,
+         |    CAST(h.h64 % ${VocabFineMask + 1} AS BIGINT) AS fine,
+         |    (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) AS t
+         |  FROM tc JOIN tot USING (source) JOIN teh h ON h.t = tc.term),
+         |b1 AS (SELECT source, fine, count(*) AS bn,
+         |    list_reduce(list_prepend(0.0, list(t ORDER BY term)),
+         |      (a, v) -> a + v) AS bt
+         |  FROM tb GROUP BY 1, 2),
+         |b2 AS (SELECT source, fine // $VocabCoarseDiv AS coarse,
+         |    CAST(sum(bn) AS BIGINT) AS bn,
+         |    list_reduce(list_prepend(0.0, list(bt ORDER BY fine)),
+         |      (a, v) -> a + v) AS bt
+         |  FROM b1 GROUP BY 1, 2)
+         |SELECT source, CAST(sum(bn) AS BIGINT) AS n_terms,
+         |  round(-list_reduce(list_prepend(0.0, list(bt ORDER BY coarse)),
+         |    (a, v) -> a + v), 6) AS entropy
+         |FROM b2 GROUP BY source""".stripMargin,
     "ta_corpus_prep" ->
       s"""WITH f AS (SELECT doc_id, lang, source, n_chars, text,
          |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
@@ -4563,20 +4680,34 @@ object AnalysisQueries extends graft.QueryModule {
          |CROSS JOIN nu CROSS JOIN nb
          |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
     "ta_mutual_info" ->
-      """WITH cells AS (SELECT lang, source, count(*) AS n_xy
-        |  FROM documents GROUP BY 1, 2),
-        |mx AS (SELECT lang, sum(n_xy) AS n_x FROM cells GROUP BY 1),
-        |my AS (SELECT source, sum(n_xy) AS n_y FROM cells GROUP BY 1),
-        |nn AS (SELECT sum(n_xy) AS n FROM cells),
-        |t AS (SELECT lang, source,
-        |    (CAST(n_xy AS DOUBLE) / n) * ln((CAST(n_xy AS DOUBLE) / n)
-        |      / ((CAST(n_x AS DOUBLE) / n) * (CAST(n_y AS DOUBLE) / n))) AS t
-        |  FROM cells JOIN mx USING (lang) JOIN my USING (source)
-        |  CROSS JOIN nn)
-        |SELECT count(*) AS n_cells,
-        |  round(list_reduce(list_prepend(0.0, list(t ORDER BY lang, source)),
-        |    (a, v) -> a + v), 6) AS mi
-        |FROM t""".stripMargin,
+      s"""WITH cells AS (SELECT lang, source, count(*) AS n_xy
+         |  FROM documents GROUP BY 1, 2),
+         |mx AS (SELECT lang, sum(n_xy) AS n_x FROM cells GROUP BY 1),
+         |my AS (SELECT source, sum(n_xy) AS n_y FROM cells GROUP BY 1),
+         |nn AS (SELECT sum(n_xy) AS n FROM cells),
+         |miv AS (SELECT DISTINCT lang || ':' || source AS t, 0 AS doc_id
+         |  FROM cells),
+         |${graft.core.XxHashSql.hash64Ctes("miv", "mih", "miw")},
+         |t AS (SELECT cells.lang, cells.source,
+         |    CAST(h.h64 % ${VocabFineMask + 1} AS BIGINT) AS fine,
+         |    (CAST(n_xy AS DOUBLE) / n) * ln((CAST(n_xy AS DOUBLE) / n)
+         |      / ((CAST(n_x AS DOUBLE) / n) * (CAST(n_y AS DOUBLE) / n))) AS t
+         |  FROM cells JOIN mx USING (lang) JOIN my USING (source)
+         |  CROSS JOIN nn
+         |  JOIN mih h ON h.t = cells.lang || ':' || cells.source),
+         |b1 AS (SELECT fine, count(*) AS bn,
+         |    list_reduce(list_prepend(0.0, list(t ORDER BY lang, source)),
+         |      (a, v) -> a + v) AS bt
+         |  FROM t GROUP BY 1),
+         |b2 AS (SELECT fine // $VocabCoarseDiv AS coarse,
+         |    CAST(sum(bn) AS BIGINT) AS bn,
+         |    list_reduce(list_prepend(0.0, list(bt ORDER BY fine)),
+         |      (a, v) -> a + v) AS bt
+         |  FROM b1 GROUP BY 1)
+         |SELECT CAST(sum(bn) AS BIGINT) AS n_cells,
+         |  round(list_reduce(list_prepend(0.0, list(bt ORDER BY coarse)),
+         |    (a, v) -> a + v), 6) AS mi
+         |FROM b2""".stripMargin,
     "ta_bm25" ->
       s"""WITH $bm25Ctes
          |$bm25Select""".stripMargin,

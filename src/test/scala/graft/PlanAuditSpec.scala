@@ -317,12 +317,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("charset quality: pure projection + one aggregate, no join, no text exchange") {
+  test("charset quality: projection + two-level fold, no join, no text exchange") {
     val plan = graft.queries.AnalysisQueries.charsetQuality(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"no join expected:\n$plan")
-    val nEx = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
-    assert(nEx == 1, s"expected exactly one hash exchange, got $nEx:\n$plan")
+    // two hash exchanges: the per-(source, lang, blk) inner fold and the
+    // per-(source, lang) roll-up of block PARTIALS (grid × blocks rows —
+    // the second exchange never carries per-document rows, which is the
+    // point of the block-bounded fold); the first level must include blk
+    // in its keys, the second must not
+    val ex = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.length == 2, s"expected two hash exchanges, got ${ex.length}:\n$plan")
+    assert(ex.exists(l => l.contains("source#") && l.contains("groupingexpression")),
+      s"inner exchange must partition by (source, lang, blk):\n$plan")
     plan.split("\n").filter(_.contains("Exchange")).foreach { l =>
       assert(!l.contains("text#"), s"doc text crosses an exchange: $l")
     }
