@@ -45,7 +45,7 @@ object SkewBench {
   // customer); the zipf frame's hot keys carry ~45k orders per copy
   private val HotThreshold = 10000L
 
-  private def segAgg(joined: DataFrame): DataFrame =
+  private[graft] def segAgg(joined: DataFrame): DataFrame =
     joined.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
@@ -59,7 +59,7 @@ object SkewBench {
     * union cost it most of the salting win.) The hot-key discovery count
     * pass is timed as its own `discover` term — a pipeline that re-runs
     * the join amortizes it to zero, one that doesn't pays it once. */
-  private def saltedJoin(orders: DataFrame, cust: DataFrame,
+  private[graft] def saltedJoin(orders: DataFrame, cust: DataFrame,
       hotKeys: Seq[Long]): DataFrame = {
     val fact = orders.withColumn("salt",
       when(col("o_custkey").isin(hotKeys: _*),
@@ -170,6 +170,50 @@ object SkewBench {
     }
     require(nAggDirect == nAggSalted, "agg variants disagree on group count")
 
+    // merge the variant timings into the committed minima series under
+    // the "skew" key (same min-merge rule as graft.Bench) so a salting
+    // or AQE regression surfaces in the round-over-round diff
+    try {
+      val path = java.nio.file.Paths.get("docs/bench_mins.json")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.configure(com.fasterxml.jackson.databind
+        .SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
+      mapper.configure(com.fasterxml.jackson.databind
+        .SerializationFeature.INDENT_OUTPUT, true)
+      val root: java.util.Map[String, Object] =
+        if (java.nio.file.Files.exists(path))
+          mapper.readValue(java.nio.file.Files.readAllBytes(path),
+            classOf[java.util.HashMap[String, Object]])
+        else new java.util.HashMap[String, Object]()
+      val bySf = root
+        .computeIfAbsent("skew", _ => new java.util.HashMap[String, Object]())
+        .asInstanceOf[java.util.Map[String, Object]]
+      val commit =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+            .start()
+          val out = new String(p.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          p.waitFor()
+          if (out.nonEmpty) out else "unknown"
+        } catch { case _: Throwable => "unknown" }
+      Seq("direct" -> tDirect, "aqe_skew" -> tAqe, "salted" -> tSalted,
+        "discover" -> tDiscover, "agg_direct" -> tAggDirect,
+        "agg_salted" -> tAggSalted).foreach { case (name, t) =>
+        val sec = math.rint(t * 1000) / 1000
+        val prev = Option(bySf.get(name))
+          .map(_.asInstanceOf[java.util.Map[String, Object]])
+          .flatMap(m => Option(m.get("sec"))
+            .map(_.asInstanceOf[Number].doubleValue))
+        if (prev.forall(sec < _)) {
+          val e = new java.util.HashMap[String, Object]()
+          e.put("sec", java.lang.Double.valueOf(sec))
+          e.put("commit", commit)
+          bySf.put(name, e)
+        }
+      }
+      java.nio.file.Files.write(path, mapper.writeValueAsBytes(root))
+    } catch { case _: Throwable => () }
     // the aqe_skew number is measured under TUNED engage thresholds (see
     // aqe() above) — emit them so the line is self-describing and can't
     // be read as default-config AQE
