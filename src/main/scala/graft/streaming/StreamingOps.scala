@@ -32,13 +32,27 @@ object StreamingOps {
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.execution.SparkPlan]()
 
+  /** PEAK total state-store rows (Σ stateOperators.numRowsTotal, max
+    * over the drain's micro-batches) of the most recent drain per sink
+    * name — what StreamStateBoundSpec asserts against each entry's
+    * keys/windows model: state must grow with the KEY SPACE, never with
+    * input rows. Same observability-only contract as the plan map. */
+  private[graft] val lastStateRows =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   private def recordPlan(name: String,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
-    try q match {
-      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
-        val le = w.streamingQuery.lastExecution
-        if (le != null) lastMicroBatchPlans.put(name, le.executedPlan)
-      case _ => ()
+    try {
+      q match {
+        case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+          val le = w.streamingQuery.lastExecution
+          if (le != null) lastMicroBatchPlans.put(name, le.executedPlan)
+        case _ => ()
+      }
+      val peak = q.recentProgress
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      lastStateRows.put(name, peak)
     } catch { case _: Throwable => () } // observability must never fail a drain
 
   /** documents.parquet schema for streaming file sources (readStream
