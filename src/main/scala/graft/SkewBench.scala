@@ -44,6 +44,12 @@ object SkewBench {
   // a key is "hot" at ~1000x the uniform expectation (~10 orders per
   // customer); the zipf frame's hot keys carry ~45k orders per copy
   private val HotThreshold = 10000L
+  // AQE skew-split engage thresholds tuned to this frame's partition
+  // sizes (defaults are 256MB/64MB — see aqe() below); referenced by
+  // both the conf set and the self-describing JSON line so they can't
+  // drift apart
+  private val SkewedPartitionThreshold = "8MB"
+  private val AdvisoryPartitionSize = "4MB"
 
   private[graft] def segAgg(joined: DataFrame): DataFrame =
     joined.groupBy(col("c_mktsegment"))
@@ -103,9 +109,9 @@ object SkewBench {
       // its skewed partitions sit under the default threshold.
       spark.conf.set(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        if (on) "8MB" else "256MB")
+        if (on) SkewedPartitionThreshold else "256MB")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        if (on) "4MB" else "64MB")
+        if (on) AdvisoryPartitionSize else "64MB")
     }
     // min-of-2 per variant: one-shot timings on a 32-thread local mode
     // move with the host band more than the variants differ
@@ -170,9 +176,11 @@ object SkewBench {
     }
     require(nAggDirect == nAggSalted, "agg variants disagree on group count")
 
-    // merge the variant timings into the committed minima series under
-    // the "skew" key (same min-merge rule as graft.Bench) so a salting
-    // or AQE regression surfaces in the round-over-round diff
+    // merge the variant timings into the committed minima series,
+    // keyed by frame like graft.Bench keys by sf dir ("skew:<frame>"):
+    // runs on different-scale frames (zipf vs 100x) must NOT collide
+    // in one series, or a small-frame run permanently wins the min and
+    // masks every large-frame regression
     try {
       val path = java.nio.file.Paths.get("docs/bench_mins.json")
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -185,8 +193,9 @@ object SkewBench {
           mapper.readValue(java.nio.file.Files.readAllBytes(path),
             classOf[java.util.HashMap[String, Object]])
         else new java.util.HashMap[String, Object]()
-      val bySf = root
-        .computeIfAbsent("skew", _ => new java.util.HashMap[String, Object]())
+      val byFrame = root
+        .computeIfAbsent("skew:" + new java.io.File(sfDir).getName,
+          _ => new java.util.HashMap[String, Object]())
         .asInstanceOf[java.util.Map[String, Object]]
       val commit =
         try {
@@ -201,7 +210,7 @@ object SkewBench {
         "discover" -> tDiscover, "agg_direct" -> tAggDirect,
         "agg_salted" -> tAggSalted).foreach { case (name, t) =>
         val sec = math.rint(t * 1000) / 1000
-        val prev = Option(bySf.get(name))
+        val prev = Option(byFrame.get(name))
           .map(_.asInstanceOf[java.util.Map[String, Object]])
           .flatMap(m => Option(m.get("sec"))
             .map(_.asInstanceOf[Number].doubleValue))
@@ -209,7 +218,7 @@ object SkewBench {
           val e = new java.util.HashMap[String, Object]()
           e.put("sec", java.lang.Double.valueOf(sec))
           e.put("commit", commit)
-          bySf.put(name, e)
+          byFrame.put(name, e)
         }
       }
       java.nio.file.Files.write(path, mapper.writeValueAsBytes(root))

@@ -72,7 +72,7 @@ private[graft] class DfCacheStore(maxEntries: Int) {
       val existing = cache.get(key) // get() refreshes LRU recency
       if (existing != null) return existing
     }
-    val built = if (checkpoint) f.localCheckpoint(true) else f
+    val built = if (checkpoint) Checkpoints.stable(f) else f
     cache.synchronized {
       sweepLocked()
       val prev = cache.get(key)
@@ -202,7 +202,7 @@ private[graft] class DfCacheStore(maxEntries: Int) {
   * that several catalog entries would otherwise recompute identically
   * (graph pair tables, near-dup cluster tables, k-means assignments,
   * trained model scores, the sparse-retrieval tf explode).
-  * `localCheckpoint(true)` materializes each base once and breaks
+  * [[Checkpoints.stable]] materializes each base once and breaks
   * lineage, so consumers plan against values, not the derivation; each
   * module keeps its PRIMARY catalog entry uncached so the real
   * derivation keeps an honest standalone bench timing — only the

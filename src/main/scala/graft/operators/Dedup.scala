@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints.StableOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
@@ -406,7 +407,7 @@ object Dedup {
       // materialize the (small) verified-pair set, then drop the shingle
       // cache — without this every invocation leaks a corpus-sized persist
       // for the life of the session
-      .localCheckpoint(true)
+      .stableCheckpoint()
     withShingles.unpersist(blocking = false)
     out
   }
@@ -490,7 +491,7 @@ object Dedup {
       .join(labels.select(col("id").as(idCol), col("cluster")),
         Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out
@@ -636,7 +637,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
-      .localCheckpoint(true) // materialize pairs, then free the sig cache
+      .stableCheckpoint() // materialize pairs, then free the sig cache
     sigs.unpersist(blocking = false)
     out
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints.StableOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -101,7 +102,7 @@ object Graph {
       .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
       .select(element_at(col("t"), 1).as("a"), element_at(col("t"), 2).as("b"),
         element_at(col("t"), 3).as("c"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     o.unpersist(blocking = false)
     tri
   }
@@ -306,7 +307,7 @@ object Graph {
         .join(av.select(col("node").as("src")), "src")
         .join(av.select(col("node").as("dst")), "dst")
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+        .stableCheckpoint()
       alive = deg.filter(col("deg") >= k).select(col("src").as("node"))
       val n = alive.count()
       converged = n == prevAlive

@@ -498,7 +498,8 @@ object Similarity {
   private[graft] val RpLshBroadcastCeiling = 256L << 20
 
   def rpLshNearDups(vectors: DataFrame, threshold: Double,
-      tables: Int = 32, bits: Int = 8): DataFrame = {
+      tables: Int = 32, bits: Int = 8,
+      broadcastCeiling: Long = RpLshBroadcastCeiling): DataFrame = {
     val base = vectors.select(col("vec_id"),
       toDoubleArray(col("embedding")).as("dv"))
     // Bucket join on IDS ONLY: carrying the vector payload through the
@@ -542,7 +543,7 @@ object Similarity {
     val estBytes = st.getLong(0) *
       (8L * (if (st.isNullAt(1)) 0 else st.getInt(1)) + 32L)
     def reattach(side: DataFrame): DataFrame =
-      if (estBytes <= RpLshBroadcastCeiling) broadcast(side) else side
+      if (estBytes <= broadcastCeiling) broadcast(side) else side
     cand
       .join(reattach(base.select(col("vec_id").as("vec_a"),
         col("dv").as("va"))), "vec_a")

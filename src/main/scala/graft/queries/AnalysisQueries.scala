@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Checkpoints.StableOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -329,7 +330,7 @@ object AnalysisQueries extends graft.QueryModule {
           .ordered_sum(col("c").cast("double") * col("lr"), col("b")).as("w"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("w"), 5).as("log_weight"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     db.unpersist(blocking = false)
     out
   }
@@ -671,7 +672,7 @@ object AnalysisQueries extends graft.QueryModule {
       .withColumn("cos", col("dot") / (col("na") * col("nb")))
       .filter(col("cos") > 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     vec.unpersist(blocking = false)
     out
   }
@@ -847,7 +848,7 @@ object AnalysisQueries extends graft.QueryModule {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val built = graft.operators.UnigramLm
         .train(v, UniMaxPiece, UniTopV, UniRounds)
-        .localCheckpoint(true)
+        .stableCheckpoint()
       v.unpersist(blocking = false)
       built
     }
@@ -1348,7 +1349,7 @@ object AnalysisQueries extends graft.QueryModule {
       .select(col("w1"), col("w2"), col("c_xy"), round(pmi, 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(100)
-      .localCheckpoint(true)
+      .stableCheckpoint()
     uni.unpersist(blocking = false)
     toks.unpersist(blocking = false)
     out
@@ -1411,7 +1412,13 @@ object AnalysisQueries extends graft.QueryModule {
     * never sizes an aggregation buffer. */
   def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
     val tfn = graft.functions.TextFunctions
+    // NULL lang/source become a real "\\u0001" category (matched by
+    // chr(1) in the oracle) — without this a NULL cell would silently
+    // drop at the null-unsafe margin joins on BOTH engines, and the
+    // fine-bucket hash would see engine-specific NULL-concat behavior
     val cells = Tables.loadSpread(spark, dir, "documents")
+      .select(coalesce(col("lang"), lit("\u0001")).as("lang"),
+        coalesce(col("source"), lit("\u0001")).as("source"))
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mx = cells.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
@@ -1435,7 +1442,7 @@ object AnalysisQueries extends graft.QueryModule {
         tfn.ordered_sum(col("bt"), col("fine")).as("bt"))
       .agg(sum(col("bn")).as("n_cells"),
         round(tfn.ordered_sum(col("bt"), col("coarse")), 6).as("mi"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     cells.unpersist(blocking = false)
     out
   }
@@ -1480,7 +1487,7 @@ object AnalysisQueries extends graft.QueryModule {
       .groupBy(col("doc_id"))
       .agg(max(struct(col("tfidf"), col("term"))).as("m"))
       .select(col("doc_id"), col("m.term").as("term"), col("m.tfidf").as("tfidf"))
-      .localCheckpoint(true) // materialize, then free the tf cache
+      .stableCheckpoint() // materialize, then free the tf cache
     tf.unpersist(blocking = false)
     out
   }
@@ -4680,7 +4687,8 @@ object AnalysisQueries extends graft.QueryModule {
          |CROSS JOIN nu CROSS JOIN nb
          |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
     "ta_mutual_info" ->
-      s"""WITH cells AS (SELECT lang, source, count(*) AS n_xy
+      s"""WITH cells AS (SELECT coalesce(lang, chr(1)) AS lang,
+         |    coalesce(source, chr(1)) AS source, count(*) AS n_xy
          |  FROM documents GROUP BY 1, 2),
          |mx AS (SELECT lang, sum(n_xy) AS n_x FROM cells GROUP BY 1),
          |my AS (SELECT source, sum(n_xy) AS n_y FROM cells GROUP BY 1),

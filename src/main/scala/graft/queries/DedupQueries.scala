@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Checkpoints.StableOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -180,7 +181,7 @@ object DedupQueries extends graft.QueryModule {
         round(est, 6).as("est_jaccard"),
         round(jac, 6).as("jaccard"),
         round(abs(est - jac), 6).as("abs_err"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     withSh.unpersist(blocking = false)
     out
   }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Checkpoints.StableOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1342,7 +1343,7 @@ object Relational extends graft.QueryModule {
         .select($"lang", $"n_docs", $"total_chars", $"checksum",
           ($"n_docs" <=> $"c_n" && $"total_chars" <=> $"c_chars" &&
             $"checksum" <=> $"c_sum").as("csv_matches"))
-        .localCheckpoint(true)
+        .stableCheckpoint()
       out
     } finally {
       val walk = java.nio.file.Files.walk(base)

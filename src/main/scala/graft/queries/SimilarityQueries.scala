@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Checkpoints.StableOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -254,9 +255,9 @@ object SimilarityQueries extends graft.QueryModule {
     val emb = Tables.loadSpread(spark, dir, "embeddings")
     val centroids = codebook(emb)
     val assigned = Similarity.ivfAssign(emb, centroids)
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val full = topkBrute(spark, dir)
-      .select(col("query_id"), col("cand_id")).localCheckpoint(true)
+      .select(col("query_id"), col("cand_id")).stableCheckpoint()
     val out = ProbeCurve.map { np =>
       val iv = Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries),
           assigned, centroids, K, np)
@@ -268,11 +269,11 @@ object SimilarityQueries extends graft.QueryModule {
             .as("recall"))
     }.reduce(_.unionAll(_))
       // the curve is 4 rows: materialize it, then release the per-call
-      // transients. NB these are localCheckpointed frames, which
-      // Dataset.unpersist silently ignores (no CacheManager entry) —
-      // the RDD-layer release in DfCache.releaseBlocks is the one that
-      // actually frees the blocks.
-      .localCheckpoint(true)
+      // transients. NB these are checkpointed (LogicalRDD) frames,
+      // which Dataset.unpersist silently ignores (no CacheManager
+      // entry) — the RDD-layer release in DfCache.releaseBlocks is the
+      // one that actually frees the blocks.
+      .stableCheckpoint()
     graft.core.DfCache.releaseBlocks(assigned)
     graft.core.DfCache.releaseBlocks(full)
     out
@@ -414,11 +415,13 @@ object SimilarityQueries extends graft.QueryModule {
     // sigma, the z filter) would otherwise each replay the whole
     // centroid derivation — six corpus scans and ~30 exchanges for a
     // (vec_id, label, dist) table the size of the input (measured:
-    // 1.98 → ~1.0 s at sf0.1; at 100 TB the same table persists to
-    // storage between the two statistic passes, same shape)
+    // 1.98 → ~1.0 s at sf0.1). Checkpoints.stable picks the flavor:
+    // executor-local blocks at local[n] (fast, NOT fault-tolerant — an
+    // executor loss fails the query), or a reliable checkpoint under
+    // spark.graft.checkpointDir on a cluster (survives executor loss)
     val d = centroidDist(spark, dir)
       .withColumn("blk", expr(s"vec_id div ${Similarity.KmBlock}"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val mu = d.groupBy(col("label"), col("blk"))
       .agg(graft.functions.TextFunctions.ordered_sum(
         col("dist"), col("vec_id")).as("s"), count(lit(1)).as("cnt"))

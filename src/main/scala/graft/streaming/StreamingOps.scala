@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.core.Checkpoints.StableOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -88,6 +89,19 @@ object StreamingOps {
     if (new java.io.File(path).isDirectory) reader.parquet(path)
     else reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
+
+  /** Total on-disk bytes under `path` (file or directory), resolved
+    * through the Hadoop [[org.apache.hadoop.fs.FileSystem]] API so the
+    * probe works on every storage scheme Spark can read (local, HDFS,
+    * S3A, ...) — parallelism sizing must not silently degrade when the
+    * deployment moves off the local filesystem. Returns 0 only when the
+    * path genuinely doesn't resolve (callers log that case). */
+  private[graft] def probeBytes(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    } catch { case _: java.io.IOException => 0L }
 
   private def eventsSource(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -187,7 +201,7 @@ object StreamingOps {
           }
         }
       try { q.processAllAvailable(); recordPlan(name, q) } finally q.stop()
-      spark.table(name).localCheckpoint(true)
+      spark.table(name).stableCheckpoint()
     } finally ckpt.foreach(rmTree)
   }
 
@@ -578,15 +592,18 @@ object StreamingOps {
       // output — this is purely a parallelism knob. Sized from the
       // source's on-disk bytes (pure filesystem metadata — a Spark
       // count() job here measured +0.4 s on the sf0.1 floor); a real
-      // deployment sizes stores to peak rate the same way.
-      val srcBytes = {
-        val f = new java.io.File(s"$dir/events.parquet")
-        if (f.isDirectory)
-          Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
-        else f.length()
-      }
+      // deployment sizes stores to peak rate the same way. The probe
+      // goes through the Hadoop FileSystem API so it resolves the same
+      // path `eventsSource` reads on ANY storage layer (HDFS/S3/local)
+      // — a java.io.File probe would return 0 on non-local schemes and
+      // silently re-serialize the stream through the 4-store floor.
+      val srcBytes = probeBytes(spark, s"$dir/events.parquet")
       val stateParts =
         math.min(32L, math.max(4L, srcBytes / (4L << 20))).toInt
+      if (srcBytes == 0L)
+        System.err.println(s"[graft] stream_rate_limit: size probe for " +
+          s"$dir/events.parquet returned 0 bytes — state stores fall " +
+          s"back to the $stateParts-partition floor")
       drainToMemorySink(spark, out.toDF(), "graft_stream_rate_limit",
         statePartitions = stateParts,
         outputMode = "append", // admits emit in-batch; timeout = cleanup
@@ -720,12 +737,12 @@ object StreamingOps {
     // sink name; then drop the per-call temp copies — without this every
     // invocation left a copy of events.parquet in /tmp for the host
     // lifetime
-    val snap = spark.table(name).localCheckpoint(true)
+    val snap = spark.table(name).stableCheckpoint()
     rmTree(stage)
     snap
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("n_events"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
   }
 
   /** The QA MapReduce dataflow in streaming form: documents arrive as a
@@ -746,7 +763,7 @@ object StreamingOps {
         // plan is only the source scan feeding the sink)
         lastMicroBatchPlans.put("graft_stream_qa_answers",
           out.queryExecution.sparkPlan) // pre-AQE, same as the batch lint
-        acc.add(out.localCheckpoint(true))
+        acc.add(out.stableCheckpoint())
         ()
       }
       .start()
@@ -892,7 +909,7 @@ object StreamingOps {
       val perBatch = metrics.asScala.toSeq.sortBy(_._1)
       require(perBatch.map(_._2).sum == totalRows,
         s"metrics stream incomplete: $perBatch vs total $totalRows")
-      (spark.table(name).localCheckpoint(true), perBatch)
+      (spark.table(name).stableCheckpoint(), perBatch)
     } finally {
       spark.streams.removeListener(listener)
       ckpt.foreach(rmTree)

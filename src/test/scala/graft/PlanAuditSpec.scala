@@ -738,4 +738,38 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("Sort ") && l.contains("az")), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("RP-LSH re-attach: broadcast under the ceiling, shuffle join past it, same pairs") {
+    // the gate (Similarity.RpLshBroadcastCeiling) is a measured-size
+    // decision, so both sides of the boundary must be exercised: with
+    // auto-broadcast off, the only broadcasts in the plan are the ones
+    // OUR hint forces — present when the estimate fits the ceiling,
+    // absent (planner's shuffle join) when a 1-byte ceiling rejects it.
+    // Output must be identical either way (the hint is a plan shape,
+    // never a semantics, decision).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val under = graft.operators.Similarity.rpLshNearDups(emb, 0.35)
+      val over = graft.operators.Similarity.rpLshNearDups(emb, 0.35,
+        broadcastCeiling = 1L)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).sortBy(p => (p._1, p._2))
+      val (pu, po) = (pairs(under), pairs(over))
+      assert(pu.nonEmpty, "gate spec needs a non-trivial pair set")
+      assert(pu.sameElements(po),
+        "broadcast and shuffle re-attach regimes must emit identical pairs")
+      val planUnder = under.queryExecution.executedPlan.toString
+      val planOver = over.queryExecution.executedPlan.toString
+      assert(planUnder.contains("BroadcastHashJoin"),
+        s"under-ceiling re-attach should broadcast:\n$planUnder")
+      assert(!planOver.contains("BroadcastHashJoin")
+          && !planOver.contains("BroadcastExchange"),
+        s"over-ceiling re-attach must fall back to a shuffled join:\n$planOver")
+      assert(planOver.contains("SortMergeJoin")
+          || planOver.contains("ShuffledHashJoin"), planOver)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -6,8 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session for all suites (one JVM-wide SparkSession). */
 object SparkSpec {
   lazy val spark: SparkSession = {
+    // local[4, 2]: 4 threads, maxFailures = 2 — task failures RETRY
+    // once instead of failing the job, which is what lets RetrySpec
+    // exercise real task re-execution (plain local[n] pins
+    // maxFailures = 1). Tests that assert on job failure still see the
+    // same SparkException; the failing task just runs twice first.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -124,4 +124,20 @@ class StreamStateBoundSpec extends SparkSpec {
         s"$dir ann state != $nq queries")
     }
   }
+
+  test("rate-limit store sizing probe resolves through the Hadoop FS API") {
+    // the probe sizes stream_rate_limit's state-store count from the
+    // source's on-disk bytes; it must resolve scheme-qualified paths
+    // the way the reader does (a java.io.File probe returned 0 on any
+    // non-local scheme and silently re-serialized the stream through
+    // the 4-store floor)
+    val bare = graft.streaming.StreamingOps.probeBytes(spark, s"$sf/events.parquet")
+    assert(bare > 0, "probe returned 0 for an existing local path")
+    val qualified = graft.streaming.StreamingOps.probeBytes(
+      spark, s"file://$sf/events.parquet")
+    assert(qualified == bare,
+      s"file:-scheme probe ($qualified) != bare-path probe ($bare)")
+    assert(graft.streaming.StreamingOps.probeBytes(
+      spark, s"$sf/definitely_missing.parquet") == 0L)
+  }
 }
