@@ -128,10 +128,6 @@ object ScaleUp {
     replicate("supplier") { (df, i) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppB))
     }
-    replicate("part") { (df, i) =>
-      df.withColumn("p_partkey", col("p_partkey") + lit(i * partB))
-        .withColumn("p_name", concat(col("p_name"), lit(" " + tags(i))))
-    }
     replicate("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderB))
         .withColumn("o_custkey",
@@ -217,6 +213,24 @@ object ScaleUp {
         .withColumn("text", translate(col("text"),
           lower + upper + digit,
           pl + pl.toUpperCase + perm(digit, i, 1)))
+    }
+    // part names take the SAME per-copy cipher as documents.text (the
+    // within-copy edit/equality/token structure is exactly copy 0's —
+    // translate is bijective per character class), THEN the ≥4-distance
+    // tag. The previous tag-only scheme (r14) left cross-copy name
+    // PREFIXES identical, so every prefix-derived signature key —
+    // PassJoin segments, first-token linkage blocks — collided across
+    // ALL copy pairs: measured cross-copy index collisions for
+    // rel_edit_pairs were 17M/172M/2.0B at 10/30/100× (×copies² — a
+    // faked quadratic candidate cliff, generator bug #4 in the
+    // SCALE_NOTES list) while same-copy collisions scaled ×copies.
+    replicate("part") { (df, i) =>
+      val pl = perm(lower, i, 0)
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * partB))
+        .withColumn("p_name", concat(
+          translate(col("p_name"), lower + upper + digit,
+            pl + pl.toUpperCase + perm(digit, i, 1)),
+          lit(" " + tags(i))))
     }
     // Per-copy SIGNED PERMUTATION of the embedding coordinates — the
     // vector-space analog of the text cipher. An orthogonal transform

@@ -1956,7 +1956,24 @@ object Relational extends graft.QueryModule {
     // but the dedup exchange then carries only verified matches instead
     // of every candidate's name payload: ~3× a cheap kernel for a
     // shuffle that shrinks by the candidate:match ratio.
-    val longPairs = idx.join(editProbe(long), Seq("p_size", "ls", "i", "seg"))
+    //
+    // Join regime is PINNED to a shuffled hash join building the 3×
+    // index side — a measured decision, not a default. Left to itself
+    // the planner broadcasts the 39×-exploded PROBE side at every
+    // scale, because its static estimate keeps the COMPRESSED file
+    // size through the Generate (7 MB estimate for a build that
+    // materializes GiBs): at the 100× frame that build is 10.7 GiB,
+    // over Spark's 8 GiB broadcast hard limit — a hard FAILURE, not a
+    // slowdown. And the shuffled regime is also simply faster at every
+    // measured point (sf0.1: 2.0 vs 2.5 s; 10×: 6.4 vs 7.1; 30×: 26.0
+    // vs 42.5): both exchanges carry only what they must (3× and 39×
+    // signature rows), the per-partition build is the SMALL side
+    // (index bytes / shuffle partitions per task), and nothing is
+    // n-proportional on a single node. Broadcasting the small index
+    // side instead was measured too (10×: 10.8 s) — worse, because the
+    // hash is then probed 39·n times instead of 3·n.
+    val longPairs = idx.hint("shuffle_hash")
+      .join(editProbe(long), Seq("p_size", "ls", "i", "seg"))
       .filter(col("part_a") < col("part_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
       .filter(col("dist") >= 0)
@@ -1975,7 +1992,12 @@ object Relational extends graft.QueryModule {
         col("p_size"),
         explode(expr("sequence(greatest(l - 2, 0), least(l + 2, 8))"))
           .as("lb"))
-    val shortPairs = shortA.join(shortB, Seq("p_size", "lb"))
+    // same pin for the short band (un-exploded shortA builds, the ≤5×
+    // length-band explode streams): empty at TPC-H scale, but on a
+    // short-name-heavy corpus it is n-proportional — the planner would
+    // broadcast it off the same compressed-size misestimate
+    val shortPairs = shortA.hint("shuffle_hash")
+      .join(shortB, Seq("p_size", "lb"))
       .filter(col("part_a") =!= col("part_b"))
       .select(least(col("part_a"), col("part_b")).as("part_a"),
         greatest(col("part_a"), col("part_b")).as("part_b"),

@@ -133,4 +133,32 @@ class EditDistanceFuzzSpec extends SparkSpec {
       assert(sizes(a) == sizes(b), s"cross-block pair ($a, $b)")
     }
   }
+
+  test("join regime is pinned: shuffled hash build, no broadcast at any estimate") {
+    // the shuffle_hash pin exists because the planner's static estimate
+    // broadcast the 39×-exploded probe side and hit Spark's 8 GiB hard
+    // limit at the 100× frame (and the shuffled regime measured faster
+    // at every scale point) — the plan must carry the hinted SHJ and
+    // no broadcast even while the inputs look tiny to the planner
+    val rnd = new scala.util.Random(20260816L)
+    val alpha = "abcd"
+    val names = (0 until 120).flatMap { _ =>
+      val len = 3 + rnd.nextInt(12)
+      val base = (0 until len).map(_ => alpha(rnd.nextInt(4))).mkString
+      Seq((base, 1), (base.updated(0, 'z'), 1))
+    }
+    val parts = toParts(names)
+    val exp = naivePairs(parts)
+    val pinned = graft.queries.Relational.editDistancePairsOver(parts)
+    val got = pinned
+      .select(col("part_a"), col("part_b"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exp.nonEmpty && got == exp,
+      s"pinned regime diverged: |exp|=${exp.size}, |got|=${got.size}")
+    val plan = pinned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"signature join must never broadcast an n-proportional side:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffle-hash build:\n$plan")
+  }
 }
