@@ -47,10 +47,21 @@ object Bench {
       picked.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // SPARK_GRAFT_BENCH_FULL=1 drives the FULL physical plan
+    // (queryExecution.toRdd — every output column computed) instead of
+    // count(), which lets Catalyst prune unreferenced aggregate
+    // expressions above the final grouping. A/B knob for auditing what
+    // the count() protocol actually measures per entry; the committed
+    // protocol stays count() for cross-round comparability.
+    val fullAction = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try {
+          val df = fn(spark, sfDir)
+          if (fullAction) df.queryExecution.toRdd.count() else df.count()
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
@@ -137,6 +148,9 @@ object Bench {
     // same-day), so the per-(sf, query) minimum is the only series worth
     // diffing round-over-round. Advisory — any failure here is swallowed.
     try {
+      // FULL-action runs measure a different protocol — never merge
+      // them into the committed count()-protocol minima series
+      if (fullAction) throw new RuntimeException("skip min-merge")
       val sfName = new java.io.File(sfDir).getName
       val path = java.nio.file.Paths.get("docs/bench_mins.json")
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -124,12 +124,12 @@ object Graph {
     * collect of a hub's full neighbor list into one row. */
   def labelPropagation(pairs: DataFrame, iters: Int,
       broadcastLabels: Boolean = true): DataFrame = {
-    val edges = directedEdges(pairs)
-      .repartition(col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count() // pin the partitioning (the pageRank cache rule)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    // shares the rank family's memoized degree-annotated edge cache
+    // (the extra `d` column is inert here) instead of building a third
+    // near-identical 2|E|-row cache per session — see the rankBase
+    // memo note; partitioning is identical (broadcast → dst)
+    val (edges, nodes, _) = rankBase(pairs, broadcastLabels)
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (_ <- 0 until iters) {
       val lv = if (broadcastLabels) broadcast(labels) else labels
       labels = edges.join(lv, edges("src") === lv("node"))
@@ -151,17 +151,36 @@ object Graph {
     * shuffle too. The eager count fixes the cache's outputPartitioning
     * (an unexecuted AQE plan inside InMemoryRelation reports Unknown,
     * which would re-insert a per-round Exchange before the
-    * aggregation). Returns (edges, nodes, degC). */
+    * aggregation). Returns (edges, nodes, degC).
+    *
+    * MEMOIZED per (pairs plan, layout): the graph family (pagerank /
+    * ppr / label-prop) runs over the SAME cached pair table in one
+    * session, and each call building and RETAINING its own 2|E|-row
+    * cache tripled resident edge bytes — fine while three copies fit
+    * (30×), a thrash cliff when they don't (100× in-batch: ppr read
+    * 65.8 s vs pagerank's 21.7 on identical round shapes, purely from
+    * cache pressure). One weak-keyed entry per pairs plan: the first
+    * family entry pays the honest build (the DfCache primary-entry
+    * convention), the rest reuse; the entry dies with the pairs plan,
+    * so spec-local graphs don't accumulate. */
+  private val rankBases = new java.util.WeakHashMap[
+    AnyRef, scala.collection.mutable.Map[Boolean,
+      (DataFrame, DataFrame, DataFrame)]]()
+
   private def rankBase(pairs: DataFrame, broadcastRanks: Boolean)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val degC = degrees(pairs).select(col("v").as("src"), col("deg").as("d"))
-    val partKey = if (broadcastRanks) "dst" else "src"
-    val degSide = if (broadcastRanks) broadcast(degC) else degC
-    val edges = directedEdges(pairs).join(degSide, "src")
-      .repartition(col(partKey))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
-    (edges, edges.select(col("src").as("node")).distinct(), degC)
+      : (DataFrame, DataFrame, DataFrame) = rankBases.synchronized {
+    val m = rankBases.computeIfAbsent(pairs.queryExecution.analyzed,
+      _ => scala.collection.mutable.Map.empty)
+    m.getOrElseUpdate(broadcastRanks, {
+      val degC = degrees(pairs).select(col("v").as("src"), col("deg").as("d"))
+      val partKey = if (broadcastRanks) "dst" else "src"
+      val degSide = if (broadcastRanks) broadcast(degC) else degC
+      val edges = directedEdges(pairs).join(degSide, "src")
+        .repartition(col(partKey))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      edges.count()
+      (edges, edges.select(col("src").as("node")).distinct(), degC)
+    })
   }
 
   /** Block size of the per-destination rank fold — shared with the
