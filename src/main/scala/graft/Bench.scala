@@ -12,7 +12,11 @@ object Bench {
       try ProcessHandle.allProcesses().count()
       catch { case _: Throwable => -1L }
     val heapMaxMb = Runtime.getRuntime.maxMemory() / (1L << 20)
-    f"""{"loadavg":$load%.2f,"heap_max_mb":$heapMaxMb,""" +
+    // ROOT locale, NOT the f interpolator: a comma-decimal default
+    // locale (de_DE) would emit "loadavg":8,41 — unparseable JSON
+    val loadStr = String.format(java.util.Locale.ROOT, "%.2f",
+      java.lang.Double.valueOf(load))
+    s"""{"loadavg":$loadStr,"heap_max_mb":$heapMaxMb,""" +
       s""""cpus":${os.getAvailableProcessors},"live_procs":$procs}"""
   }
 
@@ -106,6 +110,15 @@ object Bench {
     // big frames (PERF_NOTES "batch noise"), and re-measuring the rows
     // that dominate the total makes the artifact's minima
     // self-confirming instead of needing a manual isolated follow-up.
+    // Each isolated rep runs COLD-CACHE (session cache + DfCache bases +
+    // the graph rank memo cleared first): a warm rerun would exclude
+    // the one-time base build that a standalone entry pays, silently
+    // mixing two protocols in the committed minima series.
+    def clearSessionCaches(): Unit = {
+      graft.core.DfCache.clearAll()
+      graft.operators.Graph.rankBasesClear()
+      spark.catalog.clearCache()
+    }
     val results =
       if (!sys.env.get("SPARK_GRAFT_BENCH_ISOLATED").contains("1")) batchResults
       else {
@@ -115,11 +128,14 @@ object Bench {
           if (!heavy(name)) r
           else {
             val fn = SparkEntry.queries(name)
+            // the batch number stays in the min: it measured the same
+            // count() protocol, just under suite contention
             val best = (0 until 3).foldLeft(t) { (b, _) =>
+              clearSessionCaches()
               val (tN, okN) = timed(name, fn)
               if (okN) math.min(b, tN) else b
             }
-            System.err.println(f"[bench] $name isolated min-of-3: $t%.2f -> $best%.2f")
+            System.err.println(f"[bench] $name isolated min-of-3 (cold-cache): $t%.2f -> $best%.2f")
             (name, best, ok)
           }
         }

@@ -225,13 +225,16 @@ object SkewBench {
     } catch { case _: Throwable => () }
     // the aqe_skew number is measured under TUNED engage thresholds (see
     // aqe() above) — emit them so the line is self-describing and can't
-    // be read as default-config AQE
-    println(f"""{"metric":"skew_join","direct":$tDirect%.2f,""" +
-      f""""aqe_skew":$tAqe%.2f,"salted":$tSalted%.2f,""" +
-      f""""discover":$tDiscover%.2f,""" +
-      f""""agg_direct":$tAggDirect%.2f,"agg_salted":$tAggSalted%.2f,""" +
-      s""""aqe_skew_thresholds":{"skewedPartitionThresholdInBytes":"8MB",""" +
-      s""""advisoryPartitionSizeInBytes":"4MB"},""" +
+    // be read as default-config AQE. ROOT locale (not the f
+    // interpolator): a comma-decimal default locale would break the JSON
+    def f2(x: Double): String = String.format(java.util.Locale.ROOT,
+      "%.2f", java.lang.Double.valueOf(x))
+    println(s"""{"metric":"skew_join","direct":${f2(tDirect)},""" +
+      s""""aqe_skew":${f2(tAqe)},"salted":${f2(tSalted)},""" +
+      s""""discover":${f2(tDiscover)},""" +
+      s""""agg_direct":${f2(tAggDirect)},"agg_salted":${f2(tAggSalted)},""" +
+      s""""aqe_skew_thresholds":{"skewedPartitionThresholdInBytes":"$SkewedPartitionThreshold",""" +
+      s""""advisoryPartitionSizeInBytes":"$AdvisoryPartitionSize"},""" +
       s""""rows":${rDirect.map(_._2).sum},"hot_keys":${hotKeys.length},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -48,6 +48,17 @@ object Checkpoints {
       // per-app subdir, so concurrent apps sharing the root don't
       // collide)
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(confDir.get)
+      else confDir.foreach { d =>
+        // the sc-level dir is SparkContext-global and set-once; a second
+        // SparkSession on the shared context with a DIFFERENT configured
+        // root silently checkpoints under the first session's dir — make
+        // the mismatch visible instead of silent
+        if (!sc.getCheckpointDir.exists(_.startsWith(d)))
+          System.err.println(s"[graft] Checkpoints.stable: session conf " +
+            s"$DirKey=$d but the shared SparkContext already checkpoints " +
+            s"under ${sc.getCheckpointDir.get} (context-global, set-once); " +
+            "blocks for this session go under the existing root")
+      }
       df.checkpoint(true)
     }
   }

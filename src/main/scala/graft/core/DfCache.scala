@@ -127,6 +127,18 @@ private[graft] class DfCacheStore(maxEntries: Int) {
     * maintenance hook. */
   private[graft] def sweepReleases(): Int = cache.synchronized(sweepLocked())
 
+  /** Evicts EVERY entry through the deferred-release discipline — the
+    * bench's isolated-rerun protocol hook (cold-cache reps: an isolated
+    * minimum must include the one-time base build a standalone run
+    * pays, or the committed series silently mixes warm-rerun and
+    * cold-batch numbers). Safe for straggling consumers: deferral keeps
+    * blocks pinned until no derived Dataset can still execute. */
+  private[graft] def clearAll(): Unit = cache.synchronized {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) { deferRelease(it.next().getValue); it.remove() }
+    sweepLocked()
+  }
+
   /** Timer-driven idle sweep: lookup- and insert-piggybacked sweeps
     * cover every ACTIVE workload, but a long-lived service whose tag
     * set stabilizes AND then goes idle gets no further cache traffic —

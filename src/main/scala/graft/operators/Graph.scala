@@ -159,19 +159,46 @@ object Graph {
     * cache tripled resident edge bytes — fine while three copies fit
     * (30×), a thrash cliff when they don't (100× in-batch: ppr read
     * 65.8 s vs pagerank's 21.7 on identical round shapes, purely from
-    * cache pressure). One weak-keyed entry per pairs plan: the first
-    * family entry pays the honest build (the DfCache primary-entry
-    * convention), the rest reuse; the entry dies with the pairs plan,
-    * so spec-local graphs don't accumulate. */
-  private val rankBases = new java.util.WeakHashMap[
-    AnyRef, scala.collection.mutable.Map[Boolean,
-      (DataFrame, DataFrame, DataFrame)]]()
+    * cache pressure). The first family entry pays the honest build
+    * (the DfCache primary-entry convention), the rest reuse.
+    *
+    * Bounded LRU with EXPLICIT unpersist on eviction, keyed on the
+    * CANONICALIZED plan (structural equality — two Datasets over the
+    * same pair table share one entry). A weak-keyed memo on the
+    * analyzed plan cannot work here: the cached edges frame embeds
+    * that same analyzed plan as a subtree of its own plan, so the
+    * value strongly references the key and the entry never clears —
+    * every spec-local graph would leave a persisted 2|E|-row cache
+    * resident for the session. Eviction unpersist is immediate-safe
+    * (unlike DfCache's checkpointed frames): the edge cache is
+    * persist()-built with intact lineage, so a straggling consumer of
+    * an evicted frame recomputes instead of failing. */
+  private[graft] val RankBaseSlots = 4
+  private val rankBases = new java.util.LinkedHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Boolean),
+      (DataFrame, DataFrame, DataFrame)](16, 0.75f, /*access order*/ true)
+
+  /** Resident memo entries — spec hook for the eviction bound. */
+  private[graft] def rankBaseCount: Int =
+    rankBases.synchronized(rankBases.size())
+
+  /** Unpersists and drops every memo entry — the bench's cold-cache
+    * isolated-rerun hook (same contract as `DfCache.clearAll`; safe
+    * immediately because the edge caches keep intact lineage). */
+  private[graft] def rankBasesClear(): Unit = rankBases.synchronized {
+    val it = rankBases.entrySet().iterator()
+    while (it.hasNext) {
+      it.next().getValue._1.unpersist(blocking = false)
+      it.remove()
+    }
+  }
 
   private def rankBase(pairs: DataFrame, broadcastRanks: Boolean)
       : (DataFrame, DataFrame, DataFrame) = rankBases.synchronized {
-    val m = rankBases.computeIfAbsent(pairs.queryExecution.analyzed,
-      _ => scala.collection.mutable.Map.empty)
-    m.getOrElseUpdate(broadcastRanks, {
+    val key = (pairs.queryExecution.analyzed.canonicalized, broadcastRanks)
+    val hit = rankBases.get(key) // get() refreshes LRU recency
+    if (hit != null) hit
+    else {
       val degC = degrees(pairs).select(col("v").as("src"), col("deg").as("d"))
       val partKey = if (broadcastRanks) "dst" else "src"
       val degSide = if (broadcastRanks) broadcast(degC) else degC
@@ -179,8 +206,15 @@ object Graph {
         .repartition(col(partKey))
         .persist(StorageLevel.MEMORY_AND_DISK)
       edges.count()
-      (edges, edges.select(col("src").as("node")).distinct(), degC)
-    })
+      val built = (edges, edges.select(col("src").as("node")).distinct(), degC)
+      rankBases.put(key, built)
+      while (rankBases.size() > RankBaseSlots) {
+        val it = rankBases.entrySet().iterator()
+        it.next().getValue._1.unpersist(blocking = false)
+        it.remove()
+      }
+      built
+    }
   }
 
   /** Block size of the per-destination rank fold — shared with the

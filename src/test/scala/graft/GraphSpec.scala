@@ -339,4 +339,38 @@ class GraphSpec extends SparkSpec {
         s"community $c: ${r.getAs[Double]("q_contrib")} vs $naive")
     }
   }
+
+  test("rankBase memo: bounded entries, evictions unpersist, plan-equal frames share") {
+    val sc = sess.sparkContext
+    Graph.rankBasesClear()
+    assert(Graph.rankBaseCount === 0)
+    val before = sc.getPersistentRDDs.keySet
+    // N distinct graphs (distinct literal data -> distinct canonical
+    // plans), N > the slot cap: a long-lived service feeding many
+    // spec-local graphs must not accumulate persisted edge caches
+    val n = Graph.RankBaseSlots + 3
+    (0 until n).foreach { i =>
+      val pairs = Seq((i.toLong, i + 100L), (i.toLong, i + 200L),
+        (i + 100L, i + 200L)).toDF("pa", "pb")
+      assert(Graph.pageRank(pairs, iters = 1).count() === 3)
+      assert(Graph.rankBaseCount <= Graph.RankBaseSlots,
+        s"memo must stay bounded after graph $i")
+    }
+    // evicted edge caches are unpersisted: net new persisted RDDs is at
+    // most one per resident slot (the edges frame), never one per graph
+    val newPersisted = sc.getPersistentRDDs.keySet.diff(before)
+    assert(newPersisted.size <= Graph.RankBaseSlots,
+      s"evictions must unpersist: ${newPersisted.size} new persisted RDDs")
+    // plan-equal (but object-distinct) frames share one entry
+    Graph.rankBasesClear()
+    val mk = () => Seq((1L, 2L), (2L, 3L)).toDF("pa", "pb")
+    val r1 = Graph.pageRank(mk(), iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r2 = Graph.pageRank(mk(), iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Graph.rankBaseCount === 1,
+      "structurally equal pair plans must share one memo entry")
+    assert(r1 === r2)
+    Graph.rankBasesClear()
+  }
 }
