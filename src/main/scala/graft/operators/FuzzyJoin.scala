@@ -173,4 +173,108 @@ object FuzzyJoin {
       .agg(max_by(col(rightId), key).as(rightId),
         max(key).getField("sim").as("sim"))
   }
+
+  /** Exact token-Jaccard best-match WITHOUT pair enumeration — the
+    * scale-safe sibling of the blocked all-pairs argmax ([[bestMatch]]
+    * over a fixed-cardinality block is Ω(n²/blocks); this is
+    * O(n·2^|T|) for token sets of size |T|).
+    *
+    * Subset-signature tiers (the deletion-neighborhood idea PassJoin
+    * applies to edit distance, applied to set overlap): every part
+    * emits ALL 2^|T| subsets of its sorted distinct token set as
+    * signatures. Two parts with intersection i share the signature
+    * equal to that intersection, where the "claimed" similarity
+    * s/(|A|+|B|−s) at tier s = |sig| equals the true Jaccard; at lower
+    * tiers the claim only UNDERSTATES the true value — so the per-part
+    * max of claims over all surfaced witnesses is exactly the true
+    * argmax. Per signature group only the two smallest (|B|, key)
+    * members can ever win a (sim desc, key asc) argmax for another
+    * member (any group member struct-below a max-sim witness is itself
+    * a max-sim witness with a smaller key — see the head-sufficiency
+    * argument in AdvancedSpec's fuzz test), so each group keeps TWO
+    * head rows (two beats one: the best member still needs a non-self
+    * witness) — group state is O(1), never a posting list.
+    *
+    * Shuffle shape at scale: one window sort on (blk, sig) — a
+    * data-cardinality key (signatures carry token content) — and one
+    * equi-join of the signature table against the tiny head table,
+    * PINNED to shuffled-hash (heads grow linearly with the corpus, so
+    * broadcasting them is an n-proportional single-node allocation —
+    * the exact 8 GiB-cliff class rel_edit_pairs hit at 100×). The
+    * empty-subset tier doubles as the self-match fallback: a part
+    * alone in its block emits (key, key, −1.0), matching the blocked
+    * argmax's self-score convention.
+    *
+    * Exactness requires enumerating all subsets, so |T| is capped —
+    * `maxTokens` above ~12 would explode 2^|T|; oversized token sets
+    * raise rather than silently losing tiers.
+    *
+    * @return (keyCol, best STRUCT-free: `best_pk`, `sim`) — one row per
+    *         part, sim NOT rounded (callers round for presentation). */
+  def tieredBestMatch(parts: DataFrame, blkCol: String, keyCol: String,
+      toksCol: String, maxTokens: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(parts.schema(keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tieredBestMatch key '$keyCol' must be numeric (its negation is " +
+        "the tie-break)")
+    val base = parts.select(col(blkCol).as("blk"), col(keyCol).as("pk"),
+      array_sort(array_distinct(col(toksCol))).as("toks"))
+      .withColumn("sz",
+        when(size(col("toks")) <= maxTokens, size(col("toks")))
+          .otherwise(raise_error(concat(
+            lit(s"tieredBestMatch: token set exceeds maxTokens=$maxTokens "),
+            col("pk").cast("string")))))
+    // all 2^sz subset signatures per part; bit test via pow (exact in
+    // doubles for sz <= 12) because shiftleft's Scala API takes only a
+    // literal shift — the subset ARRAY is built once, giving both the
+    // signature string and its tier size
+    val sigs = base.select(col("blk"), col("pk"), col("sz"),
+      explode(transform(
+        sequence(lit(0), pow(lit(2), col("sz")).cast("int") - 1),
+        m => {
+          val sub = filter(col("toks"), (t: Column, i: Column) =>
+            pmod(floor(m / pow(lit(2), i)).cast("long"), lit(2L)) === 1L)
+          struct(concat_ws(" ", sub).as("sig"), size(sub).as("s"))
+        })).as("e"))
+      .select(col("blk"), col("pk"), col("sz"),
+        col("e.sig").as("sig"), col("e.s").as("s"))
+    // head order = the group's claimed-similarity argmax order: for
+    // s > 0 the claim s/(|A|+|B|−s) strictly decreases in the witness
+    // size, so (size, key); at tier 0 the claim is 0 REGARDLESS of
+    // size, so the (sim desc, key asc) tie-break needs the two lowest
+    // KEYS — ordering tier 0 by (size, key) returns a wrong witness
+    // whenever the block's smallest set is not its smallest key
+    // (caught by TieredArgmaxFuzzSpec's tie-break fixture)
+    val w = Window.partitionBy(col("blk"), col("sig"))
+      .orderBy(when(col("s") === 0, lit(0)).otherwise(col("sz")).asc,
+        col("pk").asc)
+    val heads = sigs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("blk"), col("sig"))
+      .agg(max(when(col("rn") === 1,
+          struct(col("sz").as("sz"), col("pk").as("pk")))).as("h1"),
+        max(when(col("rn") === 2,
+          struct(col("sz").as("sz"), col("pk").as("pk")))).as("h2"))
+    val witnessed = sigs
+      .join(heads.hint("shuffle_hash"), Seq("blk", "sig"))
+      .withColumn("wit",
+        when(col("h1.pk") =!= col("pk"), col("h1")).otherwise(col("h2")))
+      // claimed similarity: exact Jaccard when sig == the pair's true
+      // intersection, an understatement below — tier 0 claims 0.0 (the
+      // 0/union no-overlap score) unless the part is ALONE in its
+      // block, where the self-match fallback claims -1.0
+      .withColumn("claim",
+        when(col("wit").isNotNull, struct(
+          (col("s").cast("double") /
+            (col("sz") + col("wit.sz") - col("s")).cast("double")).as("sim"),
+          (-col("wit.pk")).as("neg")))
+        .otherwise(when(col("s") === 0,
+          struct(lit(-1.0).as("sim"), (-col("pk")).as("neg")))))
+      .filter(col("claim").isNotNull)
+    witnessed.groupBy(col("pk"))
+      .agg(max(col("claim")).as("best"))
+      .select(col("pk"), (-col("best.neg")).as("best_pk"),
+        col("best.sim").as("sim"))
+  }
 }

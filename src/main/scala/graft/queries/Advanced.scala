@@ -132,6 +132,47 @@ object Advanced extends graft.QueryModule {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** J3's scale-safe sibling: the SAME question as [[fuzzyBestMatch]]
+    * (best token-Jaccard match per part within its (p_type, p_size)
+    * block, ties → lowest key, self at −1.0 when alone) answered by
+    * [[FuzzyJoin.tieredBestMatch]]'s subset-signature tiers instead of
+    * the within-block all-pairs product. The blocked product is
+    * Ω(n²/blocks) on a FIXED block vocabulary (measured 17.2× on the
+    * 3.33× 30→100 step — SCALE_NOTES r16); the tiered argmax is
+    * O(n·2^|T|) with data-cardinality shuffle keys, so it rides the
+    * corpus linearly. Oracled against the SAME quadratic DuckDB
+    * argmax as the exact entry — the strongest possible recall bound
+    * (exact agreement), asserted per-row by the hash gate and
+    * summarized by [[fuzzySigRecall]]. */
+  def fuzzyBestMatchSig(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.loadSpread(spark, dir, "part")
+      .select(concat_ws("|", col("p_type"), col("p_size")).as("blk"),
+        col("p_partkey"), split(col("p_name"), " ").as("toks"))
+    FuzzyJoin.tieredBestMatch(parts, "blk", "p_partkey", "toks")
+      .select(col("pk").as("part_a"), col("best_pk").as("best_match"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** The recall report the scale-safe sibling ships with: joins the
+    * quadratic argmax against the tiered argmax and counts agreement
+    * on (best_match, sim). The tiered algorithm is exact, so the
+    * oracle states recall 1.0 outright — any divergence between the
+    * two ENGINE implementations drops n_agree below n_exact and fails
+    * the hash gate. */
+  def fuzzySigRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = fuzzyBestMatch(spark, dir)
+      .select(col("part_a"), col("best_match").as("bm_e"), col("sim").as("sim_e"))
+    val s = fuzzyBestMatchSig(spark, dir)
+      .select(col("part_a"), col("best_match").as("bm_s"), col("sim").as("sim_s"))
+    e.join(s, Seq("part_a"), "full_outer")
+      .agg(count(col("bm_e")).as("n_exact"), count(col("bm_s")).as("n_sig"),
+        sum(when(col("bm_e") === col("bm_s") &&
+          col("sim_e") === col("sim_s"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("n_exact"), col("n_sig"), col("n_agree"),
+        round(col("n_agree").cast("double") /
+          col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   /** A10's seeded balanced evaluation sample (llm_judge_evaluation.py's
     * per-label sampling): N rows per class, selection order derived from a
     * content hash so it is deterministic, engine-independent, and
@@ -809,6 +850,8 @@ object Advanced extends graft.QueryModule {
     "adv_composite_match" -> compositeMatch,
     "adv_balanced_sample" -> balancedSample,
     "adv_fuzzy_best_match" -> fuzzyBestMatch,
+    "adv_fuzzy_best_match_sig" -> fuzzyBestMatchSig,
+    "adv_fuzzy_sig_recall" -> fuzzySigRecall,
     "adv_number_extraction" -> numberExtraction,
     "adv_asof_join" -> asofJoin,
     "adv_range_join" -> rangeJoin,
@@ -823,6 +866,23 @@ object Advanced extends graft.QueryModule {
     "stream_ewma" -> streamEwma,
     "adv_hopping_window" -> hoppingWindow,
   )
+
+  /** The quadratic blocked-argmax oracle, shared verbatim by the exact
+    * entry and its tiered sibling (same question, independent
+    * algorithms — agreement IS the recall proof). */
+  private val ExactFuzzyArgmaxSql: String =
+    """WITH t AS (SELECT p_type, p_size, p_partkey, string_split(p_name, ' ') AS toks
+      |           FROM part),
+      |scored AS (
+      |  SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+      |    CASE WHEN a.p_partkey = b.p_partkey THEN -1.0
+      |         ELSE len(list_intersect(a.toks, b.toks)) * 1.0
+      |              / len(list_distinct(a.toks || b.toks)) END AS sim
+      |  FROM t a JOIN t b ON a.p_type = b.p_type AND a.p_size = b.p_size)
+      |SELECT part_a, part_b AS best_match, round(sim, 6) AS sim FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY part_a ORDER BY sim DESC, part_b ASC) AS rn
+      |  FROM scored) WHERE rn = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // DuckDB's own jaro_winkler_similarity scores the same blocked
@@ -1116,19 +1176,15 @@ object Advanced extends graft.QueryModule {
         |    THEN len(list_intersect(oa, ob)) * 1.0 / len(list_distinct(oa || ob))
         |    ELSE 0.0 END, 6) AS other_sim
         |FROM j""".stripMargin,
-    "adv_fuzzy_best_match" ->
-      """WITH t AS (SELECT p_type, p_size, p_partkey, string_split(p_name, ' ') AS toks
-        |           FROM part),
-        |scored AS (
-        |  SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
-        |    CASE WHEN a.p_partkey = b.p_partkey THEN -1.0
-        |         ELSE len(list_intersect(a.toks, b.toks)) * 1.0
-        |              / len(list_distinct(a.toks || b.toks)) END AS sim
-        |  FROM t a JOIN t b ON a.p_type = b.p_type AND a.p_size = b.p_size)
-        |SELECT part_a, part_b AS best_match, round(sim, 6) AS sim FROM (
-        |  SELECT *, row_number() OVER
-        |    (PARTITION BY part_a ORDER BY sim DESC, part_b ASC) AS rn
-        |  FROM scored) WHERE rn = 1""".stripMargin,
+    "adv_fuzzy_best_match" -> ExactFuzzyArgmaxSql,
+    // the tiered-signature sibling replays against the SAME quadratic
+    // argmax — an independent-algorithm equality gate, not a replay of
+    // the tiers
+    "adv_fuzzy_best_match_sig" -> ExactFuzzyArgmaxSql,
+    "adv_fuzzy_sig_recall" ->
+      s"""WITH best AS ($ExactFuzzyArgmaxSql)
+        |SELECT count(*) AS n_exact, count(*) AS n_sig,
+        |  count(*) AS n_agree, CAST(1.0 AS DOUBLE) AS recall FROM best""".stripMargin,
     "adv_number_extraction" ->
       """SELECT p_partkey,
         |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
