@@ -781,7 +781,11 @@ object Multimodal {
             .bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("e"))
       .select(col("doc_id"), col("media_type"), col("phash"),
         col("e.band").as("band"), col("e.bv").as("bv"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // PINNED shuffled-hash: `bands` is the RAW ×4 band explode of the
+    // hash table — n-proportional with a fan-out-blind size estimate
+    // (CatalogPlanLintSpec rule 4, the rel_edit_pairs class). Bucket
+    // self-joins shuffle on (media_type, band, bv) at scale.
+    val cand = bands.as("a").join(bands.as("b").hint("shuffle_hash"),
         col("a.media_type") === col("b.media_type") &&
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -764,7 +764,13 @@ object Advanced extends graft.QueryModule {
     * bound can pin candidates against the per-band collision count. */
   def hammingCandidates(spark: SparkSession, dir: String): DataFrame = {
     val banded = hammingBanded(spark, dir)
-    banded.as("a").join(banded.as("b"),
+    // PINNED shuffled-hash: the band table is the RAW ×4 sig explode of
+    // the customer scan — n-proportional, and its static size estimate
+    // never saw the fan-out (the rel_edit_pairs misestimate class, made
+    // a catalog-wide lint by CatalogPlanLintSpec rule 4). A band-bucket
+    // self-join shuffles on (nat, seg, band, sig) at any real scale;
+    // broadcasting one side only ever "works" at toy frames.
+    banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg") &&
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.key") < col("b.key"))

@@ -895,10 +895,16 @@ object AnalysisQueries extends graft.QueryModule {
     val grams = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"),
         explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
-    val gp = grams.join(ord, "doc_id")
+    // both joins PINNED shuffled-hash: `grams` is the RAW shingle
+    // explode of the corpus (fan-out ≈ tokens/doc, estimate rides the
+    // compressed scan — the rel_edit_pairs misestimate class,
+    // CatalogPlanLintSpec rule 4), and neither `ord` (|docs| rows) nor
+    // `firsts` (vocabulary-sized) may broadcast at corpus scale; the
+    // hinted side is the BUILD side, always the smaller of the pair
+    val gp = grams.join(ord.hint("shuffle_hash"), "doc_id")
     val firsts = gp.groupBy(col("gram")).agg(min(col("pos")).as("fpos"))
     val n = ord.count()
-    gp.join(firsts, "gram")
+    gp.join(firsts.hint("shuffle_hash"), "gram")
       .select(expr(s"((pos - 1) * 10) div $n").as("decile0"),
         when(col("pos") === col("fpos"), 1L).otherwise(0L).as("novel"))
       .groupBy((col("decile0") + 1L).cast("int").as("decile"))
@@ -1794,7 +1800,12 @@ object AnalysisQueries extends graft.QueryModule {
         (lit(0.75) * (col("bcnt").cast("double") / col("c1").cast("double"))
           + lit(0.25) * (col("c2").cast("double") / col("utotal").cast("double")))
           .as("p"))
-    btf.join(model, "bg")
+    // PINNED shuffled-hash (build = the model, the smaller agg'd side):
+    // without the pin the planner may broadcast the RAW per-doc tf side
+    // whose estimate never saw the bigram_counts fan-out — the very
+    // "nothing vocabulary-sized is broadcast" promise this scaladoc
+    // makes (CatalogPlanLintSpec rule 4 now enforces it plan-wide)
+    btf.join(model.hint("shuffle_hash"), "bg")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"),
         round(graft.functions.TextFunctions.ordered_sum(
@@ -1821,7 +1832,8 @@ object AnalysisQueries extends graft.QueryModule {
     val btf = docs.select(col("doc_id"),
       explode(graft.functions.TextFunctions.bigram_counts(col("text")))
         .as(Seq("bg", "tf")))
-    btf.join(kneserNeyModel(btf), "bg")
+    // PINNED shuffled-hash — same rationale as [[bigramLogprob]]'s pin
+    btf.join(kneserNeyModel(btf).hint("shuffle_hash"), "bg")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"),
         round(graft.functions.TextFunctions.ordered_sum(

@@ -75,6 +75,28 @@ class CatalogPlanLintSpec extends SparkSpec {
     (Set("ta_source_term_js"), "nested-loop-join-unbounded",
       "crosses a union of two exploded GLOBAL top-k(200) vocab lists — " +
         "≤ 400 rows by the top_k_structs literal"),
+    (Set("adv_salted_join"), "broadcast-over-raw-generate",
+      "the salt grid explode(sequence(0, Salt−1)) sits ABOVE its " +
+        "collapsing per-type aggregate (so the raw-generate walk cannot " +
+        "see the collapse) — ≤ |event_type domain| × Salt(32) rows"),
+    (Set("ta_source_term_js"), "broadcast-over-raw-generate",
+      "explodes GLOBAL top-k(200) struct lists produced by 1-row " +
+        "aggregates — ≤ 400 rows by the top_k_structs literal, with the " +
+        "Generate above the collapsing agg"),
+    (Set("sim_topk_ivf", "sim_topk_ivfpq", "sim_topk_rplsh",
+      "sim_ivf_recall", "sim_ivf_ndcg"), "broadcast-over-raw-generate",
+      "the broadcast build is the PROBE side (vec_id < 10 pushed to the " +
+        "scan) exploded by an nprobe/tables LITERAL — ≤ 10 × literal " +
+        "rows regardless of corpus size"),
+    (Set("sim_neardups_rplsh"), "broadcast-over-raw-generate",
+      "the sig-table self-join build: fan-out is the `tables` literal " +
+        "(32) over an InMemoryRelation whose stats are ACTUAL rows, so " +
+        "the estimate blindness is bounded at 32× — far under the " +
+        "threshold→8GiB cliff window (~800×); candidate volume is " +
+        "governed by the bits ≈ log₂(n) contract (SCALE_NOTES), and " +
+        "the n-proportional vector re-attach is separately gated by a " +
+        "MEASURED size against RpLshBroadcastCeiling (PlanAuditSpec " +
+        "exercises both sides of that ceiling)"),
   )
 
   // "provably bounded" / "agg below" proofs shared with the streaming
@@ -109,6 +131,35 @@ class CatalogPlanLintSpec extends SparkSpec {
         case w: WindowExec if w.partitionSpec.isEmpty =>
           if (hasAggBelow(w.child)) { windowsOverAggs += 1; None }
           else Some("unpartitioned-window-over-raw-rows")
+        // rule 4 (r17, the rel_edit_pairs 100× post-mortem made
+        // generic): a BROADCAST side with a RAW (un-aggregated)
+        // Generate rides a static size estimate that never saw the
+        // fan-out (SizeInBytes stats propagate the pre-explode scan
+        // size — compressed parquet × fan-out compounds to a 100–1000×
+        // under-estimate), so the planner broadcasts a frame that
+        // grows ∝ n×fanout: the silent 8 GiB cliff that killed
+        // rel_edit_pairs at 100×. A Generate COLLAPSED by an aggregate
+        // before the broadcast is exempt: an aggregate's output never
+        // exceeds its input, so the agg-blind estimate errs in the
+        // OVER-estimate direction and the planner stops broadcasting
+        // before the build outgrows anything. Raw-generate builds must
+        // be whitelisted WITH the bound or pinned to a shuffled join.
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          val bcast = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }
+          def rawGenerate(p: SparkPlan): Boolean = p match {
+            case _: HashAggregateExec | _: ObjectHashAggregateExec |
+                 _: SortAggregateExec => false
+            case _: org.apache.spark.sql.execution.GenerateExec => true
+            case other => other.children.exists(rawGenerate)
+          }
+          if (!rawGenerate(bcast)) None
+          else boundedRows(bcast) match {
+            case Some(bound) if bound <= 256 => None
+            case _ => Some("broadcast-over-raw-generate")
+          }
       }
       hits.flatten.distinct.foreach { rule =>
         val wl = whitelist.indexWhere { case (qs, r, _) => qs(name) && r == rule }

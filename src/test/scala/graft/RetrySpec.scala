@@ -147,4 +147,59 @@ class RetrySpec extends SparkSpec {
         pairs.filter(pokeLong("rank-map")(col("pa")) >= 0), 3),
       Seq("node"), "rank_norm")
   }
+
+  /** The streaming state path under a REAL task retry: batch folds are
+    * retry-proven above, but the stream entries' hash gates ride
+    * mapGroupsWithState updates whose exactly-once story is the state
+    * store's attempt transactionality (an uncommitted attempt's store
+    * updates must be aborted, the retry must reload the last committed
+    * version and fold the SAME rows in the SAME order). The poke rides
+    * a .map fused into the stateful stage, so the killed attempt dies
+    * AFTER its group fold ran — the worst case for a leaky store. Two
+    * micro-batches, so batch-1 state carries across the retried
+    * batch-0 task. */
+  test("streaming mapGroupsWithState output is identical under a state-task retry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = spark; import s.implicits._
+    val chunk1 = Seq(
+      (1L, 1L, 1L, 10.0), (1L, 2L, 2L, 12.0), (1L, 3L, 3L, 11.0),
+      (1L, 4L, 4L, 10.5), (2L, 1L, 5L, 5.0), (2L, 2L, 6L, 5.0))
+    val chunk2 = Seq(
+      (1L, 5L, 7L, 11.5), (1L, 6L, 8L, 500.0), (1L, 7L, 9L, 10.0),
+      (2L, 3L, 10L, 5.0))
+    def run(tag: Option[String]): Map[Long, (Long, Long, Long, Long)] = {
+      val in = MemoryStream[(Long, Long, Long, Double)]
+      val out = graft.streaming.EwmaState.ewma(in.toDS())
+      val staged = tag match {
+        case Some(t) => out.map { r => poke(t); r }
+        case None => out
+      }
+      val name = s"graft_retry_stream_${System.nanoTime()}"
+      val q = staged.toDF().writeStream
+        .outputMode("update").format("memory").queryName(name).start()
+      try {
+        in.addData(chunk1: _*); q.processAllAvailable()
+        in.addData(chunk2: _*); q.processAllAvailable()
+      } finally q.stop()
+      // update mode appends one row per touched user per batch; the
+      // final state per user is the bit-compared payload
+      spark.table(name).groupBy($"user_id")
+        .agg(max(struct($"n_events", $"ewma", $"ewmad", $"n_anomalies")).as("st"))
+        .collect().map { r =>
+          val st = r.getStruct(1)
+          r.getLong(0) -> ((st.getLong(0),
+            java.lang.Double.doubleToLongBits(st.getDouble(1)),
+            java.lang.Double.doubleToLongBits(st.getDouble(2)),
+            st.getLong(3)))
+        }.toMap
+    }
+    val clean = run(None)
+    val before = RetrySpec.injections.get()
+    val injected = run(Some("stream-ewma"))
+    assert(RetrySpec.injections.get() == before + 1,
+      "injected failure never fired — the streaming retry path was not exercised")
+    assert(injected == clean,
+      s"retried stream diverged from clean run: $injected vs $clean")
+  }
 }
