@@ -191,7 +191,7 @@ object FuzzyJoin {
     * members can ever win a (sim desc, key asc) argmax for another
     * member (any group member struct-below a max-sim witness is itself
     * a max-sim witness with a smaller key — see the head-sufficiency
-    * argument in AdvancedSpec's fuzz test), so each group keeps TWO
+    * argument in TieredArgmaxFuzzSpec), so each group keeps TWO
     * head rows (two beats one: the best member still needs a non-self
     * witness) — group state is O(1), never a posting list.
     *
@@ -209,8 +209,8 @@ object FuzzyJoin {
     * `maxTokens` above ~12 would explode 2^|T|; oversized token sets
     * raise rather than silently losing tiers.
     *
-    * @return (keyCol, best STRUCT-free: `best_pk`, `sim`) — one row per
-    *         part, sim NOT rounded (callers round for presentation). */
+    * @return columns (`pk`, `best_pk`, `sim`) — one row per part, sim
+    *         NOT rounded (callers round for presentation). */
   def tieredBestMatch(parts: DataFrame, blkCol: String, keyCol: String,
       toksCol: String, maxTokens: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
