@@ -130,14 +130,46 @@ object Graph {
     // memo note; partitioning is identical (broadcast → dst)
     val (edges, nodes, _) = rankBase(pairs, broadcastLabels)
     var labels = nodes.select(col("node"), col("node").as("lbl"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val lv = if (broadcastLabels) broadcast(labels) else labels
-      labels = edges.join(lv, edges("src") === lv("node"))
+      // Round 1 in closed form: initial labels are node ids, so every
+      // neighbor label is DISTINCT (the input pair table is
+      // deduplicated) — all counts are 1 and the (count desc, label
+      // asc) argmax is exactly min(neighbor id). The generic round's
+      // (dst, lbl) aggregation has group space == |E| in this one
+      // round (its provable worst case — every edge a distinct group);
+      // at the 100× frame (160M directed edges) that map, on top of
+      // the resident edge cache, pushed the execution pool to zero and
+      // KILLED the aggregation at hash-map init under 32 threads × 16g.
+      // The closed form is an |V|-group aggregation; later rounds'
+      // group spaces are Σ_dst |distinct neighbor labels|, collapsed
+      // far below |E| by round 1. Bit-identical output by construction.
+      val next =
+        if (i == 0)
+          edges.groupBy(col("dst"))
+            .agg(min(col("src")).as("lbl"))
+            .select(col("dst").as("node"), col("lbl"))
+        else edges.join(lv, edges("src") === lv("node"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
         .select(col("dst").as("node"), (-col("best.nl")).as("lbl"))
+      // MATERIALIZE between rounds (final round stays lazy for the
+      // caller): lazily-nested rounds hold EVERY round's broadcast
+      // hashed relation of the |V|-row label vector in execution
+      // memory at once, on top of the resident edge cache and the
+      // round-1 aggregation whose group space is ≈|E| while labels
+      // are still node ids — at the 100× frame (160M directed edges)
+      // that stack exhausted the pool and KILLED the aggregation
+      // (SparkOutOfMemoryError at hash-map init, 32 threads × 16g;
+      // pageRank's rounds survive the same nesting only because its
+      // ordered_sum aggregation is sort-based-fallback and
+      // spill-friendly). Checkpointing each intermediate label vector
+      // keeps exactly ONE broadcast + one round pipeline live. Costs
+      // ~0.1 s per round at sf0.1; identical output (the checkpoint
+      // is a pure materialization barrier).
+      labels = if (i == iters - 1) next else next.stableCheckpoint()
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
@@ -193,6 +225,37 @@ object Graph {
     }
   }
 
+  /** Edge-cache partition sizing: cap rows per partition so the round
+    * aggregations' per-task state is BOUNDED at any |E|. The cache's
+    * dst-partitioning is what lets every round's (dst, …) aggregation
+    * run exchange-free — but with the partition COUNT pinned to the
+    * session conf (32 on the bench), per-task group state grows ∝ |E|:
+    * at the 100× frame (≈160M directed edges, 5M rows/task) label
+    * propagation's round-1 (dst, lbl) aggregation — |E| distinct
+    * groups while labels are still node ids — exhausted the execution
+    * pool under 32 concurrent tasks and DIED (SparkOutOfMemoryError,
+    * not a spill; the same query passed at 16 threads). Sizing the
+    * partition count to ≈1M edge rows each bounds every round agg's
+    * per-task map at any scale — the cluster-side
+    * `spark.sql.shuffle.partitions` guidance applied where the
+    * operator, not the conf, knows the cardinality. Costs one cheap
+    * count of the (usually DfCache-checkpointed) pair table before the
+    * build; small graphs keep the conf partitioning exactly. */
+  private[graft] val RankEdgeRowsPerPartition = 1L << 20
+
+  /** Memory ceiling for the edge cache's STORAGE TIER (measured gate,
+    * the RpLshBroadcastCeiling discipline): past it the cache persists
+    * DISK_ONLY instead of MEMORY_AND_DISK. At the 100× frame the
+    * ~160M-row cache unrolls ≈7 GB of block storage into a 9.4 GB
+    * unified pool — 32 concurrent tasks unrolling 200 MB partitions
+    * while sibling stages run hash aggregations pushed the execution
+    * pool to literal zero and killed rel_label_prop (a DEATH, not a
+    * spill; the same query passes at 16 threads). Disk residency
+    * frees the pool for the round aggregations and costs a sequential
+    * local re-read per round — the "size the storage tier to the
+    * data" call a real cluster makes with executor storage memory. */
+  private[graft] val RankEdgeMemCeilingBytes = 2L << 30
+
   private def rankBase(pairs: DataFrame, broadcastRanks: Boolean)
       : (DataFrame, DataFrame, DataFrame) = rankBases.synchronized {
     val key = (pairs.queryExecution.analyzed.canonicalized, broadcastRanks)
@@ -202,10 +265,29 @@ object Graph {
       val degC = degrees(pairs).select(col("v").as("src"), col("deg").as("d"))
       val partKey = if (broadcastRanks) "dst" else "src"
       val degSide = if (broadcastRanks) broadcast(degC) else degC
+      val confParts = pairs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      val nPairs = pairs.count()
+      val nParts = math.max(confParts,
+        ((2L * nPairs + RankEdgeRowsPerPartition - 1) /
+          RankEdgeRowsPerPartition).toInt)
+      // ~32 bytes per directed cached edge row (3 longs + batch
+      // overhead) — a deliberate over-estimate so the gate flips to
+      // disk BEFORE the unroll can contend with the round aggs
+      val level =
+        if (2L * nPairs * 32L > RankEdgeMemCeilingBytes)
+          StorageLevel.DISK_ONLY
+        else StorageLevel.MEMORY_AND_DISK
       val edges = directedEdges(pairs).join(degSide, "src")
-        .repartition(col(partKey))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      edges.count()
+        .repartition(nParts, col(partKey))
+        .persist(level)
+      // exception-safe build: a failed materialization (the 100× OOM
+      // race, a lost executor) must not leak a partially-persisted
+      // cache — each leaked build compounds storage pressure for every
+      // subsequent graph entry in the session
+      try edges.count()
+      catch { case t: Throwable =>
+        edges.unpersist(blocking = false); throw t }
       val built = (edges, edges.select(col("src").as("node")).distinct(), degC)
       rankBases.put(key, built)
       while (rankBases.size() > RankBaseSlots) {
