@@ -28,6 +28,21 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesce posture, MEASURED (r17 A/B, 30-heavy subset,
+      // min-of-2 each side): parallelismFirst=false (the docs-
+      // recommended "respect advisory size" setting) totals 66.1 s vs
+      // 60.7 s for the default true — at sf0.1 most exchanges carry
+      // few bytes but REAL per-row compute (ordered folds, edit
+      // distances), so coalescing them to one advisory-sized task
+      // serializes that compute (rel_copurchase +1.5 s, sim_kmeans
+      // +1.1, dedup_ngram_jaccard +1.4) and only plan-heavy entries
+      // win (adv_composite_match -3.9, ta_rrf -0.8). Byte-blind
+      // coalescing is the wrong model for this catalog; the default
+      // stays parallelismFirst=true (scale-adaptive: tracks
+      // defaultParallelism, not a local constant). Env knob kept so
+      // the A/B stays reproducible.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

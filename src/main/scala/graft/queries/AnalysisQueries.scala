@@ -43,23 +43,18 @@ object AnalysisQueries extends graft.QueryModule {
     * 4 doubles. */
   def qualityLr(spark: SparkSession, dir: String): DataFrame = {
     val fmap = TextAnalysis.qualityFeatures(col("text")).toMap
-    // cache partitioned by the gradient fold block: every GD round's
-    // level-1 aggregation is then partition-local (zero exchanges in
-    // the 20-round loop; the one repartition shuffle is paid once)
+    // no blk column / repartition here since the r17 RDD-round rewrite:
+    // the trainer owns its block layout (one internal shuffle +
+    // in-partition sort, see [[LinearModel.trainSoftsignGd]]), so a
+    // df-level repartition by blk would be a second, dead shuffle. The
+    // cache serves the trainer's projection pass and the final scoring.
     val feats = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"),
-        expr(s"doc_id div ${LinearModel.BlockSize}").as("blk"),
         round(least(fmap("n_tokens") / lit(500.0), lit(1.0)), 4).as("x1"),
         (fmap("stopword_ratio") * lit(10.0)).as("x2"),
         (fmap("mean_token_len") / lit(8.0)).as("x3"),
         when(fmap("quality") >= lit(LrLabelThreshold), lit(1.0))
           .otherwise(lit(0.0)).as("y"))
-      // 8 hash partitions: blocks are BlockSize-row ranges, so even a
-      // billion-doc corpus yields ~1M blocks spread over any partition
-      // count; 8 keeps the 20-round loop's task waves small while the
-      // cache stays partitioned BY the grouping key (no per-round
-      // exchange)
-      .repartition(8, col("blk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = LinearModel.trainSoftsignGd(feats, "doc_id",
       Seq("x1", "x2", "x3"), "y", LrRate, LrIters)
