@@ -31,8 +31,23 @@ object GraphQueries extends graft.QueryModule {
     * pass (same semantics, one fewer full shuffle). */
   private def orderItems(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Keyed repartition BEFORE the aggregation: the collect_set object
+    // agg is the expensive half of this derivation, and without the
+    // explicit exchange its partial pass runs on the parquet scan's
+    // 1-3 splits (measured 0.85 s on 3 tasks at sf0.1). Hash-keyed
+    // repartition is sort-free on the map side (unlike a round-robin
+    // spread, which pays sortBeforeRepartition — measured SLOWER), its
+    // partitioning satisfies the groupBy (no second exchange), and the
+    // object agg then runs at full shuffle parallelism. The count is
+    // pinned to defaultParallelism (scale-adaptive: tracks the
+    // cluster's cores) because an AQE-coalescible exchange gets merged
+    // by BYTES (~8 MB here → 8 tasks at the 1 MB floor) while the cost
+    // of this stage is per-row compute (set merge + sort + pair
+    // explode), the exact byte-blind-coalesce trap the r17 A/B
+    // measured catalog-wide.
     Tables.load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey")
+      .repartition(spark.sparkContext.defaultParallelism, $"l_orderkey")
       .groupBy($"l_orderkey")
       .agg(array_sort(collect_set($"l_partkey")).as("items"))
   }
