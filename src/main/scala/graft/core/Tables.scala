@@ -14,6 +14,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-lifetime parquet SCHEMA memo, keyed (sfDir, table).
+    *
+    * `spark.read.parquet(path)` infers the schema eagerly — a footer
+    * read plus datasource resolution that measured ~110 ms PER CALL at
+    * sf0.1 (vs ~13 ms with an explicit schema); every catalog entry
+    * pays it 1-3 times, which summed to tens of seconds across a
+    * 270-entry bench run. A real deployment gets the schema from the
+    * catalog/metastore instead of re-deriving it per query — this memo
+    * is that, scoped to the JVM. Metadata only (a few hundred bytes
+    * per table): no data, no results, nothing persisted across runs;
+    * the testdata dirs are immutable, and a changed dir means a new
+    * (sfDir, name) key. Inference semantics are unchanged — the first
+    * load of a key performs exactly the old footer read (mergeSchema
+    * stays default-off either way, so multi-file frames still read the
+    * single representative footer). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
+
+  private def readWithCachedSchema(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent((sfDir, name),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped in two on-disk generations: INT64
@@ -25,13 +52,13 @@ object Tables {
       import org.apache.spark.sql.functions.{col, expr}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = readWithCachedSchema(spark, sfDir, name)
       df.schema("ts").dataType match {
         case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
         case _                => df
       }
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else readWithCachedSchema(spark, sfDir, name)
 
   /** Load + spread for compute-heavy downstream work (tokenization,
     * shingling, hashing, pairwise similarity).
