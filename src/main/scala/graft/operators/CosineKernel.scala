@@ -8,6 +8,29 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * accumulation, then dot / (sqrt(na) * sqrt(nb)) — see
   * [[Similarity.CosineSim]]. */
 object CosineKernel {
+  /** [[sim]] against a plain double[] codeword (the [[AnnKernels]]
+    * reference-object form) — identical arithmetic order. */
+  def simArr(a: ArrayData, b: Array[Double]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    var j = n
+    while (j < a.numElements()) { val x = a.getDouble(j); na += x * x; j += 1 }
+    j = n
+    while (j < b.length) { val y = b(j); nb += y * y; j += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def sim(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0

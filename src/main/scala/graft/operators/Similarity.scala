@@ -54,7 +54,11 @@ object Similarity {
       org.apache.spark.sql.graftbridge.Bridge.expression(a),
       org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
-  def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
+  // cast(array<double>), not transform(_, _.cast): higher-order
+  // functions are CodegenFallback (interpreted lambda + boxing per
+  // element on EVERY ANN row); the array cast is codegen-participating
+  // and float->double widening is value-identical either way
+  def toDoubleArray(c: Column): Column = c.cast("array<double>")
 
   /** Shared final stage: per-query bounded top-k via the
     * [[graft.functions.TopKStructs]] partial-top-k aggregate. Only k rows
@@ -176,12 +180,22 @@ object Similarity {
     * executor evaluates against it with NO join or shuffle. */
   private def centroidsLit(centroids: DataFrame): Column = {
     import org.apache.spark.sql.functions.typedLit
+    val (ids, vecs) = centroidsArr(centroids)
+    typedLit(ids.zip(vecs.map(_.toSeq)).toSeq)
+  }
+
+  /** Driver-side codebook in id-ascending order — the reference-object
+    * form the fused [[AnnKernels]] expressions take (plan source stays
+    * constant across codebooks; no literal array in the plan). Same
+    * budget class as [[centroidsLit]]. */
+  private def centroidsArr(
+      centroids: DataFrame): (Array[Long], Array[Array[Double]]) = {
     val rows = centroids
       .select(col("vec_id").cast("long"), toDoubleArray(col("embedding")))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
-    typedLit(rows)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
   }
 
   /** IVF index: assign every vector to its nearest centroid, bucketing
@@ -199,13 +213,16 @@ object Similarity {
     require(!vectors.columns.contains("__dv")
         && !vectors.columns.contains("__best"),
       "ivfAssign: input must not carry the reserved columns __dv/__best")
-    val cents = centroidsLit(centroids)
+    // fused argmax kernel (r17): the legacy array_max(transform(cents,
+    // struct(cosine, -id))) walked the codebook with interpreted
+    // lambdas per corpus row; [[AnnKernels.nearestId]] is the same
+    // argmax (csim DESC, id ASC tiebreak via Double.compare — Spark's
+    // exact double total order) inside whole-stage codegen.
+    val (ids, vecs) = centroidsArr(centroids)
     vectors
       .withColumn("__dv", toDoubleArray(col("embedding")))
-      .withColumn("__best", array_max(transform(cents, c =>
-        struct(cosine(col("__dv"), c("_2")).as("csim"), (-c("_1")).as("nid")))))
-      .withColumn("centroid_id", (-col("__best.nid")).cast("long"))
-      .drop("__dv", "__best")
+      .withColumn("centroid_id", AnnKernels.nearestIdCol(col("__dv"), ids, vecs))
+      .drop("__dv")
   }
 
   /** Hard-negative mining (contrastive-training data prep): for each
@@ -301,24 +318,21 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
     val sub = dim / m
-    val cents = centroidsLit(anchors)
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    val bests = (0 until m).map { j =>
-      array_min(transform(cents, (c, i) =>
-        struct(
-          l2sq(slice(col("dv"), j * sub + 1, sub),
-            slice(c("_2"), j * sub + 1, sub)).as("d"),
-          (i + 1).as("code")))).as(s"b$j")
-    }
-    val withB = vectors
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("dv"))
-      .select(col("vec_id") +: bests: _*)
-    val recon = (0 until m).map(j => col(s"b$j")("d")).reduceLeft(_ + _)
-    withB.select(col("vec_id"),
-      array((0 until m).map(j => col(s"b$j")("code")): _*).as("codes"),
-      round(sqrt(recon), 6).as("recon_err"))
+    // fused encode kernel (r17): the legacy per-subspace
+    // array_min(transform(cents, struct(aggregate(zip_with(slice,
+    // slice)), code))) nest was m * |codebook| interpreted lambda
+    // evaluations per corpus row; [[AnnKernels.pqEncode]] runs the
+    // same argmins (dist fold dim-ascending from 0.0; dist ASC, code
+    // ASC tiebreak via Double.compare) in one codegen'd pass, packed
+    // as [codes..., recon] (codes are small ints — exact as doubles).
+    val (_, vecs) = centroidsArr(anchors)
+    vectors
+      .select(col("vec_id"),
+        AnnKernels.pqEncodeCol(toDoubleArray(col("embedding")), vecs, m, sub)
+          .as("pk"))
+      .select(col("vec_id"),
+        slice(col("pk"), 1, m).cast("array<int>").as("codes"),
+        round(sqrt(element_at(col("pk"), m + 1)), 6).as("recon_err"))
   }
 
   /** PQ asymmetric-distance top-k (ADC): each query precomputes its
@@ -332,17 +346,16 @@ object Similarity {
       k: Int, m: Int, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
     val sub = dim / m
-    val cents = centroidsLit(anchors)
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+    // fused ADC table kernel (r17) — see [[AnnKernels.pqDistTable]]:
+    // same per-(subspace, codeword) squared-L2 folds as the legacy
+    // array(transform(cents, aggregate(zip_with(slice, slice)))) nest,
+    // one codegen'd pass instead of m * |codebook| interpreted lambdas
+    val (_, vecs) = centroidsArr(anchors)
     val qt = queries
       .select(col("vec_id").as("query_id"),
         toDoubleArray(col("embedding")).as("qv"))
-      .withColumn("dtab", array((0 until m).map(j =>
-        transform(cents, c =>
-          l2sq(slice(col("qv"), j * sub + 1, sub),
-            slice(c("_2"), j * sub + 1, sub)))): _*))
+      .withColumn("dtab",
+        AnnKernels.pqDistTableCol(col("qv"), vecs, m, sub))
       .select(col("query_id"), col("dtab"))
     val dist = (0 until m).map(j =>
       element_at(element_at(col("dtab"), j + 1),
@@ -366,20 +379,16 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
     val sub = dim / m
-    val cb = centroidsLit(anchors)
+    val (_, cbVecs) = centroidsArr(anchors)
     val cents = centroidsLit(centroids)
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    // per query: ADC distance table + nprobe probed buckets, both built
-    // once on the broadcast side (pure projections over the literals)
+    // per query: ADC distance table (fused kernel — see
+    // [[AnnKernels.pqDistTable]]) + nprobe probed buckets, both built
+    // once on the broadcast side
     val qt = queries
       .select(col("vec_id").as("query_id"),
         toDoubleArray(col("embedding")).as("qv"))
-      .withColumn("dtab", array((0 until m).map(j =>
-        transform(cb, c =>
-          l2sq(slice(col("qv"), j * sub + 1, sub),
-            slice(c("_2"), j * sub + 1, sub)))): _*))
+      .withColumn("dtab",
+        AnnKernels.pqDistTableCol(col("qv"), cbVecs, m, sub))
       .withColumn("p", explode(slice(array_sort(transform(cents, c =>
         struct((-cosine(col("qv"), c("_2"))).as("neg_sim"),
           c("_1").as("centroid_id")))), 1, nprobe)))
